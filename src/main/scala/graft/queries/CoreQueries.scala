@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The declared correctness contract — Q1..Q20 from SURVEY.md §2.6.
+  *
+  * Each query exercises one capability class of the reference
+  * (rromero09/analytics-etl; see SURVEY.md §2 for the file:line map) on the
+  * driver's synthetic tables, and carries an equivalent DuckDB SQL oracle.
+  *
+  * Determinism rules (both engines):
+  *  - every query has a total ORDER BY (ties broken by a key column);
+  *  - float aggregates are summed as DECIMAL then rendered as DOUBLE, so
+  *    the result is independent of partition/accumulation order;
+  *  - double→integer conversions go through an explicit round()/floor()
+  *    (Spark CAST truncates, DuckDB CAST rounds — never rely on bare CAST);
+  *  - all computed columns are aliased identically in Spark and SQL.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Order-insensitive exact sum of a double expression: cast each element
+    * to DECIMAL(18,4), sum exactly, render as DOUBLE. */
+  private def dsum(e: Column): Column =
+    sum(e.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  // Q1 — scan + project (S5)
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+  // Q2 — filter predicates (F1, F5, F6)
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 1000 &&
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  // Q3 — substring string filter (F2, P9)
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(lower(col("p_name")).contains("red"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  // Q4 — broadcast dimension join (J1)
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("c"))
+      .orderBy("n_name")
+
+  // Q5 — grouped agg + sum-of-expression (A3; TPC-H Q1 core)
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // Q6 — ungrouped min/max + date cast (A2)
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(min(col("o_orderdate").cast(DateType)).as("min_date"),
+        max(col("o_orderdate").cast(DateType)).as("max_date"))
+
+  // Q7 — top-k (A4) → TakeOrderedAndProject
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // Q8 — month derivation (P4) + rollup (A3)
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("month")
+
+  // Q9 — day-of-week derivation (P5)
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "EEEE").as("dow"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("dow")
+
+  // Q10 — timezone conversion (P3): UTC instant → Chicago wall time
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        from_utc_timestamp(col("ts"), "America/Chicago").as("local_ts"))
+      .orderBy("event_id")
+      .limit(100)
+
+  // Q11 — decimal money (P7): cents BIGINT → DECIMAL(12,2) dollars
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (round(col("l_extendedprice") * 100, 0).cast(LongType)
+          .cast(DecimalType(14, 2)) / 100).cast(DecimalType(12, 2))
+          .as("dollars"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  // Q12 — default-on-null (P8)
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        coalesce(nullif(col("props"), lit("")), lit("N/A")).as("props_n"))
+      .orderBy("event_id")
+      .limit(100)
+
+  // Q13 — validation regex (F4)
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM").rlike("^\\d{4}-\\d{2}$"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // Q14 — explode (P1)
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") <= 5)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .orderBy("doc_id", "w")
+
+  // Q15 — nested-array higher-order functions (P2)
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        array_join(
+          transform(filter(col("embedding"), x => x > 0),
+            x => round(x.cast(DoubleType), 3).cast(StringType)),
+          ", ").as("joined"))
+      .orderBy("vec_id")
+      .limit(50)
+
+  // Q16 — multi-table fact query (J1 + A3; TPC-H Q5 shape)
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  // Q17 — partitioned-delete semantics (S7): survivors of a (status,month) delete
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(!(col("o_orderstatus") === "F" &&
+        date_format(col("o_orderdate"), "yyyy-MM") === "1995-03"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // Q18 — exact dedup (north-star): distinct key triple
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey").distinct()
+      .agg(count(lit(1)).as("cnt"))
+
+  // Q19 — text stats by language (north-star)
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        floor(sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("avg_chars"))
+      .orderBy("lang")
+
+  // Q20 — cosine similarity top-k vs one query vector (north-star, §7.3).
+  // All arithmetic in DOUBLE; fold order is deterministic (sequential
+  // left-fold per row), score rounded to 4 digits before the ordering.
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 1).select(col("embedding").as("qe"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("qe"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, z) => acc + z)
+    def norm2(c: Column): Column =
+      aggregate(c, lit(0.0),
+        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot / (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("qe")))), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> (q01 _),
+    "q02_filter" -> (q02 _),
+    "q03_string_filter" -> (q03 _),
+    "q04_dim_join" -> (q04 _),
+    "q05_grouped_agg" -> (q05 _),
+    "q06_minmax_date" -> (q06 _),
+    "q07_topk" -> (q07 _),
+    "q08_month_rollup" -> (q08 _),
+    "q09_dayofweek" -> (q09 _),
+    "q10_tz_convert" -> (q10 _),
+    "q11_decimal_money" -> (q11 _),
+    "q12_default_on_null" -> (q12 _),
+    "q13_regex_validate" -> (q13 _),
+    "q14_explode" -> (q14 _),
+    "q15_array_hof" -> (q15 _),
+    "q16_fact_join" -> (q16 _),
+    "q17_delete_month" -> (q17 _),
+    "q18_exact_dedup" -> (q18 _),
+    "q19_text_stats" -> (q19 _),
+    "q20_cosine_topk" -> (q20 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q02_filter" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 1000 " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' ORDER BY o_orderkey"),
+    "q03_string_filter" ->
+      ("SELECT p_partkey, p_name FROM part " +
+        "WHERE lower(p_name) LIKE '%red%' ORDER BY p_partkey"),
+    "q04_dim_join" ->
+      ("SELECT n_name, count(*) AS c FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
+    "q05_grouped_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q06_minmax_date" ->
+      ("SELECT min(CAST(o_orderdate AS DATE)) AS min_date, " +
+        "max(CAST(o_orderdate AS DATE)) AS max_date FROM orders"),
+    "q07_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q08_month_rollup" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY month ORDER BY month"),
+    "q09_dayofweek" ->
+      ("SELECT dayname(o_orderdate) AS dow, count(*) AS cnt " +
+        "FROM orders GROUP BY dow ORDER BY dow"),
+    "q10_tz_convert" ->
+      ("SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' " +
+        "AT TIME ZONE 'America/Chicago' AS TIMESTAMP) AS local_ts " +
+        "FROM events ORDER BY event_id LIMIT 100"),
+    "q11_decimal_money" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 " +
+        "AS DECIMAL(12,2)) AS dollars " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+    "q12_default_on_null" ->
+      ("SELECT event_id, coalesce(nullif(props, ''), 'N/A') AS props_n " +
+        "FROM events ORDER BY event_id LIMIT 100"),
+    "q13_regex_validate" ->
+      ("SELECT count(*) AS cnt FROM events " +
+        "WHERE regexp_matches(strftime(ts, '%Y-%m'), '^\\d{4}-\\d{2}$')"),
+    "q14_explode" ->
+      ("SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents WHERE doc_id <= 5 ORDER BY doc_id, w"),
+    "q15_array_hof" ->
+      ("SELECT vec_id, array_to_string(list_transform(" +
+        "list_filter(embedding, x -> x > 0), " +
+        "x -> CAST(round(CAST(x AS DOUBLE), 3) AS VARCHAR)), ', ') AS joined " +
+        "FROM embeddings ORDER BY vec_id LIMIT 50"),
+    "q16_fact_join" ->
+      ("SELECT n_name, " +
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM customer, orders, lineitem, nation " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q17_delete_month" ->
+      ("SELECT count(*) AS cnt FROM orders WHERE NOT " +
+        "(o_orderstatus = 'F' AND strftime(o_orderdate, '%Y-%m') = '1995-03')"),
+    "q18_exact_dedup" ->
+      ("SELECT count(*) AS cnt FROM " +
+        "(SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem)"),
+    "q19_text_stats" ->
+      ("SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, " +
+        "CAST(floor(CAST(sum(n_chars) AS DOUBLE) / count(*)) AS BIGINT) AS avg_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q20_cosine_topk" ->
+      ("WITH q AS (SELECT generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings WHERE vec_id = 1), " +
+        "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "d AS (SELECT v.vec_id, sum(v.x * q.x) AS dot, sum(v.x * v.x) AS nv, " +
+        "sum(q.x * q.x) AS nq FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id) " +
+        "SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nq)), 4) AS score " +
+        "FROM d ORDER BY score DESC, vec_id LIMIT 10"),
+  )
+}
