@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting, shingling.
+  *
+  * Everything here is built from codegen'd Spark built-ins (split,
+  * higher-order array functions, regex) — no UDFs — so the functions stay
+  * inside WholeStageCodegen and distribute trivially: each is a pure
+  * per-row projection with no shuffle.
+  *
+  * Every function has an exactly-mirrorable DuckDB SQL form (see
+  * `graft.queries.TextQueries`) so results are oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties filtered (so "" and "  " → []). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, and single
+    * punctuation marks each count as one token — a cheap proxy for a
+    * byte-pair-encoded length. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (joined with single spaces). Documents shorter
+    * than n tokens produce one shingle = the whole token sequence; empty
+    * documents produce none. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val k = size(toks)
+    when(k >= n,
+      transform(sequence(lit(1), k - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .when(k > 0, array(array_join(toks, " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Punctuation character ratio over total length (0 for empty text). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast(DoubleType) /
+        length(text))
+      .otherwise(lit(0.0))
+
+  private val enStopwords = Seq("the", "a", "an", "of", "and", "to", "in",
+    "is", "that", "it", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Fraction of tokens that are English stopwords (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(enStopwords: _*))).cast(DoubleType) /
+        size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite document quality score in [0,1]: length component (target
+    * >= 100 tokens), low-punctuation component, natural-language
+    * (stopword-bearing) component. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast(DoubleType) / 100) * 0.4 +
+      (lit(1.0) - least(lit(1.0), punctRatio(text) * 10)) * 0.3 +
+      least(lit(1.0), stopwordRatio(text) * 4) * 0.3
+
+  // marker stopwords per language for the n-gram/stopword langid heuristic
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(words: _*)))
+
+  /** Language ID heuristic: CJK characters → zh; otherwise the language
+    * with the most marker-stopword hits (priority en > es > de > fr on
+    * ties); no hits → "unknown". */
+  def langId(text: Column): Column = {
+    val Seq(en, es, de, fr) = markers.map { case (_, ws) => markerHits(text, ws) }
+    when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0, "zh")
+      .when(en > 0 && en >= es && en >= de && en >= fr, "en")
+      .when(es > 0 && es >= de && es >= fr, "es")
+      .when(de > 0 && de >= fr, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+
+  /** Canonical document fingerprint: lowercase, collapse whitespace,
+    * trim, md5. Two documents with the same fingerprint are exact
+    * duplicates modulo case/whitespace. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 64-bit SimHash over whitespace tokens: each token votes its xxhash64
+    * bits; the sign of each bit's vote total forms the signature. Pure
+    * higher-order-function fold — no UDF, no shuffle. */
+  def simHash64(text: Column): Column = {
+    // bits of h as a 64-element array, LSB first (static shifts)
+    def bitsOf(h: Column): Column =
+      array((0 until 64).map(i => shiftright(h, i).bitwiseAND(1L)): _*)
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val votes = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, bitsOf(xxhash64(t)),
+        (a, bit) => a + bit * 2L - 1L))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the document's distinct n-gram shingles.
+    * Empty documents get Long.MaxValue sentinels. */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      seed => coalesce(
+        array_min(transform(array_distinct(wordShingles(text, n)),
+          s => xxhash64(seed, s))),
+        lit(Long.MaxValue)))
+}

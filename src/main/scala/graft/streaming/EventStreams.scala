@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Every transform here is stream/batch agnostic — the same function
+  * applied to `spark.readStream` output gives incremental execution with
+  * watermark-bounded state, applied to a batch DataFrame gives the exact
+  * batch answer (used by the DuckDB oracles in StreamQueries).
+  *
+  * The reference has no streaming (its "incremental" mode is a monthly
+  * cron batch, `monthly_etl.yml:4-6`); this is the north-star extension
+  * path for continuous ingestion of the same dataflow.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. On a stream, watermark
+    * `delay` bounds state; windows finalize once the watermark passes. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
+        col("total"))
+
+  /** Session windows per user with an inactivity gap — native
+    * `session_window`, mergeable and watermark-aware on streams. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
+  case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: a running per-user
+    * event counter + value total, emitting an update per trigger batch.
+    * Demonstrates arbitrary stateful processing beyond built-in windows. */
+  def runningUserTotals(events: Dataset[(Long, Double)])
+    : Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.events_seen
+          var tot = prev.total_value
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(user, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[A](c: org.apache.spark.sql.Column, text: String): A =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[A]("r")
+
+  test("tokens: empty, whitespace-only, multi-space") {
+    assert(one[Int](T.tokenCount(col("t")), "") === 0)
+    assert(one[Int](T.tokenCount(col("t")), "   ") === 0)
+    assert(one[Int](T.tokenCount(col("t")), "a  b\tc\nd") === 4)
+  }
+
+  test("subword count: letter runs + digits + punctuation") {
+    // "don't" -> don, ', t ; "2x4!" -> 2, x, 4, !
+    assert(one[Int](T.subwordCount(col("t")), "don't stop") === 4)
+    assert(one[Int](T.subwordCount(col("t")), "2x4!") === 4)
+  }
+
+  test("word shingles: n=3") {
+    type CSeq = scala.collection.Seq[String]
+    val sh = one[CSeq](T.wordShingles(col("t"), 3), "a b c d e")
+    assert(sh === Seq("a b c", "b c d", "c d e"))
+    assert(one[CSeq](T.wordShingles(col("t"), 3), "a b") === Seq("a b"))
+    assert(one[CSeq](T.wordShingles(col("t"), 3), "") === Seq())
+  }
+
+  test("langId: marker-based heuristic on real sentences") {
+    assert(one[String](T.langId(col("t")),
+      "the cat sat on the mat and it is happy") === "en")
+    assert(one[String](T.langId(col("t")),
+      "el perro corre en la calle y se esconde") === "es")
+    assert(one[String](T.langId(col("t")),
+      "der hund ist nicht mit der katze") === "de")
+    assert(one[String](T.langId(col("t")),
+      "le chien est dans les rues pour une heure") === "fr")
+    assert(one[String](T.langId(col("t")), "机器学习很有趣") === "zh")
+    assert(one[String](T.langId(col("t")), "xyzzy plugh") === "unknown")
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val a = one[String](T.fingerprint(col("t")), "Hello   World")
+    val b = one[String](T.fingerprint(col("t")), "  hello world ")
+    val c = one[String](T.fingerprint(col("t")), "hello worlds")
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("quality score in [0,1]; clean prose beats punctuation soup") {
+    val clean = one[Double](T.qualityScore(col("t")),
+      ("the quick brown fox jumps over the lazy dog and keeps running " +
+        "through the field of tall grass in the morning ") * 3)
+    val soup = one[Double](T.qualityScore(col("t")), "!!! ### $$$ %%% ^^^")
+    assert(clean > soup)
+    assert(clean >= 0.0 && clean <= 1.0 && soup >= 0.0 && soup <= 1.0)
+  }
+
+  test("simHash: equal texts equal; near texts near; far texts far") {
+    def h(t: String) = one[Long](T.simHash64(col("t")), t)
+    val base = "spark makes distributed data processing fast and reliable for everyone"
+    assert(h(base) === h(base))
+    val near = java.lang.Long.bitCount(h(base) ^ h(base.replace("fast", "quick")))
+    val far = java.lang.Long.bitCount(h(base) ^ h("completely unrelated words about gardening tulips soil"))
+    assert(near < far)
+  }
+
+  test("minhash signature: length, determinism, containment sensitivity") {
+    def sig(t: String) =
+      one[scala.collection.Seq[Long]](T.minHashSignature(col("t"), 3, 32), t)
+    val a = sig("one two three four five six seven eight nine ten")
+    assert(a.length === 32)
+    assert(a === sig("one two three four five six seven eight nine ten"))
+    val b = sig("one two three four five six seven eight nine eleven")
+    val agree = a.zip(b).count { case (x, y) => x == y }
+    assert(agree > 8, s"similar docs should share many minhashes, got $agree/32")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  QUICK brown fox jumps over the lazy dog"), // exact dup of 1 mod case/ws
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about query engines and shuffles"),
+    (5L, "completely different content about query engines and shuffles"), // exact dup of 4
+    (6L, "tiny doc"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps one representative (min id) per group") {
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("ngram jaccard: exact dups at 1.0, near dups in between") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((4L, 5L)) === 1.0)
+    val near = pairs((1L, 3L))
+    assert(near > 0.4 && near < 1.0, s"near-dup jaccard was $near")
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard at threshold 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(lsh.contains((1L, 2L)) && lsh.contains((4L, 5L)))
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Number](2).longValue)).toMap
+    assert(pairs((4L, 5L)) === 0L)
+  }
+
+  test("hot-shingle cap drops oversubscribed buckets") {
+    val many = (1L to 20L).map(i => (i, s"common shared shingle text plus unique$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(many, "doc_id", "text", n = 3).count()
+    val capped = Dedup.ngramJaccardPairs(many, "doc_id", "text", n = 3,
+      maxBucket = 5).count()
+    assert(capped < uncapped)
+  }
+
+  test("embedding near-dups: brute force and LSH agree on obvious dups") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), // ~same direction as 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val brute = Dedup.cosinePairsBrute(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute === Set((1L, 2L)))
+    val lsh = Dedup.cosinePairsLsh(vecs, "vec_id", "embedding", 0.99,
+      dim = 4, planes = 6, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class SimilaritySearchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables(spark, dir, "embeddings")
+
+  private lazy val queryVec: Seq[Float] = emb.filter(col("vec_id") === 1)
+    .select("embedding").collect().head.getSeq[Float](0)
+
+  test("brute-force top-k: query vector ranks itself first with score 1") {
+    val top = SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      array(queryVec.map(lit): _*), k = 10).collect()
+    assert(top.length === 10)
+    assert(top.head.getLong(0) === 1L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted.reverse, "scores must be descending")
+  }
+
+  test("ANN (IVF/LSH) top-k achieves >=60% recall@10 vs brute force") {
+    val brute = SimilaritySearch.bruteForceTopK(
+      emb, "vec_id", "embedding",
+      array(queryVec.map(lit): _*), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 8)
+    val ann = SimilaritySearch.annTopK(index, queryVec, dim = 64, k = 10,
+      planes = 4, tables = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.contains(1L), "ANN must find the query vector itself")
+    val recall = brute.intersect(ann).size / 10.0
+    assert(recall >= 0.6, s"recall@10 was $recall")
+  }
+
+  test("ANN probes a strict subset of the table (it is actually pruning)") {
+    val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
+      dim = 64, planes = 6, tables = 1)
+    val qdf = {
+      import spark.implicits._
+      Seq(Tuple1(queryVec)).toDF("qv").withColumn("id", lit(0L))
+    }
+    val qBuckets = VectorOps.hyperplaneSignatures(
+      qdf, "id", "qv", dim = 64, planes = 6, tables = 1, seed = 42L)
+      .select("table", "bucket")
+    val probed = index.join(broadcast(qBuckets), Seq("table", "bucket"), "left_semi")
+      .select("id").distinct().count()
+    val total = emb.count()
+    assert(probed < total, s"probed $probed of $total — no pruning happened")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming specs: the same transforms run (a) incrementally under
+  * MemoryStream with watermarks and (b) in batch, and must agree. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2025-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+
+  private val rows = Seq(
+    // (event_id, ts, user_id, event_type, value)
+    (1L, ts(0), 1L, "view", 1.0),
+    (2L, ts(5), 1L, "click", 2.0),
+    (3L, ts(65), 1L, "view", 3.0), // next hour, and >30min gap => new session
+    (4L, ts(10), 2L, "view", 4.0),
+    (5L, ts(150), 2L, "view", 5.0))
+
+  private def eventsDf = rows
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("windowedCounts: incremental stream result == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows.take(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .orderBy("ws", "event_type").collect().map(_.toSeq).toSeq
+      val batch = EventStreams.windowedCounts(eventsDf)
+        .orderBy("ws", "event_type").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionCounts: 30-min gap splits sessions (batch mode)") {
+    val out = EventStreams.sessionCounts(eventsDf)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // user 1: events at 0,5 then 65 => sessions of 2 and 1
+    // user 2: events at 10 then 150 => sessions of 1 and 1
+    assert(out.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("runningUserTotals: custom keyed state accumulates across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventStreams.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("rt")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0))
+      q.processAllAvailable()
+      // last update per user reflects all data seen across both triggers
+      val last = spark.table("rt")
+        .groupBy("user_id")
+        .agg(max(struct(col("events_seen"), col("total_value"))).as("s"))
+        .select(col("user_id"), col("s.events_seen"), col("s.total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last === Set((1L, 3L, 7.0), (2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+}
