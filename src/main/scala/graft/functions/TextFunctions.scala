@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.{GraftColumnBridge => bridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,11 +30,16 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles (joined with single spaces). Documents shorter
-    * than n tokens produce one shingle = the whole token sequence; empty
-    * documents produce none. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Expression-level "let": binds `v` once as a lambda variable so the
+    * body references it instead of duplicating the whole subtree.
+    * Catalyst copies expression trees at every reference site and does
+    * not CSE inside lambdas — without this, an O(k) array used inside an
+    * O(m) transform costs O(k·m) recomputation. */
+  private def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  /** Word n-gram shingles over a (already materialized) token array. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val k = size(toks)
     when(k >= n,
       transform(sequence(lit(1), k - (n - 1)),
@@ -41,6 +47,13 @@ object TextFunctions {
       .when(k > 0, array(array_join(toks, " ")))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Word n-gram shingles (joined with single spaces). Documents shorter
+    * than n tokens produce one shingle = the whole token sequence; empty
+    * documents produce none. Tokenization happens ONCE (bound lambda
+    * var), not once per shingle. */
+  def wordShingles(text: Column, n: Int): Column =
+    bind(tokens(text))(toks => shinglesFromTokens(toks, n))
 
   /** Punctuation character ratio over total length (0 for empty text). */
   def punctRatio(text: Column): Column =
@@ -101,28 +114,42 @@ object TextFunctions {
   /** 64-bit SimHash over whitespace tokens: each token votes its xxhash64
     * bits; the sign of each bit's vote total forms the signature. Pure
     * higher-order-function fold — no UDF, no shuffle. */
-  def simHash64(text: Column): Column = {
-    // bits of h as a 64-element array, LSB first (static shifts)
+  /** Native expression (one tight loop per row); [[simHash64Hof]] is the
+    * pure-built-ins equivalent, bit-identical (spec-enforced). */
+  def simHash64(text: Column): Column =
+    bridge.column(graft.plans.SimHash64(bridge.expression(tokens(text))))
+
+  def simHash64Hof(text: Column): Column = {
+    // bits of h as a 64-element array, LSB first (static shifts on a
+    // BOUND hash value — not 64 copies of the xxhash64 subtree)
     def bitsOf(h: Column): Column =
       array((0 until 64).map(i => shiftright(h, i).bitwiseAND(1L)): _*)
     val powers = array((0 until 64).map(i => lit(1L << i)): _*)
     val votes = aggregate(
       tokens(text),
       array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, bitsOf(xxhash64(t)),
-        (a, bit) => a + bit * 2L - 1L))
+      (acc, t) => bind(xxhash64(t))(h =>
+        zip_with(acc, bitsOf(h), (a, bit) => a + bit * 2L - 1L)))
     aggregate(
       zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(0L)),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the document's distinct n-gram shingles.
-    * Empty documents get Long.MaxValue sentinels. */
+    * the minimum hash over the document's distinct n-gram shingles.
+    * Native expression; [[minHashSignatureHof]] is the pure-built-ins
+    * equivalent, bit-identical (spec-enforced). Empty documents get
+    * Long.MaxValue sentinels. */
   def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      seed => coalesce(
-        array_min(transform(array_distinct(wordShingles(text, n)),
-          s => xxhash64(seed, s))),
-        lit(Long.MaxValue)))
+    bridge.column(graft.plans.MinHashSignature(
+      bridge.expression(array_distinct(wordShingles(text, n))), numHashes))
+
+  def minHashSignatureHof(text: Column, n: Int, numHashes: Int): Column =
+    bind(transform(array_distinct(wordShingles(text, n)), s => xxhash64(s))) {
+      hs =>
+        transform(sequence(lit(1), lit(numHashes)),
+          seed => coalesce(
+            array_min(transform(hs, h => xxhash64(seed, h))),
+            lit(Long.MaxValue)))
+    }
 }

@@ -4,9 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Vector primitives over `ARRAY<FLOAT>` embedding columns, built from
-  * higher-order functions (zip_with/aggregate) — codegen-friendly, no
-  * UDFs, all arithmetic in DOUBLE with a deterministic left-fold order.
+import org.apache.spark.sql.classic.GraftColumnBridge
+
+import graft.plans.CosineSimilarity
+
+/** Vector primitives over `ARRAY<FLOAT>` embedding columns.
+  *
+  * `cosine` is a native codegen'd Catalyst expression
+  * ([[graft.plans.CosineSimilarity]] — one fused loop); `cosineHof` is
+  * the equivalent higher-order-function form (same sequential double
+  * arithmetic, bit-identical results), kept as the pure-built-ins
+  * reference implementation.
   */
 object VectorOps {
 
@@ -18,7 +26,11 @@ object VectorOps {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p in
     * table t is derived from a seeded hash, mapped to [-1, 1). Generated

@@ -179,21 +179,14 @@ object CoreQueries {
       .orderBy("lang")
 
   // Q20 — cosine similarity top-k vs one query vector (north-star, §7.3).
-  // All arithmetic in DOUBLE; fold order is deterministic (sequential
-  // left-fold per row), score rounded to 4 digits before the ordering.
+  // Native codegen'd CosineSimilarity expression (graft.plans): same
+  // sequential double arithmetic as the HOF form, one fused loop.
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 1).select(col("embedding").as("qe"))
-    val dot = aggregate(
-      zip_with(col("embedding"), col("qe"),
-        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, z) => acc + z)
-    def norm2(c: Column): Column =
-      aggregate(c, lit(0.0),
-        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(dot / (sqrt(norm2(col("embedding"))) * sqrt(norm2(col("qe")))), 4)
+        round(graft.operators.VectorOps.cosine(col("embedding"), col("qe")), 4)
           .as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(10)

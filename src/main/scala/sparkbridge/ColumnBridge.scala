@@ -1,0 +1,21 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column↔Expression conversion for
+  * custom Catalyst expressions (Spark 4 wraps Expressions in
+  * ColumnNodes). Lives in the `classic` package solely for access.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an ALREADY-RUNNING session
+    * (`spark.sql.extensions` only applies at session construction). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_sim",
+        exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)),
+        "built-in")
+}
