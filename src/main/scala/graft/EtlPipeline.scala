@@ -81,7 +81,13 @@ object EtlPipeline {
     val locations = opts.get("locations").filter(_ != "builtin")
       .map(spark.read.parquet(_)).getOrElse(builtinLocations(spark))
 
-    val raw = SquareOrders.fromJsonFile(spark, opts("orders"))
+    // --format square-orders: the DataSource V2 connector (per-location
+    // partitions + filter/limit pushdown); default: plain schema'd JSON
+    val raw = opts.get("format") match {
+      case Some("square-orders") =>
+        spark.read.format("square-orders").load(opts("orders"))
+      case _ => SquareOrders.fromJsonFile(spark, opts("orders"))
+    }
     // F7 location filter first (partition-prunable), then order-level
     // rejects counted BEFORE the window predicate would silently drop
     // null-timestamp orders, then S2/F5 window + S3 test limit.

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.CoreQueries
+
+/** Physical-plan assertions: the plans the engine produces are the plans
+  * we'd want at 100 TB — filters pushed to the scan, columns pruned,
+  * dimension joins broadcast, top-k as TakeOrderedAndProject, codegen on
+  * the hot path. Guards against regressions that stay correct but stop
+  * scaling.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    CoreQueries.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: predicates pushed to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(o_orderstatus)") ||
+      p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(p.contains("GreaterThan(o_totalprice,1000.0)"), p)
+  }
+
+  test("q01: column pruning — scan reads only the projected columns") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("r_regionkey") && readSchema.contains("r_name"))
+  }
+
+  test("q04/q16: dimension joins are broadcast hash joins, not SMJ") {
+    for (q <- Seq("q04_dim_join", "q16_fact_join")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+    // the nation dim must never arrive via sort-merge
+    assert(!plan("q04_dim_join").contains("SortMergeJoin"))
+  }
+
+  test("q07: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q07_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q05: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q05_grouped_agg")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pairs: two HashAggregate nodes around one exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q02/q05: hot path inside WholeStageCodegen") {
+    // AQE hides codegen until the adaptive plan finalizes — execute,
+    // then inspect the executed plan
+    for (q <- Seq("q02_filter", "q05_grouped_agg")) {
+      val df = CoreQueries.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n)" node prefixes mark WholeStageCodegen stages
+      assert(p.contains("*("), s"$q:\n$p")
+    }
+  }
+
+  test("sales ETL: broadcast dim join + no shuffle before the write") {
+    import spark.implicits._
+    val orders = graft.sources.SquareOrders.fromJson(spark,
+      spark.createDataset(Seq(
+        """{"id":"o1","location_id":"L5WST6KFZBT10",
+          |"closed_at":"2025-11-24T13:27:45Z","line_items":[
+          |{"name":"X","quantity":"1","base_price_money":{"amount":100},
+          |"gross_sales_money":{"amount":100}}]}""".stripMargin.replace("\n", ""))))
+    val locations = Seq((2, "Current", "L5WST6KFZBT10"))
+      .toDF("id", "name", "square_id")
+    val p = graft.operators.SalesEtl.run(orders, locations)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
