@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The streaming ETL must land exactly the rows the batch ETL lands. */
+class StreamingEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-stream orders -> same sales rows as batch, incrementally") {
+    val ordersDir = Files.createTempDirectory("stream_orders")
+    val outDir = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val locations = Seq((2, "Current", "L5WST6KFZBT10"))
+      .toDF("id", "name", "square_id")
+
+    def orderJson(id: String, cents: Long) =
+      s"""{"id":"$id","location_id":"L5WST6KFZBT10",
+         |"closed_at":"2025-11-24T13:27:45Z","line_items":[
+         |{"name":"Latte $id","quantity":"1",
+         |"base_price_money":{"amount":$cents},
+         |"gross_sales_money":{"amount":$cents}}]}"""
+        .stripMargin.replace("\n", "")
+
+    // first file, first run
+    Files.writeString(ordersDir.resolve("batch1.jsonl"),
+      orderJson("a", 500) + "\n" + orderJson("b", 750))
+    val q1 = StreamingEtl.start(spark, ordersDir.toString, locations,
+      outDir, ckpt)
+    q1.awaitTermination()
+
+    // a second file arrives; restart from checkpoint processes ONLY it
+    Files.writeString(ordersDir.resolve("batch2.jsonl"), orderJson("c", 300))
+    val q2 = StreamingEtl.start(spark, ordersDir.toString, locations,
+      outDir, ckpt)
+    q2.awaitTermination()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 3) // no reprocessing of batch1 (checkpoint held)
+    val names = out.select("item_name").as[String].collect().toSet
+    assert(names === Set("Latte a", "Latte b", "Latte c"))
+    assert(out.select("location_id").distinct().as[Int].collect().toSeq === Seq(2))
+    assert(out.filter($"item_name" === "Latte b")
+      .select("sale_price").collect().head.getDecimal(0).toPlainString === "7.50")
+  }
+}
