@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: pay one-time JIT/codegen/session bootstrap outside the
+    // per-query timings (the first timed query otherwise absorbs ~2s)
+    spark.range(1000).selectExpr("sum(id)").collect()
     // optional comma-separated subset filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

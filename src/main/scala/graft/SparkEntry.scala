@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{CoreQueries, DedupQueries, MultimodalQueries,
-  StreamQueries, TextQueries}
+  StreamQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,13 @@ object SparkEntry {
     * extensions (text analysis, dedup, similarity). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      StreamQueries.queries ++ MultimodalQueries.queries
+      StreamQueries.queries ++ MultimodalQueries.queries ++
+      WindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
-      StreamQueries.oracleSql ++ MultimodalQueries.oracleSql
+      StreamQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      WindowQueries.oracleSql
 }

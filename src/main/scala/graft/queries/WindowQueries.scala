@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Window-function and grouping-set queries — the analytics surface a BI
+  * consumer of the sales schema reaches next (top-n per group, running
+  * totals, subtotal rollups). All with DuckDB oracles.
+  *
+  * Cross-engine determinism notes: window ORDER BYs are total (keys
+  * appended); ROLLUP subtotal rows surface as 'ALL' via coalesce so no
+  * NULL-ordering divergence (Spark sorts nulls first ASC, DuckDB last).
+  */
+object WindowQueries {
+
+  // top-3 parts per brand by retail price — rank + filter
+  private def w01(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("p_brand", "rnk", "p_partkey")
+  }
+
+  // running revenue per customer over order dates
+  private def w02(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(500)
+  }
+
+  // month × status rollup with subtotals (ROLLUP), 'ALL' for totals
+  private def w03(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .rollup(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("total"))
+      .select(coalesce(col("month"), lit("ALL")).as("month"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"), col("total"))
+      .orderBy("month", "status")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_rank_topn" -> (w01 _),
+    "w02_running_total" -> (w02 _),
+    "w03_rollup" -> (w03 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w01_rank_topn" ->
+      ("SELECT p_brand, p_partkey, p_retailprice, " +
+        "rank() OVER (PARTITION BY p_brand " +
+        "ORDER BY p_retailprice DESC, p_partkey) AS rnk " +
+        "FROM part QUALIFY rnk <= 3 ORDER BY p_brand, rnk, p_partkey"),
+    "w02_running_total" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS running_total " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500"),
+    "w03_rollup" ->
+      ("SELECT coalesce(strftime(o_orderdate, '%Y-%m'), 'ALL') AS month, " +
+        "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS cnt, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY ROLLUP (strftime(o_orderdate, '%Y-%m'), " +
+        "o_orderstatus) ORDER BY month, status"),
+  )
+}
