@@ -89,21 +89,20 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
-  private def markerHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isin(words: _*)))
-
   /** Language ID heuristic: CJK characters → zh; otherwise the language
     * with the most marker-stopword hits (priority en > es > de > fr on
-    * ties); no hits → "unknown". */
-  def langId(text: Column): Column = {
-    val Seq(en, es, de, fr) = markers.map { case (_, ws) => markerHits(text, ws) }
-    when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0, "zh")
-      .when(en > 0 && en >= es && en >= de && en >= fr, "en")
-      .when(es > 0 && es >= de && es >= fr, "es")
-      .when(de > 0 && de >= fr, "de")
-      .when(fr > 0, "fr")
-      .otherwise("unknown")
-  }
+    * ties); no hits → "unknown". Tokenizes ONCE (bound lambda var). */
+  def langId(text: Column): Column =
+    bind(tokens(lower(text))) { tk =>
+      def hits(ws: Seq[String]): Column = size(filter(tk, t => t.isin(ws: _*)))
+      val Seq(en, es, de, fr) = markers.map { case (_, ws) => hits(ws) }
+      when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0, "zh")
+        .when(en > 0 && en >= es && en >= de && en >= fr, "en")
+        .when(es > 0 && es >= de && es >= fr, "es")
+        .when(de > 0 && de >= fr, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    }
 
   /** Canonical document fingerprint: lowercase, collapse whitespace,
     * trim, md5. Two documents with the same fingerprint are exact

@@ -36,10 +36,15 @@ object Dedup {
     * occur in more than `maxBucket` docs (skew guard; 0 = no cap). */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxBucket: Int): DataFrame = {
-    // case-normalized shingles: "THE Quick" and "the quick" are the same
-    // trigram for dedup purposes (matches fingerprint() normalization)
+    // case-normalized shingles ("THE Quick" == "the quick", matching
+    // fingerprint() normalization), hashed to 64-bit before the
+    // self-join: the shuffle carries 8-byte keys instead of n-gram
+    // strings and the join compares longs. Collision risk at B shingles
+    // is ~B²/2⁶⁵ — negligible against sketch-level error.
     val sh = docs.select(col(idCol).as("doc"),
-      explode(array_distinct(wordShingles(lower(col(textCol)), n))).as("sh"))
+      explode(array_distinct(
+        transform(wordShingles(lower(col(textCol)), n), s => xxhash64(s))))
+        .as("sh"))
     if (maxBucket <= 0) sh
     else {
       val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
