@@ -107,6 +107,18 @@ object EtlPipeline {
     val outDir = opts("out")
     SalesSink.writePartitioned(valid, outDir)
 
+    // --audit <dir>: durable quarantine (reference logs-and-skips; at
+    // scale the skipped rows must be inspectable, not just counted)
+    opts.get("audit").foreach { auditDir =>
+      SalesEtl.rejectedOrders(located).withColumn("reason", lit("no_closed_at"))
+        .write.mode("append").json(s"$auditDir/rejected_orders")
+      SalesEtl.unknownLocations(sales, locations)
+        .withColumn("reason", lit("unknown_location"))
+        .write.mode("append").json(s"$auditDir/unknown_locations")
+      quarantined.withColumn("reason", lit("failed_validation"))
+        .write.mode("append").json(s"$auditDir/quarantined_rows")
+    }
+
     // summary stats (reference monthly_etl.py:268-305)
     val nOrders = capped.count()
     val nUnknownLoc = SalesEtl.unknownLocations(sales, locations).count()
