@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, MultimodalQueries,
-  StreamQueries, TextQueries, WindowQueries}
+import graft.queries.{CoreQueries, DedupQueries, JoinQueries,
+  MultimodalQueries, StreamQueries, TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       StreamQueries.queries ++ MultimodalQueries.queries ++
-      WindowQueries.queries
+      WindowQueries.queries ++ JoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       StreamQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      WindowQueries.oracleSql
+      WindowQueries.oracleSql ++ JoinQueries.oracleSql
 }
