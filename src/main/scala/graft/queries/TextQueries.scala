@@ -43,11 +43,22 @@ object TextQueries {
     docs(s, dir).select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id").limit(100)
 
+  // custom Generator (UDTF): positional tokens, one generated row each
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.classic.{GraftColumnBridge => bridge}
+    docs(s, dir).filter(col("doc_id") <= 3)
+      .select(col("doc_id"),
+        bridge.column(graft.plans.Tokenize(bridge.expression(col("text"))))
+          .as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
+    "t05_tokenize_udtf" -> (t05 _),
   )
 
   private val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
@@ -96,5 +107,10 @@ object TextQueries {
     "t04_fingerprint" ->
       ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents ORDER BY doc_id LIMIT 100"),
+    "t05_tokenize_udtf" ->
+      (s"WITH tk AS (SELECT doc_id, $duckTokens AS t FROM documents " +
+        "WHERE doc_id <= 3) " +
+        "SELECT doc_id, CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos, " +
+        "unnest(t) AS token FROM tk ORDER BY doc_id, pos"),
   )
 }
