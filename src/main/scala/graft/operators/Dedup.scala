@@ -47,9 +47,14 @@ object Dedup {
         .as("sh"))
     if (maxBucket <= 0) sh
     else {
+      // the hot-list derives from `sh` itself — rename its columns so the
+      // anti-join cannot resolve ambiguously against the shared lineage
+      // (an ambiguous self-join here silently degenerates and can drop
+      // EVERYTHING; regression-tested)
       val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxBucket).select("sh")
-      sh.join(hot, Seq("sh"), "left_anti")
+        .filter(col("df") > maxBucket)
+        .select(col("sh").as("hot_sh"))
+      sh.join(hot, sh("sh") === hot("hot_sh"), "left_anti")
     }
   }
 
@@ -71,12 +76,24 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Per-doc distinct shingle-hash arrays — the compact set
+    * representation used for candidate verification. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      array_distinct(transform(wordShingles(lower(col(textCol)), n),
+        s => xxhash64(s))).as("shs"))
+
   /** Near-duplicate pairs by MinHash + banded LSH.
     *
     * Signature of `numHashes` minhashes over n-gram shingles, split into
     * `bands` bands; docs sharing any band hash become candidates
     * (equi-join on (band, bandHash) — no cross join); candidates are
-    * verified with exact Jaccard and filtered at `threshold`.
+    * verified with exact Jaccard computed from the two docs' shingle-hash
+    * SETS via array_intersect — verify cost is O(|candidates| × set
+    * size), independent of corpus shingle density. (Verifying through a
+    * full shingle self-join instead melts down on dense corpora: a
+    * 30-word vocabulary at 50k docs yields ~500M shingle-sharing pairs.)
     * With r = numHashes/bands rows per band, catch probability is
     * 1-(1-j^r)^bands — r=2, bands=32 gives ~0.9999 at j=0.5. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -90,15 +107,33 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
       .toDF("doc", "band", "bh")
-    val cand = banded.toDF("doc_a", "band", "bh")
-      .join(banded.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
+    // optional skew guard: drop pathological buckets before pairing.
+    // hot-list columns are RENAMED before the anti-join — joining a
+    // frame against an aggregate of itself on same-named columns
+    // resolves ambiguously and silently drops everything (found at 50k:
+    // maxBucket=2000 with zero actually-hot buckets returned 0 pairs).
+    val pruned =
+      if (maxBucket <= 0) banded
+      else {
+        val hot = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxBucket)
+          .select(col("band").as("hot_band"), col("bh").as("hot_bh"))
+        banded.join(hot,
+          banded("band") === hot("hot_band") && banded("bh") === hot("hot_bh"),
+          "left_anti")
+      }
+    val cand = pruned.toDF("doc_a", "band", "bh")
+      .join(pruned.toDF("doc_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify candidates with exact Jaccard (shingle-join restricted to
-    // candidate pairs via semi-join keeps the verify cost proportional
-    // to the candidate set, not n²)
-    ngramJaccardPairs(docs, idCol, textCol, n, maxBucket)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val inter = size(array_intersect(col("shs_a"), col("shs_b")))
+    cand
+      .join(sets.toDF("doc_a", "shs_a"), Seq("doc_a"))
+      .join(sets.toDF("doc_b", "shs_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("shs_a")) + size(col("shs_b")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

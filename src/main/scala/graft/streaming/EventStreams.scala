@@ -43,6 +43,19 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup: drop documents whose canonical fingerprint
+    * was already seen. On a stream, `dropDuplicates` keeps per-key state;
+    * the watermark bounds it — duplicates arriving later than `delay`
+    * after their original may pass (the standard correctness/state
+    * trade at 100 TB/day ingest). Batch: plain exact dedup. */
+  def streamingDedup(docs: DataFrame, tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicates("fp")
+      .drop("fp")
+
   case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: a running per-user

@@ -50,13 +50,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs((4L, 5L)) === 0L)
   }
 
-  test("hot-shingle cap drops oversubscribed buckets") {
-    val many = (1L to 20L).map(i => (i, s"common shared shingle text plus unique$i"))
+  test("hot-shingle cap drops oversubscribed buckets, keeps cold ones") {
+    // every doc shares a hot prefix (df=20 > cap); docs 2i/2i+1 also
+    // share a pair-unique trigram (df=2 <= cap) that must survive
+    val many = (0L until 20L).map(i =>
+      (i, s"common shared shingle text pair${i / 2} tag${i / 2} mark${i / 2}"))
       .toDF("doc_id", "text")
     val uncapped = Dedup.ngramJaccardPairs(many, "doc_id", "text", n = 3).count()
     val capped = Dedup.ngramJaccardPairs(many, "doc_id", "text", n = 3,
-      maxBucket = 5).count()
-    assert(capped < uncapped)
+      maxBucket = 5)
+    assert(capped.count() < uncapped)
+    // exactly the 10 sibling pairs survive via their cold shingles
+    assert(capped.count() === 10)
+  }
+
+  test("regression: a cap higher than any bucket is a no-op, not a wipe " +
+    "(ambiguous self-anti-join silently dropped everything)") {
+    val unc = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(_.toSeq).toSet
+    val cap = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      maxBucket = 1000000).collect().map(_.toSeq).toSet
+    assert(cap === unc)
+    assert(cap.nonEmpty)
+    val lshUnc = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      3, 64, 32, 0.5).collect().map(_.toSeq).toSet
+    val lshCap = Dedup.minHashLshPairs(docs, "doc_id", "text",
+      3, 64, 32, 0.5, maxBucket = 1000000).collect().map(_.toSeq).toSet
+    assert(lshCap === lshUnc)
+    assert(lshCap.nonEmpty)
   }
 
   test("embedding near-dups: brute force and LSH agree on obvious dups") {

@@ -58,6 +58,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("streamingDedup drops cross-trigger duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingDedup(stream, "ts")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(0), "the quick brown fox"), (2L, ts(1), "other doc"))
+      q.processAllAvailable()
+      // duplicate of doc 1 (case/whitespace variant) in a later trigger
+      mem.addData((3L, ts(2), "THE  Quick brown fox"), (4L, ts(3), "fresh doc"))
+      q.processAllAvailable()
+      val kept = spark.table("dd").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 2L, 4L)) // 3 deduped against state
+    } finally q.stop()
+  }
+
   test("runningUserTotals: custom keyed state accumulates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
