@@ -27,7 +27,7 @@ object SimilaritySearch {
     * table. Persist this (partitioned by table/bucket) to make probes
     * partition-pruned reads. */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int = 8, tables: Int = 2, seed: Long = 42L): DataFrame =
+      planes: Int = 6, tables: Int = 8, seed: Long = 42L): DataFrame =
     VectorOps.hyperplaneSignatures(emb, idCol, vecCol, dim, planes, tables, seed)
       .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
 
@@ -35,7 +35,7 @@ object SimilaritySearch {
     * any table, then exact-cosine rerank. Recall < 1 by construction;
     * raise `tables`/lower `planes` to trade cost for recall. */
   def annTopK(index: DataFrame, queryVec: Seq[Float], dim: Int, k: Int,
-      planes: Int = 8, tables: Int = 2, seed: Long = 42L): DataFrame = {
+      planes: Int = 6, tables: Int = 8, seed: Long = 42L): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val qdf = Seq(Tuple1(queryVec)).toDF("qv")
