@@ -26,15 +26,7 @@ object Backfill {
     val locationId = locStr.toInt
     require(month.matches("""\d{4}-\d{2}"""), s"month must be yyyy-MM, got: $month")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-backfill")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.getOrCreate("graft-backfill")
     import org.apache.spark.sql.functions.col
 
     val matching = spark.read.parquet(path)

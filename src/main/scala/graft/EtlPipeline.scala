@@ -61,15 +61,7 @@ object EtlPipeline {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val t0 = System.nanoTime()
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-etl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.getOrCreate("graft-etl")
 
     val fmt = DateTimeFormatter.ISO_LOCAL_DATE
     val (defStart, defEnd) = previousMonthWindow()

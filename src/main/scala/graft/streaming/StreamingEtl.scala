@@ -45,15 +45,7 @@ object StreamingEtl {
     * (AvailableNow); re-running resumes from the checkpoint. */
   def main(args: Array[String]): Unit = {
     val Array(ordersDir, outDir, ckpt) = args.take(3)
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-streaming-etl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.getOrCreate("graft-streaming-etl")
     val q = start(spark, ordersDir,
       graft.EtlPipeline.builtinLocations(spark), outDir, ckpt)
     q.awaitTermination()
