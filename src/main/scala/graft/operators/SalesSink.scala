@@ -37,6 +37,20 @@ object SalesSink {
     replacement.foreach(writePartitioned(_, path, SaveMode.Append))
   }
 
+  /** Bucketed managed table: rows hash-bucketed (and sorted) by the join
+    * key so repeated joins/aggregations on that key skip the shuffle
+    * entirely — the Spark analogue of co-located storage. Joining two
+    * tables bucketed the same way produces a SortMergeJoin with NO
+    * Exchange on either side (spec-enforced). This is the layout for the
+    * 100 TB fact⋈fact case where neither side broadcasts. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** JDBC sink shape (reference S6). Batching via the `batchsize` option;
     * task-level retry is Spark-native. Not exercised in tests (no DB in
     * the sandbox) but this is the full production call. */
