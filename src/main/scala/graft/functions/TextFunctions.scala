@@ -110,6 +110,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing rolling-hash sketch (character-level; see
+    * [[graft.plans.WinnowFingerprint]]) over the case/whitespace
+    *-normalized text. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column =
+    bridge.column(graft.plans.WinnowFingerprint(
+      bridge.expression(trim(regexp_replace(lower(text), "\\s+", " "))), k, w))
+
   /** 64-bit SimHash over whitespace tokens: each token votes its xxhash64
     * bits; the sign of each bit's vote total forms the signature. Pure
     * higher-order-function fold — no UDF, no shuffle. */

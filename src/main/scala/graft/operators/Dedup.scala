@@ -137,6 +137,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Character-level near-dup pairs via winnowing fingerprints
+    * (rolling-hash sketches; graft.plans.WinnowFingerprint): candidates
+    * share >= 1 selected hash (equi-join on sketch hashes, same shape as
+    * the shingle join — no cross join), verified by sketch resemblance
+    * |A∩B| / |A∪B| at `threshold`. Catches reordered/boilerplate overlap
+    * that word-shingle Jaccard misses. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc"),
+      array_distinct(winnowFingerprint(col(textCol), k, w)).as("fps"))
+    val fp = sets.select(col("doc"), explode(col("fps")).as("fp"))
+    val pruned =
+      if (maxBucket <= 0) fp
+      else {
+        val hot = fp.groupBy("fp").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxBucket).select(col("fp").as("hot_fp"))
+        fp.join(hot, fp("fp") === hot("hot_fp"), "left_anti")
+      }
+    val cand = pruned.toDF("doc_a", "fp")
+      .join(pruned.toDF("doc_b", "fp"), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("fps_a"), col("fps_b")))
+    cand
+      .join(sets.toDF("doc_a", "fps_a"), Seq("doc_a"))
+      .join(sets.toDF("doc_b", "fps_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) /
+          (size(col("fps_a")) + size(col("fps_b")) - inter)).as("resemblance"))
+      .filter(col("resemblance") >= threshold)
+  }
+
   /** SimHash near-dup candidates: 64-bit signatures are split into 4
     * 16-bit chunks; pairs sharing a chunk (Hamming distance <= 3 implies
     * at least one equal chunk) are candidates, then filtered by exact
