@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+
+/** End-to-end training-corpus curation: the composition every
+  * large-scale text pipeline runs, as one declarative flow.
+  *
+  *   annotate (tokens, quality, language, fingerprint)
+  *     → quality floor → language allowlist
+  *     → exact dedup (fingerprint, keep lowest id)
+  *     → near-dedup (MinHash+LSH pairs; drop the higher id of each pair)
+  *     → curated corpus + per-stage counts
+  *
+  * Near-dedup drop rule: removing every pair's higher id keeps exactly
+  * one representative per duplicate CHAIN (a~b, b~c drops b and c) —
+  * the standard greedy approximation of connected components that needs
+  * no iterative computation.
+  *
+  * Usage: runMain graft.CorpusCurate --docs <parquet> --out <dir>
+  *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
+  */
+object CorpusCurate {
+
+  case class Stats(input: Long, afterQuality: Long, afterLang: Long,
+      afterExact: Long, afterNear: Long)
+
+  def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
+      jaccard: Double): (DataFrame, Stats) = {
+    val annotated = docs.select(col("doc_id"), col("text"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.qualityScore(col("text")).as("quality"),
+      T.langId(col("text")).as("lang_pred"),
+      T.fingerprint(col("text")).as("fp"))
+
+    val qualified = annotated.filter(col("quality") >= minQuality)
+    val inLang =
+      if (langs.isEmpty) qualified
+      else qualified.filter(col("lang_pred").isin(langs: _*))
+
+    // exact dedup on the already-computed fingerprint (keep lowest id)
+    val keep = inLang.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val exact = inLang.join(keep, Seq("fp", "doc_id"), "left_semi")
+
+    // near-dedup: drop the higher id of every near-dup pair
+    val dropIds = Dedup.minHashLshPairs(exact, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = jaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val curated = exact.join(dropIds, Seq("doc_id"), "left_anti")
+
+    val stats = Stats(docs.count(), qualified.count(), inLang.count(),
+      exact.count(), curated.count())
+    (curated.drop("fp"), stats)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val spark = GraftSession.getOrCreate("graft-corpus-curate")
+    val docs = spark.read.parquet(opts("docs"))
+    val (curated, s) = curate(docs,
+      opts.get("min-quality").map(_.toDouble).getOrElse(0.25),
+      opts.get("langs").map(_.split(",").toSeq).getOrElse(Nil),
+      opts.get("jaccard").map(_.toDouble).getOrElse(0.8))
+    curated.write.mode("overwrite").parquet(opts("out"))
+    println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +
+      s""""after_lang":${s.afterLang},"after_exact_dedup":${s.afterExact},""" +
+      s""""after_near_dedup":${s.afterNear}}""")
+    spark.stop()
+  }
+}

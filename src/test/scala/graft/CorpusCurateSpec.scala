@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class CorpusCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stage counts are monotone and near-dups are actually removed") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (curated, s) = CorpusCurate.curate(docs,
+      minQuality = 0.1, langs = Nil, jaccard = 0.8)
+    assert(s.input === 500)
+    assert(s.afterQuality <= s.input && s.afterLang <= s.afterQuality &&
+      s.afterExact <= s.afterLang && s.afterNear <= s.afterExact)
+    assert(s.afterNear < s.afterExact,
+      "the corpus has planted near-dups; near-dedup must remove some")
+    // no near-dup pairs remain in the curated output
+    val residual = Dedup.minHashLshPairs(curated, "doc_id", "text",
+      3, 64, 32, 0.8).count()
+    assert(residual === 0)
+  }
+
+  test("chains collapse to one representative") {
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // ~ 1
+      (3L, "alpha beta gamma delta epsilon zeta mu iota"), // ~ 2
+      (4L, "totally different text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val (curated, _) = CorpusCurate.curate(chain,
+      minQuality = 0.0, langs = Nil, jaccard = 0.4)
+    val kept = curated.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+  }
+}
