@@ -54,10 +54,35 @@ object WindowQueries {
         col("cnt"), col("total"))
       .orderBy("month", "status")
 
+  // exact discrete percentiles of order totals per status
+  private def w04(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as("p95"))
+      .orderBy("o_orderstatus")
+
+  // pivot-style conditional aggregation: event-type counts per user
+  private def w05(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    e.groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .orderBy("user_id")
+      .limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
     "w03_rollup" -> (w03 _),
+    "w04_percentiles" -> (w04 _),
+    "w05_pivot_counts" -> (w05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -79,5 +104,16 @@ object WindowQueries {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY ROLLUP (strftime(o_orderdate, '%Y-%m'), " +
         "o_orderstatus) ORDER BY month, status"),
+    "w04_percentiles" ->
+      ("SELECT o_orderstatus, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50, " +
+        "percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95 " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "w05_pivot_counts" ->
+      ("SELECT user_id, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) AS views, " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks, " +
+        "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases " +
+        "FROM events GROUP BY user_id ORDER BY user_id LIMIT 300"),
   )
 }

@@ -43,6 +43,24 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-stream interval join: clicks joined to views of the same
+    * user within [viewTs, viewTs + window]. Both sides watermarked so
+    * Spark can bound join state; the time-range condition lets the
+    * engine evict rows once the watermark passes the window. Applied to
+    * batch frames it degrades to a plain theta join (used by tests for
+    * result comparison). */
+  def clickAfterViewJoin(clicks: DataFrame, views: DataFrame,
+      window: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay).as("c")
+    val v = views.withWatermark("vts", delay).as("v")
+    c.join(v,
+      expr(s"c.user_id = v.user_id AND c.ts >= v.vts " +
+        s"AND c.ts <= v.vts + INTERVAL $window"))
+      .select(col("c.event_id").as("click_id"),
+        col("v.event_id").as("view_id"),
+        col("c.user_id"), col("c.ts"), col("v.vts"))
+  }
+
   /** Streaming exact dedup: drop documents whose canonical fingerprint
     * was already seen. On a stream, `dropDuplicates` keeps per-key state;
     * the watermark bounds it — duplicates arriving later than `delay`

@@ -58,6 +58,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("stream-stream interval join: incremental == batch theta join") {
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cDf = cMem.toDF().toDF("event_id", "ts", "user_id")
+    val vDf = vMem.toDF().toDF("event_id", "vts", "user_id")
+    val q = EventStreams.clickAfterViewJoin(cDf, vDf)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      vMem.addData((100L, ts(0), 1L), (101L, ts(10), 2L))
+      cMem.addData((200L, ts(30), 1L)) // within 1h of view 100
+      q.processAllAvailable()
+      cMem.addData((201L, ts(95), 2L)) // 85min after view 101 -> no match
+      cMem.addData((202L, ts(40), 2L)) // 30min after view 101 -> match
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((200L, 100L), (202L, 101L)))
+      // batch equivalence through the same function
+      val cB = Seq((200L, ts(30), 1L), (201L, ts(95), 2L), (202L, ts(40), 2L))
+        .toDF("event_id", "ts", "user_id")
+      val vB = Seq((100L, ts(0), 1L), (101L, ts(10), 2L))
+        .toDF("event_id", "vts", "user_id")
+      val batch = EventStreams.clickAfterViewJoin(cB, vB)
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-trigger duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
