@@ -35,6 +35,21 @@ import org.apache.spark.sql.types._
   */
 object SalesEtl {
 
+  /** The core output row (SURVEY.md §1.4: typed Dataset at the API
+    * boundary). `sale_price` is BigDecimal — decimal end-to-end. */
+  case class SalesRow(item_name: String, sale_price: java.math.BigDecimal,
+      qty: Int, sale_timestamp: java.sql.Timestamp, month: String,
+      day_of_week: String, item_category: String, location_id: Int,
+      modifiers: String)
+
+  /** Typed view of a resolved+validated sales frame. */
+  def typed(sales: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.Dataset[SalesRow] = {
+    val spark = sales.sparkSession
+    import spark.implicits._
+    sales.as[SalesRow]
+  }
+
   val ignoredNameParts: Seq[String] = Seq("dine in", "to go", "free water")
   val chicagoTz = "America/Chicago"
   private val dayNames = Seq("Monday", "Tuesday", "Wednesday", "Thursday",

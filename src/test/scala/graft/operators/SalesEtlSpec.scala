@@ -158,4 +158,12 @@ class SalesEtlSpec extends SparkSpec {
     val (valid, bad) = SalesEtl.validate(good)
     assert(valid.count() === 1 && bad.count() === 0)
   }
+
+  test("typed Dataset[SalesRow] boundary round-trips the golden row") {
+    val row = SalesEtl.typed(SalesEtl.run(orders(goldenOrder), locations))
+      .collect().head
+    assert(row.item_name === "Iced Lavander latte")
+    assert(row.sale_price.compareTo(new java.math.BigDecimal("6.65")) === 0)
+    assert(row.location_id === 2 && row.day_of_week === "Monday")
+  }
 }
