@@ -77,12 +77,36 @@ object WindowQueries {
       .limit(300)
   }
 
+  // CUBE: all grouping-set combinations of (priority, status)
+  private def w06(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("cnt"))
+      .orderBy("priority", "status")
+
+  // set operations: customers with orders INTERSECT/EXCEPT semantics
+  private def w07(s: SparkSession, dir: String): DataFrame = {
+    val custs = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+    val buyers = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+    val both = custs.intersect(buyers)
+    val never = custs.exceptAll(buyers).distinct()
+    both.withColumn("side", lit("buyer"))
+      .unionByName(never.withColumn("side", lit("nonbuyer")))
+      .groupBy("side").agg(count(lit(1)).as("cnt"))
+      .orderBy("side")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
     "w03_rollup" -> (w03 _),
     "w04_percentiles" -> (w04 _),
     "w05_pivot_counts" -> (w05 _),
+    "w06_cube" -> (w06 _),
+    "w07_set_ops" -> (w07 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,5 +139,17 @@ object WindowQueries {
         "count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks, " +
         "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases " +
         "FROM events GROUP BY user_id ORDER BY user_id LIMIT 300"),
+    "w06_cube" ->
+      ("SELECT coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS cnt " +
+        "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
+        "ORDER BY priority, status"),
+    "w07_set_ops" ->
+      ("WITH c AS (SELECT c_custkey AS k FROM customer), " +
+        "o AS (SELECT o_custkey AS k FROM orders), " +
+        "b AS (SELECT k, 'buyer' AS side FROM (SELECT k FROM c INTERSECT SELECT k FROM o)), " +
+        "n AS (SELECT DISTINCT k, 'nonbuyer' AS side FROM (SELECT k FROM c EXCEPT SELECT k FROM o)) " +
+        "SELECT side, count(*) AS cnt FROM (SELECT * FROM b UNION ALL SELECT * FROM n) " +
+        "GROUP BY side ORDER BY side"),
   )
 }
