@@ -26,9 +26,17 @@ object SparkEntry {
       WindowQueries.queries ++ JoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops. A literal
+    * `{OUT}` in the SQL is expanded by Verify to its output dir — used by
+    * two-stage oracles that read an aux fixture (see [[auxOutputs]]). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       StreamQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       WindowQueries.oracleSql ++ JoinQueries.oracleSql
+
+  /** Aux fixtures for two-stage oracles: Verify writes each to
+    * {outDir}/aux/{name} so hash-seeded intermediates (e.g. SimHash
+    * signatures) become DuckDB-readable inputs for the oracle SQL. */
+  def auxOutputs: Map[String, (SparkSession, String) => DataFrame] =
+    DedupQueries.auxOutputs
 }

@@ -100,10 +100,14 @@ object CoreQueries {
       .orderBy("event_id")
       .limit(100)
 
-  // Q11 — decimal money (P7): cents BIGINT → DECIMAL(12,2) dollars
+  // Q11 — decimal money (P7): cents BIGINT → DECIMAL(12,2) dollars.
+  // cents rides along as an integer column: a BIGINT hashes identically
+  // in every engine/canonicalizer, so a hash diff localizes to the
+  // decimal rendering rather than the arithmetic.
   private def q11(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"),
         (round(col("l_extendedprice") * 100, 0).cast(LongType)
           .cast(DecimalType(14, 2)) / 100).cast(DecimalType(12, 2))
           .as("dollars"))
@@ -252,6 +256,7 @@ object CoreQueries {
         "FROM events ORDER BY event_id LIMIT 100"),
     "q11_decimal_money" ->
       ("SELECT l_orderkey, l_linenumber, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, " +
         "CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(14,2)) / 100 " +
         "AS DECIMAL(12,2)) AS dollars " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, dollars LIMIT 100"),

@@ -13,9 +13,11 @@ import graft.operators.{Dedup, SimilaritySearch}
   * oracle-checked against the EXACT jaccard pair set: with r=2/bands=32
   * the catch probability at j>=0.8 is 1-(1-0.8²)^32 ≈ 1-10⁻¹⁴, and
   * candidates are verified with exact jaccard, so LSH output == exact
-  * output (validated empirically at sf0.01 and sf0.1). d04 (SimHash) and
-  * s01 (ANN) depend on Spark's xxhash64/seeded hyperplanes, which DuckDB
-  * cannot reproduce → rows-only checks.
+  * output (validated empirically at sf0.01 and sf0.1). d04 (SimHash)
+  * uses a two-stage oracle (Spark-written signature fixture + DuckDB bit
+  * arithmetic — see `auxOutputs`); s01 (ANN) emits the exact top-10 plus
+  * an in-plan recall column the oracle pins to 1.0. Every query here is
+  * hash-gated.
   */
 object DedupQueries {
 
@@ -28,8 +30,13 @@ object DedupQueries {
     docs(s, dir).agg(count(lit(1)).as("total_docs"),
       countDistinct(T.fingerprint(col("text"))).as("kept_docs"))
 
+  // maxBucket=2000: the LSH skew guard is ON in the gated plan — a
+  // shingle shared by >2000 docs is dropped before the self-join, so the
+  // gated shape survives a dense corpus. At the gate's sf (<=2000 docs
+  // total) no bucket can exceed the cap, so the exact oracle still holds.
   private def d02(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3)
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
+      maxBucket = 2000)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -44,20 +51,79 @@ object DedupQueries {
     Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** The d05 corpus: driver embeddings plus one deterministic
+    * near-duplicate of each (dim 0 scaled ×1.05, id offset by 1e6) —
+    * reproducible bit-for-bit in DuckDB, so the exact-pair oracle covers
+    * a corpus that actually CONTAINS near-duplicates. The raw synthetic
+    * embeddings have no pair above cosine 0.52 (verified at sf0.001/0.01),
+    * so a threshold-0.4 "near-dup" report is really a random-pair tail
+    * report — the one regime where no LSH can both prune and keep exact
+    * recall. Planting moves the gate into LSH's real regime: planted
+    * pairs sit at cosine >= 0.9998, where the 12-plane/6-table bucketing
+    * has per-pair miss probability ~1e-7 and prunes ~99.9% of the n²/2
+    * candidate space. */
+  /** Base embeddings plus one deterministic near-duplicate per plant
+    * spec (dim index, scale, id offset): dim `d` scaled by `s` (double
+    * multiply, float cast — arithmetic DuckDB reproduces bit-for-bit). */
+  private def plantedCorpus(s: SparkSession, dir: String,
+      plants: Seq[(Int, Double, Long)]): DataFrame = {
+    val base = emb(s, dir).select("vec_id", "embedding")
+    plants.foldLeft(base) { case (acc, (dimIdx, scale, off)) =>
+      acc.unionByName(base.select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === dimIdx, (x.cast("double") * scale).cast("float"))
+            .otherwise(x)).as("embedding")))
+    }
+  }
+
+  private def d05Corpus(s: SparkSession, dir: String): DataFrame =
+    plantedCorpus(s, dir, Seq((0, 1.05, 1000000L)))
+
+  // Gates the SCALE path (LSH bucketing + exact-cosine verify), not the
+  // O(n²) brute baseline; LSH == brute on this corpus is additionally
+  // spec-asserted (DedupSpec), and the brute path remains spec-gated.
   private def d05(s: SparkSession, dir: String): DataFrame =
-    Dedup.cosinePairsBrute(emb(s, dir), "vec_id", "embedding", 0.4)
+    Dedup.cosinePairsLsh(d05Corpus(s, dir), "vec_id", "embedding",
+      threshold = 0.9, dim = 64, planes = 12, tables = 6)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
 
+  /** s01 corpus: four planted near neighbors of every vector (dims 0/1
+    * scaled ×1.05 and ×0.95) so the query vector has a KNOWN true top-5
+    * (itself + its four plants, all at cosine >= 0.998, next-best ~0.5).
+    * The raw synthetic embeddings' true top-k neighbors sit at cosine
+    * ~0.4–0.5 — the random-pair regime where no sublinear ANN holds
+    * recall 1 (measured: recall@10 = 0.6 at the old defaults) — so the
+    * recall gate is run where ANN is actually used: real near neighbors,
+    * wide margin. */
+  private val s01Plants = Seq((0, 1.05, 1000000L), (1, 1.05, 2000000L),
+    (0, 0.95, 3000000L), (1, 0.95, 4000000L))
+
+  /** ANN gate with a hard oracle: emits the EXACT brute-force top-5
+    * (DuckDB-checkable, q20 oracle shape) plus `ann_recall` =
+    * |ANN∩exact|/k computed in-plan from the LSH-pruned path; the oracle
+    * pins recall = 1.0. A recall regression now hash-fails the gate
+    * instead of passing a rows-only check. Per-neighbor miss probability
+    * at cosine>=0.998 with 12 planes × 6 tables is ~1e-5 (deterministic
+    * seeded planes; verified at sf0.001/0.01/0.1), while probing scans
+    * ~0.1% of the corpus. */
   private def s01(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val queryVec = e.filter(col("vec_id") === 1)
+    val corpus = plantedCorpus(s, dir, s01Plants)
+    val queryVec = corpus.filter(col("vec_id") === 1)
       .select("embedding").collect().head.getSeq[Float](0)
-    val index = SimilaritySearch.ivfIndex(e, "vec_id", "embedding",
-      dim = 64, planes = 4, tables = 8)
-    SimilaritySearch.annTopK(index, queryVec, dim = 64, k = 10,
-      planes = 4, tables = 8)
-      .select(col("id").as("vec_id"), round(col("score"), 4).as("score"))
+    val q = array(queryVec.map(lit): _*)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", q, 5)
+    val index = SimilaritySearch.ivfIndex(corpus, "vec_id", "embedding",
+      dim = 64, planes = 12, tables = 6)
+    val ann = SimilaritySearch.annTopK(index, queryVec, dim = 64, k = 5,
+      planes = 12, tables = 6)
+    val recall = ann.select(col("id"))
+      .join(exact.select(col("vec_id").as("id")), Seq("id"), "left_semi")
+      .agg((count(lit(1)) / lit(5.0)).as("ann_recall"))
+    exact.crossJoin(recall)
+      .select(col("vec_id"), round(col("score"), 4).as("score"),
+        col("ann_recall"))
+      .orderBy(col("score").desc, col("vec_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -91,16 +157,83 @@ object DedupQueries {
     "SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j " +
     "WHERE jac >= 0.8 ORDER BY doc_a, doc_b"
 
+  // d05 oracle: rebuilds the SAME planted-near-dup corpus (originals +
+  // dim-0 ×1.05 copies at vec_id+1e6 — double-mul then float-cast, the
+  // exact arithmetic the Spark query performs) and computes the exact
+  // cosine pair set at threshold 0.9.
   private val cosinePairsSql =
-    "WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
-      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+      "pert AS (SELECT vec_id + 1000000 AS vec_id, " +
+      "list_transform(list_zip(embedding, range(1, len(embedding)+1)), " +
+      "z -> CASE WHEN z[2] = 1 THEN CAST(CAST(z[1] AS DOUBLE) * 1.05 AS FLOAT) " +
+      "ELSE z[1] END) AS embedding FROM base), " +
+      "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert), " +
+      "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM corpus), " +
       "n AS (SELECT vec_id, sqrt(sum(x*x)) AS nm FROM v GROUP BY vec_id), " +
       "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot " +
       "FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY id_a, id_b), " +
       "c AS (SELECT id_a, id_b, dot / (na.nm * nb.nm) AS cosv FROM d " +
       "JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id) " +
-      "SELECT id_a, id_b, round(cosv, 4) AS cosine FROM c WHERE cosv >= 0.4 " +
+      "SELECT id_a, id_b, round(cosv, 4) AS cosine FROM c WHERE cosv >= 0.9 " +
       "ORDER BY cosine DESC, id_a, id_b"
+
+  // SQL for one planted copy: dim `dim1` (1-based) scaled, ids offset
+  private def pertSql(dim1: Int, scale: String, off: Long): String =
+    s"SELECT vec_id + $off AS vec_id, " +
+      "list_transform(list_zip(embedding, range(1, len(embedding)+1)), " +
+      s"z -> CASE WHEN z[2] = $dim1 THEN CAST(CAST(z[1] AS DOUBLE) * $scale AS FLOAT) " +
+      "ELSE z[1] END) AS embedding FROM base"
+
+  // s01 oracle: exact brute-force top-5 over the planted corpus (q20
+  // shape) + ann_recall = 1.0. The Spark result's ann_recall column is
+  // computed in-plan from the ANN path, so any recall regression
+  // hash-fails against this literal.
+  private val annTopKSql =
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+      "corpus AS (SELECT vec_id, embedding FROM base " +
+      s"UNION ALL ${pertSql(1, "1.05", 1000000L)} " +
+      s"UNION ALL ${pertSql(2, "1.05", 2000000L)} " +
+      s"UNION ALL ${pertSql(1, "0.95", 3000000L)} " +
+      s"UNION ALL ${pertSql(2, "0.95", 4000000L)}), " +
+      "q AS (SELECT generate_subscripts(embedding, 1) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM corpus WHERE vec_id = 1), " +
+      "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM corpus), " +
+      "d AS (SELECT v.vec_id, sum(v.x * q.x) AS dot, sum(v.x * v.x) AS nv, " +
+      "sum(q.x * q.x) AS nq FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id) " +
+      "SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nq)), 4) AS score, " +
+      "CAST(1.0 AS DOUBLE) AS ann_recall " +
+      "FROM d ORDER BY score DESC, vec_id LIMIT 5"
+
+  // d04 two-stage oracle: Verify writes the Spark-computed per-doc
+  // SimHash signatures to {OUT}/aux/d04_signatures (see `auxOutputs`) and
+  // expands {OUT}; DuckDB then recomputes the chunk-candidate + hamming
+  // pairing FROM those signatures in plain bit arithmetic. The 64-bit
+  // hash itself stays Spark-seeded (not reproducible cross-engine), but
+  // the pairing/verification logic — the part that can silently break —
+  // is now cross-engine checked.
+  private val simHashPairsSql =
+    "WITH sig AS (SELECT doc, sig FROM " +
+      "read_parquet('{OUT}/aux/d04_signatures/*.parquet')), " +
+      "ch AS (SELECT doc, sig, i AS chunk, (sig >> CAST(16*i AS INT)) & 65535 AS chv " +
+      "FROM sig, range(0, 4) t(i)), " +
+      "cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, " +
+      "a.sig AS sig_a, b.sig AS sig_b " +
+      "FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.chv = b.chv " +
+      "AND a.doc < b.doc) " +
+      "SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming " +
+      "FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3 " +
+      "ORDER BY doc_a, doc_b"
+
+  /** Aux fixtures written by Verify for two-stage oracles: name →
+    * builder; Verify writes each to {outDir}/aux/{name} before dumping
+    * oracle_sql.json with {OUT} expanded. */
+  val auxOutputs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d04_signatures" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").as("doc"),
+        T.simHash64(col("text")).as("sig"))),
+  )
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup_docs" ->
@@ -109,7 +242,8 @@ object DedupQueries {
         "FROM documents"),
     "d02_ngram_jaccard" -> jaccardPairsSql,
     "d03_minhash_lsh" -> jaccardPairsSql,
+    "d04_simhash_pairs" -> simHashPairsSql,
     "d05_embed_cosine_pairs" -> cosinePairsSql,
-    // d04_simhash_pairs, s01_ann_topk: hash-seeded, rows-only check
+    "s01_ann_topk" -> annTopKSql,
   )
 }
