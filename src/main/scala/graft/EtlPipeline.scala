@@ -3,7 +3,7 @@ package graft
 import java.time.{LocalDate, ZoneId, ZonedDateTime}
 import java.time.format.DateTimeFormatter
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{SalesEtl, SalesSink}
@@ -58,6 +58,75 @@ object EtlPipeline {
       .toDF("id", "name", "square_id")
   }
 
+  /** Summary stats for one run (reference `monthly_etl.py:268-305`). */
+  case class EtlStats(orders: Long, rejectedOrders: Long,
+      unknownLocationRows: Long, quarantinedRows: Long, rowsWritten: Long)
+
+  /** Extract→transform→load as ONE Spark action, stats included.
+    *
+    * All five summary counts are collected with `observe()` DURING the
+    * single write pass — the previous shape (4 extra `count()` jobs plus
+    * a re-read of the written output) scanned the source ~5×, which at
+    * 100 TB is four wasted full passes. Rejected orders are observed
+    * before the window filter, order counts after the window/cap, and
+    * the unknown-location / quarantine / written split on the flagged
+    * frame feeding the write — so every metric rides the write job.
+    *
+    * With `testLimit` set the upstream scan legitimately short-circuits,
+    * so `rejectedOrders` then counts rejects among the rows actually
+    * scanned for the capped sample (test mode only; the reference's test
+    * mode caps its input the same way). */
+  def runPipeline(located: DataFrame, locations: DataFrame,
+      loTs: java.sql.Timestamp, hiTs: java.sql.Timestamp,
+      outDir: String, testLimit: Option[Int] = None,
+      auditDir: Option[String] = None): EtlStats = {
+    val obsSrc = Observation("graft_src")
+    val obsOrders = Observation("graft_orders")
+    val obsRows = Observation("graft_rows")
+
+    // order-level rejects observed BEFORE the window predicate would
+    // silently drop null-timestamp orders
+    val observed = located.observe(obsSrc,
+      count(when(to_timestamp(col("closed_at")).isNull, 1)).as("rejected"))
+    val windowed = observed.filter(
+      to_timestamp(col("closed_at")) >= lit(loTs) &&
+        to_timestamp(col("closed_at")) < lit(hiTs))
+    val capped = testLimit.fold(windowed)(windowed.limit)
+      .observe(obsOrders, count(lit(1)).as("orders"))
+
+    val sales = SalesEtl.toSalesRows(capped)
+    val flagged = SalesEtl.withLocationsFlagged(sales, locations)
+      .withColumn("_valid", SalesEtl.isValidSalesRow)
+      .observe(obsRows,
+        count(when(!col("_known"), 1)).as("unknown"),
+        count(when(col("_known") && !col("_valid"), 1)).as("quarantined"),
+        count(when(col("_known") && col("_valid"), 1)).as("written"))
+    val valid = flagged.filter(col("_known") && col("_valid"))
+      .drop("_known", "_valid")
+    SalesSink.writePartitioned(valid, outDir)
+
+    // --audit <dir>: durable quarantine (reference logs-and-skips; at
+    // scale the skipped rows must be inspectable, not just counted).
+    // Deliberately extra jobs — only on explicit request.
+    auditDir.foreach { dir =>
+      SalesEtl.rejectedOrders(located).withColumn("reason", lit("no_closed_at"))
+        .write.mode("append").json(s"$dir/rejected_orders")
+      SalesEtl.unknownLocations(sales, locations)
+        .withColumn("reason", lit("unknown_location"))
+        .write.mode("append").json(s"$dir/unknown_locations")
+      flagged.filter(col("_known") && !col("_valid")).drop("_known", "_valid")
+        .withColumn("reason", lit("failed_validation"))
+        .write.mode("append").json(s"$dir/quarantined_rows")
+    }
+
+    EtlStats(
+      orders = obsOrders.get("orders").asInstanceOf[Long],
+      rejectedOrders = obsSrc.get("rejected").asInstanceOf[Long],
+      unknownLocationRows = obsRows.get("unknown").asInstanceOf[Long],
+      quarantinedRows = obsRows.get("quarantined").asInstanceOf[Long],
+      rowsWritten = obsRows.get("written").asInstanceOf[Long])
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val t0 = System.nanoTime()
@@ -80,47 +149,19 @@ object EtlPipeline {
         spark.read.format("square-orders").load(opts("orders"))
       case _ => SquareOrders.fromJsonFile(spark, opts("orders"))
     }
-    // F7 location filter first (partition-prunable), then order-level
-    // rejects counted BEFORE the window predicate would silently drop
-    // null-timestamp orders, then S2/F5 window + S3 test limit.
+    // F7 location filter first (partition-prunable)
     val located = opts.get("location-filter")
       .fold(raw)(id => raw.filter(col("location_id") === id))
-    val nRejected = SalesEtl.rejectedOrders(located).count()
-    val windowed = located.filter(
-      to_timestamp(col("closed_at")) >= lit(loTs) &&
-        to_timestamp(col("closed_at")) < lit(hiTs))
-    val capped = opts.get("test-limit")
-      .fold(windowed)(n => windowed.limit(n.toInt))
 
-    val sales = SalesEtl.toSalesRows(capped)
-    val resolved = SalesEtl.withLocations(sales, locations)
-    val (valid, quarantined) = SalesEtl.validate(resolved)
+    val stats = runPipeline(located, locations, loTs, hiTs, opts("out"),
+      opts.get("test-limit").map(_.toInt), opts.get("audit"))
 
-    val outDir = opts("out")
-    SalesSink.writePartitioned(valid, outDir)
-
-    // --audit <dir>: durable quarantine (reference logs-and-skips; at
-    // scale the skipped rows must be inspectable, not just counted)
-    opts.get("audit").foreach { auditDir =>
-      SalesEtl.rejectedOrders(located).withColumn("reason", lit("no_closed_at"))
-        .write.mode("append").json(s"$auditDir/rejected_orders")
-      SalesEtl.unknownLocations(sales, locations)
-        .withColumn("reason", lit("unknown_location"))
-        .write.mode("append").json(s"$auditDir/unknown_locations")
-      quarantined.withColumn("reason", lit("failed_validation"))
-        .write.mode("append").json(s"$auditDir/quarantined_rows")
-    }
-
-    // summary stats (reference monthly_etl.py:268-305)
-    val nOrders = capped.count()
-    val nUnknownLoc = SalesEtl.unknownLocations(sales, locations).count()
-    val nQuarantined = quarantined.count()
-    val written = spark.read.parquet(outDir).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"window":"$start..$end","orders":$nOrders,""" +
-      f""""rejected_orders":$nRejected,"unknown_location_rows":$nUnknownLoc,""" +
-      f""""quarantined_rows":$nQuarantined,"rows_written":$written,""" +
-      f""""seconds":$secs%.2f}""")
+    println(f"""{"window":"$start..$end","orders":${stats.orders},""" +
+      f""""rejected_orders":${stats.rejectedOrders},""" +
+      f""""unknown_location_rows":${stats.unknownLocationRows},""" +
+      f""""quarantined_rows":${stats.quarantinedRows},""" +
+      f""""rows_written":${stats.rowsWritten},"seconds":$secs%.2f}""")
     spark.stop()
   }
 }

@@ -123,6 +123,19 @@ object SalesEtl {
         sales("item_category"), locations("id").as("location_id"),
         sales("modifiers"))
 
+  /** Left-join variant of [[withLocations]]: unknown-location rows are
+    * KEPT and marked `_known = false`, so a caller can count (observe)
+    * and drop them in the same pass instead of re-scanning the source
+    * with an anti-join. `location_id` is null for unknown rows. */
+  def withLocationsFlagged(sales: DataFrame, locations: DataFrame): DataFrame =
+    sales
+      .join(broadcast(locations),
+        sales("square_location_id") === locations("square_id"), "left")
+      .select(sales("item_name"), sales("sale_price"), sales("qty"),
+        sales("sale_timestamp"), sales("month"), sales("day_of_week"),
+        sales("item_category"), locations("id").as("location_id"),
+        sales("modifiers"), locations("square_id").isNotNull.as("_known"))
+
   /** Audit of rows that would be dropped by [[withLocations]]. */
   def unknownLocations(sales: DataFrame, locations: DataFrame): DataFrame =
     sales.join(broadcast(locations),

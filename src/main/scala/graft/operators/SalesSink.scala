@@ -51,12 +51,62 @@ object SalesSink {
       .format("parquet")
       .saveAsTable(table)
 
-  /** JDBC sink shape (reference S6). Batching via the `batchsize` option;
-    * task-level retry is Spark-native. Not exercised in tests (no DB in
-    * the sandbox) but this is the full production call. */
+  /** Transient-error classifier for the JDBC retry, mirroring the
+    * reference's OperationalError/InterfaceError handling
+    * (`database_service.py:304-324`): connection-level SQL exceptions and
+    * common transient signatures anywhere in the cause chain. */
+  def defaultRetryable(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    chain.exists {
+      case _: java.sql.SQLTransientException => true
+      case _: java.sql.SQLRecoverableException => true
+      case _: java.sql.SQLNonTransientConnectionException => true
+      case _: java.net.SocketException => true
+      case _: java.net.SocketTimeoutException => true
+      case t =>
+        val m = Option(t.getMessage).getOrElse("").toLowerCase
+        Seq("connection reset", "connection refused", "timeout", "deadlock",
+          "broken pipe").exists(m.contains)
+    }
+  }
+
+  /** Driver-level retry with exponential backoff, mirroring the
+    * reference's write path (`database_service.py:241-245`): `attempts`
+    * tries, `baseDelayMs` first wait, ×`backoff` each retry, retrying
+    * only errors `isRetryable` classifies as transient. `sleep` is
+    * injectable for tests. */
+  def withRetry[T](attempts: Int = 3, baseDelayMs: Long = 2000,
+      backoff: Double = 2.0,
+      isRetryable: Throwable => Boolean = defaultRetryable,
+      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    require(attempts >= 1, "attempts must be >= 1")
+    var delay = baseDelayMs
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < attempts && isRetryable(e) =>
+          sleep(delay)
+          delay = (delay * backoff).toLong
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** JDBC sink (reference S6): batched appends with driver-level
+    * transient-error retry (3×, 2 s base, ×2 backoff — the reference's
+    * policy). Task-level retry stays Spark-native; a driver-level retry
+    * of a partially-committed append can duplicate rows, exactly as the
+    * reference's batch-insert retry can — pair with an idempotent key or
+    * staging table when the target demands exactly-once. */
   def writeJdbc(sales: DataFrame, url: String, table: String,
-      props: java.util.Properties, batchSize: Int = 100): Unit =
-    sales.write.mode(SaveMode.Append)
-      .option("batchsize", batchSize.toString)
-      .jdbc(url, table, props)
+      props: java.util.Properties, batchSize: Int = 100,
+      attempts: Int = 3, baseDelayMs: Long = 2000,
+      sleep: Long => Unit = Thread.sleep): Unit =
+    withRetry(attempts, baseDelayMs, sleep = sleep) {
+      sales.write.mode(SaveMode.Append)
+        .option("batchsize", batchSize.toString)
+        .jdbc(url, table, props)
+    }
 }

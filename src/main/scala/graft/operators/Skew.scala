@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * `saltedJoin` spreads each left-side key over `salts` synthetic
   * sub-keys and replicates the right side `salts`× so every sub-key
   * finds its match. Row→salt assignment affects only load balance, not
-  * correctness, so any cheap assignment works.
+  * result content — but it MUST be deterministic under task retry:
+  * a nondeterministic salt (monotonically_increasing_id, rand) can
+  * assign different salts to the same row when a lost upstream task is
+  * recomputed, and shuffle replay then drops or duplicates rows. The
+  * salt is therefore a hash of the row's non-key columns.
   */
 object Skew {
 
@@ -27,10 +31,21 @@ object Skew {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left joins, got $joinType")
     val saltCol = "_graft_salt"
-    val l = left.withColumn(saltCol,
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val l = left.withColumn(saltCol, saltExpr(left, keys, salts))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
+  }
+
+  /** Deterministic per-row salt in [0, salts): hash of the non-key
+    * columns (falls back to all columns for a keys-only frame). Rows
+    * identical in those columns share a salt — acceptable: they'd also
+    * be identical join outputs, and balance only degrades if a hot KEY's
+    * rows are near-duplicates in every other column too. */
+  private[operators] def saltExpr(left: DataFrame, keys: Seq[String],
+      salts: Int): org.apache.spark.sql.Column = {
+    val nonKey = left.columns.filterNot(keys.contains)
+    val saltSrc = (if (nonKey.nonEmpty) nonKey else left.columns).map(col).toSeq
+    pmod(xxhash64(saltSrc: _*), lit(salts.toLong)).cast("int")
   }
 }

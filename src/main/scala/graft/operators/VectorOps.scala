@@ -12,9 +12,14 @@ import graft.plans.CosineSimilarity
   *
   * `cosine` is a native codegen'd Catalyst expression
   * ([[graft.plans.CosineSimilarity]] — one fused loop); `cosineHof` is
-  * the equivalent higher-order-function form (same sequential double
-  * arithmetic, bit-identical results), kept as the pure-built-ins
-  * reference implementation.
+  * the equivalent higher-order-function form, kept as the
+  * pure-built-ins reference implementation. The two are bit-identical
+  * for equal-length arrays with non-null elements (same sequential
+  * double arithmetic; spec-asserted). Edge inputs diverge by design:
+  * the native expression iterates the common prefix of mismatched-
+  * length arrays and reads elements positionally, while zip_with pads
+  * the shorter array with nulls and null-propagates — don't rely on
+  * either behavior for malformed vectors; validate lengths upstream.
   */
 object VectorOps {
 

@@ -196,6 +196,15 @@ object CoreQueries {
       .limit(10)
   }
 
+  // Q21 — time-of-day extraction (P6): UTC instant → Chicago wall clock
+  // → 'HH:mm:ss' intraday axis
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        graft.functions.DateFunctions.timeOfDayUtc(col("ts")).as("tod"))
+      .orderBy("event_id")
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -217,6 +226,7 @@ object CoreQueries {
     "q18_exact_dedup" -> (q18 _),
     "q19_text_stats" -> (q19 _),
     "q20_cosine_topk" -> (q20 _),
+    "q21_time_of_day" -> (q21 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +310,9 @@ object CoreQueries {
         "sum(q.x * q.x) AS nq FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id) " +
         "SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nq)), 4) AS score " +
         "FROM d ORDER BY score DESC, vec_id LIMIT 10"),
+    "q21_time_of_day" ->
+      ("SELECT event_id, strftime(CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' " +
+        "AT TIME ZONE 'America/Chicago' AS TIMESTAMP), '%H:%M:%S') AS tod " +
+        "FROM events ORDER BY event_id LIMIT 100"),
   )
 }

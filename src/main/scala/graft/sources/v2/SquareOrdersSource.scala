@@ -86,13 +86,42 @@ class SquareScanBuilder(path: String)
 
   override def pushLimit(l: Int): Boolean = {
     limit = l
-    true // fully handled per partition; Spark still applies the global limit
+    true
   }
 
-  override def build(): Scan = new SquareScan(path, pushed, limit)
+  /** The limit is applied PER PARTITION (per location file, like the
+    * reference's per-location page cap) — declare partial pushdown so
+    * the optimizer must keep the global Limit. Relying on Spark
+    * retaining it for a fully-pushed limit is version-fragile. */
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = {
+    // session Hadoop conf, not a bare new Configuration(): filesystem
+    // settings/credentials configured on the SparkSession (e.g. S3A
+    // keys) must reach both planning and the executor-side readers
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new SquareScan(path, pushed, limit, conf)
+  }
 }
 
-class SquareScan(path: String, filters: Array[Filter], limit: Int)
+/** Minimal serializable carrier for a Hadoop Configuration (Spark's own
+  * SerializableConfiguration is private[spark]). */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class SquareScan(path: String, filters: Array[Filter], limit: Int,
+    conf: SerializableHadoopConf)
   extends Scan with Batch {
 
   override def readSchema(): StructType = SquareOrders.orderSchema
@@ -108,7 +137,7 @@ class SquareScan(path: String, filters: Array[Filter], limit: Int)
     * filtered-out locations). */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val locFilter: String => Boolean = filters.collectFirst {
       case EqualTo("location_id", v) => (loc: String) => loc == v.toString
       case In("location_id", vs) =>
@@ -123,23 +152,25 @@ class SquareScan(path: String, filters: Array[Filter], limit: Int)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SquareReaderFactory(filters, limit)
+    new SquareReaderFactory(filters, limit, conf)
 }
 
 case class SquareInputPartition(file: String) extends InputPartition
 
-class SquareReaderFactory(filters: Array[Filter], limit: Int)
+class SquareReaderFactory(filters: Array[Filter], limit: Int,
+    conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SquarePartitionReader(
-      partition.asInstanceOf[SquareInputPartition].file, filters, limit)
+      partition.asInstanceOf[SquareInputPartition].file, filters, limit, conf)
 }
 
 /** Streams one location's documents: read line → parse (Spark's own
   * JacksonParser against the fixed schema) → apply pushed predicates →
   * honor the per-location limit. Malformed lines are skipped with a
   * count, matching the reference's log-and-skip tolerance. */
-class SquarePartitionReader(file: String, filters: Array[Filter], limit: Int)
+class SquarePartitionReader(file: String, filters: Array[Filter], limit: Int,
+    conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private val schema = SquareOrders.orderSchema
@@ -150,8 +181,7 @@ class SquarePartitionReader(file: String, filters: Array[Filter], limit: Int)
     new JSONOptions(Map.empty[String, String], "UTC"), false, Nil)
 
   private val fsPath = new Path(file)
-  private val in = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    .open(fsPath)
+  private val in = fsPath.getFileSystem(conf.value).open(fsPath)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
 
   private var current: InternalRow = _

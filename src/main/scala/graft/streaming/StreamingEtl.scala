@@ -1,19 +1,26 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{SalesEtl, SalesSink}
+import graft.operators.SalesEtl
 import graft.sources.SquareOrders
 
 /** Continuous ingestion of the sales dataflow: the SAME `SalesEtl`
   * transform that runs in batch, under Structured Streaming.
   *
   * The whole pipeline is stateless (explode/filter/project/broadcast
-  * join), so it runs in append mode with no watermark state; each
-  * micro-batch lands in the (location_id, month)-partitioned table via
-  * foreachBatch → `SalesSink.writePartitioned`. Exactly-once comes from
-  * the checkpoint + the sink's idempotent partition layout.
+  * join), so it runs in append mode with no watermark state. Each
+  * micro-batch OVERWRITES its own batchId-scoped directory
+  * (`out/batch=<id>/location_id=…/month=…`): a batch that fails after
+  * writing but before the checkpoint commit is replayed with the SAME
+  * batchId and replaces its directory instead of appending duplicates —
+  * that per-batchId idempotence plus the checkpoint's exactly-once
+  * batchId assignment is what makes the sink end-to-end exactly-once
+  * (a blind append here would only be at-least-once). Readers see
+  * `batch` as an extra leading partition column; location/month pruning
+  * still applies, and a periodic compaction can fold batch dirs into
+  * the plain (location_id, month) layout.
   *
   * The reference's "incremental" mode is a monthly cron batch
   * (`monthly_etl.yml:4-6`); this is the upgrade path to minutes-level
@@ -34,11 +41,20 @@ object StreamingEtl {
     sales.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        SalesSink.writePartitioned(batch, outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, outDir, batchId)
       }
       .start()
   }
+
+  /** Idempotent micro-batch landing: overwrite THIS batch's directory
+    * only. Replaying the same batchId (post-failure re-run) replaces
+    * rather than appends — the property that upgrades the sink from
+    * at-least-once to exactly-once. */
+  def writeBatch(batch: DataFrame, outDir: String, batchId: Long): Unit =
+    batch.write.mode(SaveMode.Overwrite)
+      .partitionBy("location_id", "month")
+      .parquet(s"$outDir/batch=$batchId")
 
   /** CLI: runMain graft.streaming.StreamingEtl <ordersDir> <outDir>
     * <checkpointDir> — processes all available order files then exits

@@ -66,4 +66,74 @@ class SalesSinkSpec extends SparkSpec {
       .select("item_name").as[String].collect().toSet
     assert(loc1 === Set("Latte", "Cortado"))
   }
+
+  // --- JDBC retry (reference database_service.py:241-245,304-324) ---
+
+  test("withRetry: one transient failure then success, 2s base backoff") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val out = SalesSink.withRetry(sleep = slept.append(_)) {
+      calls += 1
+      if (calls == 1) throw new java.sql.SQLTransientException("conn lost")
+      "ok"
+    }
+    assert(out === "ok")
+    assert(calls === 2)
+    assert(slept.toSeq === Seq(2000L))
+  }
+
+  test("withRetry: non-transient error is not retried") {
+    var calls = 0
+    val e = intercept[IllegalArgumentException] {
+      SalesSink.withRetry(sleep = _ => ()) {
+        calls += 1
+        throw new IllegalArgumentException("bad schema")
+      }
+    }
+    assert(e.getMessage === "bad schema")
+    assert(calls === 1)
+  }
+
+  test("withRetry: transient errors exhaust 3 attempts with x2 backoff") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    intercept[java.sql.SQLTransientException] {
+      SalesSink.withRetry(sleep = slept.append(_)) {
+        calls += 1
+        throw new java.sql.SQLTransientException("still down")
+      }
+    }
+    assert(calls === 3)
+    assert(slept.toSeq === Seq(2000L, 4000L))
+  }
+
+  test("defaultRetryable classifies nested causes and messages") {
+    val nested = new RuntimeException("wrapper",
+      new java.net.SocketTimeoutException("read timed out"))
+    assert(SalesSink.defaultRetryable(nested))
+    assert(SalesSink.defaultRetryable(new RuntimeException("Connection reset by peer")))
+    assert(!SalesSink.defaultRetryable(new IllegalStateException("schema mismatch")))
+  }
+
+  test("writeJdbc: batched append survives one simulated transient failure " +
+    "(embedded Derby)") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = sampleSales
+    var first = true
+    // flaky write: the first attempt dies mid-flight with a transient
+    // error; the retry wrapper must re-drive the same batched write
+    var slept = 0L
+    SalesSink.withRetry(baseDelayMs = 1, sleep = slept += _) {
+      if (first) { first = false; throw new java.sql.SQLTransientException("reset") }
+      SalesSink.writeJdbc(df, url, "sales_rt", props, batchSize = 2,
+        baseDelayMs = 1, sleep = _ => ())
+    }
+    assert(slept === 1L)
+    val back = spark.read.jdbc(url, "sales_rt", props)
+    assert(back.count() === 4)
+    assert(back.columns.sorted.toSeq ===
+      Seq("item_name", "location_id", "month", "qty"))
+  }
 }

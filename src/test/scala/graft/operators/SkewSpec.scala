@@ -34,8 +34,17 @@ class SkewSpec extends SparkSpec {
 
   test("hot key is actually spread over multiple salt buckets") {
     val saltCounts = facts.filter($"k" === "hot")
-      .withColumn("_s", pmod(monotonically_increasing_id(), lit(8L)))
+      .withColumn("_s", Skew.saltExpr(facts, Seq("k"), 8))
       .groupBy("_s").count().count()
     assert(saltCounts > 1)
+  }
+
+  test("salt assignment is deterministic across runs (retry-safe)") {
+    def assignment = facts
+      .withColumn("_s", Skew.saltExpr(facts, Seq("k"), 8))
+      .repartition(7) // force a different physical layout per run
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2))
+      .toMap
+    assert(assignment === assignment)
   }
 }

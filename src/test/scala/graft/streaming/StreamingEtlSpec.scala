@@ -46,4 +46,17 @@ class StreamingEtlSpec extends SparkSpec {
     assert(out.filter($"item_name" === "Latte b")
       .select("sale_price").collect().head.getDecimal(0).toPlainString === "7.50")
   }
+
+  test("replayed batchId overwrites, never duplicates (exactly-once sink)") {
+    val outDir = Files.createTempDirectory("stream_replay").toString
+    val batch = Seq(("Latte", 1, "2025-11", 2), ("Mocha", 2, "2025-11", 2))
+      .toDF("item_name", "qty", "month", "location_id")
+    StreamingEtl.writeBatch(batch, outDir, batchId = 7)
+    // simulate the post-failure replay of the SAME micro-batch
+    StreamingEtl.writeBatch(batch, outDir, batchId = 7)
+    assert(spark.read.parquet(outDir).count() === 2)
+    // a different batchId lands alongside
+    StreamingEtl.writeBatch(batch.limit(1), outDir, batchId = 8)
+    assert(spark.read.parquet(outDir).count() === 3)
+  }
 }
