@@ -126,12 +126,24 @@ object DedupQueries {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  // winnowing (MOSS) fingerprint overlap — same two-stage oracle shape
+  // as d04: the rolling hash is Spark-side, but the candidate join +
+  // resemblance verification is recomputed by DuckDB from the
+  // fingerprint fixture
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
+      k = 5, w = 4, threshold = 0.5, maxBucket = 2000)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("resemblance"), 4).as("resemblance"))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash_pairs" -> (d04 _),
     "d05_embed_cosine_pairs" -> (d05 _),
+    "d06_winnow_pairs" -> (d06 _),
     "s01_ann_topk" -> (s01 _),
   )
 
@@ -226,6 +238,19 @@ object DedupQueries {
       "FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3 " +
       "ORDER BY doc_a, doc_b"
 
+  private val winnowPairsSql =
+    "WITH s AS (SELECT doc, fps FROM " +
+      "read_parquet('{OUT}/aux/d06_fingerprints/*.parquet')), " +
+      "f AS (SELECT doc, unnest(fps) AS fp FROM s), " +
+      "sz AS (SELECT doc, len(fps) AS sz FROM s), " +
+      "inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i " +
+      "FROM f a JOIN f b ON a.fp = b.fp AND a.doc < b.doc " +
+      "GROUP BY doc_a, doc_b), " +
+      "r AS (SELECT doc_a, doc_b, i * 1.0 / (sa.sz + sb.sz - i) AS res " +
+      "FROM inter JOIN sz sa ON doc_a = sa.doc JOIN sz sb ON doc_b = sb.doc) " +
+      "SELECT doc_a, doc_b, round(res, 4) AS resemblance FROM r " +
+      "WHERE res >= 0.5 ORDER BY doc_a, doc_b"
+
   /** Aux fixtures written by Verify for two-stage oracles: name →
     * builder; Verify writes each to {outDir}/aux/{name} before dumping
     * oracle_sql.json with {OUT} expanded. */
@@ -233,6 +258,9 @@ object DedupQueries {
     "d04_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         T.simHash64(col("text")).as("sig"))),
+    "d06_fingerprints" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id").as("doc"),
+        array_distinct(T.winnowFingerprint(col("text"), 5, 4)).as("fps"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -244,6 +272,7 @@ object DedupQueries {
     "d03_minhash_lsh" -> jaccardPairsSql,
     "d04_simhash_pairs" -> simHashPairsSql,
     "d05_embed_cosine_pairs" -> cosinePairsSql,
+    "d06_winnow_pairs" -> winnowPairsSql,
     "s01_ann_topk" -> annTopKSql,
   )
 }
