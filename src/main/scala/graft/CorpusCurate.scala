@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.Dedup
+import graft.operators.{ConnectedComponents, Dedup}
 
 /** End-to-end training-corpus curation: the composition every
   * large-scale text pipeline runs, as one declarative flow.
@@ -12,16 +12,20 @@ import graft.operators.Dedup
   *   annotate (tokens, quality, language, fingerprint)
   *     → quality floor → language allowlist
   *     → exact dedup (fingerprint, keep lowest id)
-  *     → near-dedup (MinHash+LSH pairs; drop the higher id of each pair)
+  *     → near-dedup (MinHash+LSH pairs → connected components;
+  *       keep each component's smallest id)
   *     → curated corpus + per-stage counts
   *
-  * Near-dedup drop rule: removing every pair's higher id keeps exactly
-  * one representative per duplicate CHAIN (a~b, b~c drops b and c) —
-  * the standard greedy approximation of connected components that needs
-  * no iterative computation.
+  * Near-dedup collapse is TRUE connected components
+  * ([[graft.operators.ConnectedComponents]], O(log diameter) rounds):
+  * transitive duplicate chains collapse to one representative even when
+  * LSH never emitted the closing pair. `--collapse greedy` selects the
+  * old drop-higher-of-each-pair rule (single pass, no iteration) for
+  * pipelines that prefer one fewer stage over exactness on chains.
   *
   * Usage: runMain graft.CorpusCurate --docs <parquet> --out <dir>
   *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
+  *   [--collapse cc|greedy]
   */
 object CorpusCurate {
 
@@ -29,7 +33,7 @@ object CorpusCurate {
       afterExact: Long, afterNear: Long)
 
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
-      jaccard: Double): (DataFrame, Stats) = {
+      jaccard: Double, greedyCollapse: Boolean = false): (DataFrame, Stats) = {
     val annotated = docs.select(col("doc_id"), col("text"),
       T.tokenCount(col("text")).as("n_tokens"),
       T.qualityScore(col("text")).as("quality"),
@@ -45,10 +49,15 @@ object CorpusCurate {
     val keep = inLang.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     val exact = inLang.join(keep, Seq("fp", "doc_id"), "left_semi")
 
-    // near-dedup: drop the higher id of every near-dup pair
-    val dropIds = Dedup.minHashLshPairs(exact, "doc_id", "text",
+    // near-dedup: one representative per duplicate component
+    val pairs = Dedup.minHashLshPairs(exact, "doc_id", "text",
       n = 3, numHashes = 64, bands = 32, threshold = jaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val dropIds =
+      if (greedyCollapse)
+        pairs.select(col("doc_b").as("doc_id")).distinct()
+      else
+        ConnectedComponents.nonRepresentatives(pairs, "doc_a", "doc_b")
+          .withColumnRenamed("id", "doc_id")
     val curated = exact.join(dropIds, Seq("doc_id"), "left_anti")
 
     val stats = Stats(docs.count(), qualified.count(), inLang.count(),
@@ -65,7 +74,8 @@ object CorpusCurate {
     val (curated, s) = curate(docs,
       opts.get("min-quality").map(_.toDouble).getOrElse(0.25),
       opts.get("langs").map(_.split(",").toSeq).getOrElse(Nil),
-      opts.get("jaccard").map(_.toDouble).getOrElse(0.8))
+      opts.get("jaccard").map(_.toDouble).getOrElse(0.8),
+      greedyCollapse = opts.get("collapse").contains("greedy"))
     curated.write.mode("overwrite").parquet(opts("out"))
     println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +
       s""""after_lang":${s.afterLang},"after_exact_dedup":${s.afterExact},""" +
