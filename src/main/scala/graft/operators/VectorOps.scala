@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.classic.GraftColumnBridge
 
-import graft.plans.CosineSimilarity
+import graft.plans.{CosineSimilarity, HyperplaneBuckets}
 
 /** Vector primitives over `ARRAY<FLOAT>` embedding columns.
   *
@@ -49,9 +49,28 @@ object VectorOps {
 
   /** Random-hyperplane LSH signatures: for each table, a bucket id packs
     * the sign bits of the vector's dot product with each plane.
-    * Output: (id, table, bucket). */
+    * Output: (id, table, bucket). Native single-loop expression
+    * ([[graft.plans.HyperplaneBuckets]]) — bit-identical to
+    * [[hyperplaneSignaturesHof]] (spec-enforced) but without the
+    * tables×planes interpreted-lambda passes per row. */
   def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, tables: Int, seed: Long): DataFrame = {
+    val ps = planeLiteral(dim, planes, tables, seed)
+    val flat = new Array[Double](tables * planes * dim)
+    for (t <- 0 until tables; p <- 0 until planes; j <- 0 until dim)
+      flat((t * planes + p) * dim + j) = ps(t)(p)(j)
+    val buckets = GraftColumnBridge.column(HyperplaneBuckets(
+      GraftColumnBridge.expression(col(vecCol)), flat, tables, planes, dim))
+    emb.select(col(idCol).as("id"), posexplode(buckets))
+      .toDF("id", "table", "bucket")
+  }
+
+  /** Pure-built-ins reference form of [[hyperplaneSignatures]] — kept as
+    * the cross-check implementation (one interpreted aggregate/zip_with
+    * chain per (table, plane): correct, slow). */
+  private[graft] def hyperplaneSignaturesHof(emb: DataFrame, idCol: String,
+      vecCol: String, dim: Int, planes: Int, tables: Int,
+      seed: Long): DataFrame = {
     val ps = planeLiteral(dim, planes, tables, seed)
     val sigCols: Seq[Column] = (0 until tables).map { t =>
       val bucket = (0 until planes).map { p =>

@@ -39,6 +39,17 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 was $recall")
   }
 
+  test("native hyperplane buckets == HOF reference form, bit-identical") {
+    val native = VectorOps.hyperplaneSignatures(
+      emb, "vec_id", "embedding", dim = 64, planes = 12, tables = 6, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hof = VectorOps.hyperplaneSignaturesHof(
+      emb, "vec_id", "embedding", dim = 64, planes = 12, tables = 6, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native === hof)
+    assert(native.size === emb.count() * 6)
+  }
+
   test("ANN probes a strict subset of the table (it is actually pruning)") {
     val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
       dim = 64, planes = 6, tables = 1)
