@@ -150,6 +150,14 @@ object TextFunctions {
     bridge.column(graft.plans.MinHashSignature(
       bridge.expression(array_distinct(wordShingles(text, n))), numHashes))
 
+  /** MinHash signature over an already-hashed element set (array<long>):
+    * the banding-compatible sketch of ANY long-valued fingerprint set
+    * (e.g. winnowing fingerprints). Same seeded family as
+    * [[minHashSignature]]'s second phase. */
+  def minHashSignatureOfHashes(hashes: Column, numHashes: Int): Column =
+    bridge.column(graft.plans.MinHashSignatureOfHashes(
+      bridge.expression(hashes), numHashes))
+
   def minHashSignatureHof(text: Column, n: Int, numHashes: Int): Column =
     bind(transform(array_distinct(wordShingles(text, n)), s => xxhash64(s))) {
       hs =>

