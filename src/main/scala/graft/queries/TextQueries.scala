@@ -53,12 +53,38 @@ object TextQueries {
       .orderBy("doc_id", "pos")
   }
 
+  // typed Aggregator gate: per-language MinHash sketch union (element-
+  // wise min) through the untyped udaf() path — partial+final agg, the
+  // shuffle carries 64 longs per language, never documents. Two-stage
+  // oracle: DuckDB recomputes the element-wise group min from the
+  // per-doc signature fixture.
+  private def t06(s: SparkSession, dir: String): DataFrame = {
+    val mh = udaf(new graft.functions.MinHashAgg(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    docs(s, dir)
+      .select(col("lang"),
+        T.minHashSignature(lower(col("text")), 3, 64).as("sig"))
+      .groupBy("lang").agg(mh(col("sig")).as("gsig"))
+      .select(col("lang"), posexplode(col("gsig")))
+      .toDF("lang", "pos", "v")
+      .select(col("lang"), col("pos").cast("long").as("pos"), col("v"))
+      .orderBy("lang", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
     "t04_fingerprint" -> (t04 _),
     "t05_tokenize_udtf" -> (t05 _),
+    "t06_minhash_union" -> (t06 _),
+  )
+
+  /** Aux fixture for t06's two-stage oracle (see Verify). */
+  val auxOutputs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t06_signatures" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+        T.minHashSignature(lower(col("text")), 3, 64).as("sig"))),
   )
 
   private val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
@@ -112,5 +138,12 @@ object TextQueries {
         "WHERE doc_id <= 3) " +
         "SELECT doc_id, CAST(generate_subscripts(t, 1) - 1 AS INT) AS pos, " +
         "unnest(t) AS token FROM tk ORDER BY doc_id, pos"),
+    "t06_minhash_union" ->
+      ("WITH s AS (SELECT lang, sig FROM " +
+        "read_parquet('{OUT}/aux/t06_signatures/*.parquet')), " +
+        "u AS (SELECT lang, generate_subscripts(sig, 1) - 1 AS pos, " +
+        "unnest(sig) AS v FROM s) " +
+        "SELECT lang, pos, min(v) AS v FROM u GROUP BY lang, pos " +
+        "ORDER BY lang, pos"),
   )
 }
