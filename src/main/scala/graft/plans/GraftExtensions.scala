@@ -7,20 +7,47 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 /** SparkSessionExtensions entry point: registers graft's custom
   * expressions for SQL use. Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
-  * then `SELECT cosine_sim(a, b)` works in plain SQL.
-  * (The Column-level API in VectorOps does not require this.)
+  * then `SELECT cosine_sim(a, b)`, `simhash64(tokens)`,
+  * `minhash_sig(shingles, 64)`, `minhash_sig_hashes(hashes, 64)` and
+  * `winnow_fp(text, 5, 4)` work in plain SQL.
+  * (The Column-level APIs in VectorOps/TextFunctions don't require this.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
-  }
+  import GraftExtensions.builders
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Constant-fold an int argument (e.g. `minhash_sig(x, 64)`). */
+  private def intArg(e: Expr, what: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → expression builder, shared by the extensions injection and
+    * the runtime registration path. */
+  val builders: Seq[(String, Seq[Expr] => Expr)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_sig" -> (es =>
+      MinHashSignature(es(0), intArg(es(1), "numHashes"))),
+    "minhash_sig_hashes" -> (es =>
+      MinHashSignatureOfHashes(es(0), intArg(es(1), "numHashes"))),
+    "winnow_fp" -> (es =>
+      WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
+  )
+
   /** Runtime registration for sessions built without the extensions
     * config (it only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

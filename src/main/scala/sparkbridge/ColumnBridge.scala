@@ -13,9 +13,10 @@ object GraftColumnBridge {
 
   /** Register graft's SQL functions on an ALREADY-RUNNING session
     * (`spark.sql.extensions` only applies at session construction). */
-  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction("cosine_sim",
-        exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)),
-        "built-in")
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+    graft.plans.GraftExtensions.builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 }
