@@ -49,4 +49,44 @@ object SimilaritySearch {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Persist the IVF index partitioned by (table, bucket) — the 100 TB
+    * layout: each LSH bucket is its own partition directory, so a probe
+    * reads ONLY the query's buckets (partition pruning at the file
+    * listing, before any I/O). Build once, probe many. */
+  def writeIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, planes: Int = 6, tables: Int = 8, seed: Long = 42L): Unit =
+    ivfIndex(emb, idCol, vecCol, dim, planes, tables, seed)
+      .write.mode("overwrite")
+      .partitionBy("table", "bucket")
+      .parquet(path)
+
+  /** ANN top-k against a [[writeIndex]]-persisted index: the bucket
+    * predicate is a partition filter, so Spark's scan lists and reads
+    * only the matching (table, bucket) directories — probe I/O is
+    * proportional to bucket size, not corpus size (spec asserts the
+    * pruned-partition count in the physical plan). Same deterministic
+    * planes (seed) as index build. */
+  def annTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Seq[Float], dim: Int, k: Int, planes: Int = 6,
+      tables: Int = 8, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val qdf = Seq(Tuple1(queryVec)).toDF("qv")
+    val qBuckets = VectorOps.hyperplaneSignatures(
+      qdf.withColumn("id", lit(0L)), "id", "qv", dim, planes, tables, seed)
+      .select("table", "bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // tables×1 bucket predicates — a literal partition filter the file
+    // index prunes on (collect() is tables rows, driver-side by design)
+    val probe = qBuckets.map { case (t, b) =>
+      col("table") === t && col("bucket") === b
+    }.reduce(_ || _)
+    val q = array(queryVec.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(probe)
+      .select(col("id"), col("vec")).distinct()
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -50,6 +50,42 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(native.size === emb.count() * 6)
   }
 
+  test("persisted IVF index: probes are partition-pruned reads with " +
+    "identical results to the in-memory path") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    SimilaritySearch.writeIndex(emb, "vec_id", "embedding", path,
+      dim = 64, planes = 6, tables = 4)
+    val persisted = SimilaritySearch.annTopKPersisted(spark, path, queryVec,
+      dim = 64, k = 10, planes = 6, tables = 4)
+    val persistedIds = persisted.collect().map(_.getLong(0)).toSeq
+    // partition pruning is visible in the scan: only the query's
+    // (table, bucket) dirs survive the file-index listing. The scan sits
+    // under the (now-final) adaptive plan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: QueryStageExec => findScan(q.plan) // stages are leaf wrappers
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(persisted.queryExecution.executedPlan).get
+    val probed = scan.selectedPartitions.partitionCount
+    val totalParts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("table="))
+      .flatMap(_.listFiles()).count(_.getName.startsWith("bucket="))
+    assert(probed <= 4, s"probe read $probed partitions (want <= tables)")
+    assert(probed < totalParts,
+      s"no pruning: read $probed of $totalParts partitions")
+    // and the result equals the in-memory index path
+    val inMem = SimilaritySearch.annTopK(
+      SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
+        dim = 64, planes = 6, tables = 4),
+      queryVec, dim = 64, k = 10, planes = 6, tables = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(persistedIds === inMem)
+  }
+
   test("ANN probes a strict subset of the table (it is actually pruning)") {
     val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
       dim = 64, planes = 6, tables = 1)
