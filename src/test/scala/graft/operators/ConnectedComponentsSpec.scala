@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 
 import graft.SparkSpec
 
@@ -26,6 +28,42 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("star, reversed edges, self-loops, duplicates") {
     val c = comps((5L, 9L), (9L, 5L), (7L, 5L), (5L, 5L), (5L, 8L), (7L, 5L))
     assert(c === Map(5L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
+  }
+
+  test("random graphs agree with a driver-side union-find") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize to min-of-component labels
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }
+    }
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter(e => e._1 != e._2)
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.nonEmpty ==> {
+        val got = comps(edges: _*)
+        val want = unionFind(edges)
+        (got == want) :| s"got $got\nwant $want"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("nonRepresentatives keeps exactly one doc per component, " +
