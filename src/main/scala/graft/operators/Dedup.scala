@@ -106,9 +106,16 @@ object Dedup {
     * actually-hot buckets returned 0 pairs). */
   private def bandedCandidates(sig: DataFrame, bands: Int, r: Int,
       maxBucket: Int): DataFrame = {
-    val banded = sig.select(col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
+    // BIND the signature before slicing it per band: projection collapse
+    // substitutes the upstream signature expression into every lambda
+    // reference site (no CSE inside lambdas), so a naive col("sig")
+    // recomputes the whole MinHash 32x per row — measured 6.8 s vs 0.9 s
+    // for d03 at sf0.1. element_at(transform(array(sig), ...), 1)
+    // evaluates it once and the lambda sees the bound value.
+    val bandArr = element_at(transform(array(col("sig")), s =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(slice(s, b * r + 1, lit(r)), ",")))), 1)
+    val banded = sig.select(col("doc"), posexplode(bandArr))
       .toDF("doc", "band", "bh")
     val pruned =
       if (maxBucket <= 0) banded
