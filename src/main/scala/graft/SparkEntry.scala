@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{CoreQueries, DedupQueries, JoinQueries,
-  MultimodalQueries, StreamQueries, TextQueries, WindowQueries}
+  MultimodalQueries, PipelineQueries, StreamQueries, TextQueries,
+  WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       StreamQueries.queries ++ MultimodalQueries.queries ++
-      WindowQueries.queries ++ JoinQueries.queries
+      WindowQueries.queries ++ JoinQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. A literal
@@ -32,7 +34,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       StreamQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      WindowQueries.oracleSql ++ JoinQueries.oracleSql
+      WindowQueries.oracleSql ++ JoinQueries.oracleSql ++
+      PipelineQueries.oracleSql
 
   /** Aux fixtures for two-stage oracles: Verify writes each to
     * {outDir}/aux/{name} so hash-seeded intermediates (e.g. SimHash

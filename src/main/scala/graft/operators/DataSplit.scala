@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/val/test splitting for training-data pipelines.
+  *
+  * Split assignment must be (a) deterministic under retry/re-run, (b)
+  * stable when the corpus grows (a doc's split never depends on what
+  * else is in the table), and (c) reproducible OUTSIDE Spark so other
+  * engines agree on membership. `rand()`-based sampling fails all
+  * three; a seeded xxhash fails (c). The bucket here is the first 4 hex
+  * chars of md5(key) — portable to any engine with md5 (the DuckDB
+  * oracle recomputes it with string functions alone).
+  *
+  * `assignByComponent` is the leakage-safe variant: near-duplicate
+  * documents must land in the SAME split (a train/test pair of
+  * near-dups is evaluation leakage), so the bucket is computed on the
+  * doc's duplicate-component representative
+  * ([[ConnectedComponents.components]] over the near-dup pair list)
+  * rather than the doc itself.
+  */
+object DataSplit {
+
+  /** Deterministic bucket in [0, 100): integer value of the first 4 hex
+    * chars of md5(key), mod 100 (bias from 65536 % 100 is < 0.2% per
+    * bucket — negligible against corpus noise and exactly reproduced by
+    * the oracle). */
+  def bucket(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 100)
+      .as("bucket")
+
+  /** Label rows train/val/test by md5-bucket thresholds: [0, trainPct)
+    * → train, [trainPct, trainPct+valPct) → val, rest → test. */
+  def assign(df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages ($trainPct, $valPct)")
+    val b = bucket(col(keyCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Leakage-safe split: every member of a near-dup component gets the
+    * split of its component representative (smallest id). `pairs` is a
+    * near-dup pair list (e.g. from [[Dedup.minHashLshPairs]]); docs in
+    * no pair are their own representative. */
+  def assignByComponent(df: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val comp = ConnectedComponents.components(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    val withRep = df.join(comp, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val b = bucket(col("rep"))
+    withRep.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+      .drop("rep")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{DataSplit, Packing}
+
+/** Training-pipeline orchestration gates: deterministic splits and
+  * sequence packing over `documents`, each with an exactly mirrored
+  * DuckDB oracle (the split hash is md5-prefix-based precisely so the
+  * oracle can recompute membership with string functions alone).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  // deterministic md5-bucket split: per-split doc counts + token mass.
+  // Counts AND char sums gate the exact membership, not just the ratios.
+  private def p01(s: SparkSession, dir: String): DataFrame =
+    DataSplit.assign(docs(s, dir), "doc_id", trainPct = 80, valPct = 10)
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("split")
+
+  // sharded streaming-fill packing: per-bin doc count + token sum over
+  // 8 shards at a 2000-char budget; the full (shard, bin) histogram
+  // gates the window arithmetic
+  private def p02(s: SparkSession, dir: String): DataFrame =
+    Packing.binStats(
+      Packing.packByBudget(docs(s, dir), "doc_id", "n_chars",
+        budget = 2000, shards = 8),
+      "n_chars")
+      .orderBy("shard", "bin")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_split_counts" -> (p01 _),
+    "p02_pack_bins" -> (p02 _),
+  )
+
+  private val bucketSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_split_counts" ->
+      (s"WITH b AS (SELECT doc_id, n_chars, $bucketSql AS bkt FROM documents), " +
+        "s AS (SELECT n_chars, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split FROM b) " +
+        "SELECT split, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars " +
+        "FROM s GROUP BY split ORDER BY split"),
+    "p02_pack_bins" ->
+      ("WITH sh AS (SELECT doc_id, n_chars, " +
+        "CAST(doc_id % 8 AS INT) AS shard FROM documents), " +
+        "c AS (SELECT shard, doc_id, n_chars, " +
+        "coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev " +
+        "FROM sh), " +
+        "p AS (SELECT shard, CAST(floor(prev / 2000) AS BIGINT) AS bin, " +
+        "n_chars FROM c) " +
+        "SELECT shard, bin, count(*) AS docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS tokens " +
+        "FROM p GROUP BY shard, bin ORDER BY shard, bin"),
+  )
+}

@@ -71,6 +71,18 @@ object TextQueries {
       .orderBy("lang", "pos")
   }
 
+  // corpus vocabulary: token frequencies with a min-count floor, top-50
+  // — the first pass of any tokenizer/vocab build. Pure
+  // explode+groupBy+top-k: map-side partial agg, shuffle carries
+  // (token, count), TakeOrderedAndProject caps the result.
+  private def t07(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(T.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -78,6 +90,7 @@ object TextQueries {
     "t04_fingerprint" -> (t04 _),
     "t05_tokenize_udtf" -> (t05 _),
     "t06_minhash_union" -> (t06 _),
+    "t07_vocab_topk" -> (t07 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -145,5 +158,11 @@ object TextQueries {
         "unnest(sig) AS v FROM s) " +
         "SELECT lang, pos, min(v) AS v FROM u GROUP BY lang, pos " +
         "ORDER BY lang, pos"),
+    "t07_vocab_topk" ->
+      ("WITH tk AS (SELECT unnest(list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS token " +
+        "FROM documents) " +
+        "SELECT token, count(*) AS cnt FROM tk GROUP BY token " +
+        "HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 50"),
   )
 }

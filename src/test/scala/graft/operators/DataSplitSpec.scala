@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DataSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("split is deterministic and independent of the rest of the corpus") {
+    val full = DataSplit.assign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // same docs through a different (smaller) corpus: identical labels
+    val subset = DataSplit.assign(docs.filter($"doc_id" % 3 === 0), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) === s) }
+    // and a re-run is identical
+    val again = DataSplit.assign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === full)
+  }
+
+  test("proportions track the requested 80/10/10 within tolerance") {
+    val counts = DataSplit.assign(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.06,
+      s"train ${counts("train") / n}")
+    assert(math.abs(counts.getOrElse("val", 0L) / n - 0.1) < 0.05)
+    assert(math.abs(counts.getOrElse("test", 0L) / n - 0.1) < 0.05)
+  }
+
+  test("assignByComponent: near-dup components never straddle splits") {
+    // components {1,2,3} (via chain) and {10,11}; 20 is unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val out = DataSplit.assignByComponent(df, "doc_id", pairs, "a", "b")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(out(1L), out(2L), out(3L)).size === 1,
+      "component {1,2,3} split across partitions")
+    assert(Set(out(10L), out(11L)).size === 1)
+    // unpaired doc falls back to its own id's bucket
+    val own = DataSplit.assign(Seq(20L).toDF("doc_id"), "doc_id")
+      .select("split").as[String].collect().head
+    assert(out(20L) === own)
+  }
+}
