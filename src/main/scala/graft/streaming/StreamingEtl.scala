@@ -56,6 +56,20 @@ object StreamingEtl {
       .partitionBy("location_id", "month")
       .parquet(s"$outDir/batch=$batchId")
 
+  /** Compaction: fold the streaming table's batchId-scoped directories
+    * into the batch table's plain (location_id, month) layout at
+    * `destDir` (full overwrite — rerunnable, no partial-state risk; the
+    * streaming source dirs are left untouched). Run periodically so
+    * downstream readers see the canonical layout and small per-batch
+    * files get coalesced. */
+  def compactStream(spark: SparkSession, streamDir: String,
+      destDir: String): Unit =
+    spark.read.parquet(streamDir)
+      .drop("batch")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("location_id", "month")
+      .parquet(destDir)
+
   /** CLI: runMain graft.streaming.StreamingEtl <ordersDir> <outDir>
     * <checkpointDir> — processes all available order files then exits
     * (AvailableNow); re-running resumes from the checkpoint. */

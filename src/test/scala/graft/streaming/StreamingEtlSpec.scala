@@ -58,5 +58,15 @@ class StreamingEtlSpec extends SparkSpec {
     // a different batchId lands alongside
     StreamingEtl.writeBatch(batch.limit(1), outDir, batchId = 8)
     assert(spark.read.parquet(outDir).count() === 3)
+
+    // compaction folds batch dirs into the plain batch-table layout
+    val dest = Files.createTempDirectory("stream_compact").toString
+    StreamingEtl.compactStream(spark, outDir, dest)
+    val compacted = spark.read.parquet(dest)
+    assert(compacted.count() === 3)
+    assert(!compacted.columns.contains("batch"))
+    val dirs = new java.io.File(dest).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("location_id=")))
+    assert(!dirs.exists(_.startsWith("batch=")))
   }
 }
