@@ -46,19 +46,21 @@ object ConnectedComponents {
         .groupBy("a").agg(min("comp").as("ncomp"))
         .withColumnRenamed("a", "id")
       val lowered = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jump: follow the label's own label
+      // pointer jump: follow the label's own label. The previous label
+      // rides along as `old`, so convergence detection below is a plain
+      // aggregation over this frame — no extra join against the prior
+      // iteration's labels.
       val byId = lowered.select(col("id").as("jid"), col("comp").as("jcomp"))
       val jumped = lowered
         .join(byId, lowered("comp") === byId("jid"), "left")
-        .select(lowered("id"),
+        .select(lowered("id"), lowered("old"),
           least(lowered("comp"), coalesce(col("jcomp"), lowered("comp")))
             .as("comp"))
         .localCheckpoint(true)
-      changed = jumped.join(comp.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      comp = jumped
+      changed = jumped.filter(col("comp") =!= col("old")).count()
+      comp = jumped.drop("old")
       iter += 1
     }
     sym.unpersist()

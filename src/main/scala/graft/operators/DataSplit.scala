@@ -30,18 +30,21 @@ object DataSplit {
     (conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 100)
       .as("bucket")
 
-  /** Label rows train/val/test by md5-bucket thresholds: [0, trainPct)
-    * → train, [trainPct, trainPct+valPct) → val, rest → test. */
-  def assign(df: DataFrame, keyCol: String, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+  /** train/val/test label from a bucket column: [0, trainPct) → train,
+    * [trainPct, trainPct+valPct) → val, rest → test. */
+  private def label(key: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages ($trainPct, $valPct)")
-    val b = bucket(col(keyCol))
-    df.withColumn("split",
-      when(b < trainPct, "train")
-        .when(b < trainPct + valPct, "val")
-        .otherwise("test"))
+    val b = bucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  /** Label rows train/val/test by md5-bucket thresholds. */
+  def assign(df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    df.withColumn("split", label(col(keyCol), trainPct, valPct))
 
   /** Leakage-safe split: every member of a near-dup component gets the
     * split of its component representative (smallest id). `pairs` is a
@@ -52,14 +55,9 @@ object DataSplit {
       valPct: Int = 10): DataFrame = {
     val comp = ConnectedComponents.components(pairs, srcCol, dstCol)
       .withColumnRenamed("id", idCol)
-    val withRep = df.join(comp, Seq(idCol), "left")
-      .withColumn("rep", coalesce(col("comp"), col(idCol)))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("split",
+        label(coalesce(col("comp"), col(idCol)), trainPct, valPct))
       .drop("comp")
-    val b = bucket(col("rep"))
-    withRep.withColumn("split",
-      when(b < trainPct, "train")
-        .when(b < trainPct + valPct, "val")
-        .otherwise("test"))
-      .drop("rep")
   }
 }

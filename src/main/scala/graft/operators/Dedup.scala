@@ -171,6 +171,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sets = docs.select(col(idCol).as("doc"),
       array_distinct(winnowFingerprint(col(textCol), k, w)).as("fps"))
+      // docs too short to produce a fingerprint would ALL share the
+      // sentinel all-MaxValue signature and co-bucket in every band —
+      // m empty docs → m²/2 spurious candidates. They can't overlap
+      // anything (resemblance undefined), so drop them before banding.
+      .filter(size(col("fps")) > 0)
     val sig = sets.select(col("doc"),
       minHashSignatureOfHashes(col("fps"), numHashes).as("sig"))
     val cand = bandedCandidates(sig, bands, numHashes / bands, maxBucket)

@@ -22,11 +22,17 @@ object Packing {
 
   /** (shard, bin) assignment: docs in id order within `shards`
     * deterministic shards; a new bin starts when the running token
-    * total crosses a `budget` multiple. */
+    * total crosses a `budget` multiple. The shard is an md5-prefix hash
+    * of the id, not `id % shards`: structured id spaces (upstream
+    * shards, snowflake ids with constant low bits) collapse a modulus
+    * into one or two shards, which serializes packing through a single
+    * window partition — the exact bottleneck sharding exists to avoid.
+    * md5 keeps it engine-portable for the oracle. */
   def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
       budget: Int, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
-    val shard = pmod(col(idCol), lit(shards)).cast("int")
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % shards).cast("int")
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", shard)

@@ -42,8 +42,17 @@ object SimilaritySearch {
     val qBuckets = VectorOps.hyperplaneSignatures(
       qdf.withColumn("id", lit(0L)), "id", "qv", dim, planes, tables, seed)
       .select("table", "bucket")
-    val q = array(queryVec.map(lit): _*)
     index.join(broadcast(qBuckets), Seq("table", "bucket"), "left_semi")
+      .transform(rerank(queryVec, k))
+  }
+
+  /** Shared probe tail: dedup candidates (a vector matches in several
+    * tables), exact-cosine rerank, deterministic top-k. One definition
+    * so the in-memory and persisted paths cannot drift. */
+  private def rerank(queryVec: Seq[Float], k: Int)(
+      candidates: DataFrame): DataFrame = {
+    val q = array(queryVec.map(lit): _*)
+    candidates
       .select(col("id"), col("vec")).distinct()
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("score"))
       .orderBy(col("score").desc, col("id"))
@@ -81,12 +90,8 @@ object SimilaritySearch {
     val probe = qBuckets.map { case (t, b) =>
       col("table") === t && col("bucket") === b
     }.reduce(_ || _)
-    val q = array(queryVec.map(lit): _*)
     spark.read.parquet(path)
       .filter(probe)
-      .select(col("id"), col("vec")).distinct()
-      .select(col("id"), VectorOps.cosine(col("vec"), q).as("score"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
+      .transform(rerank(queryVec, k))
   }
 }

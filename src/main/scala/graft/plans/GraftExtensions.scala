@@ -35,16 +35,24 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(b: Seq[Expr] => Expr)
+    : Seq[Expr] => Expr = es => {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name requires $n argument(s), got ${es.length}")
+    b(es)
+  }
+
   /** name → expression builder, shared by the extensions injection and
     * the runtime registration path. */
   val builders: Seq[(String, Seq[Expr] => Expr)] = Seq(
-    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "minhash_sig" -> (es =>
+    "cosine_sim" -> arity("cosine_sim", 2)(es =>
+      CosineSimilarity(es(0), es(1))),
+    "simhash64" -> arity("simhash64", 1)(es => SimHash64(es(0))),
+    "minhash_sig" -> arity("minhash_sig", 2)(es =>
       MinHashSignature(es(0), intArg(es(1), "numHashes"))),
-    "minhash_sig_hashes" -> (es =>
+    "minhash_sig_hashes" -> arity("minhash_sig_hashes", 2)(es =>
       MinHashSignatureOfHashes(es(0), intArg(es(1), "numHashes"))),
-    "winnow_fp" -> (es =>
+    "winnow_fp" -> arity("winnow_fp", 3)(es =>
       WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
   )
 

@@ -30,10 +30,14 @@ object DedupQueries {
     docs(s, dir).agg(count(lit(1)).as("total_docs"),
       countDistinct(T.fingerprint(col("text"))).as("kept_docs"))
 
-  // maxBucket=2000: the LSH skew guard is ON in the gated plan — a
-  // shingle shared by >2000 docs is dropped before the self-join, so the
-  // gated shape survives a dense corpus. At the gate's sf (<=2000 docs
-  // total) no bucket can exceed the cap, so the exact oracle still holds.
+  // maxBucket=2000: the skew guard is ON in the gated plan — a shingle
+  // shared by >2000 docs is dropped before the self-join, so the gated
+  // shape survives a dense corpus. The oracle's sf (sf0.01 = 500 docs)
+  // can't reach the cap by construction; at bench sf0.1 (5000 docs) the
+  // measured max shingle doc-frequency is 25, far under it. If the
+  // driver regenerates a denser corpus, a triggered cap would prune
+  // candidates AND bias jaccard via `sizes` — a hash-fail here should
+  // be checked against the cap first.
   private def d02(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
       maxBucket = 2000)
@@ -138,8 +142,11 @@ object DedupQueries {
   // miss is ~4e-6 while random pairs (median resemblance 0.027) almost
   // never become candidates (~1e-5) — candidate verification work drops
   // from ~290k to ~10² pairs at sf0.1. maxBucket=500 caps any residual
-  // hot band bucket; it can never trigger at the oracle's sf (<=500
-  // docs).
+  // hot band bucket; the oracle's sf (sf0.01 = exactly 500 docs) can't
+  // exceed it (a bucket needs df > 500), and at bench sf0.1 (5000 docs)
+  // measured band buckets top out at 17. A denser regenerated corpus
+  // that trips the cap would prune candidates → check the cap first on
+  // any future hash-fail here.
   private def d06(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
       k = 8, w = 6, threshold = 0.5, maxBucket = 500,

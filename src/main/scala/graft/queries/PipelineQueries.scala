@@ -51,7 +51,8 @@ object PipelineQueries {
         "FROM s GROUP BY split ORDER BY split"),
     "p02_pack_bins" ->
       ("WITH sh AS (SELECT doc_id, n_chars, " +
-        "CAST(doc_id % 8 AS INT) AS shard FROM documents), " +
+        "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 " +
+        "AS INT) AS shard FROM documents), " +
         "c AS (SELECT shard, doc_id, n_chars, " +
         "coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev " +
