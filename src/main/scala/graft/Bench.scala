@@ -10,17 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: pay one-time JIT/codegen/session bootstrap outside the
-    // per-query timings (the first timed query otherwise absorbs ~2s)
+    // warmup: pay one-time JIT/codegen/session bootstrap AND the
+    // parquet reader/scan init outside the per-query timings (the first
+    // timed query otherwise absorbs ~2s)
     spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
+    catch { case _: Throwable => () }
     // optional comma-separated subset filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     // a failed query must NOT bench as a (tiny) timing: record ok/failed
-    // per query, list failures explicitly, and only sum successful runs
-    val results = selected.toSeq.map { case (name, fn) =>
+    // per query, list failures explicitly, and only sum successful runs.
+    // Sorted order: Map iteration order is arbitrary, which silently
+    // reassigns residual cold-start cost to a different query each
+    // build — sorted names make per-query times comparable across runs.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case e: Throwable =>
