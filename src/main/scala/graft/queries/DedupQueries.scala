@@ -30,18 +30,21 @@ object DedupQueries {
     docs(s, dir).agg(count(lit(1)).as("total_docs"),
       countDistinct(T.fingerprint(col("text"))).as("kept_docs"))
 
-  // maxBucket=2000: the skew guard is ON in the gated plan — a shingle
-  // shared by >2000 docs is dropped before the self-join, so the gated
-  // shape survives a dense corpus. The oracle's sf (sf0.01 = 500 docs)
-  // can't reach the cap by construction; at bench sf0.1 (5000 docs) the
-  // measured max shingle doc-frequency is 25, far under it. If the
-  // driver regenerates a denser corpus, a triggered cap would prune
-  // candidates AND bias jaccard via `sizes` — a hash-fail here should
-  // be checked against the cap first.
+  // EXACT pairs at threshold 0.8 via the prefix-filtered similarity
+  // join (AllPairs/PPJoin) — exact like the plain self-join baseline
+  // but candidates come from each doc's rarest-shingle prefix instead
+  // of every shared shingle, so the gated plan survives a skewed-df
+  // corpus WITHOUT the lossy hot-bucket drop doing the work. On the
+  // synthetic bench corpus (uniformly LOW df, max 25) the prefix
+  // machinery costs ~2 s more than the plain join — the tradeoff runs
+  // the other way the moment any shingle is shared by thousands of
+  // docs, which is what real corpora look like. maxBucket=2000 stays on
+  // as the outermost guard; the oracle's sf (sf0.01 = 500 docs) can't
+  // reach it. The self-join baseline remains spec-gated (DedupSpec
+  // asserts prefix == baseline on fixtures and real testdata).
   private def d02(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3,
-      maxBucket = 2000)
-      .filter(col("jaccard") >= 0.8)
+    Dedup.ngramJaccardPairsPrefix(docs(s, dir), "doc_id", "text", n = 3,
+      threshold = 0.8, maxBucket = 2000)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 

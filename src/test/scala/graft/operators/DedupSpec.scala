@@ -32,6 +32,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("prefix-filtered jaccard join == plain self-join at threshold, " +
+    "on the fixture and on real testdata") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val base = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= t))
+      val pre = norm(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        n = 3, threshold = t))
+      assert(pre === base, s"threshold $t diverged on fixture")
+    }
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val base = norm(Dedup.ngramJaccardPairs(real, "doc_id", "text", n = 3)
+      .filter(col("jaccard") >= 0.8))
+    val pre = norm(Dedup.ngramJaccardPairsPrefix(real, "doc_id", "text",
+      n = 3, threshold = 0.8))
+    assert(pre === base)
+    assert(pre.nonEmpty)
+  }
+
   test("minhash LSH finds the same pairs as exact jaccard at threshold 0.5") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .filter(col("jaccard") >= 0.5)
