@@ -205,6 +205,44 @@ object CoreQueries {
       .orderBy("event_id")
       .limit(100)
 
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(s"v_$n"))
+
+  // Q22 — EXISTS subquery (TPC-H Q4 shape): Catalyst rewrites the
+  // correlated EXISTS to a left-semi hash join — no per-row subquery
+  // execution
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "orders", "lineitem")
+    s.sql("SELECT o_orderstatus, count(*) AS cnt FROM v_orders " +
+      "WHERE EXISTS (SELECT 1 FROM v_lineitem " +
+      "WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  // Q23 — correlated scalar subquery (TPC-H Q17 shape): per-part
+  // average threshold, decorrelated by Catalyst into an aggregate +
+  // join. The per-group mean is computed as exact-decimal sum / count
+  // so both engines agree bit-for-bit regardless of summation order.
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "lineitem")
+    s.sql("SELECT count(*) AS cnt, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+      "FROM v_lineitem l1 WHERE l_quantity < " +
+      "(SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) " +
+      "/ count(*) FROM v_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)")
+  }
+
+  // Q24 — order-count distribution (TPC-H Q13 shape): left outer join
+  // preserved through a two-level aggregation
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "customer", "orders")
+    s.sql("SELECT c_count, count(*) AS custdist FROM " +
+      "(SELECT c_custkey, count(o_orderkey) AS c_count FROM v_customer " +
+      "LEFT OUTER JOIN v_orders ON c_custkey = o_custkey " +
+      "GROUP BY c_custkey) " +
+      "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -227,6 +265,9 @@ object CoreQueries {
     "q19_text_stats" -> (q19 _),
     "q20_cosine_topk" -> (q20 _),
     "q21_time_of_day" -> (q21 _),
+    "q22_exists_semi" -> (q22 _),
+    "q23_corr_scalar" -> (q23 _),
+    "q24_custdist" -> (q24 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -314,5 +355,22 @@ object CoreQueries {
       ("SELECT event_id, strftime(CAST(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' " +
         "AT TIME ZONE 'America/Chicago' AS TIMESTAMP), '%H:%M:%S') AS tod " +
         "FROM events ORDER BY event_id LIMIT 100"),
+    "q22_exists_semi" ->
+      ("SELECT o_orderstatus, count(*) AS cnt FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q23_corr_scalar" ->
+      ("SELECT count(*) AS cnt, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM lineitem l1 WHERE l_quantity < " +
+        "(SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) " +
+        "/ count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"),
+    "q24_custdist" ->
+      ("SELECT c_count, count(*) AS custdist FROM " +
+        "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+        "LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey) GROUP BY c_count " +
+        "ORDER BY custdist DESC, c_count DESC"),
   )
 }
