@@ -66,6 +66,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q22: EXISTS is rewritten to a semi join — no per-row subquery") {
+    val p = plan("q22_exists_semi")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q23: correlated scalar subquery is decorrelated into agg + join") {
+    val p = plan("q23_corr_scalar")
+    // decorrelation = the per-part average becomes an aggregate joined
+    // back on l_partkey; a surviving correlated subquery would show as
+    // a nested-loop / cartesian shape
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q24: outer join + double aggregation, no nested loops") {
+    val p = plan("q24_custdist")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sales ETL: broadcast dim join + no shuffle before the write") {
     import spark.implicits._
     val orders = graft.sources.SquareOrders.fromJson(spark,
