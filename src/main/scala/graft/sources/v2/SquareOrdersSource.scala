@@ -4,11 +4,14 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import java.util.OptionalLong
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonParser, JSONOptions}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -120,11 +123,42 @@ class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Config
   }
 }
 
+/** Driver-side metric: sum of per-task malformed-line counts — the
+  * reference's log-and-skip tolerance, now observable per query in the
+  * metrics UI instead of silently swallowed. */
+class MalformedLinesMetric extends CustomSumMetric {
+  override def name(): String = "malformedLines"
+  override def description(): String = "skipped malformed order lines"
+}
+
+case class MalformedLinesTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "malformedLines"
+}
+
 class SquareScan(path: String, filters: Array[Filter], limit: Int,
     conf: SerializableHadoopConf)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = SquareOrders.orderSchema
+
+  /** Planning-time size estimate from the (pruned) file listing — the
+    * cost-based planner's input for join-side selection, exactly what a
+    * live connector would estimate from the API's page counts. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf.value)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".jsonl"))
+          .map(_.getLen).sum
+      } catch { case _: Exception => 0L }
+    override def sizeInBytes(): OptionalLong =
+      if (bytes > 0) OptionalLong.of(bytes) else OptionalLong.empty()
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new MalformedLinesMetric)
 
   override def description(): String =
     s"SquareOrdersScan path=$path " +
@@ -227,5 +261,9 @@ class SquarePartitionReader(file: String, filters: Array[Filter], limit: Int,
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(MalformedLinesTaskMetric(malformed))
+
   override def close(): Unit = in.close()
 }

@@ -80,6 +80,29 @@ class SquareOrdersSourceSpec extends SparkSpec {
     assert(read.limit(3).count() === 3)
   }
 
+  test("malformed lines surface as a custom scan metric; scan reports " +
+    "size statistics for the planner") {
+    // reader-level: drive a partition reader over the file with the
+    // bad line and read its task metric
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val reader = new SquarePartitionReader(
+      dir.resolve("LWRIG000000001.jsonl").toString,
+      Array.empty, -1, conf)
+    while (reader.next()) reader.get()
+    val m = reader.currentMetricsValues()
+    assert(m.map(_.name).toSeq === Seq("malformedLines"))
+    assert(m.head.value === 1L)
+    reader.close()
+
+    // scan-level: declared metric + planning statistics
+    val scan = new SquareScan(dir.toString, Array.empty, -1, conf)
+    assert(scan.supportedCustomMetrics().map(_.name).toSeq
+      === Seq("malformedLines"))
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
+  }
+
   test("v2 source output feeds the sales ETL end-to-end") {
     val locations = Seq((1, "Wrigleyville", "LWRIG000000001"),
       (2, "Current", "L5WST6KFZBT10")).toDF("id", "name", "square_id")
