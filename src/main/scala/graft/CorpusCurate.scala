@@ -32,18 +32,35 @@ object CorpusCurate {
   case class Stats(input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNear: Long)
 
+  /** Build the curation plan. Returns the curated frame plus a stats
+    * thunk: all five per-stage counts ride the FIRST action on the
+    * returned frame via `observe()` (one pass; calling the thunk before
+    * any action blocks, so trigger the write/collect first). The
+    * pair-finding + component stages still run their own jobs — those
+    * are genuinely iterative — but the linear filter chain is counted
+    * without any extra scans. */
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
-      jaccard: Double, greedyCollapse: Boolean = false): (DataFrame, Stats) = {
+      jaccard: Double, greedyCollapse: Boolean = false)
+    : (DataFrame, () => Stats) = {
+    val obsIn = org.apache.spark.sql.Observation("curate_in")
+    val obsOut = org.apache.spark.sql.Observation("curate_out")
+
     val annotated = docs.select(col("doc_id"), col("text"),
       T.tokenCount(col("text")).as("n_tokens"),
       T.qualityScore(col("text")).as("quality"),
       T.langId(col("text")).as("lang_pred"),
       T.fingerprint(col("text")).as("fp"))
+      .withColumn("_q", col("quality") >= minQuality)
 
-    val qualified = annotated.filter(col("quality") >= minQuality)
-    val inLang =
-      if (langs.isEmpty) qualified
-      else qualified.filter(col("lang_pred").isin(langs: _*))
+    val inLangFlag =
+      if (langs.isEmpty) col("_q")
+      else col("_q") && col("lang_pred").isin(langs: _*)
+    val flagged = annotated.withColumn("_l", inLangFlag)
+      .observe(obsIn,
+        count(lit(1)).as("input"),
+        count(when(col("_q"), 1)).as("after_quality"),
+        count(when(col("_l"), 1)).as("after_lang"))
+    val inLang = flagged.filter(col("_l")).drop("_q", "_l")
 
     // exact dedup on the already-computed fingerprint (keep lowest id)
     val keep = inLang.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
@@ -58,11 +75,21 @@ object CorpusCurate {
       else
         ConnectedComponents.nonRepresentatives(pairs, "doc_a", "doc_b")
           .withColumnRenamed("id", "doc_id")
-    val curated = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val curated = exact
+      .join(dropIds.withColumn("_dropped", lit(true)), Seq("doc_id"), "left")
+      .observe(obsOut,
+        count(lit(1)).as("after_exact"),
+        count(when(col("_dropped").isNull, 1)).as("after_near"))
+      .filter(col("_dropped").isNull)
+      .drop("_dropped", "fp")
 
-    val stats = Stats(docs.count(), qualified.count(), inLang.count(),
-      exact.count(), curated.count())
-    (curated.drop("fp"), stats)
+    val stats = () => Stats(
+      obsIn.get("input").asInstanceOf[Long],
+      obsIn.get("after_quality").asInstanceOf[Long],
+      obsIn.get("after_lang").asInstanceOf[Long],
+      obsOut.get("after_exact").asInstanceOf[Long],
+      obsOut.get("after_near").asInstanceOf[Long])
+    (curated, stats)
   }
 
   def main(args: Array[String]): Unit = {
@@ -71,12 +98,13 @@ object CorpusCurate {
     }.toMap
     val spark = GraftSession.getOrCreate("graft-corpus-curate")
     val docs = spark.read.parquet(opts("docs"))
-    val (curated, s) = curate(docs,
+    val (curated, stats) = curate(docs,
       opts.get("min-quality").map(_.toDouble).getOrElse(0.25),
       opts.get("langs").map(_.split(",").toSeq).getOrElse(Nil),
       opts.get("jaccard").map(_.toDouble).getOrElse(0.8),
       greedyCollapse = opts.get("collapse").contains("greedy"))
     curated.write.mode("overwrite").parquet(opts("out"))
+    val s = stats()
     println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +
       s""""after_lang":${s.afterLang},"after_exact_dedup":${s.afterExact},""" +
       s""""after_near_dedup":${s.afterNear}}""")

@@ -9,8 +9,10 @@ class CorpusCurateSpec extends SparkSpec {
 
   test("stage counts are monotone and near-dups are actually removed") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
-    val (curated, s) = CorpusCurate.curate(docs,
+    val (curated, stats) = CorpusCurate.curate(docs,
       minQuality = 0.1, langs = Nil, jaccard = 0.8)
+    curated.count() // stats observe the first action on the plan
+    val s = stats()
     assert(s.input === 500)
     assert(s.afterQuality <= s.input && s.afterLang <= s.afterQuality &&
       s.afterExact <= s.afterLang && s.afterNear <= s.afterExact)
