@@ -16,7 +16,12 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    catch { case _: Throwable => () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // a silently skipped warmup reassigns scan-init cost to the
+        // first timed query — say so instead of hiding it
+        System.err.println(s"[bench] parquet warmup skipped: ${e.getMessage}")
+    }
     // optional comma-separated subset filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

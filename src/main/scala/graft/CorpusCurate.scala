@@ -83,12 +83,30 @@ object CorpusCurate {
       .filter(col("_dropped").isNull)
       .drop("_dropped", "fp")
 
-    val stats = () => Stats(
-      obsIn.get("input").asInstanceOf[Long],
-      obsIn.get("after_quality").asInstanceOf[Long],
-      obsIn.get("after_lang").asInstanceOf[Long],
-      obsOut.get("after_exact").asInstanceOf[Long],
-      obsOut.get("after_near").asInstanceOf[Long])
+    val stats = () => {
+      // Observation.get blocks forever if no action has run on the
+      // curated frame; surface a clear error instead of a silent hang
+      def fetch(o: org.apache.spark.sql.Observation): Map[String, Any] =
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future(o.get), 30.seconds)
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              "stats requested but no action has run on the curated " +
+                "frame — write/collect it first")
+        }
+      val in = fetch(obsIn)
+      val out = fetch(obsOut)
+      Stats(
+        in("input").asInstanceOf[Long],
+        in("after_quality").asInstanceOf[Long],
+        in("after_lang").asInstanceOf[Long],
+        out("after_exact").asInstanceOf[Long],
+        out("after_near").asInstanceOf[Long])
+    }
     (curated, stats)
   }
 

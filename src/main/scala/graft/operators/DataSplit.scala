@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object DataSplit {
 
-  /** Deterministic bucket in [0, 100): integer value of the first 4 hex
-    * chars of md5(key), mod 100 (bias from 65536 % 100 is < 0.2% per
-    * bucket — negligible against corpus noise and exactly reproduced by
-    * the oracle). */
-  def bucket(key: Column): Column =
-    (conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 100)
-      .as("bucket")
+  /** Deterministic engine-portable bucket in [0, buckets): integer
+    * value of the first 4 hex chars of md5(key), mod `buckets` (bias
+    * from 65536 % buckets is < 0.2% per bucket at 100 — negligible
+    * against corpus noise and exactly reproduced by the oracles). The
+    * ONE hash definition behind splits and packing shards — change it
+    * here and in every oracle together. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int") % buckets
+
+  /** Split bucket in [0, 100). */
+  def bucket(key: Column): Column = hashBucket(key, 100).as("bucket")
 
   /** train/val/test label from a bucket column: [0, trainPct) → train,
     * [trainPct, trainPct+valPct) → val, rest → test. */

@@ -105,14 +105,9 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = shingleSets(docs, idCol, textCol, n)
-    val sh = sets.select(col("doc"), explode(col("shs")).as("sh"))
-    val pruned =
-      if (maxBucket <= 0) sh
-      else {
-        val hot = sh.groupBy("sh").agg(count(lit(1)).as("c"))
-          .filter(col("c") > maxBucket).select(col("sh").as("hot_sh"))
-        sh.join(hot, sh("sh") === hot("hot_sh"), "left_anti")
-      }
+    // docShingles carries the skew guard (incl. the rename-before-
+    // anti-join regression fix) — same hashed (doc, sh) rows as `sets`
+    val pruned = docShingles(docs, idCol, textCol, n, maxBucket)
     val dfreq = pruned.groupBy("sh").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy("df", "sh")

@@ -31,8 +31,7 @@ object Packing {
   def packByBudget(df: DataFrame, idCol: String, tokensCol: String,
       budget: Int, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
-    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("int") % shards).cast("int")
+    val shard = DataSplit.hashBucket(col(idCol), shards).cast("int")
     val w = Window.partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("shard", shard)

@@ -141,17 +141,29 @@ class SquareScan(path: String, filters: Array[Filter], limit: Int,
 
   override def readSchema(): StructType = SquareOrders.orderSchema
 
-  /** Planning-time size estimate from the (pruned) file listing — the
-    * cost-based planner's input for join-side selection, exactly what a
-    * live connector would estimate from the API's page counts. */
+  /** Location-pruned file listing — shared by partition planning and
+    * statistics so both see the same surviving files. */
+  private def locationFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    val locFilter: String => Boolean = filters.collectFirst {
+      case EqualTo("location_id", v) => (loc: String) => loc == v.toString
+      case In("location_id", vs) =>
+        val set = vs.map(_.toString).toSet
+        (loc: String) => set(loc)
+    }.getOrElse((_: String) => true)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".jsonl"))
+      .filter(f => locFilter(f.getPath.getName.stripSuffix(".jsonl")))
+  }
+
+  /** Planning-time size estimate from the location-PRUNED file listing
+    * (same pruning as planInputPartitions) — the cost-based planner's
+    * input for join-side selection; an unpruned size would stop a tiny
+    * single-location scan from being broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val bytes: Long =
-      try {
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf.value)
-        fs.listStatus(p).filter(_.getPath.getName.endsWith(".jsonl"))
-          .map(_.getLen).sum
-      } catch { case _: Exception => 0L }
+      try locationFiles().map(_.getLen).sum
+      catch { case _: Exception => 0L }
     override def sizeInBytes(): OptionalLong =
       if (bytes > 0) OptionalLong.of(bytes) else OptionalLong.empty()
     override def numRows(): OptionalLong = OptionalLong.empty()
@@ -169,21 +181,11 @@ class SquareScan(path: String, filters: Array[Filter], limit: Int,
   /** S4: one partition per location file — location pruning happens HERE,
     * at planning time (the reference simply doesn't call the API for
     * filtered-out locations). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    val locFilter: String => Boolean = filters.collectFirst {
-      case EqualTo("location_id", v) => (loc: String) => loc == v.toString
-      case In("location_id", vs) =>
-        val set = vs.map(_.toString).toSet
-        (loc: String) => set(loc)
-    }.getOrElse((_: String) => true)
-    fs.listStatus(p).filter(_.getPath.getName.endsWith(".jsonl"))
+  override def planInputPartitions(): Array[InputPartition] =
+    locationFiles()
       .map(_.getPath)
-      .filter(f => locFilter(f.getName.stripSuffix(".jsonl")))
       .sortBy(_.getName)
       .map(f => SquareInputPartition(f.toString): InputPartition)
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SquareReaderFactory(filters, limit, conf)
