@@ -36,10 +36,18 @@ object StreamQueries {
       .limit(200)
   }
 
+  // custom keyed state (flatMapGroupsWithState, fixed-point accumulator);
+  // batch mode invokes each user's state function once, so the result is
+  // a grouped count/sum the oracle can check — the same function runs
+  // incrementally across triggers in EventStreamsSpec
+  private def e04(s: SparkSession, dir: String): DataFrame =
+    EventStreams.userStateTotals(events(s, dir)).orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
     "e03_lag_delta" -> (e03 _),
+    "e04_user_state" -> (e04 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -61,5 +69,9 @@ object StreamQueries {
       ("SELECT event_id, round(value - lag(value) OVER " +
         "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id), 4) AS delta " +
         "FROM events ORDER BY event_id LIMIT 200"),
+    "e04_user_state" ->
+      ("SELECT user_id, count(*) AS events_seen, " +
+        "CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 " +
+        "AS total_value FROM events GROUP BY user_id ORDER BY user_id"),
   )
 }

@@ -76,6 +76,38 @@ object EventStreams {
 
   case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
 
+  case class UserStateFp(user_id: Long, events_seen: Long, total_fp: Long)
+
+  /** Oracle-stable custom keyed state: like [[runningUserTotals]] but the
+    * value accumulates as a fixed-point (1e-4) long, so the total is
+    * independent of row arrival order — long addition commutes where
+    * double addition does not. In batch mode each user's group is invoked
+    * once (state starts empty) and the result equals a grouped
+    * count/sum, which is what the e04 DuckDB oracle checks; under
+    * `readStream` the same function emits a running update per trigger. */
+  def userStateTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("fp"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserStateFp, UserStateFp](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserStateFp]) =>
+          val prev = state.getOption.getOrElse(UserStateFp(user, 0L, 0L))
+          var n = prev.events_seen
+          var tot = prev.total_fp
+          rows.foreach { case (_, fp) => n += 1; tot += fp }
+          val next = UserStateFp(user, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+      .select(col("user_id"), col("events_seen"),
+        (col("total_fp").cast("double") / 10000.0).as("total_value"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a running per-user
     * event counter + value total, emitting an update per trigger batch.
     * Demonstrates arbitrary stateful processing beyond built-in windows. */

@@ -128,4 +128,30 @@ class EventStreamsSpec extends SparkSpec {
       assert(last === Set((1L, 3L, 7.0), (2L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("userStateTotals: incremental last-update per user == batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val streamDf = mem.toDF().toDF("user_id", "value")
+    val q = EventStreams.userStateTotals(streamDf)
+      .writeStream.format("memory").queryName("ust")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, 1.0001), (1L, 2.5), (2L, 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.25), (2L, 0.0001))
+      q.processAllAvailable()
+      val last = spark.table("ust")
+        .groupBy("user_id")
+        .agg(max(struct(col("events_seen"), col("total_value"))).as("s"))
+        .select(col("user_id"), col("s.events_seen"), col("s.total_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = EventStreams.userStateTotals(
+        Seq((1L, 1.0001), (1L, 2.5), (2L, 10.0), (1L, 4.25), (2L, 0.0001))
+          .toDF("user_id", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(last === batch)
+      assert(last === Set((1L, 3L, 7.7501), (2L, 2L, 10.0001)))
+    } finally q.stop()
+  }
 }
