@@ -51,6 +51,27 @@ object DataSplit {
       valPct: Int = 10): DataFrame =
     df.withColumn("split", label(col(keyCol), trainPct, valPct))
 
+  /** Deterministic per-stratum subsampling: keep a row iff its salted
+    * hash bucket falls below the stratum's percentage (strata absent
+    * from `pcts` keep `defaultPct`). The key is salted with
+    * `":sample"` so the keep/drop decision is INDEPENDENT of the
+    * train/val/test bucket above — sampling with the unsalted hash
+    * would select a biased subset of each split. Stateless per row
+    * (no shuffle, no count pass), stable as the corpus grows, and
+    * reproducible by the p03 DuckDB oracle via the same md5 prefix.
+    * This is how a 100 TB corpus downsamples a dominant language:
+    * one codegen'd projection + filter, no sort, no window. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      pcts: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((pcts.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      s"sample percentages must be in [0,100]: $pcts / $defaultPct")
+    val b = hashBucket(concat(col(keyCol).cast("string"), lit(":sample")), 100)
+    val pct = pcts.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
+      when(col(stratumCol) === stratum, p).otherwise(acc)
+    }
+    df.filter(b < pct)
+  }
+
   /** Leakage-safe split: every member of a near-dup component gets the
     * split of its component representative (smallest id). `pairs` is a
     * near-dup pair list (e.g. from [[Dedup.minHashLshPairs]]); docs in

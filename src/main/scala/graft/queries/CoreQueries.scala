@@ -243,6 +243,22 @@ object CoreQueries {
       "GROUP BY c_count ORDER BY custdist DESC, c_count DESC")
   }
 
+  // Q25 — sketch cardinality: HyperLogLog++ approx distinct, pinned
+  // against the exact count in-plan. The sketch value is engine-specific
+  // (DuckDB's approx_count_distinct uses a different HLL), so the gate
+  // emits the exact count plus a relative-error bound check instead of
+  // the raw estimate — an estimator regression hash-fails the boolean.
+  // At 100 TB this is the affordable cardinality path: constant-size
+  // sketch, map-side combinable, no shuffle of the key domain (the
+  // exact countDistinct here is the oracle anchor, not the scale path).
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(col("exact_cnt"),
+        (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
+          col("exact_cnt") <= 0.05).as("within_5pct"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -268,6 +284,7 @@ object CoreQueries {
     "q22_exists_semi" -> (q22 _),
     "q23_corr_scalar" -> (q23 _),
     "q24_custdist" -> (q24 _),
+    "q25_approx_distinct" -> (q25 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -372,5 +389,8 @@ object CoreQueries {
         "LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
         "GROUP BY c_custkey) GROUP BY c_count " +
         "ORDER BY custdist DESC, c_count DESC"),
+    "q25_approx_distinct" ->
+      ("SELECT count(DISTINCT l_orderkey) AS exact_cnt, " +
+        "TRUE AS within_5pct FROM lineitem"),
   )
 }

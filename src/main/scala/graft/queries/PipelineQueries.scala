@@ -34,9 +34,22 @@ object PipelineQueries {
       "n_chars")
       .orderBy("shard", "bin")
 
+  // deterministic per-language downsampling (the "too much English"
+  // rebalance every training corpus needs): en kept at 30%, de/fr at
+  // 50%, everything else untouched. Per-stratum doc counts + char mass
+  // gate exact membership — the salted hash makes the keep decision
+  // independent of the p01 split bucket.
+  private def p03(s: SparkSession, dir: String): DataFrame =
+    DataSplit.stratifiedSample(docs(s, dir), "doc_id", "lang",
+      Map("en" -> 30, "de" -> 50, "fr" -> 50))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
+    "p03_stratified_sample" -> (p03 _),
   )
 
   private val bucketSql =
@@ -62,5 +75,14 @@ object PipelineQueries {
         "SELECT shard, bin, count(*) AS docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS tokens " +
         "FROM p GROUP BY shard, bin ORDER BY shard, bin"),
+    "p03_stratified_sample" ->
+      ("WITH b AS (SELECT lang, n_chars, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 4)) " +
+        "AS INT) % 100 AS bkt FROM documents), " +
+        "k AS (SELECT lang, n_chars FROM b WHERE bkt < " +
+        "CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 50 WHEN 'fr' THEN 50 " +
+        "ELSE 100 END) " +
+        "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars " +
+        "FROM k GROUP BY lang ORDER BY lang"),
   )
 }

@@ -46,4 +46,31 @@ class DataSplitSpec extends SparkSpec {
       .select("split").as[String].collect().head
     assert(out(20L) === own)
   }
+
+  test("stratifiedSample: deterministic, per-stratum rates, split-independent") {
+    val pcts = Map("en" -> 30, "de" -> 50)
+    val once = DataSplit.stratifiedSample(docs, "doc_id", "lang", pcts)
+      .select("doc_id").as[Long].collect().toSet
+    val again = DataSplit.stratifiedSample(docs, "doc_id", "lang", pcts)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once === again)
+    val byLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = DataSplit.stratifiedSample(docs, "doc_id", "lang", pcts)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // unkeyed strata pass through untouched
+    (byLang.keySet -- pcts.keySet).foreach { l =>
+      assert(kept.getOrElse(l, 0L) === byLang(l), s"stratum $l altered")
+    }
+    // keyed strata are genuine subsets at roughly the requested rate
+    assert(kept("en") < byLang("en"))
+    assert(math.abs(kept("en").toDouble / byLang("en") - 0.30) < 0.25)
+    // salted decision is independent of the split bucket: sampled 'en'
+    // docs must not be a subset of any one split (the unsalted hash
+    // would put every bucket<30 doc in 'train')
+    val splits = DataSplit.assign(
+      DataSplit.stratifiedSample(docs, "doc_id", "lang", pcts)
+        .filter($"lang" === "en"), "doc_id")
+      .select("split").distinct().as[String].collect().toSet
+    assert(splits.size > 1, s"sample correlated with split: $splits")
+  }
 }
