@@ -65,6 +65,26 @@ object VectorOps {
       .toDF("id", "table", "bucket")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = 127 / max|x_i|
+    * (1.0 for the zero vector), q_i = round(x_i · scale) ∈ [-127, 127].
+    * Returns struct(scale DOUBLE, q ARRAY<TINYINT>) — a 4× smaller
+    * embedding representation (the 100 TB storage/IO lever; dequantize
+    * as q_i/scale with per-element error ≤ 0.5/scale). The scale is
+    * BOUND once per row via the single-element array wrap: projection
+    * collapse substitutes upstream expressions into every lambda
+    * reference site (no CSE inside lambdas), so a naive col("scale")
+    * would re-derive the array_max per element — same cliff as
+    * Dedup.bandedCandidates. */
+  def quantizeInt8(v: Column): Column = {
+    val mx = array_max(transform(v, e => abs(e.cast(DoubleType))))
+    val scale = when(mx === 0d, lit(1.0)).otherwise(lit(127.0) / mx)
+    element_at(transform(array(struct(scale.as("s"), v.as("v"))), r =>
+      struct(r.getField("s").as("scale"),
+        transform(r.getField("v"), e =>
+          round(e.cast(DoubleType) * r.getField("s")).cast(ByteType))
+          .as("q"))), 1)
+  }
+
   /** Pure-built-ins reference form of [[hyperplaneSignatures]] — kept as
     * the cross-check implementation (one interpreted aggregate/zip_with
     * chain per (table, plane): correct, slow). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -158,6 +158,26 @@ object DedupQueries {
         round(col("resemblance"), 4).as("resemblance"))
       .orderBy("doc_a", "doc_b")
 
+  /** Int8 embedding quantization gate. The quantized ARRAY<TINYINT>
+    * itself would be canonicalization-fragile in the driver's compare,
+    * so the gate emits exact scalar fingerprints of it instead: the
+    * fixed-point scale, Σ q_i, and the position-weighted Σ q_i·(i+1) —
+    * any per-element off-by-one shifts at least one of them. The oracle
+    * recomputes the identical double arithmetic from the raw floats. */
+  private def s02(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") <= 100)
+      .select(col("vec_id"),
+        VectorOps.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"),
+        expr("CAST(round(z.scale * 1000000) AS BIGINT)").as("scale_fp"),
+        aggregate(col("z.q"), lit(0L), (a, q) => a + q.cast("long"))
+          .as("q_sum"),
+        aggregate(zip_with(col("z.q"),
+            sequence(lit(1), size(col("z.q"))),
+            (q, i) => q.cast("long") * i.cast("long")),
+          lit(0L), (a, x) => a + x).as("q_possum"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
@@ -166,6 +186,7 @@ object DedupQueries {
     "d05_embed_cosine_pairs" -> (d05 _),
     "d06_winnow_pairs" -> (d06 _),
     "s01_ann_topk" -> (s01 _),
+    "s02_quantize_int8" -> (s02 _),
   )
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -295,5 +316,18 @@ object DedupQueries {
     "d05_embed_cosine_pairs" -> cosinePairsSql,
     "d06_winnow_pairs" -> winnowPairsSql,
     "s01_ann_topk" -> annTopKSql,
+    "s02_quantize_int8" ->
+      ("WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+        "WHERE vec_id <= 100), " +
+        "m AS (SELECT vec_id, max(abs(x)) AS mx FROM v GROUP BY vec_id), " +
+        "s AS (SELECT vec_id, CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END " +
+        "AS sc FROM m), " +
+        "q AS (SELECT v.vec_id, i, sc, CAST(round(x * sc) AS BIGINT) AS qi " +
+        "FROM v JOIN s ON v.vec_id = s.vec_id) " +
+        "SELECT vec_id, CAST(round(max(sc) * 1000000) AS BIGINT) AS scale_fp, " +
+        "CAST(sum(qi) AS BIGINT) AS q_sum, " +
+        "CAST(sum(qi * i) AS BIGINT) AS q_possum " +
+        "FROM q GROUP BY vec_id ORDER BY vec_id"),
   )
 }

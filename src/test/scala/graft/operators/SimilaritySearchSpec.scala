@@ -101,4 +101,48 @@ class SimilaritySearchSpec extends SparkSpec {
     val total = emb.count()
     assert(probed < total, s"probed $probed of $total — no pruning happened")
   }
+
+  test("quantizeInt8: bounded roundtrip error, zero-vector guard, " +
+    "cosine preserved") {
+    import spark.implicits._
+    val rows = emb.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("embedding"),
+        col("z.scale").as("scale"), col("z.q").as("q"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val q = r.getSeq[Byte](3)
+      assert(q.length === x.length)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      // dequantization error per element is at most half a quant step
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi.toDouble - qi / scale) <= 0.5 / scale + 1e-12,
+          s"vec ${r.getLong(0)}: $xi vs ${qi / scale}")
+      }
+    }
+    // zero vector: scale falls back to 1.0, all-zero codes
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+      .select(VectorOps.quantizeInt8(col("embedding")).as("z"))
+      .select(col("z.scale"), col("z.q")).collect().head
+    assert(z.getDouble(0) === 1.0)
+    assert(z.getSeq[Byte](1).forall(_ === 0))
+    // dequantized cosine stays close to the float cosine
+    val pairs = emb.limit(10).select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      .crossJoin(emb.limit(10).select(col("vec_id").as("id_b"),
+        col("embedding").as("eb")))
+      .filter(col("id_a") < col("id_b"))
+    val deq = (z: org.apache.spark.sql.Column) =>
+      transform(z.getField("q"), q => q.cast("double") / z.getField("scale"))
+    val drift = pairs.select(abs(
+        VectorOps.cosine(col("ea"), col("eb")).cast("double") -
+        VectorOps.cosineHof(
+          deq(VectorOps.quantizeInt8(col("ea"))),
+          deq(VectorOps.quantizeInt8(col("eb"))))).as("d"))
+      .agg(max("d")).collect().head.getDouble(0)
+    assert(drift < 0.02, s"quantized cosine drift $drift")
+  }
 }
