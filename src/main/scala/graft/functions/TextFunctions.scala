@@ -74,6 +74,18 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style repetition signal: fraction of duplicate word n-grams,
+    * 1 − distinct/total (0 for docs yielding no n-grams). High values
+    * mark boilerplate/looping documents — the standard companion filter
+    * to [[qualityScore]] in corpus curation. Shingles computed once
+    * (bound lambda var); pure per-row projection. */
+  def repetitionRatio(text: Column, n: Int = 2): Column =
+    bind(wordShingles(text, n)) { sh =>
+      when(size(sh) > 0,
+        lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh))
+        .otherwise(lit(0.0))
+    }
+
   /** Composite document quality score in [0,1]: length component (target
     * >= 100 tokens), low-punctuation component, natural-language
     * (stopword-bearing) component. Deterministic double arithmetic. */

@@ -83,6 +83,12 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 
+  // duplicate-bigram repetition ratio (Gopher-style boilerplate signal)
+  private def t08(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(T.repetitionRatio(col("text"), 2), 4).as("rep"))
+      .orderBy("doc_id").limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -91,6 +97,7 @@ object TextQueries {
     "t05_tokenize_udtf" -> (t05 _),
     "t06_minhash_union" -> (t06 _),
     "t07_vocab_topk" -> (t07 _),
+    "t08_repetition" -> (t08 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -164,5 +171,14 @@ object TextQueries {
         "FROM documents) " +
         "SELECT token, count(*) AS cnt FROM tk GROUP BY token " +
         "HAVING count(*) >= 5 ORDER BY cnt DESC, token LIMIT 50"),
+    "t08_repetition" ->
+      (s"WITH toks AS (SELECT doc_id, $duckTokens AS tk FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) " +
+        "WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')] " +
+        "ELSE [] END AS sh FROM toks) " +
+        "SELECT doc_id, round(CASE WHEN len(sh) > 0 THEN " +
+        "1.0 - len(list_distinct(sh)) * 1.0 / len(sh) ELSE 0.0 END, 4) AS rep " +
+        "FROM g ORDER BY doc_id LIMIT 200"),
   )
 }

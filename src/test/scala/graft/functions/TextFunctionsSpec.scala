@@ -80,4 +80,18 @@ class TextFunctionsSpec extends SparkSpec {
     val agree = a.zip(b).count { case (x, y) => x == y }
     assert(agree > 8, s"similar docs should share many minhashes, got $agree/32")
   }
+
+  test("repetitionRatio: duplicate-bigram fraction with degenerate guards") {
+    // "a b a b" -> bigrams [a b, b a, a b]: 3 total, 2 distinct -> 1/3
+    val r = one[Double](T.repetitionRatio(col("t")), "a b a b")
+    assert(math.abs(r - 1.0 / 3) < 1e-12, s"got $r")
+    // all-distinct bigrams and sub-n docs -> 0; empty -> 0
+    assert(one[Double](T.repetitionRatio(col("t")), "a b c") === 0.0)
+    assert(one[Double](T.repetitionRatio(col("t")), "solo") === 0.0)
+    assert(one[Double](T.repetitionRatio(col("t")), "") === 0.0)
+    // pure loop -> ratio approaches 1
+    val loop = one[Double](T.repetitionRatio(col("t")),
+      Seq.fill(50)("spam ham").mkString(" "))
+    assert(loop > 0.95, s"loop doc scored $loop")
+  }
 }
