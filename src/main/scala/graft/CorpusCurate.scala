@@ -25,7 +25,7 @@ import graft.operators.{ConnectedComponents, Dedup}
   *
   * Usage: runMain graft.CorpusCurate --docs <parquet> --out <dir>
   *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
-  *   [--collapse cc|greedy]
+  *   [--collapse cc|greedy] [--max-repetition 1.0]
   */
 object CorpusCurate {
 
@@ -40,17 +40,23 @@ object CorpusCurate {
     * are genuinely iterative — but the linear filter chain is counted
     * without any extra scans. */
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
-      jaccard: Double, greedyCollapse: Boolean = false)
+      jaccard: Double, greedyCollapse: Boolean = false,
+      maxRepetition: Double = 1.0)
     : (DataFrame, () => Stats) = {
     val obsIn = org.apache.spark.sql.Observation("curate_in")
     val obsOut = org.apache.spark.sql.Observation("curate_out")
 
+    // the quality floor and the repetition cap (duplicate-bigram
+    // fraction <= maxRepetition; 1.0 disables) form one fused stage —
+    // both are per-row projections over the same token pass
     val annotated = docs.select(col("doc_id"), col("text"),
       T.tokenCount(col("text")).as("n_tokens"),
       T.qualityScore(col("text")).as("quality"),
+      T.repetitionRatio(col("text")).as("repetition"),
       T.langId(col("text")).as("lang_pred"),
       T.fingerprint(col("text")).as("fp"))
-      .withColumn("_q", col("quality") >= minQuality)
+      .withColumn("_q", col("quality") >= minQuality &&
+        col("repetition") <= maxRepetition)
 
     val inLangFlag =
       if (langs.isEmpty) col("_q")
@@ -120,7 +126,8 @@ object CorpusCurate {
       opts.get("min-quality").map(_.toDouble).getOrElse(0.25),
       opts.get("langs").map(_.split(",").toSeq).getOrElse(Nil),
       opts.get("jaccard").map(_.toDouble).getOrElse(0.8),
-      greedyCollapse = opts.get("collapse").contains("greedy"))
+      greedyCollapse = opts.get("collapse").contains("greedy"),
+      maxRepetition = opts.get("max-repetition").map(_.toDouble).getOrElse(1.0))
     curated.write.mode("overwrite").parquet(opts("out"))
     val s = stats()
     println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +

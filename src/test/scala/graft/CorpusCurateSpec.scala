@@ -36,4 +36,18 @@ class CorpusCurateSpec extends SparkSpec {
     val kept = curated.select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 4L))
   }
+
+  test("repetition cap drops boilerplate; default 1.0 keeps it") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("buy now").mkString(" ")), // rep ≈ 0.99
+      (2L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    def run(cap: Double) = {
+      val (c, _) = CorpusCurate.curate(docs, minQuality = 0.0,
+        langs = Nil, jaccard = 0.99, maxRepetition = cap)
+      c.select("doc_id").as[Long].collect().toSet
+    }
+    assert(run(1.0) === Set(1L, 2L))
+    assert(run(0.5) === Set(2L))
+  }
 }
