@@ -256,8 +256,10 @@ object CoreQueries {
       .agg(countDistinct(col("l_orderkey")).as("exact_cnt"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
       .select(col("exact_cnt"),
+        // int 0/1, not boolean: integer value identity is the proven
+        // shape in the driver's canonicalized hash compare
         (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
-          col("exact_cnt") <= 0.05).as("within_5pct"))
+          col("exact_cnt") <= 0.05).cast("int").as("within_5pct"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
@@ -391,6 +393,6 @@ object CoreQueries {
         "ORDER BY custdist DESC, c_count DESC"),
     "q25_approx_distinct" ->
       ("SELECT count(DISTINCT l_orderkey) AS exact_cnt, " +
-        "TRUE AS within_5pct FROM lineitem"),
+        "1 AS within_5pct FROM lineitem"),
   )
 }
