@@ -35,7 +35,7 @@ object TextFunctions {
     * Catalyst copies expression trees at every reference site and does
     * not CSE inside lambdas — without this, an O(k) array used inside an
     * O(m) transform costs O(k·m) recomputation. */
-  private def bind(v: Column)(body: Column => Column): Column =
+  private[graft] def bind(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), body), 1)
 
   /** Word n-gram shingles over a (already materialized) token array. */

@@ -65,7 +65,13 @@ object DataSplit {
       pcts: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     require((pcts.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
       s"sample percentages must be in [0,100]: $pcts / $defaultPct")
-    val b = hashBucket(concat(col(keyCol).cast("string"), lit(":sample")), 100)
+    // NULL keys hash as the empty string (all land in one bucket, kept
+    // or dropped together per their stratum's rate) — a NULL bucket
+    // would NULL the comparison and silently drop the rows even in
+    // pass-through strata
+    val b = hashBucket(
+      concat(coalesce(col(keyCol).cast("string"), lit("")), lit(":sample")),
+      100)
     val pct = pcts.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
       when(col(stratumCol) === stratum, p).otherwise(acc)
     }

@@ -70,19 +70,24 @@ object VectorOps {
     * Returns struct(scale DOUBLE, q ARRAY<TINYINT>) — a 4× smaller
     * embedding representation (the 100 TB storage/IO lever; dequantize
     * as q_i/scale with per-element error ≤ 0.5/scale). The scale is
-    * BOUND once per row via the single-element array wrap: projection
-    * collapse substitutes upstream expressions into every lambda
-    * reference site (no CSE inside lambdas), so a naive col("scale")
-    * would re-derive the array_max per element — same cliff as
-    * Dedup.bandedCandidates. */
+    * BOUND once per row via [[graft.functions.TextFunctions.bind]]:
+    * projection collapse substitutes upstream expressions into every
+    * lambda reference site (no CSE inside lambdas), so a naive
+    * col("scale") would re-derive the array_max per element — same
+    * cliff as Dedup.bandedCandidates. */
   def quantizeInt8(v: Column): Column = {
+    // empty vectors: array_max is NULL, which must hit the 1.0 guard
+    // like the all-zero vector (NULL === 0d is NULL, not true)
     val mx = array_max(transform(v, e => abs(e.cast(DoubleType))))
-    val scale = when(mx === 0d, lit(1.0)).otherwise(lit(127.0) / mx)
-    element_at(transform(array(struct(scale.as("s"), v.as("v"))), r =>
-      struct(r.getField("s").as("scale"),
-        transform(r.getField("v"), e =>
-          round(e.cast(DoubleType) * r.getField("s")).cast(ByteType))
-          .as("q"))), 1)
+    val scale = when(mx.isNull || mx === 0d, lit(1.0))
+      .otherwise(lit(127.0) / mx)
+    graft.functions.TextFunctions.bind(struct(scale.as("s"), v.as("v"))) {
+      r =>
+        struct(r.getField("s").as("scale"),
+          transform(r.getField("v"), e =>
+            round(e.cast(DoubleType) * r.getField("s")).cast(ByteType))
+            .as("q"))
+    }
   }
 
   /** Pure-built-ins reference form of [[hyperplaneSignatures]] — kept as

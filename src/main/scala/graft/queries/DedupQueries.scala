@@ -172,9 +172,10 @@ object DedupQueries {
         expr("CAST(round(z.scale * 1000000) AS BIGINT)").as("scale_fp"),
         aggregate(col("z.q"), lit(0L), (a, q) => a + q.cast("long"))
           .as("q_sum"),
-        aggregate(zip_with(col("z.q"),
-            sequence(lit(1), size(col("z.q"))),
-            (q, i) => q.cast("long") * i.cast("long")),
+        // index-lambda transform, not zip_with(sequence(1, size)):
+        // sequence(1, 0) on an empty array steps DOWN to [1, 0]
+        aggregate(transform(col("z.q"),
+            (q, i) => q.cast("long") * (i.cast("long") + 1L)),
           lit(0L), (a, x) => a + x).as("q_possum"))
       .orderBy("vec_id")
 

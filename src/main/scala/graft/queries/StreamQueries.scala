@@ -71,7 +71,8 @@ object StreamQueries {
         "FROM events ORDER BY event_id LIMIT 200"),
     "e04_user_state" ->
       ("SELECT user_id, count(*) AS events_seen, " +
-        "CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 " +
+        "CAST(sum(coalesce(CAST(round(value * 10000) AS BIGINT), 0)) " +
+        "AS DOUBLE) / 10000.0 " +
         "AS total_value FROM events GROUP BY user_id ORDER BY user_id"),
   )
 }

@@ -90,7 +90,10 @@ object EventStreams {
     import spark.implicits._
     events
       .select(col("user_id"),
-        expr("CAST(round(value * 10000) AS BIGINT)").as("fp"))
+        // NULL values count as events but add 0 — matching SQL's
+        // count(*) + null-skipping sum (and keeping the tuple encoder's
+        // non-nullable Long happy)
+        expr("coalesce(CAST(round(value * 10000) AS BIGINT), 0)").as("fp"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserStateFp, UserStateFp](

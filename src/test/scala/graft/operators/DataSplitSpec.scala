@@ -73,4 +73,14 @@ class DataSplitSpec extends SparkSpec {
       .select("split").distinct().as[String].collect().toSet
     assert(splits.size > 1, s"sample correlated with split: $splits")
   }
+
+  test("stratifiedSample: NULL keys are kept in pass-through strata") {
+    val df = Seq((Some(1L), "en"), (None, "en"), (None, "zh"))
+      .toDF("doc_id", "lang")
+    // zh passes through at 100% — its null-key row must survive
+    val kept = DataSplit.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0)) // en fully dropped, nulls included
+      .select("lang").as[String].collect().toSeq
+    assert(kept === Seq("zh"))
+  }
 }

@@ -129,6 +129,12 @@ class SimilaritySearchSpec extends SparkSpec {
       .select(col("z.scale"), col("z.q")).collect().head
     assert(z.getDouble(0) === 1.0)
     assert(z.getSeq[Byte](1).forall(_ === 0))
+    // empty vector: same 1.0 guard (array_max is NULL there), empty codes
+    val e0 = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+      .select(VectorOps.quantizeInt8(col("embedding")).as("z"))
+      .select(col("z.scale"), col("z.q")).collect().head
+    assert(e0.getDouble(0) === 1.0)
+    assert(e0.getSeq[Byte](1).isEmpty)
     // dequantized cosine stays close to the float cosine
     val pairs = emb.limit(10).select(col("vec_id").as("id_a"),
         col("embedding").as("ea"))

@@ -154,4 +154,12 @@ class EventStreamsSpec extends SparkSpec {
       assert(last === Set((1L, 3L, 7.7501), (2L, 2L, 10.0001)))
     } finally q.stop()
   }
+
+  test("userStateTotals: NULL values count as events and add 0") {
+    val df = Seq((1L, Some(2.5)), (1L, None), (2L, None))
+      .toDF("user_id", "value")
+    val out = EventStreams.userStateTotals(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 2L, 2.5), (2L, 1L, 0.0)))
+  }
 }
