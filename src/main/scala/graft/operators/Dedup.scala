@@ -76,6 +76,25 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Benchmark decontamination (GPT-3-style n-gram filter): corpus docs
+    * sharing >= `minOverlap` distinct n-gram shingles with a benchmark
+    * doc, as (doc, bench, overlap) pairs — drop `doc`s before training
+    * so eval sets aren't memorized. Candidates come from an equi-join of
+    * the two hashed shingle tables (shuffled hash join partitioned by
+    * shingle — never a cross join); the benchmark side is typically tiny
+    * and its shingle table broadcast-able. `maxBucket` caps promiscuous
+    * shingles on the corpus side, the 100 TB skew guard. */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minOverlap: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    val c = docShingles(corpus, idCol, textCol, n, maxBucket)
+    val b = docShingles(bench, idCol, textCol, n, maxBucket = 0)
+      .toDF("bench", "sh")
+    c.join(b, "sh")
+      .groupBy("doc", "bench").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Per-doc distinct shingle-hash arrays — the compact set
     * representation used for candidate verification. */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,

@@ -158,6 +158,18 @@ object DedupQueries {
         round(col("resemblance"), 4).as("resemblance"))
       .orderBy("doc_a", "doc_b")
 
+  // benchmark decontamination: docs 1–5 stand in for an eval set, the
+  // rest are the corpus; pairs sharing >= 3 distinct trigram shingles
+  // are contamination hits (2 at sf0.01 — the trigram space is sparse
+  // enough that the gate is discriminating, not all-pairs)
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    Dedup.contaminationPairs(
+      all.filter(col("doc_id") > 5), all.filter(col("doc_id") <= 5),
+      "doc_id", "text", n = 3, minOverlap = 3, maxBucket = 2000)
+      .orderBy("doc", "bench")
+  }
+
   /** Int8 embedding quantization gate. The quantized ARRAY<TINYINT>
     * itself would be canonicalization-fragile in the driver's compare,
     * so the gate emits exact scalar fingerprints of it instead: the
@@ -186,6 +198,7 @@ object DedupQueries {
     "d04_simhash_pairs" -> (d04 _),
     "d05_embed_cosine_pairs" -> (d05 _),
     "d06_winnow_pairs" -> (d06 _),
+    "d07_contamination" -> (d07 _),
     "s01_ann_topk" -> (s01 _),
     "s02_quantize_int8" -> (s02 _),
   )
@@ -316,6 +329,20 @@ object DedupQueries {
     "d04_simhash_pairs" -> simHashPairsSql,
     "d05_embed_cosine_pairs" -> cosinePairsSql,
     "d06_winnow_pairs" -> winnowPairsSql,
+    "d07_contamination" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk)-1), " +
+        "i -> array_to_string(tk[i:i+2], ' ')) " +
+        "WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')] " +
+        "ELSE [] END)) AS s FROM toks) " +
+        "SELECT c.doc_id AS doc, b.doc_id AS bench, " +
+        "CAST(count(*) AS BIGINT) AS overlap " +
+        "FROM sh c JOIN sh b ON c.s = b.s " +
+        "WHERE c.doc_id > 5 AND b.doc_id <= 5 " +
+        "GROUP BY doc, bench HAVING count(*) >= 3 ORDER BY doc, bench"),
     "s01_ann_topk" -> annTopKSql,
     "s02_quantize_int8" ->
       ("WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +

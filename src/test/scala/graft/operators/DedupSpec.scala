@@ -118,4 +118,24 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === Set((1L, 2L)))
   }
+
+  test("contamination pairs: overlap counts distinct shared shingles, " +
+    "threshold filters") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    // doc 1 == the benchmark text (7 shared trigrams); doc 3 shares the
+    // 6-trigram prefix; doc 4 shares nothing
+    val out = Dedup.contaminationPairs(docs, bench, "doc_id", "text",
+      n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((1L, 100L, 7L)), s"got $out")
+    assert(out.contains((2L, 100L, 7L)), "case/ws variant matches too")
+    assert(out.contains((3L, 100L, 6L)))
+    assert(!out.exists(_._1 == 4L))
+    // threshold drops the partial overlap
+    val strict = Dedup.contaminationPairs(docs, bench, "doc_id", "text",
+      n = 3, minOverlap = 7)
+      .select("doc").as[Long].collect().toSet
+    assert(strict === Set(1L, 2L))
+  }
 }
