@@ -74,6 +74,19 @@ class DataSplitSpec extends SparkSpec {
     assert(splits.size > 1, s"sample correlated with split: $splits")
   }
 
+  test("stratifiedSample: membership is corpus-independent (sampling a " +
+    "subset == subset of the sample)") {
+    val pcts = Map("en" -> 40, "de" -> 40, "fr" -> 40, "es" -> 40, "zh" -> 40)
+    val full = DataSplit.stratifiedSample(docs, "doc_id", "lang", pcts)
+      .select("doc_id").as[Long].collect().toSet
+    val sub = DataSplit.stratifiedSample(
+      docs.filter($"doc_id" % 3 === 0), "doc_id", "lang", pcts)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = full.filter(_ % 3 == 0)
+    assert(sub === expected,
+      "a doc's keep decision changed when the rest of the corpus shrank")
+  }
+
   test("stratifiedSample: NULL keys are kept in pass-through strata") {
     val df = Seq((Some(1L), "en"), (None, "en"), (None, "zh"))
       .toDF("doc_id", "lang")

@@ -135,6 +135,16 @@ class SimilaritySearchSpec extends SparkSpec {
       .select(col("z.scale"), col("z.q")).collect().head
     assert(e0.getDouble(0) === 1.0)
     assert(e0.getSeq[Byte](1).isEmpty)
+    // scale invariance: doubling every component (exact in float)
+    // halves the scale exactly (power of two) and leaves codes
+    // bit-identical — symmetric quantization only sees direction
+    val inv = emb.limit(50)
+      .select(VectorOps.quantizeInt8(col("embedding")).getField("q").as("q1"),
+        VectorOps.quantizeInt8(
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .getField("q").as("q2"))
+      .filter(not(col("q1") === col("q2"))).count()
+    assert(inv === 0, s"$inv vectors changed codes under 2x scaling")
     // dequantized cosine stays close to the float cosine
     val pairs = emb.limit(10).select(col("vec_id").as("id_a"),
         col("embedding").as("ea"))
