@@ -25,4 +25,13 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every aux fixture referenced by a two-stage oracle is registered") {
+    val referenced = SparkEntry.oracleSql.values
+      .flatMap("""\{OUT\}/aux/([A-Za-z0-9_]+)""".r
+        .findAllMatchIn(_).map(_.group(1)))
+      .toSet
+    val missing = referenced -- SparkEntry.auxOutputs.keySet
+    assert(missing.isEmpty, s"oracle SQL reads unwritten aux fixtures: $missing")
+  }
 }
