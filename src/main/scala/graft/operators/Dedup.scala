@@ -35,16 +35,31 @@ object Dedup {
   /** Distinct (doc, shingle) pairs, optionally dropping shingles that
     * occur in more than `maxBucket` docs (skew guard; 0 = no cap). */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxBucket: Int): DataFrame = {
-    // case-normalized shingles ("THE Quick" == "the quick", matching
-    // fingerprint() normalization), hashed to 64-bit before the
-    // self-join: the shuffle carries 8-byte keys instead of n-gram
-    // strings and the join compares longs. Collision risk at B shingles
-    // is ~B²/2⁶⁵ — negligible against sketch-level error.
-    val sh = docs.select(col(idCol).as("doc"),
+      n: Int, maxBucket: Int): DataFrame =
+    capShingleBuckets(shingleTable(docs, idCol, textCol, n), maxBucket)
+
+  /** The materializable inverted index: distinct (doc, sh) rows of
+    * case-normalized shingles ("THE Quick" == "the quick", matching
+    * fingerprint() normalization), hashed to 64-bit before any join:
+    * the shuffle carries 8-byte keys instead of n-gram strings and the
+    * join compares longs. Collision risk at B shingles is ~B²/2⁶⁵ —
+    * negligible against sketch-level error.
+    *
+    * At 100 TB, STAGE this once (write to parquet, read back) when
+    * running several passes — prefix join, contamination, df stats —
+    * over the same corpus: each in-plan use otherwise re-shingles the
+    * full corpus. [[ngramJaccardPairsPrefixStaged]] consumes the staged
+    * frame directly. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
       explode(array_distinct(
         transform(wordShingles(lower(col(textCol)), n), s => xxhash64(s))))
         .as("sh"))
+
+  /** Skew guard over a (doc, sh) frame: drop shingles appearing in more
+    * than `maxBucket` docs (0 = no cap). */
+  private def capShingleBuckets(sh: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) sh
     else {
       // the hot-list derives from `sh` itself — rename its columns so the
@@ -56,7 +71,6 @@ object Dedup {
         .select(col("sh").as("hot_sh"))
       sh.join(hot, sh("sh") === hot("hot_sh"), "left_anti")
     }
-  }
 
   /** Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle.
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. */
@@ -122,11 +136,28 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = 0): DataFrame = {
-    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = shingleSets(docs, idCol, textCol, n)
     // docShingles carries the skew guard (incl. the rename-before-
     // anti-join regression fix) — same hashed (doc, sh) rows as `sets`
     val pruned = docShingles(docs, idCol, textCol, n, maxBucket)
+    prefixJoinCore(pruned, sets, threshold)
+  }
+
+  /** [[ngramJaccardPairsPrefix]] over an already-staged
+    * [[shingleTable]] frame ((doc, sh), e.g. read back from parquet) —
+    * the 100 TB form: the corpus is shingled once on disk instead of
+    * re-derived per plan reference. Verification sets are grouped from
+    * the same frame (one extra shuffle, vs three corpus re-reads).
+    * Result == the text-side variant (spec-asserted). */
+  def ngramJaccardPairsPrefixStaged(shingles: DataFrame,
+      threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+    val sets = shingles.groupBy("doc").agg(collect_list("sh").as("shs"))
+    prefixJoinCore(capShingleBuckets(shingles, maxBucket), sets, threshold)
+  }
+
+  private def prefixJoinCore(pruned: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val dfreq = pruned.groupBy("sh").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy("df", "sh")

@@ -119,6 +119,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh === Set((1L, 2L)))
   }
 
+  test("staged-shingle prefix join == text-side prefix join") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val staged = key(Dedup.ngramJaccardPairsPrefixStaged(
+      Dedup.shingleTable(docs, "doc_id", "text", 3), threshold = 0.5))
+    val direct = key(Dedup.ngramJaccardPairsPrefix(
+      docs, "doc_id", "text", 3, threshold = 0.5))
+    assert(staged === direct)
+    assert(staged.nonEmpty)
+  }
+
   test("contamination pairs: overlap counts distinct shared shingles, " +
     "threshold filters") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
