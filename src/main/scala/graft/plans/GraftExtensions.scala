@@ -42,6 +42,17 @@ object GraftExtensions {
     b(es)
   }
 
+  /** Lift a Column→Column composition (built-ins over the argument)
+    * into a SQL function builder; the composed tree resolves during
+    * normal analysis like any hand-written SQL expression. */
+  private def col1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+    : Seq[Expr] => Expr = { es =>
+    import org.apache.spark.sql.classic.{GraftColumnBridge => bridge}
+    // eager conversion: the lazy Column wrapper only resolves through
+    // the Dataset API, not through FunctionRegistry-injected builders
+    bridge.expressionEager(f(bridge.column(es.head)))
+  }
+
   /** name → expression builder, shared by the extensions injection and
     * the runtime registration path. */
   val builders: Seq[(String, Seq[Expr] => Expr)] = Seq(
@@ -54,6 +65,20 @@ object GraftExtensions {
       MinHashSignatureOfHashes(es(0), intArg(es(1), "numHashes"))),
     "winnow_fp" -> arity("winnow_fp", 3)(es =>
       WinnowFingerprint(es(0), intArg(es(1), "k"), intArg(es(2), "w"))),
+    // text-analysis compositions (pure built-ins; see TextFunctions)
+    "token_count" ->
+      arity("token_count", 1)(col1(graft.functions.TextFunctions.tokenCount)),
+    "subword_count" ->
+      arity("subword_count", 1)(col1(graft.functions.TextFunctions.subwordCount)),
+    "quality_score" ->
+      arity("quality_score", 1)(col1(graft.functions.TextFunctions.qualityScore)),
+    "lang_id" ->
+      arity("lang_id", 1)(col1(graft.functions.TextFunctions.langId)),
+    "doc_fingerprint" ->
+      arity("doc_fingerprint", 1)(col1(graft.functions.TextFunctions.fingerprint)),
+    "repetition_ratio" -> arity("repetition_ratio", 2)(es =>
+      col1(graft.functions.TextFunctions
+        .repetitionRatio(_, intArg(es(1), "n")))(es.take(1))),
   )
 
   /** Runtime registration for sessions built without the extensions

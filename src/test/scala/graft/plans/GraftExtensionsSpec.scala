@@ -31,6 +31,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](3).nonEmpty)
   }
 
+  test("text-analysis compositions in SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{TextFunctions => T}
+    import spark.implicits._
+    val text = "The quick brown fox and the quick dog"
+    val viaSql = spark.sql(
+      s"SELECT token_count('$text') AS tc, subword_count('$text') AS sc, " +
+        s"quality_score('$text') AS q, lang_id('$text') AS l, " +
+        s"doc_fingerprint('$text') AS fp, " +
+        s"repetition_ratio('$text', 2) AS rep").collect().head
+    val viaApi = Seq(text).toDF("t").select(
+      T.tokenCount(col("t")), T.subwordCount(col("t")),
+      T.qualityScore(col("t")), T.langId(col("t")),
+      T.fingerprint(col("t")), T.repetitionRatio(col("t"), 2))
+      .collect().head
+    assert(viaSql.toSeq === viaApi.toSeq)
+    assert(viaSql.getAs[String]("l") === "en")
+  }
+
   test("registered SQL builder == Column API on identical input") {
     import org.apache.spark.sql.functions._
     import graft.functions.{TextFunctions => T}
