@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * expressions for SQL use. Enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` —
   * then `SELECT cosine_sim(a, b)`, `simhash64(tokens)`,
-  * `minhash_sig(shingles, 64)`, `minhash_sig_hashes(hashes, 64)` and
-  * `winnow_fp(text, 5, 4)` work in plain SQL.
+  * `minhash_sig(shingles, 64)`, `minhash_sig_hashes(hashes, 64)`,
+  * `winnow_fp(text, 5, 4)`, and the text-analysis compositions
+  * `token_count(t)`, `subword_count(t)`, `quality_score(t)`,
+  * `lang_id(t)`, `doc_fingerprint(t)`, `repetition_ratio(t, 2)` work
+  * in plain SQL.
   * (The Column-level APIs in VectorOps/TextFunctions don't require this.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
