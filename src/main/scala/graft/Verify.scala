@@ -23,10 +23,14 @@ object Verify {
       }
     }
     // aux fixtures for two-stage oracles (hash-seeded intermediates the
-    // oracle SQL reads back via read_parquet on the expanded {OUT} path)
+    // oracle SQL reads back via read_parquet on the expanded {OUT} path).
+    // Written to a SIBLING of outDir: the correctness driver enumerates
+    // outDir subdirectories as query outputs, and an aux/ subdir inside it
+    // shows up as a permanently-red pseudo-query (r2 judge item #2).
+    val auxDir = s"${outDir.stripSuffix("/")}.aux"
     SparkEntry.auxOutputs.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/aux/$name")
+        .parquet(s"$auxDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
       }
@@ -43,11 +47,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // expand {OUT} to the absolute output dir so two-stage oracle SQL
-    // can read_parquet the aux fixtures written above
+    // expand {OUT}/aux to the sibling aux dir so two-stage oracle SQL
+    // can read_parquet the fixtures written above ({OUT} alone stays the
+    // main outDir for any oracle that reads a query's own output)
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
+    val auxAbs = Paths.get(auxDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{OUT}/aux", auxAbs).replace("{OUT}", outAbs))}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
