@@ -22,6 +22,28 @@ object Bench {
         // first timed query — say so instead of hiding it
         System.err.println(s"[bench] parquet warmup skipped: ${e.getMessage}")
     }
+    // Warm the library's heavy operator families on a ~100-row synthetic
+    // corpus (NOT the benched data): shingling + windows + collect_set +
+    // array_intersect joins + MinHash banding. Alphabetical order
+    // otherwise makes d02 — the first shingle query — absorb ~4s of
+    // first-use JIT/codegen that belongs to the JVM, not the query
+    // (measured: d02 cold 7.1s vs steady-state 2.3s at sf0.1). Timed
+    // runs still hit cold data; only the JVM is steady-state, which is
+    // what per-query comparisons against the baseline assume.
+    try {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(100).selectExpr("id AS doc_id",
+        "concat_ws(' ', transform(sequence(0, 29), " +
+          "i -> concat('w', pmod(id * 31 + i * 7, 50)))) AS text")
+      operators.Dedup.ngramJaccardPairsPrefix(
+        warm, "doc_id", "text", 3, 0.5, 2000).count()
+      operators.Dedup.minHashLshPairs(warm, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5).count()
+      operators.Dedup.winnowOverlapPairs(warm, "doc_id", "text").count()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] operator warmup skipped: ${e.getMessage}")
+    }
     // optional comma-separated subset filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
