@@ -41,11 +41,31 @@ object Skew {
     * columns (falls back to all columns for a keys-only frame). Rows
     * identical in those columns share a salt — acceptable: they'd also
     * be identical join outputs, and balance only degrades if a hot KEY's
-    * rows are near-duplicates in every other column too. */
+    * rows are near-duplicates in every other column too (documented
+    * limitation: a hot key whose rows are constant in every non-key
+    * column lands on one salt, same as unsalted).
+    *
+    * Map-typed columns are hashed via their string rendering: xxhash64
+    * rejects MapType outright (map equality is order-insensitive, so
+    * Spark disallows hashing it), which would otherwise turn a schema
+    * with one map column into an AnalysisException (r2 advisor item).
+    * The cast is per-row deterministic — entry order is whatever the
+    * row already stores, and a retried task recomputes the same row. */
   private[operators] def saltExpr(left: DataFrame, keys: Seq[String],
       salts: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val schema = left.schema
     val nonKey = left.columns.filterNot(keys.contains)
-    val saltSrc = (if (nonKey.nonEmpty) nonKey else left.columns).map(col).toSeq
+    val pool = if (nonKey.nonEmpty) nonKey else left.columns
+    val saltSrc = pool.map { c =>
+      if (hasMap(schema(c).dataType)) col(c).cast("string") else col(c)
+    }.toSeq
     pmod(xxhash64(saltSrc: _*), lit(salts.toLong)).cast("int")
   }
 }

@@ -40,7 +40,22 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    // Mirror the HOF reference exactly on degenerate inputs: zip_with
+    // pads a length mismatch with null, and any null element nulls the
+    // whole dot product, whose `when(_ >= 0)` then falls to the
+    // otherwise(0L) bit — i.e. an incomplete vector gets the all-zero
+    // bucket in every table. getFloat on a null slot would instead read
+    // an undefined value and silently diverge from the documented
+    // bit-identical guarantee (r2 advisor item).
+    val m = v.numElements()
+    var complete = m == dim
+    var j0 = 0
+    while (complete && j0 < m) {
+      if (v.isNullAt(j0)) complete = false
+      j0 += 1
+    }
+    if (!complete) return new GenericArrayData(new Array[Long](tables))
+    val n = dim
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

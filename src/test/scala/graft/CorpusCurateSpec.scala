@@ -37,6 +37,24 @@ class CorpusCurateSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 4L))
   }
 
+  test("capped curation reports dropped band buckets; uncapped reports 0") {
+    // 20 near-dup docs (unique head token, long shared tail) co-bucket
+    // in most of the 32 bands — buckets of ~20 docs blow a cap of 2
+    val near = (0L until 20L).map(i =>
+      (i, s"u$i shared tail of the template body repeated across the " +
+        "whole synthetic corpus for banding"))
+      .toDF("doc_id", "text")
+    val (cCap, statsCap) = CorpusCurate.curate(near, minQuality = 0.0,
+      langs = Nil, jaccard = 0.8, maxBucket = 2)
+    cCap.count()
+    assert(statsCap().droppedBandBuckets > 0L,
+      "cap of 2 on ~20-doc buckets must report dropped buckets")
+    val (cUnc, statsUnc) = CorpusCurate.curate(near, minQuality = 0.0,
+      langs = Nil, jaccard = 0.8)
+    cUnc.count()
+    assert(statsUnc().droppedBandBuckets === 0L)
+  }
+
   test("repetition cap drops boilerplate; default 1.0 keeps it") {
     val docs = Seq(
       (1L, Seq.fill(40)("buy now").mkString(" ")), // rep ≈ 0.99

@@ -87,6 +87,41 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 10)
   }
 
+  test("cap audits report dropped buckets on a hot corpus and zero on " +
+    "the bench corpus, while the capped join keeps cold pairs") {
+    // 3000 docs all share two hot trigrams (df=3000 > cap=2000); sibling
+    // docs 2i/2i+1 additionally share three pair-unique trigrams
+    val hot = spark.range(3000).selectExpr("id AS doc_id",
+      "concat('common shared shingle text pair', CAST(id / 2 AS BIGINT), " +
+        "' tag', CAST(id / 2 AS BIGINT), ' mark', CAST(id / 2 AS BIGINT)) AS text")
+    val a = Dedup.shingleCapAudit(hot, "doc_id", "text", n = 3,
+      maxBucket = 2000).head()
+    assert(a.getAs[Long]("hot_buckets") === 2L)
+    assert(a.getAs[Long]("dropped_rows") === 6000L)
+    assert(a.getAs[Long]("max_df") === 3000L)
+    // the cap engages and the join still finds every sibling pair via
+    // the cold shingles (verification sets are uncapped → jaccard 1.0)
+    val pairs = Dedup.ngramJaccardPairsPrefix(hot, "doc_id", "text",
+      n = 3, threshold = 0.5, maxBucket = 2000)
+    assert(pairs.count() === 1500L)
+    // band audit: 2500 identical docs co-bucket in all 32 bands
+    val same = spark.range(2500).selectExpr("id AS doc_id",
+      "'identical corpus document body for band audit' AS text")
+    val b = Dedup.minHashBandCapAudit(same, "doc_id", "text",
+      maxBucket = 2000).head()
+    assert(b.getAs[Long]("hot_buckets") === 32L)
+    assert(b.getAs[Long]("max_df") === 2500L)
+    // the bench corpus has no bucket anywhere near the production cap
+    val real = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val ra = Dedup.shingleCapAudit(real, "doc_id", "text", n = 3,
+      maxBucket = 2000).head()
+    assert(ra.getAs[Long]("hot_buckets") === 0L)
+    assert(ra.getAs[Long]("dropped_rows") === 0L)
+    val rb = Dedup.minHashBandCapAudit(real, "doc_id", "text",
+      maxBucket = 2000).head()
+    assert(rb.getAs[Long]("hot_buckets") === 0L)
+  }
+
   test("regression: a cap higher than any bucket is a no-op, not a wipe " +
     "(ambiguous self-anti-join silently dropped everything)") {
     val unc = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)

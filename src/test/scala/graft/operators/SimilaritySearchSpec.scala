@@ -50,6 +50,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(native.size === emb.count() * 6)
   }
 
+  test("hyperplane buckets == HOF form on degenerate vectors " +
+    "(null element, short, long): all-zero signature") {
+    import spark.implicits._
+    val weird = Seq(
+      (1L, Seq[java.lang.Float](1f, null, 3f) ++
+        Seq.fill[java.lang.Float](61)(0.5f)), // null element, len 64
+      (2L, Seq.fill[java.lang.Float](10)(1f)), // too short
+      (3L, Seq.fill[java.lang.Float](70)(1f)), // too long
+      (4L, Seq.fill[java.lang.Float](64)(0.25f))) // complete
+      .toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    def sig(f: (org.apache.spark.sql.DataFrame, String, String, Int, Int,
+        Int, Long) => org.apache.spark.sql.DataFrame) =
+      f(weird, "vec_id", "embedding", 64, 12, 6, 42L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val native = sig(VectorOps.hyperplaneSignatures)
+    val hof = sig(VectorOps.hyperplaneSignaturesHof)
+    assert(native === hof)
+    // the three degenerates land in bucket 0 of every table
+    for (id <- Seq(1L, 2L, 3L); t <- 0 until 6)
+      assert(native.contains((id, t, 0L)))
+    assert((0 until 6).exists(t => !native.contains((4L, t, 0L))))
+  }
+
   test("persisted IVF index: probes are partition-pruned reads with " +
     "identical results to the in-memory path") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString

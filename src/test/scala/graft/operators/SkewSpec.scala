@@ -39,6 +39,21 @@ class SkewSpec extends SparkSpec {
     assert(saltCounts > 1)
   }
 
+  test("map-typed columns salt via string rendering instead of " +
+    "throwing (xxhash64 rejects MapType)") {
+    val withMap = facts.withColumn("m",
+      map(lit("a"), col("v"), lit("b"), col("v") * 2))
+    val plain = withMap.join(dim, Seq("k")).count()
+    val salted = Skew.saltedJoin(withMap, dim, Seq("k"), salts = 8)
+    assert(salted.count() === plain)
+    // still deterministic and still spread: the map rider must not
+    // collapse the hot key onto a single salt
+    val spread = withMap.filter(col("k") === "hot")
+      .withColumn("s", Skew.saltExpr(withMap, Seq("k"), 8))
+      .select("s").distinct().count()
+    assert(spread > 1)
+  }
+
   test("salt assignment is deterministic across runs (retry-safe)") {
     def assignment = facts
       .withColumn("_s", Skew.saltExpr(facts, Seq("k"), 8))
