@@ -129,6 +129,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserTotalsExpiring: idle state expires with a flagged " +
+    "final emit and is actually removed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    // ProcessingTimeTimeout makes Spark schedule batches continuously
+    // (it cannot know whether timers remain) — an unpaced trigger then
+    // churns thousands of no-data micro-batches and wedges the
+    // checkpoint manager. Pace it; poll the sink instead of racing.
+    val q = EventStreams.runningUserTotalsExpiring(mem.toDS(),
+      idleTimeout = "1 second")
+      .writeStream.format("memory").queryName("rte")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Update).start()
+    def rows() = spark.table("rte").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    def awaitRow(want: (Long, Long, Double, Boolean)): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!rows().contains(want) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(rows().contains(want),
+        s"expected $want in sink, got ${rows().toSeq}")
+    }
+    // processAllAvailable is also off the table here: under
+    // ProcessingTimeTimeout the engine keeps running timer batches and
+    // the no-new-data signal never settles — poll the sink only.
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0))
+      awaitRow((1L, 2L, 3.0, false))
+      // the idle deadline passes; a later (possibly no-data) batch
+      // fires user 1's timer: one final emit flagged expired=true
+      awaitRow((1L, 2L, 3.0, true))
+      // user 1 returns: totals restart from zero => state was removed,
+      // not merely flagged
+      mem.addData((1L, 5.0))
+      awaitRow((1L, 1L, 5.0, false))
+    } finally q.stop()
+  }
+
   test("userStateTotals: incremental last-update per user == batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
