@@ -122,6 +122,25 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Regex PII scrub — emails, IPv4 addresses, and NANP-style phone
+    * numbers replaced with typed placeholder tokens, the standard
+    * pre-training redaction pass. Three chained codegen'd
+    * regexp_replace calls (order matters: emails first — their
+    * local/domain parts contain digit runs and dots that the later
+    * patterns could clip). The patterns use only character classes,
+    * bounded repetition, and word boundaries, so the identical regex
+    * runs on Java's engine here and RE2 in the DuckDB oracle.
+    * Heuristic by design (as in public curation pipelines): favors
+    * recall on well-formed identifiers over exotic formats. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
+    regexp_replace(ip,
+      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+  }
+
   /** Winnowing rolling-hash sketch (character-level; see
     * [[graft.plans.WinnowFingerprint]]) over the case/whitespace
     *-normalized text. */

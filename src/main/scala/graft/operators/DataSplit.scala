@@ -92,4 +92,36 @@ object DataSplit {
         label(coalesce(col("comp"), col(idCol)), trainPct, valPct))
       .drop("comp")
   }
+
+  /** Token-budget sampling: keep each stratum's docs, in md5(id) order,
+    * until the stratum's token budget is exhausted (a doc is kept when
+    * the tokens BEFORE it are under budget, so the cut lands within one
+    * doc of the target — deterministic, no count pass, reproducible by
+    * an engine-portable oracle). This is data mixing's core primitive:
+    * "N billion tokens of source X, M of source Y" is one window over
+    * (stratum, md5-order) + a filter, not a driver-side loop.
+    *
+    * The md5 order makes the kept subset stable as the corpus grows
+    * (existing docs keep their position hash; new docs interleave), and
+    * independent of storage order. Adds `cum_tokens` (running total
+    * INCLUDING the row) for audit. With no strata the window is one
+    * partition — fine for a bounded stratum list, not for a global
+    * budget over 100 TB; shard first (e.g. [[Packing.packByBudget]]'s
+    * md5-shard pattern) if a single stratum's candidate set exceeds one
+    * task's comfort. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, strataCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w0 =
+      if (strataCols.isEmpty)
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      else
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(strataCols.map(col): _*)
+    val w = w0.orderBy(md5(col(idCol).cast("string")))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") - col(tokensCol) < budget)
+  }
 }

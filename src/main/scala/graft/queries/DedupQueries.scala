@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, SimilaritySearch, VectorOps}
+import graft.operators.{ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -71,6 +71,20 @@ object DedupQueries {
     at(2).unionByName(at(2000)).select("cap", "hot_buckets",
       "dropped_rows", "max_df").orderBy("cap")
   }
+
+  // Connected components over the near-dup pair graph: every doc in a
+  // pair labeled with its component's minimum id — the collapse step
+  // CorpusCurate runs, previously property-tested only. The LSH pair
+  // set equals the exact jaccard pair set on this corpus (d03's gated
+  // claim), so the oracle recomputes the same graph from string
+  // shingles and resolves components with a recursive CTE.
+  private def d09(s: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.components(
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.8),
+      "doc_a", "doc_b")
+      .select(col("id"), col("comp").as("component"))
+      .orderBy("id")
 
   /** The d05 corpus: driver embeddings plus one deterministic
     * near-duplicate of each (dim 0 scaled ×1.05, id offset by 1e6) —
@@ -214,6 +228,7 @@ object DedupQueries {
     "d06_winnow_pairs" -> (d06 _),
     "d07_contamination" -> (d07 _),
     "d08_cap_audit" -> (d08 _),
+    "d09_components" -> (d09 _),
     "s01_ann_topk" -> (s01 _),
     "s02_quantize_int8" -> (s02 _),
   )
@@ -239,6 +254,19 @@ object DedupQueries {
   private val jaccardPairsSql = shingleCte +
     "SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j " +
     "WHERE jac >= 0.8 ORDER BY doc_a, doc_b"
+
+  // d09 oracle: the same exact-jaccard pair graph, components resolved
+  // by a recursive CTE (min reachable node id == the min-label
+  // representative the Spark pointer-jumping loop converges to).
+  private val componentsSql =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", e AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jac >= 0.8 " +
+      "UNION SELECT doc_b AS a, doc_a AS b FROM j WHERE jac >= 0.8), " +
+      "nodes AS (SELECT DISTINCT a AS id FROM e), " +
+      "reach AS (SELECT id, id AS lab FROM nodes " +
+      "UNION SELECT e.b AS id, r.lab AS lab FROM reach r " +
+      "JOIN e ON e.a = r.id) " +
+      "SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id"
 
   // d05 oracle: rebuilds the SAME planted-near-dup corpus (originals +
   // dim-0 ×1.05 copies at vec_id+1e6 — double-mul then float-cast, the
@@ -358,6 +386,7 @@ object DedupQueries {
         "FROM sh c JOIN sh b ON c.s = b.s " +
         "WHERE c.doc_id > 5 AND b.doc_id <= 5 " +
         "GROUP BY doc, bench HAVING count(*) >= 3 ORDER BY doc, bench"),
+    "d09_components" -> componentsSql,
     "d08_cap_audit" ->
       ("WITH toks AS (SELECT doc_id, " +
         "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +

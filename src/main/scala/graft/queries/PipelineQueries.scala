@@ -46,10 +46,24 @@ object PipelineQueries {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .orderBy("lang")
 
+  // token-budget data mixing: per-source, keep docs in md5(id) order
+  // until 2,000 tokens are drawn — "N tokens of source X" as one
+  // window + filter. Per-source kept-doc counts and exact token mass
+  // gate the cut position, not just the ratios.
+  private def p04(s: SparkSession, dir: String): DataFrame =
+    DataSplit.tokenBudgetSample(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budget = 2000L, strataCols = Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_tokens").as("kept_tokens"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
+    "p04_token_budget" -> (p04 _),
   )
 
   private val bucketSql =
@@ -84,5 +98,15 @@ object PipelineQueries {
         "ELSE 100 END) " +
         "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars " +
         "FROM k GROUP BY lang ORDER BY lang"),
+    "p04_token_budget" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS n_tokens FROM documents), " +
+        "c AS (SELECT source, n_tokens, sum(n_tokens) OVER (" +
+        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)) " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+        "SELECT source, count(*) AS kept_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS kept_tokens " +
+        "FROM c WHERE cum - n_tokens < 2000 GROUP BY source ORDER BY source"),
   )
 }

