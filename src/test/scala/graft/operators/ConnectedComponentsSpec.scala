@@ -13,6 +13,12 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.components(edges.toDF("s", "d"), "s", "d")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** localThreshold = 0 forces the distributed pointer-jumping loop. */
+  private def compsDistributed(edges: (Long, Long)*): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("s", "d"), "s", "d",
+      localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("two disjoint components") {
     assert(comps((1L, 2L), (2L, 3L), (10L, 11L)) ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
@@ -20,9 +26,14 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("long chain collapses to its minimum (pointer jumping)") {
     val chain = (1L until 200L).map(i => (i, i + 1))
-    val c = comps(chain: _*)
+    val c = compsDistributed(chain: _*)
     assert(c.size === 200)
     assert(c.values.toSet === Set(1L))
+  }
+
+  test("single-task union-find path agrees with the distributed loop") {
+    val chain = (1L until 120L).map(i => (i, i + 1))
+    assert(comps(chain: _*) === compsDistributed(chain: _*))
   }
 
   test("star, reversed edges, self-loops, duplicates") {
@@ -56,13 +67,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     } yield edges.filter(e => e._1 != e._2)
     val prop = Prop.forAll(edgeGen) { edges =>
       edges.nonEmpty ==> {
-        val got = comps(edges: _*)
         val want = unionFind(edges)
-        (got == want) :| s"got $got\nwant $want"
+        val local = comps(edges: _*)
+        val dist = compsDistributed(edges: _*)
+        ((local == want) :| s"local $local\nwant $want") &&
+          ((dist == want) :| s"dist $dist\nwant $want")
       }
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
     assert(res.passed, res.status.toString)
   }
 
