@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-level term weighting and ranking — TF-IDF and Okapi BM25
+  * (Robertson & Spärck Jones; the exact formulas Lucene documents) over
+  * the same whitespace tokenization every other text operator uses.
+  *
+  * Scale shape: one tokenize pass feeds a (doc, term) count whose
+  * shuffle is map-side combined; document frequency is a re-aggregation
+  * of that frame (terms, not documents, cross the second shuffle — the
+  * vocabulary is orders of magnitude smaller than the corpus); corpus
+  * constants (N, avgdl) ride along as 1-row broadcast cross joins, never
+  * a driver round-trip. BM25 prunes to the query's terms BEFORE the
+  * first shuffle, so scoring cost is O(docs containing a query term),
+  * not O(corpus tokens).
+  */
+object TextRank {
+
+  private def terms(textCol: Column): Column = T.tokens(lower(textCol))
+
+  /** Per-document top-k terms by smoothed TF-IDF
+    * (`tf * (ln((N+1)/(df+1)) + 1)`). Ties break on term ascending.
+    * Returns (doc, term, tf, df, tfidf, rn).
+    *
+    * `broadcastVocab` hints the df-side join (right for any natural-
+    * language vocabulary; disable for degenerate corpora whose term
+    * count rivals the corpus). */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(terms(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val score =
+      col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+        + lit(1.0))
+    tf.join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", score)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select(col("doc"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rn"))
+  }
+
+  /** Okapi BM25 top-k documents for a bag of query terms:
+    * `sum_q idf_q * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
+    * `idf_q = ln(1 + (N - df + 0.5)/(df + 0.5))`. Documents matching no
+    * query term are absent (score 0). Ties break on doc ascending.
+    * Returns (doc, dl, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val toks = docs.select(col(idCol).as("doc"),
+      terms(col(textCol)).as("tk"))
+    // N and avgdl come from the WHOLE corpus (before the query-term
+    // prune) — a 1-row aggregate broadcast into the scoring join
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+    val tf = toks
+      .select(col("doc"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc", "dl").agg(sum(termScore).as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+  }
+}

@@ -102,6 +102,23 @@ object TextQueries {
           .as("redacted"))
       .orderBy("doc_id").limit(100)
 
+  // corpus-level TF-IDF: top-3 terms per doc; tf/df ride along as
+  // integer anchors so the hash pins the counts, not just the rounded
+  // double
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.tfIdfTopK(docs(s, dir), "doc_id", "text", 3)
+      .select(col("doc").as("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id", "term")
+
+  // Okapi BM25 over a mixed rare/common query; dl rides as an anchor
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.bm25TopK(docs(s, dir), "doc_id", "text",
+      queryTerms = Seq("dup", "spark", "join"), k = 20)
+      .select(col("doc").as("doc_id"), col("dl"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id") // row order independent of float comparisons
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -112,6 +129,8 @@ object TextQueries {
     "t07_vocab_topk" -> (t07 _),
     "t08_repetition" -> (t08 _),
     "t09_pii_redact" -> (t09 _),
+    "t10_tfidf_topk" -> (t10 _),
+    "t11_bm25" -> (t11 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -194,6 +213,42 @@ object TextQueries {
         "SELECT doc_id, round(CASE WHEN len(sh) > 0 THEN " +
         "1.0 - len(list_distinct(sh)) * 1.0 / len(sh) ELSE 0.0 END, 4) AS rep " +
         "FROM g ORDER BY doc_id LIMIT 200"),
+    // smoothed tfidf; every constant CAST to DOUBLE so DuckDB never
+    // routes the arithmetic through DECIMAL (ln over a decimal quotient
+    // would diverge from Spark's all-double pipeline)
+    "t10_tfidf_topk" ->
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) " +
+        "AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk " +
+        "GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "s AS (SELECT doc_id, term, tf, df, " +
+        "tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1) DESC, term) " +
+        "AS rn FROM tf JOIN df USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, tf, df, round(score, 4) AS tfidf FROM s " +
+        "WHERE rn <= 3 ORDER BY doc_id, term"),
+    "t11_bm25" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') " +
+        "AS tk FROM documents), " +
+        "st AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM tk), " +
+        "e AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tk), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e " +
+        "WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "s AS (SELECT doc_id, dl, sum(" +
+        "ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * " +
+        "(tf * CAST(2.2 AS DOUBLE)) / " +
+        "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+        "CAST(0.75 AS DOUBLE) * dl / avgdl))) AS score " +
+        "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY doc_id, dl) " +
+        "SELECT doc_id, dl, round(score, 4) AS score FROM " +
+        "(SELECT * FROM s ORDER BY s.score DESC, doc_id LIMIT 20) " +
+        "ORDER BY doc_id"),
     // identical plant construction + identical regexes (character
     // classes / bounded repetition / \b only — Java and RE2 agree);
     // DuckDB needs the explicit 'g' flag Spark applies implicitly
