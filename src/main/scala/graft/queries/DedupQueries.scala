@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
+import graft.operators.{Clustering, ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -219,6 +219,34 @@ object DedupQueries {
           lit(0L), (a, x) => a + x).as("q_possum"))
       .orderBy("vec_id")
 
+  // spherical k-means assignment (k=8, 4 Lloyd iterations, md5-seeded
+  // init). Two-stage oracle: the fitted centroids land in an aux
+  // fixture; DuckDB recomputes every (vector, centroid) cosine and the
+  // argmax from it. Assignment margins measured before gating (memory
+  // of the LSH-regime lesson): min top1−top2 gap is 1.9e-3 at sf0.01
+  // and 5.3e-5 at sf0.1 — ten orders above cross-engine float noise.
+  private def s03(s: SparkSession, dir: String): DataFrame =
+    Clustering.fitAssign(emb(s, dir), "vec_id", "embedding",
+      k = 8, iters = 4)
+      .select(col("id").as("vec_id"), col("cluster"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_id")
+
+  // SemDeDup over the planted near-dup corpus: near-duplicate pairs
+  // enumerated WITHIN k-means clusters only. The oracle takes the
+  // (vec, cluster) assignment fixture and recomputes the within-cluster
+  // pairing + exact cosine — the candidate-generation logic is what's
+  // cross-checked, as in d04/d06.
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val corpus = d05Corpus(s, dir)
+    val cents = Clustering.fit(corpus, "vec_id", "embedding",
+      k = 8, iters = 4)
+    Clustering.semanticDedupPairs(corpus, "vec_id", "embedding",
+      cents, threshold = 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
@@ -231,6 +259,8 @@ object DedupQueries {
     "d09_components" -> (d09 _),
     "s01_ann_topk" -> (s01 _),
     "s02_quantize_int8" -> (s02 _),
+    "s03_kmeans_assign" -> (s03 _),
+    "s04_semantic_dedup" -> (s04 _),
   )
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -360,7 +390,58 @@ object DedupQueries {
     "d06_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         array_distinct(T.winnowFingerprint(col("text"), 8, 6)).as("fps"))),
+    "s03_centroids" -> ((s, dir) => {
+      import s.implicits._
+      Clustering.fit(emb(s, dir), "vec_id", "embedding", k = 8, iters = 4)
+        .zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cluster", "centroid")
+    }),
+    "s04_assign" -> ((s, dir) => {
+      val corpus = d05Corpus(s, dir)
+      val cents = Clustering.fit(corpus, "vec_id", "embedding",
+        k = 8, iters = 4)
+      Clustering.assign(corpus, "vec_id", "embedding", cents)
+        .select(col("id").as("vec_id"), col("cluster"))
+    }),
   )
+
+  // s03 oracle: cosine of every (vector, centroid) from the fixture,
+  // argmax per vector with ties toward the lowest cluster — the d05
+  // unnest-join-sum idiom throughout, all arithmetic in DOUBLE.
+  private val kmeansAssignSql =
+    "WITH c AS (SELECT cluster, centroid FROM " +
+      "read_parquet('{OUT}/aux/s03_centroids/*.parquet')), " +
+      "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+      "cv AS (SELECT cluster, generate_subscripts(centroid, 1) AS i, " +
+      "CAST(unnest(centroid) AS DOUBLE) AS y FROM c), " +
+      "d AS (SELECT e.vec_id, cv.cluster, sum(e.x * cv.y) AS dot, " +
+      "sum(e.x * e.x) AS nx, sum(cv.y * cv.y) AS ny " +
+      "FROM e JOIN cv USING (i) GROUP BY e.vec_id, cv.cluster), " +
+      "s AS (SELECT vec_id, cluster, dot / (sqrt(nx) * sqrt(ny)) AS cosv, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY " +
+      "dot / (sqrt(nx) * sqrt(ny)) DESC, cluster) AS rn FROM d) " +
+      "SELECT vec_id, cluster, round(cosv, 4) AS cosine FROM s " +
+      "WHERE rn = 1 ORDER BY vec_id"
+
+  // s04 oracle: within-cluster pairs from the assignment fixture, exact
+  // cosine over the reproduced planted corpus.
+  private val semanticDedupSql =
+    "WITH base AS (SELECT vec_id, embedding FROM embeddings), " +
+      s"corpus AS (SELECT * FROM base UNION ALL ${pertSql(1, "1.05", 1000000L)}), " +
+      "a AS (SELECT vec_id, cluster FROM " +
+      "read_parquet('{OUT}/aux/s04_assign/*.parquet')), " +
+      "p AS (SELECT a1.vec_id AS id_a, a2.vec_id AS id_b FROM a a1 " +
+      "JOIN a a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id), " +
+      "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM corpus), " +
+      "n AS (SELECT vec_id, sqrt(sum(x * x)) AS nm FROM v GROUP BY vec_id), " +
+      "d AS (SELECT id_a, id_b, sum(va.x * vb.x) AS dot FROM p " +
+      "JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b " +
+      "AND va.i = vb.i GROUP BY id_a, id_b) " +
+      "SELECT id_a, id_b, round(dot / (na.nm * nb.nm), 4) AS cosine " +
+      "FROM d JOIN n na ON id_a = na.vec_id JOIN n nb ON id_b = nb.vec_id " +
+      "WHERE dot / (na.nm * nb.nm) >= 0.95 ORDER BY id_a, id_b"
 
   val oracleSql: Map[String, String] = Map(
     "d01_exact_dedup_docs" ->
@@ -417,5 +498,7 @@ object DedupQueries {
         "CAST(sum(qi) AS BIGINT) AS q_sum, " +
         "CAST(sum(qi * i) AS BIGINT) AS q_possum " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "s03_kmeans_assign" -> kmeansAssignSql,
+    "s04_semantic_dedup" -> semanticDedupSql,
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f)),
+    (3L, Seq(0.0f, 1.0f)),
+    (4L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+
+  test("fit separates the two obvious groups; labels cover 0..k-1 seeds") {
+    val cents = Clustering.fit(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    assert(cents.size === 2)
+    val byId = Clustering.assign(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(3L) === byId(4L))
+    assert(byId(1L) !== byId(3L))
+  }
+
+  test("assign: exact cosine, argmax ties break to the lowest cluster") {
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(1.0f, 0.0f))
+    val got = Clustering.assign(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    // vec 1 ties exactly between clusters 0 and 2 -> picks 0
+    assert(got.head === ((1L, 0, 1.0)))
+    val c2 = got.find(_._1 == 2L).get
+    assert(c2._2 === 0)
+    val (x, y) = (0.9f.toDouble, 0.1f.toDouble) // float-rounded inputs
+    assert(math.abs(c2._3 - x / math.sqrt(x * x + y * y)) < 1e-12)
+    assert(got.find(_._1 == 3L).get._2 === 1)
+  }
+
+  test("fit: empty cluster keeps its previous centroid") {
+    // both far-seed centroids collapse onto the data; the third seed
+    // (from a vector identical to another) may strand — k > distinct
+    // directions still returns k centroids
+    val cents = Clustering.fit(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    assert(cents.size === 4)
+    assert(cents.forall(_.size === 2))
+  }
+
+  test("fit is bit-deterministic across repeated runs (decimal sums)") {
+    val a = Clustering.fit(vecs, "vec_id", "embedding", 2, 3)
+    val b = Clustering.fit(vecs, "vec_id", "embedding", 2, 3)
+    assert(a === b)
+  }
+
+  test("semanticDedupPairs: within-cluster near-dups only") {
+    val cents = Clustering.fit(vecs, "vec_id", "embedding", 2, 3)
+    val pairs = Clustering
+      .semanticDedupPairs(vecs, "vec_id", "embedding", cents, 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos(1,2) = cos(3,4) = 0.9/sqrt(0.82) ~ 0.9939; cross-group pairs
+    // sit near 0.1 and must never be enumerated, let alone emitted
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    val none = Clustering
+      .semanticDedupPairs(vecs, "vec_id", "embedding", cents, 0.999)
+    assert(none.count() === 0)
+  }
+
+  test("assignment plan stays codegen (native cosine, no shuffle)") {
+    // parquet-backed input: a purely-local relation would be constant-
+    // folded away and show nothing of the real scan-side plan
+    val dirF = java.nio.file.Files.createTempDirectory("clus").toFile
+    dirF.deleteOnExit()
+    val path = s"${dirF.getAbsolutePath}/emb"
+    vecs.write.mode("overwrite").parquet(path)
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val p = Clustering
+      .assign(spark.read.parquet(path), "vec_id", "embedding", cents)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("cosine_sim"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+}
