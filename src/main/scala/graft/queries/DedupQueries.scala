@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Clustering, ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
+import graft.operators.{BloomSeenSet, Clustering, ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -219,6 +219,39 @@ object DedupQueries {
           lit(0L), (a, x) => a + x).as("q_possum"))
       .orderBy("vec_id")
 
+  // Bloom seen-set incremental dedup: the seen-set is every document's
+  // fingerprint; the "re-crawl batch" is docs ≡0 (mod 3) verbatim
+  // (known duplicates — must ALL bloom-hit: no false negatives) and
+  // docs ≡1 (mod 3) with a deterministic revision suffix (known new —
+  // bloom misses except deterministic FPs). Emitting bloom_hit AND
+  // seen_exact side by side makes the hash pin the exact FP set. Oracle
+  // is two-stage (bits + per-doc positions fixtures; the xxhash isn't
+  // cross-engine) with the membership set-logic recomputed in DuckDB.
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val m = 1L << 16
+    val d = docs(s, dir)
+    val seen = d.select(T.fingerprint(col("text")).as("fp"))
+    val bits = BloomSeenSet.buildBits(seen, "fp", m, numHashes = 5)
+    val marked = BloomSeenSet.markSeen(
+      d10Batch(s, dir).withColumn("fp", T.fingerprint(col("text"))),
+      "fp", bits, m, numHashes = 5)
+    marked
+      .join(seen.distinct().withColumn("_e", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("bloom_hit").cast("int").as("bloom_hit"),
+        col("_e").isNotNull.cast("int").as("seen_exact"))
+      .orderBy("doc_id")
+  }
+
+  private def d10Batch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text")))
+  }
+
   // spherical k-means assignment (k=8, 4 Lloyd iterations, md5-seeded
   // init). Two-stage oracle: the fitted centroids land in an aux
   // fixture; DuckDB recomputes every (vector, centroid) cosine and the
@@ -257,6 +290,7 @@ object DedupQueries {
     "d07_contamination" -> (d07 _),
     "d08_cap_audit" -> (d08 _),
     "d09_components" -> (d09 _),
+    "d10_bloom_seen" -> (d10 _),
     "s01_ann_topk" -> (s01 _),
     "s02_quantize_int8" -> (s02 _),
     "s03_kmeans_assign" -> (s03 _),
@@ -390,6 +424,14 @@ object DedupQueries {
     "d06_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         array_distinct(T.winnowFingerprint(col("text"), 8, 6)).as("fps"))),
+    "d10_bits" -> ((s, dir) =>
+      BloomSeenSet.buildBits(
+        docs(s, dir).select(T.fingerprint(col("text")).as("fp")),
+        "fp", 1L << 16, numHashes = 5)),
+    "d10_positions" -> ((s, dir) =>
+      d10Batch(s, dir).select(col("doc_id"),
+        explode(BloomSeenSet.bitPositions(T.fingerprint(col("text")),
+          1L << 16, 5)).as("pos"))),
     "s03_centroids" -> ((s, dir) => {
       import s.implicits._
       Clustering.fit(emb(s, dir), "vec_id", "embedding", k = 8, iters = 4)
@@ -404,6 +446,31 @@ object DedupQueries {
         .select(col("id").as("vec_id"), col("cluster"))
     }),
   )
+
+  // d10 oracle: pure set logic over the two fixtures — a doc bloom-hits
+  // iff NONE of its positions is missing from the bits table — plus the
+  // exact-seen flag recomputed from the reproduced batch.
+  private val bloomSeenSql =
+    "WITH bits AS (SELECT pos FROM " +
+      "read_parquet('{OUT}/aux/d10_bits/*.parquet')), " +
+      "cp AS (SELECT doc_id, pos FROM " +
+      "read_parquet('{OUT}/aux/d10_positions/*.parquet')), " +
+      "miss AS (SELECT DISTINCT doc_id FROM cp " +
+      "WHERE pos NOT IN (SELECT pos FROM bits)), " +
+      "seen AS (SELECT DISTINCT " +
+      "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+      "FROM documents), " +
+      "batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0 " +
+      "UNION ALL SELECT doc_id, text || ' rev2' FROM documents " +
+      "WHERE doc_id % 3 = 1), " +
+      "bf AS (SELECT doc_id, " +
+      "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+      "FROM batch) " +
+      "SELECT doc_id, " +
+      "CASE WHEN doc_id IN (SELECT doc_id FROM miss) THEN 0 ELSE 1 END " +
+      "AS bloom_hit, " +
+      "CASE WHEN fp IN (SELECT fp FROM seen) THEN 1 ELSE 0 END " +
+      "AS seen_exact FROM bf ORDER BY doc_id"
 
   // s03 oracle: cosine of every (vector, centroid) from the fixture,
   // argmax per vector with ties toward the lowest cluster — the d05
@@ -498,6 +565,7 @@ object DedupQueries {
         "CAST(sum(qi) AS BIGINT) AS q_sum, " +
         "CAST(sum(qi * i) AS BIGINT) AS q_possum " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    "d10_bloom_seen" -> bloomSeenSql,
     "s03_kmeans_assign" -> kmeansAssignSql,
     "s04_semantic_dedup" -> semanticDedupSql,
   )
