@@ -43,11 +43,24 @@ object StreamQueries {
   private def e04(s: SparkSession, dir: String): DataFrame =
     EventStreams.userStateTotals(events(s, dir)).orderBy("user_id")
 
+  // stream-static enrichment (broadcast dim) + per-nation rollup; in
+  // batch mode the same function is a plain broadcast join the oracle
+  // reproduces directly
+  private def e05(s: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichWithDim(events(s, dir),
+      Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+      "user_id", "c_custkey")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("c_nationkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
     "e03_lag_delta" -> (e03 _),
     "e04_user_state" -> (e04 _),
+    "e05_enrich_dim" -> (e05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -74,5 +87,10 @@ object StreamQueries {
         "CAST(sum(coalesce(CAST(round(value * 10000) AS BIGINT), 0)) " +
         "AS DOUBLE) / 10000.0 " +
         "AS total_value FROM events GROUP BY user_id ORDER BY user_id"),
+    "e05_enrich_dim" ->
+      ("SELECT c_nationkey, count(*) AS cnt, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
   )
 }

@@ -61,6 +61,17 @@ object EventStreams {
         col("c.user_id"), col("c.ts"), col("v.vts"))
   }
 
+  /** Stream-static enrichment: inner-join the stream against a slowly-
+    * changing dimension. The static side is broadcast — the stream is
+    * never shuffled for the join, and Structured Streaming re-plans the
+    * static side per micro-batch, so a dimension refresh (new parquet
+    * files under the same path) is picked up without restarting the
+    * query. Inner stream-static joins are fully supported with no
+    * watermark requirement. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "inner")
+
   /** Streaming exact dedup: drop documents whose canonical fingerprint
     * was already seen. On a stream, `dropDuplicates` keeps per-key state;
     * the watermark bounds it — duplicates arriving later than `delay`

@@ -49,6 +49,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static broadcast join == batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.enrichWithDim(streamDf, dim, "user_id", "c_custkey")
+      .select("event_id", "c_nationkey")
+      .writeStream.format("memory").queryName("en")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("en")
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val batch = EventStreams
+        .enrichWithDim(eventsDf, dim, "user_id", "c_custkey")
+        .select("event_id", "c_nationkey")
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.size === rows.size) // every user resolves
+    } finally q.stop()
+  }
+
   test("sessionCounts: 30-min gap splits sessions (batch mode)") {
     val out = EventStreams.sessionCounts(eventsDf)
       .orderBy("user_id", "session_start")
