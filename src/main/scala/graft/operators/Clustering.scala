@@ -46,14 +46,18 @@ object Clustering {
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): Seq[Seq[Float]] = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
-    var centroids: Seq[Seq[Float]] = emb
-      .orderBy(md5(col(idCol).cast("string")))
+    // persisted: init + every Lloyd iteration re-consume the projection;
+    // without this each of the iters+1 jobs re-derives the upstream
+    // (possibly a planted/transformed corpus) from the scan
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    var centroids: Seq[Seq[Float]] = v
+      .orderBy(md5(col("id").cast("string")))
       .limit(k)
-      .select(col(vecCol))
+      .select(col("v"))
       .collect().map(_.getSeq[Float](0).toSeq).toSeq
     for (_ <- 0 until iters) {
-      val assigned = emb.select(col(vecCol).as("v"),
-        argmax(cosines(col(vecCol), centroids)).as("cluster"))
+      val assigned = v.select(col("v"),
+        argmax(cosines(col("v"), centroids)).as("cluster"))
       // DECIMAL sums: bit-deterministic means regardless of which
       // reduce-side order the partial aggregates arrive in
       val means = assigned
@@ -68,6 +72,7 @@ object Clustering {
         }
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    v.unpersist()
     centroids
   }
 
