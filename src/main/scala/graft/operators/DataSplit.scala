@@ -93,6 +93,21 @@ object DataSplit {
       .drop("comp")
   }
 
+  /** Deterministic weighted Bernoulli sampling — the importance-
+    * sampling primitive for quality-weighted data mixing: each row is
+    * kept iff its own md5-uniform (first 4 hex chars of md5(id), over
+    * 65536) falls below its weight (clamped to [0,1]). Selection is a
+    * pure per-row predicate: engine-portable, reproducible, independent
+    * of corpus size or storage order, and MONOTONE in the weight — a
+    * doc kept at weight w stays kept at any w' >= w, so re-weighting a
+    * mixture never churns the kept set, it only grows or shrinks it. */
+  def weightedSample(df: DataFrame, idCol: String,
+      weight: Column): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / lit(65536.0)
+    df.filter(u < least(lit(1.0), greatest(lit(0.0), weight.cast("double"))))
+  }
+
   /** Token-budget sampling: keep each stratum's docs, in md5(id) order,
     * until the stratum's token budget is exhausted (a doc is kept when
     * the tokens BEFORE it are under budget, so the cut lands within one

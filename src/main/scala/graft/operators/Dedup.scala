@@ -32,6 +32,22 @@ object Dedup {
     withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
   }
 
+  /** SCD-style upsert collapse: ONE surviving row per key — whichever
+    * sorts first by `order` (pass descending timestamp/sequence columns
+    * for keep-latest semantics; add a unique id as the last sort key so
+    * exact-tie survivors are deterministic). One shuffle on the key;
+    * Spark plans the rank-1 filter as a WindowGroupLimit, so each
+    * partition retains only its current winner rather than sorting whole
+    * groups — the right shape for billion-row upsert compaction. */
+  def keepLatest(df: DataFrame, keyCols: Seq[String],
+      order: Seq[Column]): DataFrame = {
+    require(keyCols.nonEmpty && order.nonEmpty, "keys and order required")
+    df.withColumn("_rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(order: _*)))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Distinct (doc, shingle) pairs, optionally dropping shingles that
     * occur in more than `maxBucket` docs (skew guard; 0 = no cap). */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,

@@ -267,6 +267,18 @@ object CoreQueries {
         (abs(col("approx") - col("exact_cnt")).cast(DoubleType) /
           col("exact_cnt") <= 0.05).cast("int").as("within_5pct"))
 
+  // SCD-style keep-latest compaction: the newest order per customer
+  // (date desc, orderkey desc as the deterministic tie key) — the
+  // upsert/merge collapse every incremental warehouse load needs,
+  // planned as WindowGroupLimit (per-partition winner, no full sort).
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.keepLatest(t(s, dir, "orders"),
+      Seq("o_custkey"),
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+        col("o_orderdate").as("latest_date"))
+      .orderBy("o_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -293,6 +305,7 @@ object CoreQueries {
     "q23_corr_scalar" -> (q23 _),
     "q24_custdist" -> (q24 _),
     "q25_approx_distinct" -> (q25 _),
+    "q26_keep_latest" -> (q26 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,5 +413,11 @@ object CoreQueries {
     "q25_approx_distinct" ->
       ("SELECT count(DISTINCT l_orderkey) AS exact_cnt, " +
         "1 AS within_5pct FROM lineitem"),
+    "q26_keep_latest" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "row_number() OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
+        "SELECT o_custkey, o_orderkey AS latest_order, " +
+        "o_orderdate AS latest_date FROM r WHERE rn = 1 ORDER BY o_custkey"),
   )
 }

@@ -59,11 +59,22 @@ object PipelineQueries {
       .agg(count(lit(1)).as("kept_docs"), sum("n_tokens").as("kept_tokens"))
       .orderBy("source")
 
+  // quality-weighted Bernoulli sampling: keep probability rises with
+  // doc length (capped at 1), selection by each doc's own md5-uniform —
+  // per-source kept mass gates both the hash idiom and the predicate
+  private def p05(s: SparkSession, dir: String): DataFrame =
+    DataSplit.weightedSample(docs(s, dir), "doc_id",
+      col("n_chars") / lit(200.0))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
     "p04_token_budget" -> (p04 _),
+    "p05_weighted_sample" -> (p05 _),
   )
 
   private val bucketSql =
@@ -108,5 +119,13 @@ object PipelineQueries {
         "SELECT source, count(*) AS kept_docs, " +
         "CAST(sum(n_tokens) AS BIGINT) AS kept_tokens " +
         "FROM c WHERE cum - n_tokens < 2000 GROUP BY source ORDER BY source"),
+    "p05_weighted_sample" ->
+      ("WITH w AS (SELECT source, n_chars, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) " +
+        "/ CAST(65536 AS DOUBLE) AS u, " +
+        "least(CAST(1 AS DOUBLE), n_chars / CAST(200 AS DOUBLE)) AS wt " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) " +
+        "AS chars FROM w WHERE u < wt GROUP BY source ORDER BY source"),
   )
 }

@@ -121,4 +121,17 @@ class DataSplitSpec extends SparkSpec {
       DataSplit.tokenBudgetSample(df, "doc_id", "n_tokens", 0L)
     }
   }
+  test("weightedSample: deterministic, monotone in weight, bounds exact") {
+    val df = (1L to 400L).map(i => (i, i % 250)).toDF("doc_id", "len")
+    def kept(scale: Double) = DataSplit
+      .weightedSample(df, "doc_id", col("len") / lit(scale))
+      .select("doc_id").as[Long].collect().toSet
+    val k200 = kept(200.0)
+    assert(kept(200.0) === k200) // deterministic
+    assert(k200.subsetOf(kept(100.0))) // higher weight => superset
+    assert(DataSplit.weightedSample(df, "doc_id", lit(0.0)).count() === 0)
+    assert(DataSplit.weightedSample(df, "doc_id", lit(1.0)).count() === 400)
+    assert(DataSplit.weightedSample(df, "doc_id", lit(-5.0)).count() === 0)
+    assert(DataSplit.weightedSample(df, "doc_id", lit(9.0)).count() === 400)
+  }
 }

@@ -185,4 +185,21 @@ class DedupSpec extends SparkSpec {
       .select("doc").as[Long].collect().toSet
     assert(strict === Set(1L, 2L))
   }
+  test("keepLatest: one survivor per key, latest by order, tie-keyed") {
+    val df = Seq(
+      (1L, "2024-01-01", 10L), (1L, "2024-03-01", 11L),
+      (1L, "2024-03-01", 12L), // same date: higher key wins
+      (2L, "2024-02-01", 20L)
+    ).toDF("cust", "d", "ok")
+    val got = Dedup.keepLatest(df, Seq("cust"),
+      Seq(col("d").desc, col("ok").desc))
+      .select("cust", "ok").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 12L), (2L, 20L)))
+    // plan: rank-1 over a window compiles to WindowGroupLimit
+    val p = Dedup.keepLatest(df, Seq("cust"),
+      Seq(col("d").desc, col("ok").desc))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
