@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.{ConnectedComponents, Dedup}
+import graft.operators.{Clustering, ConnectedComponents, Dedup}
 
 /** End-to-end training-corpus curation: the composition every
   * large-scale text pipeline runs, as one declarative flow.
@@ -26,6 +26,12 @@ import graft.operators.{ConnectedComponents, Dedup}
   * Usage: runMain graft.CorpusCurate --docs <parquet> --out <dir>
   *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
   *   [--collapse cc|greedy] [--max-repetition 1.0] [--max-bucket 0]
+  *   [--embeddings <parquet>] [--semantic-threshold 0.95] [--semantic-k 8]
+  *
+  * `--embeddings` enables a final SemDeDup stage: embedding-space
+  * near-duplicates among the text-stage survivors (k-means-bounded
+  * pairwise cosine, see [[graft.operators.Clustering]]), collapsed to
+  * one representative per component like the lexical stage.
   *
   * `--max-bucket N` caps LSH band buckets at N docs (the 100 TB skew
   * guard); the run's stats then report `dropped_band_buckets` from the
@@ -37,9 +43,12 @@ object CorpusCurate {
   /** Per-stage survivor counts; `droppedBandBuckets` is the LSH
     * hot-bucket cap audit (0 when uncapped or nothing was hot) — a
     * silent recall loss at 100 TB if left unwatched, so curation
-    * reports it alongside the stage counts (r2 judge item #4). */
+    * reports it alongside the stage counts (r2 judge item #4).
+    * `afterSemantic` equals `afterNear` when the embedding stage is
+    * disabled. */
   case class Stats(input: Long, afterQuality: Long, afterLang: Long,
-      afterExact: Long, afterNear: Long, droppedBandBuckets: Long = 0L)
+      afterExact: Long, afterNear: Long, droppedBandBuckets: Long = 0L,
+      afterSemantic: Long = -1L)
 
   /** Build the curation plan. Returns the curated frame plus a stats
     * thunk: all five per-stage counts ride the FIRST action on the
@@ -50,7 +59,9 @@ object CorpusCurate {
     * without any extra scans. */
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
       jaccard: Double, greedyCollapse: Boolean = false,
-      maxRepetition: Double = 1.0, maxBucket: Int = 0)
+      maxRepetition: Double = 1.0, maxBucket: Int = 0,
+      embeddings: Option[DataFrame] = None,
+      semanticThreshold: Double = 0.95, semanticK: Int = 8)
     : (DataFrame, () => Stats) = {
     // no-arg Observation() generates a unique name per call — a fixed
     // name collides when curate() runs more than once in a session (the
@@ -110,13 +121,47 @@ object CorpusCurate {
       else
         ConnectedComponents.nonRepresentatives(pairs, "doc_a", "doc_b")
           .withColumnRenamed("id", "doc_id")
-    val curated = exact
+    val afterNear = exact
       .join(dropIds.withColumn("_dropped", lit(true)), Seq("doc_id"), "left")
       .observe(obsOut,
         count(lit(1)).as("after_exact"),
         count(when(col("_dropped").isNull, 1)).as("after_near"))
       .filter(col("_dropped").isNull)
       .drop("_dropped", "fp")
+
+    // optional SemDeDup stage (Abbas et al. 2023): embedding-space
+    // near-duplicates among the text-stage survivors — k-means clusters
+    // bound the pairwise search, connected components collapse the pair
+    // graph to one representative, exactly like the lexical stage.
+    // Embeddings join on vec_id == doc_id; docs without a vector pass
+    // through untouched.
+    val obsSem = org.apache.spark.sql.Observation()
+    val semDropIds = embeddings.map { emb =>
+      val alivePlain = exactPlain
+        .join(dropIds.withColumn("_d", lit(true)), Seq("doc_id"), "left")
+        .filter(col("_d").isNull)
+        .select(col("doc_id").as("vec_id"))
+      val embAlive = emb.join(alivePlain, Seq("vec_id"), "left_semi")
+      val cents = Clustering.fit(embAlive, "vec_id", "embedding",
+        semanticK, iters = 4)
+      if (cents.isEmpty) // no survivor has a vector: nothing to drop
+        embAlive.select(col("vec_id").as("doc_id")).limit(0)
+      else
+        ConnectedComponents.nonRepresentatives(
+          Clustering.semanticDedupPairs(embAlive, "vec_id", "embedding",
+            cents, semanticThreshold),
+          "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+    }
+    val curated = semDropIds match {
+      case None => afterNear
+      case Some(sd) => afterNear
+        .join(sd.withColumn("_sdrop", lit(true)), Seq("doc_id"), "left")
+        .observe(obsSem,
+          count(when(col("_sdrop").isNull, 1)).as("after_semantic"))
+        .filter(col("_sdrop").isNull)
+        .drop("_sdrop")
+    }
 
     val stats = () => {
       // Observation.get blocks forever if no action has run on the
@@ -148,13 +193,18 @@ object CorpusCurate {
         else Dedup.minHashBandCapAudit(exactPlain, "doc_id", "text",
           n = 3, numHashes = 64, bands = 32, maxBucket = maxBucket)
           .head().getAs[Long]("hot_buckets")
+      val near = out("after_near").asInstanceOf[Long]
+      val sem =
+        if (semDropIds.isEmpty) near
+        else fetch(obsSem)("after_semantic").asInstanceOf[Long]
       Stats(
         in("input").asInstanceOf[Long],
         in("after_quality").asInstanceOf[Long],
         in("after_lang").asInstanceOf[Long],
         out("after_exact").asInstanceOf[Long],
-        out("after_near").asInstanceOf[Long],
-        dropped)
+        near,
+        dropped,
+        sem)
     }
     (curated, stats)
   }
@@ -171,12 +221,17 @@ object CorpusCurate {
       opts.get("jaccard").map(_.toDouble).getOrElse(0.8),
       greedyCollapse = opts.get("collapse").contains("greedy"),
       maxRepetition = opts.get("max-repetition").map(_.toDouble).getOrElse(1.0),
-      maxBucket = opts.get("max-bucket").map(_.toInt).getOrElse(0))
+      maxBucket = opts.get("max-bucket").map(_.toInt).getOrElse(0),
+      embeddings = opts.get("embeddings").map(spark.read.parquet(_)),
+      semanticThreshold =
+        opts.get("semantic-threshold").map(_.toDouble).getOrElse(0.95),
+      semanticK = opts.get("semantic-k").map(_.toInt).getOrElse(8))
     curated.write.mode("overwrite").parquet(opts("out"))
     val s = stats()
     println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +
       s""""after_lang":${s.afterLang},"after_exact_dedup":${s.afterExact},""" +
       s""""after_near_dedup":${s.afterNear},""" +
+      s""""after_semantic_dedup":${s.afterSemantic},""" +
       s""""dropped_band_buckets":${s.droppedBandBuckets}}""")
     spark.stop()
   }

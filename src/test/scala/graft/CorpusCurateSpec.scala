@@ -24,6 +24,33 @@ class CorpusCurateSpec extends SparkSpec {
     assert(residual === 0)
   }
 
+  test("semantic stage drops embedding near-dups the text stages miss") {
+    // docs 1/2 share NO tokens (lexical dedup can't pair them) but
+    // carry near-identical embeddings; doc 3 is lexically and
+    // semantically distinct
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally different text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.999f, 0.001f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val (curated, stats) = CorpusCurate.curate(docs,
+      minQuality = 0.0, langs = Nil, jaccard = 0.8,
+      embeddings = Some(embs), semanticThreshold = 0.99, semanticK = 2)
+    val kept = curated.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L)) // 2 collapses into 1
+    val s = stats()
+    assert(s.afterNear === 3 && s.afterSemantic === 2)
+    // disabled stage: afterSemantic mirrors afterNear
+    val (c2, stats2) = CorpusCurate.curate(docs,
+      minQuality = 0.0, langs = Nil, jaccard = 0.8)
+    c2.count()
+    assert(stats2().afterSemantic === stats2().afterNear)
+  }
+
   test("chains collapse to one representative") {
     val chain = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
