@@ -73,6 +73,53 @@ object Dedup {
         transform(wordShingles(lower(col(textCol)), n), s => xxhash64(s))))
         .as("sh"))
 
+  /** Exact shared-substring-run detection (the corpus-level exact
+    * substring dedup of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022 — suffix-array semantics re-expressed
+    * relationally): for every doc pair sharing a run of at least
+    * `minRun` consecutive tokens, emit the pair and its longest shared
+    * run. A run of R tokens appears as R−n+1 consecutive positional
+    * n-shingles at a constant position offset, so candidates come from
+    * a positional-shingle equi-join grouped by (pair, offset), and run
+    * lengths fall out of the classic pos − row_number() consecutive-
+    * chain trick — aggregations and one join, no suffix array to
+    * build or hold.
+    *
+    * Scale shape: the join key is an 8-byte shingle hash; shingles in
+    * more than `maxBucket` positions corpus-wide are dropped before the
+    * join (boilerplate text — the skew guard every shingle path here
+    * uses; audit with [[shingleCapAudit]]), so bucket width is bounded
+    * and the shuffle carries (doc, pos, hash) triples only. */
+  def sharedRunPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minRun: Int = 15, maxBucket: Int = 1000): DataFrame = {
+    require(minRun >= n, "minRun must be at least the shingle width n")
+    val sh0 = docs
+      .select(col(idCol).as("doc"), tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(0), size(col("tk")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(n))))))
+        .as(Seq("spos", "sh")))
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBucket).select("sh")
+    val sh = sh0.join(hot, Seq("sh"), "left_anti")
+    val m = sh.select(col("doc").as("a"), col("spos").as("pa"), col("sh"))
+      .join(sh.select(col("doc").as("b"), col("spos").as("pb"), col("sh")),
+        "sh")
+      .filter(col("a") < col("b"))
+    val runs = m
+      .withColumn("diff", col("pa") - col("pb"))
+      .withColumn("chain", col("pa") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a", "b", "diff").orderBy("pa")))
+      .groupBy("a", "b", "diff", "chain")
+      .agg((count(lit(1)) + n - 1).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+    runs.groupBy("a", "b")
+      .agg(max(col("run_tokens")).as("max_run"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("max_run"))
+  }
+
   /** One-row audit of what a hot-bucket cap drops: bucket keys whose
     * frequency exceeds `maxBucket`, the rows they carry, and the hottest
     * frequency seen. The caps themselves ([[ngramJaccardPairsPrefix]]'s

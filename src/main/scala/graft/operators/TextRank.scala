@@ -51,6 +51,30 @@ object TextRank {
         col("tfidf"), col("rn"))
   }
 
+  /** Unigram surprisal — the CCNet-style perplexity proxy for quality
+    * filtering: each document's mean negative log-likelihood under the
+    * corpus's own unigram distribution, `-mean(ln p(token))`. Documents
+    * full of corpus-typical tokens score low; rare-token soup scores
+    * high — the cheap stand-in for an LM perplexity filter that needs
+    * no model, just one extra aggregation over the same token pass.
+    * Returns (doc, n_tokens, surprisal); empty docs are absent.
+    *
+    * Scale: the unigram table is vocabulary-sized (broadcast); the
+    * token count rides the same 1-row rider as every corpus constant. */
+  def unigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(terms(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(freq), "term")
+      .crossJoin(broadcast(total))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        ((-sum(log(col("cnt") / col("total")))) / count(lit(1)))
+          .as("surprisal"))
+  }
+
   /** Okapi BM25 top-k documents for a bag of query terms:
     * `sum_q idf_q * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
     * `idf_q = ln(1 + (N - df + 0.5)/(df + 0.5))`. Documents matching no

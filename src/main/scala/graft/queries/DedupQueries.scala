@@ -219,6 +219,16 @@ object DedupQueries {
           lit(0L), (a, x) => a + x).as("q_possum"))
       .orderBy("vec_id")
 
+  // Exact shared-substring-run dedup (Lee et al. 2022 semantics): doc
+  // pairs sharing >= 15 consecutive tokens, with the longest shared run
+  // — positional-shingle equi-join + consecutive-chain counting; the
+  // oracle rebuilds the identical runs from string shingles (bucket
+  // cap mirrored, so the capped candidate set is what's checked).
+  private def d11(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedRunPairs(docs(s, dir), "doc_id", "text",
+      n = 8, minRun = 15, maxBucket = 1000)
+      .orderBy("doc_a", "doc_b")
+
   // Bloom seen-set incremental dedup: the seen-set is every document's
   // fingerprint; the "re-crawl batch" is docs ≡0 (mod 3) verbatim
   // (known duplicates — must ALL bloom-hit: no false negatives) and
@@ -291,6 +301,7 @@ object DedupQueries {
     "d08_cap_audit" -> (d08 _),
     "d09_components" -> (d09 _),
     "d10_bloom_seen" -> (d10 _),
+    "d11_shared_runs" -> (d11 _),
     "s01_ann_topk" -> (s01 _),
     "s02_quantize_int8" -> (s02 _),
     "s03_kmeans_assign" -> (s03 _),
@@ -447,6 +458,29 @@ object DedupQueries {
     }),
   )
 
+  // d11 oracle: identical run construction from STRING shingles (the
+  // 8-byte xxhash join key exists only for shuffle width — equality of
+  // hashed vs string shingles differs only on a 64-bit collision).
+  private val sharedRunsSql =
+    "WITH tk AS (SELECT doc_id, list_filter(" +
+      "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') " +
+      "AS tk FROM documents), " +
+      "s0 AS (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS spos " +
+      "FROM tk WHERE len(tk) >= 8), " +
+      "s AS (SELECT doc_id, spos, " +
+      "array_to_string(tk[spos + 1 : spos + 8], ' ') AS sh FROM s0), " +
+      "ok AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 1000), " +
+      "sf AS (SELECT s.* FROM s JOIN ok USING (sh)), " +
+      "m AS (SELECT sa.doc_id AS a, sb.doc_id AS b, sa.spos AS pa, " +
+      "sb.spos AS pb FROM sf sa JOIN sf sb ON sa.sh = sb.sh " +
+      "AND sa.doc_id < sb.doc_id), " +
+      "r AS (SELECT a, b, pa, pa - pb AS diff, pa - row_number() OVER (" +
+      "PARTITION BY a, b, pa - pb ORDER BY pa) AS chain FROM m), " +
+      "g AS (SELECT a, b, count(*) + 7 AS run_tokens FROM r " +
+      "GROUP BY a, b, diff, chain) " +
+      "SELECT a AS doc_a, b AS doc_b, max(run_tokens) AS max_run FROM g " +
+      "WHERE run_tokens >= 15 GROUP BY a, b ORDER BY doc_a, doc_b"
+
   // d10 oracle: pure set logic over the two fixtures — a doc bloom-hits
   // iff NONE of its positions is missing from the bits table — plus the
   // exact-seen flag recomputed from the reproduced batch.
@@ -566,6 +600,7 @@ object DedupQueries {
         "CAST(sum(qi * i) AS BIGINT) AS q_possum " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
     "d10_bloom_seen" -> bloomSeenSql,
+    "d11_shared_runs" -> sharedRunsSql,
     "s03_kmeans_assign" -> kmeansAssignSql,
     "s04_semantic_dedup" -> semanticDedupSql,
   )

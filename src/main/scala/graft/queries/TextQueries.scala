@@ -119,6 +119,14 @@ object TextQueries {
         round(col("score"), 4).as("score"))
       .orderBy("doc_id") // row order independent of float comparisons
 
+  // unigram surprisal (perplexity-proxy quality signal); n_tokens
+  // rides as an integer anchor
+  private def t12(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.unigramSurprisal(docs(s, dir), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        round(col("surprisal"), 4).as("surprisal"))
+      .orderBy("doc_id").limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -131,6 +139,7 @@ object TextQueries {
     "t09_pii_redact" -> (t09 _),
     "t10_tfidf_topk" -> (t10 _),
     "t11_bm25" -> (t11 _),
+    "t12_surprisal" -> (t12 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -249,6 +258,17 @@ object TextQueries {
         "SELECT doc_id, dl, round(score, 4) AS score FROM " +
         "(SELECT * FROM s ORDER BY s.score DESC, doc_id LIMIT 20) " +
         "ORDER BY doc_id"),
+    "t12_surprisal" ->
+      ("WITH tk AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) " +
+        "AS term FROM documents), " +
+        "f AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term), " +
+        "tot AS (SELECT count(*) AS total FROM tk), " +
+        "j AS (SELECT doc_id, cnt, total FROM tk JOIN f USING (term) " +
+        "CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(-sum(ln(cnt / CAST(total AS DOUBLE))) / count(*), 4) " +
+        "AS surprisal FROM j GROUP BY doc_id ORDER BY doc_id LIMIT 200"),
     // identical plant construction + identical regexes (character
     // classes / bounded repetition / \b only — Java and RE2 agree);
     // DuckDB needs the explicit 'g' flag Spark applies implicitly

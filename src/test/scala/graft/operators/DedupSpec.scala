@@ -202,4 +202,28 @@ class DedupSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
     assert(p.contains("WindowGroupLimit"), p)
   }
+  test("sharedRunPairs: longest shared token run, gaps split runs") {
+    def words(r: Range, tag: String = "w") = r.map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(1 to 20)),                                // base
+      (2L, words(1 to 18) + " x1 x2"),                     // shares 18-run
+      (3L, words(1 to 10) + " y1 y2 " + words(13 to 20)),  // 10-run + 8-run
+      (4L, words(100 to 130))                              // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedRunPairs(docs, "doc_id", "text",
+      n = 8, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2): run of 18; (1,3): the 10-token prefix run survives, the
+    // 8-token tail run is under minRun; (1,4)/(2,4)/(3,4): nothing
+    assert(got === Map((1L, 2L) -> 18L, (1L, 3L) -> 10L, (2L, 3L) -> 10L))
+    // raising minRun above the longest run empties the result
+    assert(Dedup.sharedRunPairs(docs, "doc_id", "text",
+      n = 8, minRun = 19).count() === 0)
+    // a hot boilerplate shingle shared by "everyone" is capped away
+    val boiler = (1L to 9L).map(i => (i, words(1 to 12, "b")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.sharedRunPairs(boiler, "doc_id", "text",
+      n = 8, minRun = 8, maxBucket = 8)
+    assert(capped.count() === 0) // every shingle sits in 9 > 8 positions
+  }
 }

@@ -71,4 +71,19 @@ class TextRankSpec extends SparkSpec {
     }
     assert(aggsAboveFilter.nonEmpty, plan.treeString)
   }
+  test("unigramSurprisal: hand-computed; rare-token doc scores higher") {
+    val got = TextRank.unigramSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // corpus tokens (8 total): cat x3, dog x2, fish x2, bird x1
+    val p = Map("cat" -> 3.0 / 8, "dog" -> 2.0 / 8, "fish" -> 2.0 / 8,
+      "bird" -> 1.0 / 8)
+    def want(ts: String*) =
+      -ts.map(t => math.log(p(t))).sum / ts.size
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - want("cat", "dog", "cat")) < 1e-12)
+    assert(math.abs(got(3L)._2 - want("cat", "fish", "bird")) < 1e-12)
+    // doc 3 holds the rare token -> strictly more surprising than doc 1
+    assert(got(3L)._2 > got(1L)._2)
+  }
 }
