@@ -88,12 +88,19 @@ object ZipfDrive {
     println(s"[zipf] pairs: capped=${prefCapped.size} " +
       s"uncapped=${prefUncapped.size} planted=$plants")
 
-    // 3. capped plain self-join baseline — must equal the capped prefix
+    // 3. capped plain self-join baseline. NOT an invariant comparison:
+    // capped-plain thresholds the jaccard of the CAPPED shingle sets,
+    // while capped-prefix only caps candidate generation and verifies
+    // with full sets — a pair whose hot shingles are one-sided can
+    // cross the threshold in one and not the other. Reported as an
+    // observation; the true invariant (prefix == plain, uncapped) is
+    // spec-asserted in DedupSpec.
     val plainCapped = timed("plain self-join (capped)")(pairSet(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, maxBucket)
         .filter(col("jaccard") >= 0.8)))
-    println(s"[zipf] capped prefix == capped plain: " +
-      s"${prefCapped == plainCapped} (plain=${plainCapped.size})")
+    println(s"[zipf] capped prefix == capped plain (observation, " +
+      s"cap semantics differ): ${prefCapped == plainCapped} " +
+      s"(plain=${plainCapped.size})")
 
     // 4. curation end-to-end with the band cap + audit
     val (curated, stats) = CorpusCurate.curate(docs, minQuality = 0.0,

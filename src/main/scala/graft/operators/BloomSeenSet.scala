@@ -60,7 +60,11 @@ object BloomSeenSet {
     val definiteMiss = pos.join(broadcast(bits), Seq("pos"), "left_anti")
       .select(col("_k")).distinct()
       .withColumn("_miss", lit(1))
-    batch.join(definiteMiss, col(keyCol) === col("_k"), "left")
+    // null-SAFE equality: a null key hashes like any other value (the
+    // xxhash skips the null input, so all nulls share one position set);
+    // plain === would never match the null verdict row back to its
+    // batch rows, silently marking every null-key doc "seen"
+    batch.join(definiteMiss, col(keyCol) <=> col("_k"), "left")
       .withColumn("bloom_hit", col("_miss").isNull)
       .drop("_k", "_miss")
   }

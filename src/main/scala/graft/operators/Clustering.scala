@@ -42,38 +42,43 @@ object Clustering {
     array(centroids.map(c => nanvl(cosTo(vec, c), lit(-2.0))): _*)
 
   /** Fit spherical k-means: returns the k centroids (index = cluster
-    * id). Empty clusters keep their previous centroid. */
+    * id) — fewer than k when the input has fewer than k rows (callers
+    * get exactly one seed per available row). Empty clusters keep their
+    * previous centroid. */
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): Seq[Seq[Float]] = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
     // persisted: init + every Lloyd iteration re-consume the projection;
     // without this each of the iters+1 jobs re-derives the upstream
-    // (possibly a planted/transformed corpus) from the scan
+    // (possibly a planted/transformed corpus) from the scan. try/finally
+    // so a failed iteration doesn't leave the projection cached forever.
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
-    var centroids: Seq[Seq[Float]] = v
-      .orderBy(md5(col("id").cast("string")))
-      .limit(k)
-      .select(col("v"))
-      .collect().map(_.getSeq[Float](0).toSeq).toSeq
-    for (_ <- 0 until iters) {
-      val assigned = v.select(col("v"),
-        argmax(cosines(col("v"), centroids)).as("cluster"))
-      // DECIMAL sums: bit-deterministic means regardless of which
-      // reduce-side order the partial aggregates arrive in
-      val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg((sum(col("x").cast("decimal(27,12)")) / count(lit(1)))
-          .cast("double").cast("float").as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
-        }
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
-    }
-    v.unpersist()
-    centroids
+    try {
+      var centroids: Seq[Seq[Float]] = v
+        .orderBy(md5(col("id").cast("string")))
+        .limit(k)
+        .select(col("v"))
+        .collect().map(_.getSeq[Float](0).toSeq).toSeq
+      for (_ <- 0 until iters) {
+        val assigned = v.select(col("v"),
+          argmax(cosines(col("v"), centroids)).as("cluster"))
+        // DECIMAL sums: bit-deterministic means regardless of which
+        // reduce-side order the partial aggregates arrive in
+        val means = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg((sum(col("x").cast("decimal(27,12)")) / count(lit(1)))
+            .cast("double").cast("float").as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toSeq
+          }
+        centroids =
+          centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally v.unpersist()
   }
 
   /** First index of the array's max — the argmax with ties toward the
@@ -102,9 +107,14 @@ object Clustering {
     * never enumerated. */
   def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Float]], threshold: Double): DataFrame = {
-    val tagged = assign(emb, idCol, vecCol, centroids)
-      .join(emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
-      .select(col("cluster"), col("id"), col("v"))
+    // cluster computed directly on the projection (no join back for the
+    // vector), and the tagged frame is checkpointed: it feeds BOTH sides
+    // of the self-join, which would otherwise re-derive the whole
+    // upstream (in CorpusCurate: the full curation chain) per side
+    val tagged = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", argmax(cosines(col("v"), centroids)))
+      .localCheckpoint(true)
     val a = tagged.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"))
     val b = tagged.select(col("cluster"), col("id").as("id_b"),

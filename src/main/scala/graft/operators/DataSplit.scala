@@ -103,7 +103,13 @@ object DataSplit {
     * mixture never churns the kept set, it only grows or shrinks it. */
   def weightedSample(df: DataFrame, idCol: String,
       weight: Column): DataFrame = {
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+    // ":weight"-salted like stratifiedSample's ":sample": each sampling
+    // primitive draws its own independent uniform — with the UNSALTED
+    // hash, composing weightedSample over a tokenBudgetSample output (or
+    // a split) would re-test the same u and silently break the keep
+    // probability
+    val u = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":weight"))), 1, 4), 16, 10)
       .cast("double") / lit(65536.0)
     df.filter(u < least(lit(1.0), greatest(lit(0.0), weight.cast("double"))))
   }
@@ -133,7 +139,9 @@ object DataSplit {
       else
         org.apache.spark.sql.expressions.Window
           .partitionBy(strataCols.map(col): _*)
-    val w = w0.orderBy(md5(col(idCol).cast("string")))
+    // ":budget" salt: the draw order must be independent of the split/
+    // sampling hash family (same reasoning as stratifiedSample's salt)
+    val w = w0.orderBy(md5(concat(col(idCol).cast("string"), lit(":budget"))))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))

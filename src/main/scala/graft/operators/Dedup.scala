@@ -100,9 +100,14 @@ object Dedup {
         transform(sequence(lit(0), size(col("tk")) - n),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(n))))))
         .as(Seq("spos", "sh")))
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("c"))
-      .filter(col("c") > maxBucket).select("sh")
-    val sh = sh0.join(hot, Seq("sh"), "left_anti")
+    // 0 = no cap, like every other maxBucket in this file
+    val sh =
+      if (maxBucket <= 0) sh0
+      else {
+        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxBucket).select("sh")
+        sh0.join(hot, Seq("sh"), "left_anti")
+      }
     val m = sh.select(col("doc").as("a"), col("spos").as("pa"), col("sh"))
       .join(sh.select(col("doc").as("b"), col("spos").as("pb"), col("sh")),
         "sh")

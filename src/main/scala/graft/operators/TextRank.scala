@@ -69,9 +69,11 @@ object TextRank {
     val total = toks.agg(count(lit(1)).as("total"))
     toks.join(broadcast(freq), "term")
       .crossJoin(broadcast(total))
+      // DECIMAL sum for shuffle-order-independent totals (see bm25TopK)
       .groupBy("doc")
       .agg(count(lit(1)).as("n_tokens"),
-        ((-sum(log(col("cnt") / col("total")))) / count(lit(1)))
+        ((-sum(log(col("cnt") / col("total")).cast("decimal(28,14)"))
+          .cast("double")) / count(lit(1)))
           .as("surprisal"))
   }
 
@@ -104,7 +106,11 @@ object TextRank {
         lit(b) * col("dl") / col("avgdl")))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .groupBy("doc", "dl").agg(sum(termScore).as("score"))
+      // DECIMAL sum: the per-doc total must not depend on which order
+      // the term rows arrive from the shuffle (a double sum does — the
+      // same determinism rule the k-means means follow)
+      .groupBy("doc", "dl")
+      .agg(sum(termScore.cast("decimal(28,14)")).cast("double").as("score"))
       .orderBy(col("score").desc, col("doc"))
       .limit(k)
   }

@@ -16,10 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * brute-force scan this is the hot inner loop.
   *
   * Mismatched lengths use the common prefix; zero-norm inputs yield NaN
-  * (callers filter); null in → null out (BinaryExpression contract).
+  * (callers filter); null in → null out (BinaryExpression contract), and
+  * a null ELEMENT in either array also nulls the result — getFloat on a
+  * null slot reads an undefined value, the silent-divergence trap the
+  * r2 advisor flagged on HyperplaneBuckets (the HOF form null-propagates,
+  * so this keeps the documented bit-identity).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -45,6 +51,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -68,13 +75,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $xi = $a.getFloat($i);
          |  final double $yi = $b.getFloat($i);
          |  $dot += $xi * $yi;
          |  $nx += $xi * $xi;
          |  $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         |}
        """.stripMargin
     })
 

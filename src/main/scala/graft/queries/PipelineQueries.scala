@@ -114,14 +114,14 @@ object PipelineQueries {
         "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) " +
         "AS n_tokens FROM documents), " +
         "c AS (SELECT source, n_tokens, sum(n_tokens) OVER (" +
-        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)) " +
+        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR) || ':budget') " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
         "SELECT source, count(*) AS kept_docs, " +
         "CAST(sum(n_tokens) AS BIGINT) AS kept_tokens " +
         "FROM c WHERE cum - n_tokens < 2000 GROUP BY source ORDER BY source"),
     "p05_weighted_sample" ->
       ("WITH w AS (SELECT source, n_chars, " +
-        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':weight'), 1, 4)) AS INT) " +
         "/ CAST(65536 AS DOUBLE) AS u, " +
         "least(CAST(1 AS DOUBLE), n_chars / CAST(200 AS DOUBLE)) AS wt " +
         "FROM documents) " +

@@ -249,11 +249,12 @@ object TextQueries {
         "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e " +
         "WHERE term IN ('dup', 'spark', 'join') GROUP BY doc_id, dl, term), " +
         "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-        "s AS (SELECT doc_id, dl, sum(" +
+        "s AS (SELECT doc_id, dl, CAST(sum(CAST(" +
         "ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * " +
         "(tf * CAST(2.2 AS DOUBLE)) / " +
         "(tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
-        "CAST(0.75 AS DOUBLE) * dl / avgdl))) AS score " +
+        "CAST(0.75 AS DOUBLE) * dl / avgdl)) AS DECIMAL(28,14))) " +
+        "AS DOUBLE) AS score " +
         "FROM tf JOIN df USING (term) CROSS JOIN st GROUP BY doc_id, dl) " +
         "SELECT doc_id, dl, round(score, 4) AS score FROM " +
         "(SELECT * FROM s ORDER BY s.score DESC, doc_id LIMIT 20) " +
@@ -267,7 +268,8 @@ object TextQueries {
         "j AS (SELECT doc_id, cnt, total FROM tk JOIN f USING (term) " +
         "CROSS JOIN tot) " +
         "SELECT doc_id, count(*) AS n_tokens, " +
-        "round(-sum(ln(cnt / CAST(total AS DOUBLE))) / count(*), 4) " +
+        "round(-CAST(sum(CAST(ln(cnt / CAST(total AS DOUBLE)) " +
+        "AS DECIMAL(28,14))) AS DOUBLE) / count(*), 4) " +
         "AS surprisal FROM j GROUP BY doc_id ORDER BY doc_id LIMIT 200"),
     // identical plant construction + identical regexes (character
     // classes / bounded repetition / \b only — Java and RE2 agree);

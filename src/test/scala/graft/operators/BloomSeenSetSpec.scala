@@ -75,4 +75,20 @@ class BloomSeenSetSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
     assert(p.contains("BroadcastExchange"), p)
   }
+  test("null keys resolve like a real value, never silently 'seen'") {
+    val seen = Seq(Some("a"), Some("b")).toDF("fp")
+    val bits = BloomSeenSet.buildBits(seen, "fp", M, K)
+    val batch = Seq(Some("a"), None, Some("z")).toDF("fp")
+    val marked = BloomSeenSet.markSeen(batch, "fp", bits, M, K)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(marked(Some("a")))
+    assert(!marked(None)) // null fp was never in the seen-set
+    assert(!marked(Some("z")))
+    // and a null key IN the seen-set bloom-hits null batch keys
+    val bits2 = BloomSeenSet.buildBits(
+      Seq(Option.empty[String]).toDF("fp"), "fp", M, K)
+    val m2 = BloomSeenSet.markSeen(batch, "fp", bits2, M, K)
+      .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(m2(None))
+  }
 }

@@ -39,6 +39,19 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(out(3).isNullAt(0))
   }
 
+  test("null ELEMENT propagates to null (both eval paths)") {
+    // interpreted path
+    val df = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(0.0f))))
+      .toDF("a", "b")
+    val interp = df.select(VectorOps.cosine(col("a"), col("b")).as("c"))
+      .collect().head
+    assert(interp.isNullAt(0))
+    // codegen path (SQL over a parquet scan keeps the expr in codegen)
+    GraftExtensions.register(spark)
+    val viaSql = df.selectExpr("cosine_sim(a, b) AS c").collect().head
+    assert(viaSql.isNullAt(0))
+  }
+
   test("SQL registration: cosine_sim callable from plain SQL") {
     GraftExtensions.register(spark)
     val r = spark.sql(
