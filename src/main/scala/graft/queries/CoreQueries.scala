@@ -279,6 +279,24 @@ object CoreQueries {
         col("o_orderdate").as("latest_date"))
       .orderBy("o_custkey")
 
+  // incremental aggregation: two disjoint batch partials merged ==
+  // full recompute (the oracle IS the full recompute) — counts add,
+  // DECIMAL sums are exact, so the merge is bit-identical
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val o = t(s, dir, "orders")
+    val even = IncrementalAgg.partial(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      Seq("o_custkey"), col("o_totalprice"))
+    val odd = IncrementalAgg.partial(
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+      Seq("o_custkey"), col("o_totalprice"))
+    IncrementalAgg.merge(Seq("o_custkey"), even, odd)
+      .select(col("o_custkey"), col("cnt"),
+        col("total").cast("double").as("total"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -306,6 +324,7 @@ object CoreQueries {
     "q24_custdist" -> (q24 _),
     "q25_approx_distinct" -> (q25 _),
     "q26_keep_latest" -> (q26 _),
+    "q27_incremental_agg" -> (q27 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -419,5 +438,9 @@ object CoreQueries {
         "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
         "SELECT o_custkey, o_orderkey AS latest_order, " +
         "o_orderdate AS latest_date FROM r WHERE rn = 1 ORDER BY o_custkey"),
+    "q27_incremental_agg" ->
+      ("SELECT o_custkey, count(*) AS cnt, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
   )
 }

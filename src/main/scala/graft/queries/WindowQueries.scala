@@ -99,6 +99,32 @@ object WindowQueries {
       .orderBy("side")
   }
 
+  // time-RANGE frame: per-user trailing-1h event count and mean value.
+  // Both engines order by integer MICROSECONDS (unix_micros/epoch_us) so
+  // the frame bounds are exact; mean = decimal window sum / window count
+  // (the w02 rendering pattern), rounded.
+  private def w08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("double") / count(lit(1)).over(w), 4).as("avg_1h"))
+      .orderBy("event_id").limit(300)
+  }
+
+  // per-source length deciles (ntile) — quantile bucketing for mixing;
+  // integer sort key + doc_id tie-break keeps it float-free
+  private def w09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ntile(10).over(w).as("decile"))
+      .orderBy("doc_id").limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
@@ -107,6 +133,8 @@ object WindowQueries {
     "w05_pivot_counts" -> (w05 _),
     "w06_cube" -> (w06 _),
     "w07_set_ops" -> (w07 _),
+    "w08_moving_avg" -> (w08 _),
+    "w09_ntile" -> (w09 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,5 +179,16 @@ object WindowQueries {
         "n AS (SELECT DISTINCT k, 'nonbuyer' AS side FROM (SELECT k FROM c EXCEPT SELECT k FROM o)) " +
         "SELECT side, count(*) AS cnt FROM (SELECT * FROM b UNION ALL SELECT * FROM n) " +
         "GROUP BY side ORDER BY side"),
+    "w08_moving_avg" ->
+      ("SELECT event_id, user_id, count(*) OVER w AS n_1h, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) " +
+        "/ count(*) OVER w, 4) AS avg_1h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id LIMIT 300"),
+    "w09_ntile" ->
+      ("SELECT doc_id, source, n_chars, ntile(10) OVER (" +
+        "PARTITION BY source ORDER BY n_chars, doc_id) AS decile " +
+        "FROM documents ORDER BY doc_id LIMIT 300"),
   )
 }
