@@ -147,4 +147,54 @@ object DataSplit {
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .filter(col("cum_tokens") - col(tokensCol) < budget)
   }
+
+  /** Per-domain quota cap: keep at most `maxPerDomain` rows per domain,
+    * chosen by each row's salted md5 rank (a deterministic uniform draw,
+    * so the kept subset is an unbiased sample of the domain and stable
+    * under re-runs; the `idCol` tie-break pins order under duplicate
+    * ids). The web-corpus "no single site dominates" rule: without it a
+    * crawl's top domains swamp the mixture.
+    *
+    * Scale shape: `row_number() <= k` plans as WindowGroupLimit
+    * (Spark 3.5+), so each map task discards beyond-quota rows per
+    * domain BEFORE the shuffle — the exchange carries at most
+    * k·domains·tasks rows, not the corpus. A million-page domain ships
+    * k rows per task, never the million. */
+  def domainQuota(df: DataFrame, idCol: String, domainCol: String,
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    // ":quota" salt: same independent-uniform reasoning as the other
+    // sampling primitives — quota selection must not correlate with
+    // split/sample/budget membership
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":quota"))),
+        col(idCol))
+    df.withColumn("qrank", row_number().over(w))
+      .filter(col("qrank") <= maxPerDomain)
+      .drop("qrank")
+  }
+
+  /** Deterministic training-order shuffle: shard each row by a salted
+    * md5 bucket, then order within the shard by an independent salted
+    * md5 — a reproducible global permutation (approximated as `shards`
+    * independent uniform streams) that any engine can recompute. `pos`
+    * is the row's 1-based position within its shard, so a training job
+    * can resume from (shard, pos) exactly.
+    *
+    * Scale shape: the shard is a per-row projection and the order is a
+    * within-shard sort — one shuffle keyed by shard, NO global sort. At
+    * 100 TB this is `repartition(shard).sortWithinPartitions(md5)` and
+    * a partitioned write; the window here materializes `pos` for the
+    * resumability contract. Shard count bounds the per-task sort. */
+  def shardShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":order"))),
+        col(idCol))
+    df.withColumn("shard",
+      hashBucket(concat(col(idCol).cast("string"), lit(":shard")), shards))
+      .withColumn("pos", row_number().over(w))
+  }
 }

@@ -297,6 +297,21 @@ object CoreQueries {
       .orderBy("o_custkey")
   }
 
+  // anti join: customers with no high-value (>300k) order, counted by
+  // nation. The LeftAnti hash join is the "subtract a key set"
+  // primitive (NOT EXISTS / except-by-key) — the filter lands on the
+  // orders scan BEFORE the join, and at scale the anti side is
+  // shuffled on its key once, never materialized as a distinct set
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    val n = t(s, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -325,6 +340,7 @@ object CoreQueries {
     "q25_approx_distinct" -> (q25 _),
     "q26_keep_latest" -> (q26 _),
     "q27_incremental_agg" -> (q27 _),
+    "q28_anti_join" -> (q28 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -442,5 +458,11 @@ object CoreQueries {
       ("SELECT o_custkey, count(*) AS cnt, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+    "q28_anti_join" ->
+      ("SELECT n_name, count(*) AS cnt FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "GROUP BY n_name ORDER BY n_name"),
   )
 }

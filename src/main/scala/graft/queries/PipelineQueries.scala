@@ -69,12 +69,34 @@ object PipelineQueries {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .orderBy("source")
 
+  // per-domain quota cap ("no single site dominates"): keep at most 10
+  // docs per source by salted-md5 rank. Per-source count + char mass
+  // gate exact membership; the rank<=k filter plans as WindowGroupLimit
+  // so beyond-quota rows die map-side, before the shuffle.
+  private def p06(s: SparkSession, dir: String): DataFrame =
+    DataSplit.domainQuota(docs(s, dir), "doc_id", "source", maxPerDomain = 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+
+  // deterministic training-order shuffle: 8 md5 shards, independent
+  // md5 within-shard order. The position-weighted checksum
+  // sum(pos * doc_id) pins the exact permutation, not just membership.
+  private def p07(s: SparkSession, dir: String): DataFrame =
+    DataSplit.shardShuffle(docs(s, dir), "doc_id", shards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("pos") * col("doc_id")).as("order_fp"))
+      .orderBy("shard")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
     "p04_token_budget" -> (p04 _),
     "p05_weighted_sample" -> (p05 _),
+    "p06_domain_quota" -> (p06 _),
+    "p07_shard_shuffle" -> (p07 _),
   )
 
   private val bucketSql =
@@ -127,5 +149,22 @@ object PipelineQueries {
         "FROM documents) " +
         "SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) " +
         "AS chars FROM w WHERE u < wt GROUP BY source ORDER BY source"),
+    "p06_domain_quota" ->
+      ("WITH r AS (SELECT source, n_chars, row_number() OVER (" +
+        "PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) " +
+        "AS chars FROM r WHERE rn <= 10 GROUP BY source ORDER BY source"),
+    "p07_shard_shuffle" ->
+      ("WITH s AS (SELECT doc_id, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 4)) " +
+        "AS INT) % 8 AS shard FROM documents), " +
+        "o AS (SELECT shard, doc_id, row_number() OVER (PARTITION BY shard " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':order'), doc_id) AS pos " +
+        "FROM s) " +
+        "SELECT shard, count(*) AS docs, " +
+        "CAST(sum(pos * doc_id) AS BIGINT) AS order_fp " +
+        "FROM o GROUP BY shard ORDER BY shard"),
   )
 }

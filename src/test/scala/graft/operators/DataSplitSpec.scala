@@ -134,4 +134,46 @@ class DataSplitSpec extends SparkSpec {
     assert(DataSplit.weightedSample(df, "doc_id", lit(-5.0)).count() === 0)
     assert(DataSplit.weightedSample(df, "doc_id", lit(9.0)).count() === 400)
   }
+
+  test("domainQuota: caps per domain, nested under a raise, map-side limited") {
+    def kept(k: Int) = DataSplit.domainQuota(docs, "doc_id", "source", k)
+      .select("doc_id").as[Long].collect().toSet
+    val k5 = kept(5)
+    val perDomain = DataSplit.domainQuota(docs, "doc_id", "source", 5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perDomain.values.forall(_ <= 5), perDomain)
+    // under-quota domains pass through whole
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    sizes.filter(_._2 <= 5).foreach { case (d, n) =>
+      assert(perDomain.getOrElse(d, 0L) === n)
+    }
+    assert(kept(5) === k5) // deterministic
+    assert(k5.subsetOf(kept(8))) // raising the quota only adds rows
+    // the rank<=k filter must plan as a map-side group limit
+    val p = DataSplit.domainQuota(docs, "doc_id", "source", 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("shardShuffle: dense 1..n positions per shard, deterministic, shuffled") {
+    val out = DataSplit.shardShuffle(docs, "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.length === docs.count())
+    // positions are exactly 1..count within every shard
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $sh positions not dense")
+    }
+    // deterministic across runs
+    val again = DataSplit.shardShuffle(docs, "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // genuinely shuffled: within-shard order must not be doc_id order
+    val inversions = out.groupBy(_._2).values.map { rows =>
+      val byPos = rows.sortBy(_._3).map(_._1)
+      byPos.zip(byPos.tail).count { case (a, b) => a > b }
+    }.sum
+    assert(inversions > 0, "shardShuffle preserved input order")
+  }
 }
