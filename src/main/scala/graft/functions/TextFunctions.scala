@@ -141,6 +141,14 @@ object TextFunctions {
       "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** Content-defined chunk table (see [[graft.plans.CdcChunks]]) over
+    * the RAW text — byte-level dedup must not normalize, or restored
+    * chunks wouldn't reproduce the original. */
+  def cdcChunks(text: Column, minSize: Int = 24, maskBits: Int = 5,
+      maxSize: Int = 128): Column =
+    bridge.column(graft.plans.CdcChunks(
+      bridge.expression(text), minSize, maskBits, maxSize))
+
   /** Winnowing rolling-hash sketch (character-level; see
     * [[graft.plans.WinnowFingerprint]]) over the case/whitespace
     *-normalized text. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{BloomSeenSet, Clustering, ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
+import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -229,6 +229,15 @@ object DedupQueries {
       n = 8, minRun = 15, maxBucket = 1000)
       .orderBy("doc_a", "doc_b")
 
+  // content-defined chunking dedup: corpus-level chunk accounting.
+  // Two-stage oracle: Verify writes the chunk table (doc/idx/start/
+  // len/hash — the gear-hash boundaries the oracle can't recompute)
+  // to {OUT}/aux/d12_chunks; DuckDB redoes the distinct/bytes
+  // accounting from it. The spec layer proves the chunking itself
+  // (exact tiling, size bounds, append-stability, shared-run reuse).
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    Cdc.dedupStats(Cdc.chunkTable(docs(s, dir), "doc_id", "text"))
+
   // Bloom seen-set incremental dedup: the seen-set is every document's
   // fingerprint; the "re-crawl batch" is docs ≡0 (mod 3) verbatim
   // (known duplicates — must ALL bloom-hit: no false negatives) and
@@ -302,6 +311,7 @@ object DedupQueries {
     "d09_components" -> (d09 _),
     "d10_bloom_seen" -> (d10 _),
     "d11_shared_runs" -> (d11 _),
+    "d12_cdc_dedup" -> (d12 _),
     "s01_ann_topk" -> (s01 _),
     "s02_quantize_int8" -> (s02 _),
     "s03_kmeans_assign" -> (s03 _),
@@ -432,6 +442,8 @@ object DedupQueries {
     "d04_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         T.simHash64(col("text")).as("sig"))),
+    "d12_chunks" -> ((s, dir) =>
+      Cdc.chunkTable(docs(s, dir), "doc_id", "text")),
     "d06_fingerprints" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         array_distinct(T.winnowFingerprint(col("text"), 8, 6)).as("fps"))),
@@ -601,6 +613,15 @@ object DedupQueries {
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
     "d10_bloom_seen" -> bloomSeenSql,
     "d11_shared_runs" -> sharedRunsSql,
+    "d12_cdc_dedup" ->
+      ("WITH c AS (SELECT len, hash " +
+        "FROM read_parquet('{OUT}/aux/d12_chunks/*.parquet')), " +
+        "d AS (SELECT hash, min(len) AS clen FROM c GROUP BY hash) " +
+        "SELECT (SELECT count(*) FROM c) AS n_chunks, " +
+        "(SELECT count(*) FROM d) AS distinct_chunks, " +
+        "(SELECT count(*) FROM c) - (SELECT count(*) FROM d) AS dup_chunks, " +
+        "CAST((SELECT sum(len) FROM c) AS BIGINT) AS bytes_total, " +
+        "CAST((SELECT sum(clen) FROM d) AS BIGINT) AS bytes_dedup"),
     "s03_kmeans_assign" -> kmeansAssignSql,
     "s04_semantic_dedup" -> semanticDedupSql,
   )
