@@ -55,12 +55,28 @@ object StreamQueries {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
       .orderBy("c_nationkey")
 
+  // stream-stream interval join (clicks to preceding views of the same
+  // user within 1h) — the SAME watermarked function the streaming spec
+  // drives incrementally; in batch mode it degrades to the theta join
+  // the oracle reproduces
+  private def e06(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts").as("vts"))
+    EventStreams.clickAfterViewJoin(clicks, views)
+      .select(col("click_id"), col("view_id"), col("user_id"))
+      .orderBy("click_id", "view_id").limit(500)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
     "e03_lag_delta" -> (e03 _),
     "e04_user_state" -> (e04 _),
     "e05_enrich_dim" -> (e05 _),
+    "e06_interval_join" -> (e06 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -92,5 +108,12 @@ object StreamQueries {
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "e06_interval_join" ->
+      ("SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id " +
+        "FROM events c JOIN events v ON c.user_id = v.user_id " +
+        "AND c.event_type = 'click' AND v.event_type = 'view' " +
+        "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
+        "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+        "ORDER BY click_id, view_id LIMIT 500"),
   )
 }
