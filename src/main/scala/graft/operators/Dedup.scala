@@ -100,14 +100,18 @@ object Dedup {
         transform(sequence(lit(0), size(col("tk")) - n),
           i => xxhash64(concat_ws(" ", slice(col("tk"), i + lit(1), lit(n))))))
         .as(Seq("spos", "sh")))
-    // 0 = no cap, like every other maxBucket in this file
+    // ONE physical shingle pass (the prefixJoinCore idiom): an explicit
+    // hash-by-`sh` exchange both self-join sides and the cap's window
+    // hang off — ReuseExchange computes it once, so the interpreted
+    // HOF shingling runs once per plan, not three times. The window
+    // count replaces the old hot-list groupBy + anti-join; 0 = no cap,
+    // like every other maxBucket in this file.
+    val base = sh0.repartition(col("sh"))
     val sh =
-      if (maxBucket <= 0) sh0
-      else {
-        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("c"))
-          .filter(col("c") > maxBucket).select("sh")
-        sh0.join(hot, Seq("sh"), "left_anti")
-      }
+      if (maxBucket <= 0) base
+      else base.withColumn("dfc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("dfc") <= maxBucket).drop("dfc")
     val m = sh.select(col("doc").as("a"), col("spos").as("pa"), col("sh"))
       .join(sh.select(col("doc").as("b"), col("spos").as("pb"), col("sh")),
         "sh")
