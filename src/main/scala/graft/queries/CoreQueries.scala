@@ -312,6 +312,29 @@ object CoreQueries {
       .orderBy("n_name")
   }
 
+  // salted-join equivalence: the skew-salted join must produce exactly
+  // the plain join's rows — the oracle IS the plain join. Salting
+  // spreads each left key over 8 sub-keys and replicates the dim side
+  // 8x; content is provably unchanged, only task balance moves.
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+      t(s, dir, "lineitem"),
+      t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), salts = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+
+  // single-scan column profiler: nulls + exact distinct + min/max per
+  // column, every stat from ONE aggregation over one scan (Expand)
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+      .orderBy("col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -341,6 +364,8 @@ object CoreQueries {
     "q26_keep_latest" -> (q26 _),
     "q27_incremental_agg" -> (q27 _),
     "q28_anti_join" -> (q28 _),
+    "q29_salted_join" -> (q29 _),
+    "q30_profile" -> (q30 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -464,5 +489,18 @@ object CoreQueries {
         "WHERE NOT EXISTS (SELECT 1 FROM orders " +
         "WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
         "GROUP BY n_name ORDER BY n_name"),
+    "q29_salted_join" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q30_profile" ->
+      (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus", "l_shipdate").map { c =>
+        s"SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_s, " +
+          s"CAST(max($c) AS VARCHAR) AS max_s FROM lineitem"
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
   )
 }
