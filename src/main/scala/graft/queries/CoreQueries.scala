@@ -335,6 +335,23 @@ object CoreQueries {
         "l_returnflag", "l_linestatus", "l_shipdate"))
       .orderBy("col_name")
 
+  // semi-structured extraction: parse the JSON props column with a
+  // declared schema (from_json is codegen'd and null-safe — a
+  // malformed document yields null, counted, never a failed job) and
+  // aggregate the extracted field. The 100 TB point: the schema is
+  // declared ONCE and pushed through the scan; no schema inference
+  // pass over the corpus
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -366,6 +383,7 @@ object CoreQueries {
     "q28_anti_join" -> (q28 _),
     "q29_salted_join" -> (q29 _),
     "q30_profile" -> (q30 _),
+    "q31_json_extract" -> (q31 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -502,5 +520,11 @@ object CoreQueries {
           s"CAST(min($c) AS VARCHAR) AS min_s, " +
           s"CAST(max($c) AS VARCHAR) AS max_s FROM lineitem"
       }.mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "q31_json_extract" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) " +
+        "AS k_sum, " +
+        "sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) " +
+        "AS n_bad FROM events GROUP BY event_type ORDER BY event_type"),
   )
 }
