@@ -352,6 +352,47 @@ object CoreQueries {
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"))
       .orderBy("event_type")
 
+  // incremental join maintenance: base/delta splits of BOTH join
+  // inputs; stored base⋈base plus the three broadcast-delta terms must
+  // equal a full recompute (the oracle) — the update path never joins
+  // base against base again
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalJoin
+    val li = t(s, dir, "lineitem")
+    val or = t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    val (baseA, deltaA) = (li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0),
+      li.filter(pmod(col("l_orderkey"), lit(3)) === 0))
+    val (baseB, deltaB) = (or.filter(pmod(col("l_orderkey"), lit(5)) =!= 0),
+      or.filter(pmod(col("l_orderkey"), lit(5)) === 0))
+    IncrementalJoin.maintained(baseA.join(baseB, Seq("l_orderkey")),
+      baseA, deltaA, baseB, deltaB, Seq("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // full outer join over derived per-(user, day) activity: which keys
+  // exist on one side only — the reconciliation query (matched /
+  // left-only / right-only) every warehouse audit runs
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "d").agg(count(lit(1)).as("nc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "d").agg(count(lit(1)).as("np"))
+    c.join(p, Seq("user_id", "d"), "full_outer")
+      .agg(
+        sum(when(col("nc").isNotNull && col("np").isNotNull, 1L)
+          .otherwise(0L)).as("both_sides"),
+        sum(when(col("np").isNull, 1L).otherwise(0L)).as("click_only"),
+        sum(when(col("nc").isNull, 1L).otherwise(0L)).as("purchase_only"),
+        sum(coalesce(col("nc"), lit(0L))).as("clicks"),
+        sum(coalesce(col("np"), lit(0L))).as("purchases"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -384,6 +425,8 @@ object CoreQueries {
     "q29_salted_join" -> (q29 _),
     "q30_profile" -> (q30 _),
     "q31_json_extract" -> (q31 _),
+    "q32_delta_join" -> (q32 _),
+    "q33_full_outer" -> (q33 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -526,5 +569,22 @@ object CoreQueries {
         "AS k_sum, " +
         "sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) " +
         "AS n_bad FROM events GROUP BY event_type ORDER BY event_type"),
+    "q32_delta_join" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q33_full_outer" ->
+      ("WITH c AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+        "count(*) AS nc FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+        "count(*) AS np FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "f AS (SELECT nc, np FROM c FULL OUTER JOIN p USING (user_id, d)) " +
+        "SELECT sum(CASE WHEN nc IS NOT NULL AND np IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS both_sides, " +
+        "sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS click_only, " +
+        "sum(CASE WHEN nc IS NULL THEN 1 ELSE 0 END) AS purchase_only, " +
+        "CAST(sum(coalesce(nc, 0)) AS BIGINT) AS clicks, " +
+        "CAST(sum(coalesce(np, 0)) AS BIGINT) AS purchases FROM f"),
   )
 }
