@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Clustering, ConnectedComponents, Dedup}
+import graft.operators.{Clustering, ConnectedComponents, DataSplit, Dedup}
 
 /** End-to-end training-corpus curation: the composition every
   * large-scale text pipeline runs, as one declarative flow.
@@ -27,6 +27,14 @@ import graft.operators.{Clustering, ConnectedComponents, Dedup}
   *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
   *   [--collapse cc|greedy] [--max-repetition 1.0] [--max-bucket 0]
   *   [--embeddings <parquet>] [--semantic-threshold 0.95] [--semantic-k 8]
+  *   [--max-per-domain 0] [--domain-col source]
+  *
+  * `--max-per-domain N` enables a final per-domain quota stage
+  * ([[graft.operators.DataSplit.domainQuota]], the "no single site
+  * dominates" rule): at most N surviving docs per `--domain-col`,
+  * selected by deterministic salted-md5 rank. Runs LAST so the quota
+  * counts only docs that survived quality + dedup — a domain packed
+  * with near-dups doesn't get its quota refilled by them.
   *
   * `--embeddings` enables a final SemDeDup stage: embedding-space
   * near-duplicates among the text-stage survivors (k-means-bounded
@@ -45,10 +53,11 @@ object CorpusCurate {
     * silent recall loss at 100 TB if left unwatched, so curation
     * reports it alongside the stage counts (r2 judge item #4).
     * `afterSemantic` equals `afterNear` when the embedding stage is
-    * disabled. */
+    * disabled; `afterQuota` equals `afterSemantic` when the domain
+    * quota is disabled. */
   case class Stats(input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNear: Long, droppedBandBuckets: Long = 0L,
-      afterSemantic: Long = -1L)
+      afterSemantic: Long = -1L, afterQuota: Long = -1L)
 
   /** Build the curation plan. Returns the curated frame plus a stats
     * thunk: all five per-stage counts ride the FIRST action on the
@@ -61,7 +70,8 @@ object CorpusCurate {
       jaccard: Double, greedyCollapse: Boolean = false,
       maxRepetition: Double = 1.0, maxBucket: Int = 0,
       embeddings: Option[DataFrame] = None,
-      semanticThreshold: Double = 0.95, semanticK: Int = 8)
+      semanticThreshold: Double = 0.95, semanticK: Int = 8,
+      maxPerDomain: Int = 0, domainCol: String = "source")
     : (DataFrame, () => Stats) = {
     // no-arg Observation() generates a unique name per call — a fixed
     // name collides when curate() runs more than once in a session (the
@@ -72,8 +82,13 @@ object CorpusCurate {
 
     // the quality floor and the repetition cap (duplicate-bigram
     // fraction <= maxRepetition; 1.0 disables) form one fused stage —
-    // both are per-row projections over the same token pass
-    val annotated = docs.select(col("doc_id"), col("text"),
+    // both are per-row projections over the same token pass. The domain
+    // column rides along only when the quota stage needs it (the output
+    // schema gains it then — documented).
+    val passThrough =
+      if (maxPerDomain > 0) Seq(col(domainCol)) else Seq.empty
+    val annotated = docs.select(Seq(col("doc_id"), col("text")) ++
+      passThrough: _*).select(col("*"),
       T.tokenCount(col("text")).as("n_tokens"),
       T.qualityScore(col("text")).as("quality"),
       T.repetitionRatio(col("text")).as("repetition"),
@@ -153,7 +168,7 @@ object CorpusCurate {
           "id_a", "id_b")
           .withColumnRenamed("id", "doc_id")
     }
-    val curated = semDropIds match {
+    val afterSem = semDropIds match {
       case None => afterNear
       case Some(sd) => afterNear
         .join(sd.withColumn("_sdrop", lit(true)), Seq("doc_id"), "left")
@@ -162,6 +177,15 @@ object CorpusCurate {
         .filter(col("_sdrop").isNull)
         .drop("_sdrop")
     }
+
+    // final per-domain quota ("no single site dominates") over the
+    // SURVIVORS — near-dup families collapsed above can't refill their
+    // domain's quota. Map-side WindowGroupLimit, see DataSplit.
+    val obsQuota = org.apache.spark.sql.Observation()
+    val curated =
+      if (maxPerDomain <= 0) afterSem
+      else DataSplit.domainQuota(afterSem, "doc_id", domainCol, maxPerDomain)
+        .observe(obsQuota, count(lit(1)).as("after_quota"))
 
     val stats = () => {
       // Observation.get blocks forever if no action has run on the
@@ -197,6 +221,9 @@ object CorpusCurate {
       val sem =
         if (semDropIds.isEmpty) near
         else fetch(obsSem)("after_semantic").asInstanceOf[Long]
+      val quota =
+        if (maxPerDomain <= 0) sem
+        else fetch(obsQuota)("after_quota").asInstanceOf[Long]
       Stats(
         in("input").asInstanceOf[Long],
         in("after_quality").asInstanceOf[Long],
@@ -204,7 +231,8 @@ object CorpusCurate {
         out("after_exact").asInstanceOf[Long],
         near,
         dropped,
-        sem)
+        sem,
+        quota)
     }
     (curated, stats)
   }
@@ -225,13 +253,16 @@ object CorpusCurate {
       embeddings = opts.get("embeddings").map(spark.read.parquet(_)),
       semanticThreshold =
         opts.get("semantic-threshold").map(_.toDouble).getOrElse(0.95),
-      semanticK = opts.get("semantic-k").map(_.toInt).getOrElse(8))
+      semanticK = opts.get("semantic-k").map(_.toInt).getOrElse(8),
+      maxPerDomain = opts.get("max-per-domain").map(_.toInt).getOrElse(0),
+      domainCol = opts.getOrElse("domain-col", "source"))
     curated.write.mode("overwrite").parquet(opts("out"))
     val s = stats()
     println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +
       s""""after_lang":${s.afterLang},"after_exact_dedup":${s.afterExact},""" +
       s""""after_near_dedup":${s.afterNear},""" +
       s""""after_semantic_dedup":${s.afterSemantic},""" +
+      s""""after_domain_quota":${s.afterQuota},""" +
       s""""dropped_band_buckets":${s.droppedBandBuckets}}""")
     spark.stop()
   }

@@ -95,4 +95,25 @@ class CorpusCurateSpec extends SparkSpec {
     assert(run(1.0) === Set(1L, 2L))
     assert(run(0.5) === Set(2L))
   }
+
+  test("domain quota caps surviving docs per source, counted in stats") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val (curated, stats) = CorpusCurate.curate(docs,
+      minQuality = 0.1, langs = Nil, jaccard = 0.8,
+      maxPerDomain = 5)
+    curated.count()
+    val s = stats()
+    val perSource = curated.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSource.values.forall(_ <= 5), perSource)
+    assert(s.afterQuota === perSource.values.sum)
+    assert(s.afterQuota <= s.afterSemantic)
+    // disabled stage: afterQuota mirrors afterSemantic, no source column
+    val (c2, stats2) = CorpusCurate.curate(docs,
+      minQuality = 0.1, langs = Nil, jaccard = 0.8)
+    c2.count()
+    val s2 = stats2()
+    assert(s2.afterQuota === s2.afterSemantic)
+    assert(!c2.columns.contains("source"))
+  }
 }
