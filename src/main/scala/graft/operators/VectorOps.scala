@@ -90,6 +90,34 @@ object VectorOps {
     }
   }
 
+  /** L2 normalization: x / ||x||, the zero vector passed through
+    * unchanged (a 0/0 NaN vector would poison every downstream cosine).
+    * The norm is BOUND once per row via bind — an unbound `nrm` inside
+    * the transform lambda would re-run the sum-of-squares aggregate per
+    * element (projection collapse duplicates subtrees into lambda
+    * reference sites, the same cliff as [[quantizeInt8]]). */
+  def l2Normalize(v: Column): Column = {
+    val nrm = norm(v)
+    graft.functions.TextFunctions.bind(struct(nrm.as("n"), v.as("v"))) { r =>
+      when(r.getField("n") === 0d,
+        transform(r.getField("v"), e => e.cast(DoubleType)))
+        .otherwise(transform(r.getField("v"),
+          e => e.cast(DoubleType) / r.getField("n")))
+    }
+  }
+
+  /** Matryoshka truncation: keep the first `dims` components and
+    * re-normalize — the MRL serving trade (Kusupati et al. 2022):
+    * embeddings trained with matryoshka losses keep most of their
+    * retrieval quality at a prefix of the dimensions, so storing /
+    * searching the 16-dim prefix instead of the full vector is a
+    * dims/16 I/O and compute cut on a 100 TB vector corpus. Pure
+    * projection, no shuffle. */
+  def matryoshka(v: Column, dims: Int): Column = {
+    require(dims > 0, s"dims must be positive: $dims")
+    l2Normalize(slice(v, 1, dims))
+  }
+
   /** Pure-built-ins reference form of [[hyperplaneSignatures]] — kept as
     * the cross-check implementation (one interpreted aggregate/zip_with
     * chain per (table, plane): correct, slow). */

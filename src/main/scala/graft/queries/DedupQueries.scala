@@ -219,6 +219,30 @@ object DedupQueries {
           lit(0L), (a, x) => a + x).as("q_possum"))
       .orderBy("vec_id")
 
+  // matryoshka truncation (first 16 dims) + L2 re-normalization:
+  // integer fingerprints of the rounded components pin the slice and
+  // the normalization; norm_fp is 1000000 for every nonzero vector by
+  // construction (margin ~1e-10 against the rounding boundary, so
+  // engine-order float-sum drift cannot flip it)
+  private def s05(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") <= 100)
+      .select(col("vec_id"),
+        VectorOps.matryoshka(col("embedding"), 16).as("y"))
+      .select(col("vec_id"),
+        size(col("y")).as("n_dims"),
+        expr("CAST(round(" +
+          "sqrt(aggregate(y, 0D, (a, e) -> a + e * e)) * 1000000) " +
+          "AS BIGINT)").as("norm_fp"),
+        aggregate(transform(col("y"),
+            e => round(e * lit(1000000.0)).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_fp"),
+        // 1-based index to mirror generate_subscripts
+        aggregate(transform(col("y"),
+            (e, i) => round(e * lit(1000000.0)).cast("long") *
+              (i.cast("long") + 1L)),
+          lit(0L), (a, x) => a + x).as("pos_fp"))
+      .orderBy("vec_id")
+
   // Exact shared-substring-run dedup (Lee et al. 2022 semantics): doc
   // pairs sharing >= 15 consecutive tokens, with the longest shared run
   // — positional-shingle equi-join + consecutive-chain counting; the
@@ -316,6 +340,7 @@ object DedupQueries {
     "s02_quantize_int8" -> (s02 _),
     "s03_kmeans_assign" -> (s03 _),
     "s04_semantic_dedup" -> (s04 _),
+    "s05_matryoshka" -> (s05 _),
   )
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -611,6 +636,25 @@ object DedupQueries {
         "CAST(sum(qi) AS BIGINT) AS q_sum, " +
         "CAST(sum(qi * i) AS BIGINT) AS q_possum " +
         "FROM q GROUP BY vec_id ORDER BY vec_id"),
+    // norm via sequential list_sum to mirror Spark's sequential
+    // aggregate; per-element roundings are integers after that, so the
+    // final sums are order-independent
+    "s05_matryoshka" ->
+      ("WITH t AS (SELECT vec_id, " +
+        "list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS tx " +
+        "FROM embeddings WHERE vec_id <= 100), " +
+        "n AS (SELECT vec_id, tx, " +
+        "sqrt(list_sum(list_transform(tx, x -> x * x))) AS nrm FROM t), " +
+        "v AS (SELECT vec_id, nrm, generate_subscripts(tx, 1) AS i, " +
+        "unnest(tx) AS x FROM n), " +
+        "z AS (SELECT vec_id, i, " +
+        "CASE WHEN nrm = 0 THEN x ELSE x / nrm END AS y FROM v) " +
+        "SELECT vec_id, count(*) AS n_dims, " +
+        "CAST(round(sqrt(sum(y * y)) * 1000000) AS BIGINT) AS norm_fp, " +
+        "CAST(sum(CAST(round(y * 1000000) AS BIGINT)) AS BIGINT) AS sum_fp, " +
+        "CAST(sum(CAST(round(y * 1000000) AS BIGINT) * i) AS BIGINT) " +
+        "AS pos_fp " +
+        "FROM z GROUP BY vec_id ORDER BY vec_id"),
     "d10_bloom_seen" -> bloomSeenSql,
     "d11_shared_runs" -> sharedRunsSql,
     "d12_cdc_dedup" ->

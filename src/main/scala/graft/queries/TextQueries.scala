@@ -127,6 +127,20 @@ object TextQueries {
         round(col("surprisal"), 4).as("surprisal"))
       .orderBy("doc_id").limit(200)
 
+  // RAG chunking (50-word windows, stride 40 → 10 words of overlap):
+  // per-doc chunk count, word mass, and an order-independent md5
+  // fingerprint of every chunk text pin the exact window contents —
+  // boundaries, overlap, and the short final chunk
+  private def t13(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunker.chunk(docs(s, dir), "doc_id", "text",
+      window = 50, stride = 40)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("chunk_words"),
+        sum(conv(substring(md5(col("chunk_text")), 1, 8), 16, 10)
+          .cast("long")).as("fp"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -140,6 +154,7 @@ object TextQueries {
     "t10_tfidf_topk" -> (t10 _),
     "t11_bm25" -> (t11 _),
     "t12_surprisal" -> (t12 _),
+    "t13_chunking" -> (t13 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -283,5 +298,21 @@ object TextQueries {
         "'\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'), " +
         "'\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS redacted " +
         "FROM p ORDER BY doc_id LIMIT 100"),
+    // same tokenization as t01; DuckDB list slicing is 1-based
+    // inclusive and clamps past the end, mirroring Spark's
+    // slice(arr, start, length) truncation at the final chunk
+    "t13_chunking" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') " +
+        "AS ws FROM documents), " +
+        "nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0), " +
+        "st AS (SELECT doc_id, ws, " +
+        "unnest(generate_series(0, n - 1, 40)) AS s FROM nz), " +
+        "c AS (SELECT doc_id, ws[s + 1 : s + 50] AS cw FROM st) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(len(cw)) AS BIGINT) AS chunk_words, " +
+        "CAST(sum(CAST(('0x' || substr(md5(array_to_string(cw, ' ')), 1, 8)) " +
+        "AS BIGINT)) AS BIGINT) AS fp " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
   )
 }
