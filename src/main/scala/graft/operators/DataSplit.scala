@@ -175,6 +175,37 @@ object DataSplit {
       .drop("qrank")
   }
 
+  /** Temperature-flattened domain mixture: downsample each domain to a
+    * share ∝ n_d^alpha (the multilingual-pretraining smoothing — at
+    * alpha = 1 the mixture is untouched, at alpha → 0 it flattens to
+    * uniform). Feasible pure-downsampling form: keep rate
+    * (n_min / n_d)^(1−alpha), so the smallest domain keeps everything
+    * and every target is ≤ its domain's size — no replication. Selection
+    * is the [[weightedSample]] idiom: each row's own ":temp"-salted
+    * md5-uniform against its domain's rate, so membership is
+    * deterministic, engine-portable, and monotone in alpha.
+    *
+    * Scale shape: one small groupBy for the per-domain counts (domains,
+    * not rows), a broadcast join of the rate table, one codegen'd
+    * filter. NULL domains form their own stratum (null-safe join). */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+    val nmin = counts.agg(min(col("__nd")).as("__nmin"))
+    val rates = counts.crossJoin(nmin)
+      .select(col("__dom"),
+        pow(col("__nmin").cast("double") / col("__nd"),
+          lit(1.0) - lit(alpha)).as("__rate"))
+    val u = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":temp"))), 1, 4), 16, 10)
+      .cast("double") / lit(65536.0)
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"), "inner")
+      .filter(u < col("__rate"))
+      .drop("__dom", "__rate")
+  }
+
   /** Deterministic training-order shuffle: shard each row by a salted
     * md5 bucket, then order within the shard by an independent salted
     * md5 — a reproducible global permutation (approximated as `shards`

@@ -219,6 +219,29 @@ object DedupQueries {
           lit(0L), (a, x) => a + x).as("q_possum"))
       .orderBy("vec_id")
 
+  // fuzzy entity resolution over planted typos: every 40th part name
+  // gets its 3rd character deleted (same construction in the oracle —
+  // the t09 planting pattern), then the dirty names are matched back
+  // to the canonical table via last-token blocking + length band +
+  // levenshtein <= 2. The full match pair list (typo self-matches AND
+  // any true near-collisions among part names) is the gate.
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val part = Tables(s, dir, "part")
+    val canon = part.select(col("p_partkey").as("canon_key"),
+      col("p_name").as("canon_name"))
+    val dirty = part.filter(pmod(col("p_partkey"), lit(40)) === 0)
+      .select(col("p_partkey").as("dirty_key"),
+        concat(substring(col("p_name"), 1, 2),
+          expr("substring(p_name, 4)")).as("dirty_name"))
+    FuzzyJoin.join(dirty, canon,
+      col("dirty_name"), col("canon_name"),
+      FuzzyJoin.lastTokenBlock(col("dirty_name")),
+      FuzzyJoin.lastTokenBlock(col("canon_name")), maxDist = 2)
+      .select(col("dirty_key"), col("canon_key"), col("dist"))
+      .orderBy("dirty_key", "canon_key")
+  }
+
   // matryoshka truncation (first 16 dims) + L2 re-normalization:
   // integer fingerprints of the rounded components pin the slice and
   // the normalization; norm_fp is 1000000 for every nonzero vector by
@@ -341,6 +364,7 @@ object DedupQueries {
     "s03_kmeans_assign" -> (s03 _),
     "s04_semantic_dedup" -> (s04 _),
     "s05_matryoshka" -> (s05 _),
+    "d13_fuzzy_join" -> (d13 _),
   )
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -655,6 +679,25 @@ object DedupQueries {
         "CAST(sum(CAST(round(y * 1000000) AS BIGINT) * i) AS BIGINT) " +
         "AS pos_fp " +
         "FROM z GROUP BY vec_id ORDER BY vec_id"),
+    // identical plant, blocking, and threshold; DuckDB levenshtein is
+    // the same unit-cost edit distance as Spark's
+    "d13_fuzzy_join" ->
+      ("WITH canon AS (SELECT p_partkey AS canon_key, p_name AS canon_name " +
+        "FROM part), " +
+        "dirty AS (SELECT p_partkey AS dirty_key, " +
+        "substr(p_name, 1, 2) || substr(p_name, 4) AS dirty_name " +
+        "FROM part WHERE p_partkey % 40 = 0), " +
+        "lb AS (SELECT dirty_key, dirty_name, list_extract(list_filter(" +
+        "string_split_regex(trim(dirty_name), '\\s+'), t -> t <> ''), -1) " +
+        "AS b FROM dirty), " +
+        "rb AS (SELECT canon_key, canon_name, list_extract(list_filter(" +
+        "string_split_regex(trim(canon_name), '\\s+'), t -> t <> ''), -1) " +
+        "AS b FROM canon), " +
+        "j AS (SELECT dirty_key, canon_key, " +
+        "levenshtein(dirty_name, canon_name) AS dist FROM lb JOIN rb " +
+        "USING (b) WHERE abs(length(dirty_name) - length(canon_name)) <= 2) " +
+        "SELECT dirty_key, canon_key, dist FROM j WHERE dist <= 2 " +
+        "ORDER BY dirty_key, canon_key"),
     "d10_bloom_seen" -> bloomSeenSql,
     "d11_shared_runs" -> sharedRunsSql,
     "d12_cdc_dedup" ->

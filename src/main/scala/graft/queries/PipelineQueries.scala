@@ -89,6 +89,17 @@ object PipelineQueries {
         sum(col("pos") * col("doc_id")).as("order_fp"))
       .orderBy("shard")
 
+  // temperature-flattened domain mixture at alpha = 0.7: per-source
+  // kept-doc counts + char mass gate the exact rate computation
+  // ((n_min/n_d)^(1-alpha) — smallest source keeps all) and the
+  // per-row salted-uniform selection
+  private def p08(s: SparkSession, dir: String): DataFrame =
+    DataSplit.temperatureSample(docs(s, dir), "doc_id", "source",
+      alpha = 0.7)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
@@ -97,6 +108,7 @@ object PipelineQueries {
     "p05_weighted_sample" -> (p05 _),
     "p06_domain_quota" -> (p06 _),
     "p07_shard_shuffle" -> (p07 _),
+    "p08_temperature_mix" -> (p08 _),
   )
 
   private val bucketSql =
@@ -166,5 +178,21 @@ object PipelineQueries {
         "SELECT shard, count(*) AS docs, " +
         "CAST(sum(pos * doc_id) AS BIGINT) AS order_fp " +
         "FROM o GROUP BY shard ORDER BY shard"),
+    // exponent spelled as a DOUBLE subtraction so both engines compute
+    // the identical double (1.0 - 0.7 != 0.3 in binary floating point,
+    // and DuckDB would otherwise do the subtraction in DECIMAL)
+    "p08_temperature_mix" ->
+      ("WITH c AS (SELECT source, count(*) AS nd FROM documents " +
+        "GROUP BY source), " +
+        "m AS (SELECT min(nd) AS nmin FROM c), " +
+        "r AS (SELECT source, pow(CAST(nmin AS DOUBLE) / nd, " +
+        "CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) " +
+        "AS rate FROM c CROSS JOIN m), " +
+        "u AS (SELECT d.source, n_chars, " +
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':temp'), 1, 4)) " +
+        "AS INT) / CAST(65536 AS DOUBLE) AS u, rate " +
+        "FROM documents d JOIN r ON d.source = r.source) " +
+        "SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) " +
+        "AS chars FROM u WHERE u < rate GROUP BY source ORDER BY source"),
   )
 }

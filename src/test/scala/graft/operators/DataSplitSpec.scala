@@ -176,4 +176,32 @@ class DataSplitSpec extends SparkSpec {
     }.sum
     assert(inversions > 0, "shardShuffle preserved input order")
   }
+
+  test("temperatureSample: smallest domain kept whole, larger flattened, " +
+      "alpha=1 is identity, deterministic") {
+    val before = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val nmin = before.values.min
+    val after = DataSplit.temperatureSample(docs, "doc_id", "source", 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // expected rate per domain: (nmin/nd)^(1-alpha); kept counts land
+    // within binomial noise (4 sigma) of rate*nd
+    before.foreach { case (src, nd) =>
+      val rate = math.pow(nmin.toDouble / nd, 0.5)
+      val kept = after.getOrElse(src, 0L).toDouble
+      val sigma = math.sqrt(nd * rate * (1 - rate))
+      assert(math.abs(kept - rate * nd) <= 4 * sigma + 1,
+        s"$src: kept $kept, expected ~${rate * nd}")
+    }
+    // smallest domain keeps everything (rate exactly 1)
+    val smallest = before.minBy(_._2)._1
+    assert(after(smallest) === before(smallest))
+    // alpha = 1: untouched mixture
+    val id = DataSplit.temperatureSample(docs, "doc_id", "source", 1.0)
+    assert(id.count() === docs.count())
+    // deterministic across runs
+    val again = DataSplit.temperatureSample(docs, "doc_id", "source", 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === after)
+  }
 }
