@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, JoinQueries,
-  MultimodalQueries, PipelineQueries, StreamQueries, TextQueries,
-  WindowQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, DedupQueries,
+  JoinQueries, MultimodalQueries, PipelineQueries, StreamQueries,
+  TextQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       StreamQueries.queries ++ MultimodalQueries.queries ++
       WindowQueries.queries ++ JoinQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. A literal
@@ -35,7 +35,7 @@ object SparkEntry {
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       StreamQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       WindowQueries.oracleSql ++ JoinQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ AnalyticsQueries.oracleSql
 
   /** Aux fixtures for two-stage oracles: Verify writes each to
     * {outDir}/aux/{name} so hash-seeded intermediates (e.g. SimHash

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich et al. 2016, public
+  * literature) — learn subword merge rules from a corpus, the tokenizer-
+  * training half of an LLM data pipeline (the reference has no tokenizer;
+  * north-star extension per SURVEY.md §7).
+  *
+  * Scale shape — the one decision that matters at 100 TB: train on the
+  * DISTINCT-WORD table, not the corpus. The corpus-scale work is a single
+  * word-frequency count (map-side combinable shuffle); every merge
+  * iteration then runs on the vocab-sized frame (10^5–10^7 rows
+  * regardless of corpus bytes, Heaps' law), so K merge rounds cost
+  * K × vocab-scans, not K × corpus-scans. Pair counting is relational
+  * (explode adjacent pairs, weighted sum, global top-1 = a 1-row
+  * TakeOrdered); the merge application is a typed map over the
+  * vocab-sized frame — explicitly NOT corpus-bounded, which is why a
+  * per-row Scala function is acceptable here and only here.
+  */
+object BpeTrain {
+
+  /** Corpus-scale step: whitespace word frequencies (one combinable
+    * count shuffle over the corpus — the only corpus-sized job). */
+  def wordFreqs(docs: DataFrame, text: String): DataFrame =
+    docs.select(explode(split(trim(lower(col(text))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Greedy left-to-right, non-overlapping single-merge application:
+    * BPE's standard "apply rule (a,b) → a+b" scan. */
+  private[operators] def applyMerge(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** In-memory reference trainer (used by the property spec as the
+    * oracle; also the exact semantics the distributed path implements).
+    * Tie-break: highest weighted count, then lexicographic (a, b). */
+  private[operators] def trainLocal(words: Map[String, Long],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab: Seq[(Seq[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toSeq, f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed trainer: learns up to `numMerges` merge rules from a
+    * (word, freq) table. Stops early when no adjacent pair remains. */
+  def train(spark: SparkSession, words: DataFrame,
+      numMerges: Int): Seq[(String, String)] = {
+    import spark.implicits._
+    // vocab-sized working frame: (symbols, freq)
+    var vocab = words.select(col("word"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString), f) }
+      .toDF("syms", "freq")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      // adjacent-pair weighted counts: explode zip(syms[0..n-2], syms[1..n-1]);
+      // global argmax is a 1-row TakeOrdered, not a collect of the counts
+      val len = greatest(size(col("syms")) - 1, lit(0))
+      val top = vocab
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), len),
+          slice(col("syms"), lit(2), len),
+          (x, y) => struct(x.as("a"), y.as("b"))))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = vocab.as[(Seq[String], Long)]
+          .map { case (syms, f) => (applyMerge(syms, a, b), f) }
+          .toDF("syms", "freq")
+          .localCheckpoint() // cut the K-deep lineage each round
+        vocab.unpersist()
+        vocab = next
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode words with learned merges (applied in training order) —
+    * vocab-sized typed map; corpus encoding would join words → pieces. */
+  def encode(spark: SparkSession, words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    words.select(col("word"), col("freq").cast("long")).as[(String, Long)]
+      .map { case (w, f) =>
+        val pieces = merges.foldLeft(w.map(_.toString): Seq[String]) {
+          case (syms, (a, b)) => applyMerge(syms, a, b)
+        }
+        (w, pieces, f)
+      }
+      .toDF("word", "pieces", "freq")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics: ordered funnels and cohort retention.
+  *
+  * North-star extensions of the reference's BI consumption surface
+  * (`README.md:274-289` documents the schema being designed for
+  * time-bucketed rollups over the fact table); funnels and retention are
+  * the canonical next questions an analyst asks of the same event-shaped
+  * data, so the engine provides them as first-class operators.
+  *
+  * Scale shape (100 TB event log):
+  *  - [[funnelUserSteps]] never materializes the raw log per user: each
+  *    step is a filtered scan (predicate pushdown prunes to one event
+  *    type) aggregated to ONE row per user before the next join, so every
+  *    shuffle after the first carries user-count rows, not event-count
+  *    rows. Steps chain left joins on the user key — AQE coalesces and
+  *    the per-user frame stays tiny.
+  *  - [[cohortRetention]] is two user-keyed shuffles (first-seen agg +
+  *    join back) followed by a (cohort, offset)-keyed count-distinct; the
+  *    distinct expands to (cohort, offset, user) which is exactly the
+  *    active-user fact — no wider than the input.
+  */
+object EventAnalytics {
+
+  /** Per-user completion timestamps for an ordered step sequence.
+    *
+    * Row per user who completed step 0; column `step_ts_i` is the
+    * earliest time the user completed step i STRICTLY AFTER completing
+    * step i-1 (null once the funnel is abandoned — subsequent steps stay
+    * null because `ts > null` never matches).
+    */
+  def funnelUserSteps(events: DataFrame, user: String, typeCol: String,
+      ts: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step required")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(user))
+      .agg(min(col(ts)).as("step_ts_0"))
+    steps.zipWithIndex.drop(1).foldLeft(first) { case (acc, (step, i)) =>
+      val cand = events.filter(col(typeCol) === step)
+        .select(col(user).as("_cand_user"), col(ts).as("_cand_ts"))
+      val carried = (0 until i).map(j => min(col(s"step_ts_$j")).as(s"step_ts_$j"))
+      acc.join(cand,
+          acc(user) === col("_cand_user") &&
+            col("_cand_ts") > col(s"step_ts_${i - 1}"),
+          "left")
+        .groupBy(col(user))
+        .agg(carried.head, carried.tail :+ min(col("_cand_ts")).as(s"step_ts_$i"): _*)
+    }
+  }
+
+  /** Funnel conversion counts: one row per step with the number of users
+    * who reached it in order. `users` is monotonically non-increasing. */
+  def funnelCounts(events: DataFrame, user: String, typeCol: String,
+      ts: String, steps: Seq[String]): DataFrame = {
+    val perUser = funnelUserSteps(events, user, typeCol, ts, steps)
+    val counts = perUser.agg(
+      count(col("step_ts_0")).as("c0"),
+      steps.indices.drop(1).map(i => count(col(s"step_ts_$i")).as(s"c$i")): _*)
+    val stackArgs = steps.zipWithIndex
+      .map { case (s, i) => s"$i, '${s.replace("'", "''")}', c$i" }
+      .mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stackArgs) AS (step_idx, step, users)")
+      .orderBy("step_idx")
+  }
+
+  /** Cohort retention matrix: users cohorted by first-activity date;
+    * one row per (cohort_date, day_offset) with distinct active users. */
+  def cohortRetention(events: DataFrame, user: String, ts: String): DataFrame = {
+    val e = events.select(col(user), to_date(col(ts)).as("_d"))
+    val cohorts = e.groupBy(col(user)).agg(min(col("_d")).as("cohort_date"))
+    e.join(cohorts, user)
+      .groupBy(col("cohort_date"),
+        datediff(col("_d"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(user)).as("active_users"))
+  }
+
+  /** First and last event type per user (ties broken by `tieCol`) — the
+    * entry/exit view of a user journey, one window pass. */
+  def firstLastEvent(events: DataFrame, user: String, typeCol: String,
+      ts: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(user)).orderBy(col(ts), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events.select(col(user),
+        first(col(typeCol)).over(w).as("first_ev"),
+        last(col(typeCol)).over(w).as("last_ev"))
+      .distinct()
+  }
+}

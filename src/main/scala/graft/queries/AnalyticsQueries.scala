@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.EventAnalytics
+
+/** Event-journey analytics gates: ordered funnel, cohort retention, and
+  * per-user entry/exit — the classic product-analytics questions over the
+  * events table, each with a DuckDB oracle reproducing the semantics.
+  */
+object AnalyticsQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  // ordered funnel signup → view → click → purchase: each step must
+  // happen STRICTLY AFTER the user's first completion of the previous
+  // step (not mere set-membership — the ordering is the hard part)
+  private val funnelSteps = Seq("signup", "view", "click", "purchase")
+
+  private def f01(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnelCounts(events(s, dir),
+      "user_id", "event_type", "ts", funnelSteps)
+
+  private def f02(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.cohortRetention(events(s, dir), "user_id", "ts")
+      .orderBy("cohort_date", "day_offset")
+
+  private def f03(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.firstLastEvent(events(s, dir),
+      "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_funnel_steps" -> (f01 _),
+    "f02_cohort_retention" -> (f02 _),
+    "f03_first_last" -> (f03 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "f01_funnel_steps" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t " +
+        "FROM events), " +
+        "s0 AS (SELECT user_id, min(t) AS t0 FROM e " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s1 AS (SELECT s0.user_id, t0, min(e.t) AS t1 FROM s0 LEFT JOIN e " +
+        "ON e.user_id = s0.user_id AND e.event_type = 'view' AND e.t > s0.t0 " +
+        "GROUP BY s0.user_id, t0), " +
+        "s2 AS (SELECT s1.user_id, t1, min(e.t) AS t2 FROM s1 LEFT JOIN e " +
+        "ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.t > s1.t1 " +
+        "GROUP BY s1.user_id, t1), " +
+        "s3 AS (SELECT s2.user_id, t2, min(e.t) AS t3 FROM s2 LEFT JOIN e " +
+        "ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.t > s2.t2 " +
+        "GROUP BY s2.user_id, t2) " +
+        "SELECT 0 AS step_idx, 'signup' AS step, " +
+        "(SELECT count(*) FROM s0) AS users " +
+        "UNION ALL SELECT 1, 'view', (SELECT count(t1) FROM s1) " +
+        "UNION ALL SELECT 2, 'click', (SELECT count(t2) FROM s2) " +
+        "UNION ALL SELECT 3, 'purchase', (SELECT count(t3) FROM s3) " +
+        "ORDER BY step_idx"),
+    "f02_cohort_retention" ->
+      ("WITH e AS (SELECT user_id, " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
+        "c AS (SELECT user_id, min(d) AS cohort_date FROM e GROUP BY user_id) " +
+        "SELECT cohort_date, CAST(e.d - c.cohort_date AS BIGINT) AS day_offset, " +
+        "count(DISTINCT e.user_id) AS active_users " +
+        "FROM e JOIN c USING (user_id) " +
+        "GROUP BY cohort_date, day_offset ORDER BY cohort_date, day_offset"),
+    "f03_first_last" ->
+      ("SELECT DISTINCT user_id, " +
+        "first_value(event_type) OVER w AS first_ev, " +
+        "last_value(event_type) OVER w AS last_ev FROM events " +
+        "WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id"),
+  )
+}

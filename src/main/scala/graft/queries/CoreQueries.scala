@@ -393,6 +393,36 @@ object CoreQueries {
         sum(coalesce(col("np"), lit(0L))).as("purchases"))
   }
 
+  // argmax/argmin per group (max_by/min_by): WHICH row holds the
+  // extreme, not just the extreme value — one hash aggregate, no
+  // self-join-back-on-max (the naive formulation adds a shuffle and
+  // breaks on ties). Ordering key is a composite BIGINT (value scaled
+  // exact per the e04 convention, event_id as tie-break) so the argmax
+  // is total and engine-portable; at event_id >= 10^7 widen the shift.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val key = round(col("value") * 10000).cast(LongType) * 10000000L +
+      col("event_id")
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(max_by(col("event_id"), key).as("top_event_id"),
+        min_by(col("event_id"), key).as("bottom_event_id"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  // fixed-width histogram: floor-bucketed double division (identical
+  // IEEE op in both engines), counts + exact cent-rendered min/max per
+  // bucket — a single map-side-combinable aggregate, the affordable
+  // distribution profile at any scale (vs sort-based percentiles)
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast(LongType)
+        .as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(round(col("o_totalprice") * 100).cast(LongType)).as("min_cents"),
+        max(round(col("o_totalprice") * 100).cast(LongType)).as("max_cents"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -427,6 +457,8 @@ object CoreQueries {
     "q31_json_extract" -> (q31 _),
     "q32_delta_join" -> (q32 _),
     "q33_full_outer" -> (q33 _),
+    "q34_argmax" -> (q34 _),
+    "q35_histogram" -> (q35 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -586,5 +618,18 @@ object CoreQueries {
         "sum(CASE WHEN nc IS NULL THEN 1 ELSE 0 END) AS purchase_only, " +
         "CAST(sum(coalesce(nc, 0)) AS BIGINT) AS clicks, " +
         "CAST(sum(coalesce(np, 0)) AS BIGINT) AS purchases FROM f"),
+    "q34_argmax" ->
+      ("SELECT event_type, " +
+        "arg_max(event_id, CAST(round(value * 10000) AS BIGINT) * 10000000 " +
+        "+ event_id) AS top_event_id, " +
+        "arg_min(event_id, CAST(round(value * 10000) AS BIGINT) * 10000000 " +
+        "+ event_id) AS bottom_event_id, " +
+        "count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type"),
+    "q35_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, " +
+        "count(*) AS cnt, " +
+        "min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents, " +
+        "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents " +
+        "FROM orders GROUP BY bucket ORDER BY bucket"),
   )
 }

@@ -141,6 +141,30 @@ object TextQueries {
           .cast("long")).as("fp"))
       .orderBy("doc_id")
 
+  // inverted index (token → sorted postings): df band [5, 400] drops
+  // the hottest token (df 402 at sf0.01) BEFORE any postings state is
+  // collected — the head-token guard is what the gate checks engages
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.build(docs(s, dir), "doc_id", "text",
+      minDf = 5L, maxDf = 400L)
+      .orderBy("token")
+
+  // BPE merge training (Sennrich 2016) on the corpus word table:
+  // iterative argmax-merge is not SQL-expressible, so this gate is
+  // rows-only per the driver contract; exact semantics are pinned by
+  // BpeTrainSpec's distributed==in-memory-reference property instead.
+  // The corpus-scale work is wordFreqs' one count shuffle; the 8 merge
+  // rounds run on the vocab-sized frame (31 words at any sf here).
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.operators.BpeTrain.train(s,
+      graft.operators.BpeTrain.wordFreqs(docs(s, dir), "text"), 8)
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("merge_idx", "a", "b")
+      .orderBy("merge_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -155,6 +179,8 @@ object TextQueries {
     "t11_bm25" -> (t11 _),
     "t12_surprisal" -> (t12 _),
     "t13_chunking" -> (t13 _),
+    "t14_inverted_index" -> (t14 _),
+    "t15_bpe_merges" -> (t15 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -314,5 +340,16 @@ object TextQueries {
         "CAST(sum(CAST(('0x' || substr(md5(array_to_string(cw, ' ')), 1, 8)) " +
         "AS BIGINT)) AS BIGINT) AS fp " +
         "FROM c GROUP BY doc_id ORDER BY doc_id"),
+    "t14_inverted_index" ->
+      ("WITH raw AS (SELECT doc_id, " +
+        "unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+        "t -> t <> '')) AS token FROM documents), " +
+        "tok AS (SELECT DISTINCT doc_id, token FROM raw), " +
+        "dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok " +
+        "GROUP BY token HAVING count(*) BETWEEN 5 AND 400) " +
+        "SELECT token, df, " +
+        "array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings " +
+        "FROM tok JOIN dfs USING (token) " +
+        "GROUP BY token, df ORDER BY token"),
   )
 }

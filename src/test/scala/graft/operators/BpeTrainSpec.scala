@@ -1,0 +1,71 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the BPE paper's canonical corpus (Sennrich et al. 2016, public
+  // literature): lowest-loss merges are e+s, es+t, then l+o ...
+  private lazy val paperWords = Map(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  private def wordsDf(m: Map[String, Long]) =
+    m.toSeq.toDF("word", "freq")
+
+  test("train: reproduces the paper example merge sequence") {
+    val merges = BpeTrain.train(spark, wordsDf(paperWords), 4)
+    // e+s (6+3=9), es+t (9), est+? no — w,e in newest/lower... the exact
+    // sequence is pinned by the in-memory reference implementation:
+    assert(merges === BpeTrain.trainLocal(paperWords, 4))
+    assert(merges.take(2) === Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("train: distributed == in-memory reference on random corpora") {
+    val rnd = new Random(42)
+    (1 to 3).foreach { _ =>
+      val words = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+        w
+      }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val expected = BpeTrain.trainLocal(words, 8)
+      val got = BpeTrain.train(spark, wordsDf(words), 8)
+      assert(got === expected)
+    }
+  }
+
+  test("train: stops early when no pairs remain") {
+    val merges = BpeTrain.train(spark, wordsDf(Map("ab" -> 1L)), 10)
+    assert(merges === Seq(("a", "b"))) // then single symbols: no pairs
+  }
+
+  test("applyMerge: greedy left-to-right, non-overlapping") {
+    assert(BpeTrain.applyMerge(Seq("a", "a", "a"), "a", "a") ===
+      Seq("aa", "a"))
+    assert(BpeTrain.applyMerge(Seq("a", "a", "a", "a"), "a", "a") ===
+      Seq("aa", "aa"))
+    assert(BpeTrain.applyMerge(Seq("x", "a", "b", "y"), "a", "b") ===
+      Seq("x", "ab", "y"))
+  }
+
+  test("encode: applies merges in training order") {
+    val merges = BpeTrain.train(spark, wordsDf(paperWords), 10)
+    val pieces = BpeTrain.encode(spark, wordsDf(Map("lowest" -> 1L)), merges)
+      .collect().head.getSeq[String](1)
+    // 'lowest' was never seen whole, but its subwords were: the learned
+    // merges must decompose it into learned units, covering the word
+    assert(pieces.mkString === "lowest")
+    assert(pieces.length < 6) // some merges applied
+  }
+
+  test("wordFreqs: corpus-scale count is the only corpus-sized job") {
+    val docs = Seq((1L, "low low NEWEST"), (2L, "  widest low ")).toDF(
+      "doc_id", "text")
+    val m = BpeTrain.wordFreqs(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("low" -> 3L, "newest" -> 1L, "widest" -> 1L))
+  }
+}

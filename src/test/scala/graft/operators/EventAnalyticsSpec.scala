@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (event_id, user, type, ts)
+  private lazy val events = Seq(
+    // u1 completes the full funnel in order
+    (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+    (2L, 1L, "click", ts("2024-01-01 10:05:00")),
+    (3L, 1L, "purchase", ts("2024-01-01 10:10:00")),
+    // u2: click BEFORE first view must not count; no purchase
+    (4L, 2L, "click", ts("2024-01-02 09:00:00")),
+    (5L, 2L, "view", ts("2024-01-02 10:00:00")),
+    (6L, 2L, "click", ts("2024-01-02 11:00:00")),
+    // u3: view only
+    (7L, 3L, "view", ts("2024-01-03 08:00:00")),
+    // u4: never views — excluded from the funnel entirely
+    (8L, 4L, "purchase", ts("2024-01-01 08:00:00"))
+  ).toDF("event_id", "user_id", "event_type", "ts")
+
+  test("funnelCounts: ordered completion, pre-step events don't count") {
+    val rows = EventAnalytics.funnelCounts(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((0, "view", 3L), (1, "click", 2L),
+      (2, "purchase", 1L)))
+  }
+
+  test("funnelUserSteps: abandoned funnel leaves later steps null") {
+    val m = EventAnalytics.funnelUserSteps(events, "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getTimestamp(3) === ts("2024-01-01 10:10:00"))
+    assert(m(2L).getTimestamp(2) === ts("2024-01-02 11:00:00"))
+    assert(m(2L).isNullAt(3)) // u2 never purchases
+    assert(m(3L).isNullAt(2)) // u3 never clicks
+    assert(m(3L).isNullAt(3)) // ts > null stays null downstream
+    assert(!m.contains(4L))   // never entered the funnel
+  }
+
+  test("cohortRetention: day offsets from per-user first activity") {
+    val rows = EventAnalytics.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_date", "day_offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // u1+u4 cohort 01-01 (2 users day 0); u2 cohort 01-02; u3 cohort 01-03
+    assert(rows.toSeq === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-02", 0L, 1L), ("2024-01-03", 0L, 1L)))
+  }
+
+  test("firstLastEvent: tie-broken entry/exit per user") {
+    val m = EventAnalytics.firstLastEvent(events, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(m(1L) === ("view", "purchase"))
+    assert(m(2L) === ("click", "click"))
+    assert(m(3L) === ("view", "view"))
+    assert(m(4L) === ("purchase", "purchase"))
+  }
+
+  test("firstLastEvent: equal timestamps fall back to the tie column") {
+    val e = Seq(
+      (10L, 9L, "a", ts("2024-01-01 00:00:00")),
+      (11L, 9L, "b", ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventAnalytics.firstLastEvent(e, "user_id", "event_type",
+      "ts", "event_id").collect()
+    assert(r.length === 1)
+    assert((r(0).getString(1), r(0).getString(2)) === ("a", "b"))
+  }
+}
