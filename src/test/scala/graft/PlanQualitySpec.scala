@@ -87,6 +87,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("f01: funnel step joins stay equi-keyed — no nested loops") {
+    // each step's time inequality rides as a join condition on the
+    // user-key equi-join; a planner that lost the equi component would
+    // fall back to BNLJ and melt down at event-log scale
+    val p = SparkEntry.queries("f01_funnel_steps")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t14: inverted index joins on token, no nested loops") {
+    val p = SparkEntry.queries("t14_inverted_index")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // df band must filter between the count and the postings collection
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("q34/q35: single-scan aggregates — no join, partial+final") {
+    for (q <- Seq("q34_argmax", "q35_histogram")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2, s"$q:\n$p")
+    }
+  }
+
   test("sales ETL: broadcast dim join + no shuffle before the write") {
     import spark.implicits._
     val orders = graft.sources.SquareOrders.fromJson(spark,
