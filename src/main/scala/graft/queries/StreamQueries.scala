@@ -70,6 +70,17 @@ object StreamQueries {
       .orderBy("click_id", "view_id").limit(500)
   }
 
+  // streaming funnel state machine in batch mode: each user's history
+  // arrives as one time-sorted group, so the emitted state equals the
+  // relational strictly-after cascade — which is exactly what the
+  // oracle recomputes (steps_completed = non-null cascade steps,
+  // last_step_ts = the deepest completed step's time)
+  private def e07(s: SparkSession, dir: String): DataFrame =
+    EventStreams.funnelProgress(events(s, dir),
+      Seq("signup", "view", "click", "purchase"))
+      .select(col("user_id"), col("steps_completed"), col("last_step_ts"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
@@ -77,6 +88,7 @@ object StreamQueries {
     "e04_user_state" -> (e04 _),
     "e05_enrich_dim" -> (e05 _),
     "e06_interval_join" -> (e06 _),
+    "e07_funnel_state" -> (e07 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -115,5 +127,24 @@ object StreamQueries {
         "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
         "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
         "ORDER BY click_id, view_id LIMIT 500"),
+    "e07_funnel_state" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t " +
+        "FROM events), " +
+        "s0 AS (SELECT user_id, min(t) AS t0 FROM e " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "s1 AS (SELECT s0.user_id, t0, min(e.t) AS t1 FROM s0 LEFT JOIN e " +
+        "ON e.user_id = s0.user_id AND e.event_type = 'view' AND e.t > s0.t0 " +
+        "GROUP BY s0.user_id, t0), " +
+        "s2 AS (SELECT s1.user_id, t0, t1, min(e.t) AS t2 FROM s1 LEFT JOIN e " +
+        "ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.t > s1.t1 " +
+        "GROUP BY s1.user_id, t0, t1), " +
+        "s3 AS (SELECT s2.user_id, t0, t1, t2, min(e.t) AS t3 FROM s2 LEFT JOIN e " +
+        "ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.t > s2.t2 " +
+        "GROUP BY s2.user_id, t0, t1, t2) " +
+        "SELECT user_id, CAST(CASE WHEN t1 IS NULL THEN 1 " +
+        "WHEN t2 IS NULL THEN 2 WHEN t3 IS NULL THEN 3 ELSE 4 END " +
+        "AS INTEGER) AS steps_completed, " +
+        "coalesce(t3, t2, t1, t0) AS last_step_ts " +
+        "FROM s3 ORDER BY user_id"),
   )
 }

@@ -163,6 +163,65 @@ object EventStreams {
       }
   }
 
+  case class FunnelProgress(user_id: Long, steps_completed: Int,
+      last_step_ts: Timestamp)
+
+  /** Streaming funnel state machine: per-user progress through an
+    * ordered step sequence, strictly-after semantics matching
+    * [[graft.operators.EventAnalytics.funnelUserSteps]] — step i only
+    * counts when its event time is strictly after the time step i-1
+    * completed. State is (steps_completed, last_step_ts): two fields
+    * per user regardless of event volume.
+    *
+    * Rows WITHIN a trigger are buffered and time-sorted before the
+    * scan (groupsWithState iterators carry no order guarantee — an
+    * unsorted scan would miss a view/click arriving in the same batch
+    * out of order). Across triggers the machine processes in arrival
+    * order: an event older than the user's current progress cannot
+    * rewind it (the standard at-scale trade; bound staleness with the
+    * source watermark). In batch mode each user's whole history arrives
+    * as one sorted group, so the result equals the batch cascade —
+    * the stream==batch spec asserts exactly that. */
+  def funnelProgress(events: DataFrame, steps: Seq[String])
+    : Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(steps.nonEmpty, "at least one funnel step required")
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String, Long)],
+            state: GroupState[FunnelProgress]) =>
+          // epoch-0 placeholder: never compared (the strictly-after
+          // check is skipped until step 0 completes), and — unlike a
+          // Long.MinValue Timestamp — serializable into state (the
+          // state row codec multiplies millis to micros)
+          val prev = state.getOption
+            .getOrElse(FunnelProgress(user, 0, new Timestamp(0L)))
+          var completed = prev.steps_completed
+          var lastTs = prev.last_step_ts
+          // keep only funnel-step events, time-sorted within the batch
+          val sorted = rows
+            .filter(r => stepIdx.contains(r._3))
+            .toSeq.sortBy(r => (r._2.getTime, r._4))
+          sorted.foreach { case (_, t, tpe, _) =>
+            if (completed < steps.length &&
+                stepIdx(tpe) == completed &&
+                (completed == 0 || t.after(lastTs))) {
+              completed += 1
+              lastTs = t
+            }
+          }
+          val next = FunnelProgress(user, completed, lastTs)
+          state.update(next)
+          if (completed > 0) Iterator(next) else Iterator.empty
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: a running per-user
     * event counter + value total, emitting an update per trigger batch.
     * Demonstrates arbitrary stateful processing beyond built-in windows. */

@@ -220,6 +220,55 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress: incremental == batch == the relational cascade") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // u1 completes in order across two triggers; u2's click precedes its
+    // view (same trigger, out-of-order INSIDE the batch — the buffered
+    // sort must handle it); u3 never views
+    val funnelRows = Seq(
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(5), 1L, "click", 0.0),
+      (10L, ts(3), 2L, "click", 0.0),
+      (11L, ts(2), 2L, "view", 0.0), // view@2 < click@3: click counts
+      (20L, ts(1), 3L, "purchase", 0.0),
+      // trigger 2
+      (3L, ts(30), 1L, "purchase", 0.0),
+      (12L, ts(40), 2L, "purchase", 0.0)) // purchase without click-after-view? click@3 counted, so full funnel
+    val asTuples = funnelRows.map(r => (r._1, r._2, r._3, r._4, r._5))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.funnelProgress(streamDf, steps)
+      .writeStream.format("memory").queryName("fp")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(asTuples.take(5))
+      q.processAllAvailable()
+      mem.addData(asTuples.drop(5))
+      q.processAllAvailable()
+      val last = spark.table("fp")
+        .groupBy("user_id")
+        .agg(max(struct(col("steps_completed"), col("last_step_ts"))).as("s"))
+        .select(col("user_id"), col("s.steps_completed"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batchDf = funnelRows
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = EventStreams.funnelProgress(batchDf, steps)
+        .collect().map(r => (r.user_id, r.steps_completed)).toSet
+      assert(last === batch)
+      assert(last === Set((1L, 3), (2L, 3)))
+      // agreement with the relational batch cascade: steps completed ==
+      // count of non-null step_ts columns per user
+      val cascade = graft.operators.EventAnalytics
+        .funnelUserSteps(batchDf, "user_id", "event_type", "ts", steps)
+        .collect()
+        .map(r => (r.getLong(0), (1 to 3).count(i => !r.isNullAt(i))))
+        .toSet
+      assert(cascade === last)
+    } finally q.stop()
+  }
+
   test("userStateTotals: NULL values count as events and add 0") {
     val df = Seq((1L, Some(2.5)), (1L, None), (2L, None))
       .toDF("user_id", "value")
