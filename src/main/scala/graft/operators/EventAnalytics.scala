@@ -79,6 +79,29 @@ object EventAnalytics {
       .agg(countDistinct(col(user)).as("active_users"))
   }
 
+  /** Gap-filled daily counts: one row per (event type, day) across the
+    * FULL observed date span, zero-filled where no events occurred —
+    * the date-spine join every dashboard needs (a groupBy alone
+    * silently drops empty days). The spine derives from a 1-row
+    * min/max aggregate exploded through `sequence` (no driver loop),
+    * the type dim is a distinct scan, and both sides of the
+    * spine×types cross join are tiny derived dimensions (days ×
+    * types), so the only data-scale work is the one daily-count
+    * shuffle. */
+  def gapFillDailyCounts(events: DataFrame, typeCol: String,
+      ts: String): DataFrame = {
+    val e = events.select(col(typeCol).as("event_type"),
+      to_date(col(ts)).as("d"))
+    val spine = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val types = e.select("event_type").distinct()
+    val cnt = e.groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+    spine.crossJoin(types)
+      .join(cnt, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("c"), lit(0L)).as("cnt"))
+  }
+
   /** First and last event type per user (ties broken by `tieCol`) — the
     * entry/exit view of a user journey, one window pass. */
   def firstLastEvent(events: DataFrame, user: String, typeCol: String,

@@ -33,10 +33,15 @@ object AnalyticsQueries {
       "user_id", "event_type", "ts", "event_id")
       .orderBy("user_id")
 
+  private def f04(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.gapFillDailyCounts(events(s, dir), "event_type", "ts")
+      .orderBy("event_type", "d")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
+    "f04_gap_fill" -> (f04 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -76,5 +81,17 @@ object AnalyticsQueries {
         "ORDER BY CAST(ts AS TIMESTAMP), event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY user_id"),
+    "f04_gap_fill" ->
+      ("WITH e AS (SELECT event_type, " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), " +
+        "b AS (SELECT min(d) AS lo, max(d) AS hi FROM e), " +
+        "spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), " +
+        "CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM b), " +
+        "types AS (SELECT DISTINCT event_type FROM e), " +
+        "cnt AS (SELECT event_type, d, count(*) AS c FROM e GROUP BY 1, 2) " +
+        "SELECT t.event_type, s.d, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt " +
+        "FROM spine s CROSS JOIN types t " +
+        "LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = s.d " +
+        "ORDER BY t.event_type, s.d"),
   )
 }

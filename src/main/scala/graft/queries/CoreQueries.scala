@@ -423,6 +423,19 @@ object CoreQueries {
         max(round(col("o_totalprice") * 100).cast(LongType)).as("max_cents"))
       .orderBy("bucket")
 
+  // Z-order curve values (Morton interleave): the layout optimizer's
+  // core arithmetic, pure codegen'd bit ops, bit-identical across
+  // engines (the oracle runs the same 16-term interleave in DuckDB).
+  // The write-side clustering built on it is exercised in ZOrderSpec
+  // with a measured per-file range-width contraction.
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+          .as("zv"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("zv"))
+      .limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -459,6 +472,7 @@ object CoreQueries {
     "q33_full_outer" -> (q33 _),
     "q34_argmax" -> (q34 _),
     "q35_histogram" -> (q35 _),
+    "q36_zvalue" -> (q36 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -631,5 +645,10 @@ object CoreQueries {
         "min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents, " +
         "max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents " +
         "FROM orders GROUP BY bucket ORDER BY bucket"),
+    "q36_zvalue" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(" +
+        graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey") +
+        " AS BIGINT) AS zv FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber, zv LIMIT 200"),
   )
 }

@@ -68,6 +68,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(m(4L) === ("purchase", "purchase"))
   }
 
+  test("gapFillDailyCounts: empty days appear zero-filled") {
+    val rows = EventAnalytics.gapFillDailyCounts(events, "event_type", "ts")
+      .orderBy("event_type", "d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    // span 01-01..01-03: every type × every day present, zeros included
+    assert(rows.length === 3 * 3) // 3 types × 3 days
+    val m = rows.map { case (t, d, c) => (t, d) -> c }.toMap
+    assert(m(("purchase", "2024-01-01")) === 2L)
+    assert(m(("purchase", "2024-01-02")) === 0L) // gap, zero-filled
+    assert(m(("view", "2024-01-03")) === 1L)
+    assert(m(("click", "2024-01-03")) === 0L)
+  }
+
   test("firstLastEvent: equal timestamps fall back to the tie column") {
     val e = Seq(
       (10L, 9L, "a", ts("2024-01-01 00:00:00")),
