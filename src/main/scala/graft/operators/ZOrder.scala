@@ -82,4 +82,26 @@ object ZOrder {
     df.groupBy(input_file_name().as("file"))
       .agg((max(col(c)) - min(col(c))).cast("double").as("width"),
         count(lit(1)).as("rows"))
+
+  /** Min/max cut index of a written dataset: one row per file with both
+    * columns' bounds. At cluster scale this is computed ONCE at write
+    * time and stored beside the data (a stats/manifest table — the
+    * lakehouse pattern); here it's derived by a scan for the spec. */
+  def statsIndex(df: DataFrame, c1: String, c2: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(c1)).as("min1"), max(col(c1)).as("max1"),
+        min(col(c2)).as("min2"), max(col(c2)).as("max2"))
+
+  /** File-skipping for a box predicate: the files whose [min,max]
+    * envelope intersects the query box — the only files a reader must
+    * open (the envelope check is conservative, so reading these and
+    * applying the exact predicate equals the full scan). The index is
+    * driver-sized (one row per file); the collect is of pruned PATHS,
+    * not data. Z-ordering is what makes this list short. */
+  def boxFiles(index: DataFrame,
+      lo1: Long, hi1: Long, lo2: Long, hi2: Long): Seq[String] =
+    index
+      .filter(col("max1") >= lo1 && col("min1") <= hi1 &&
+        col("max2") >= lo2 && col("min2") <= hi2)
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
 }

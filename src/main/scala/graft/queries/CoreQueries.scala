@@ -436,6 +436,18 @@ object CoreQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("zv"))
       .limit(200)
 
+  // exact heavy hitters via bounded per-partition summaries: candidates
+  // from Misra-Gries sketches (no false negatives), exact counts on the
+  // candidate semi-join only — the key domain is never fully shuffled.
+  // The plain-HAVING oracle proves the two-pass answer exact. Both
+  // engines derive the threshold as ceil of the SAME double product,
+  // so the cut is bit-identical.
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.heavyHitters(
+      t(s, dir, "lineitem").select("l_partkey"), "l_partkey",
+      support = 0.0008)
+      .orderBy("l_partkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -473,6 +485,7 @@ object CoreQueries {
     "q34_argmax" -> (q34 _),
     "q35_histogram" -> (q35 _),
     "q36_zvalue" -> (q36 _),
+    "q37_heavy_hitters" -> (q37 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -650,5 +663,10 @@ object CoreQueries {
         graft.operators.ZOrder.zValueSql("l_partkey", "l_suppkey") +
         " AS BIGINT) AS zv FROM lineitem " +
         "ORDER BY l_orderkey, l_linenumber, zv LIMIT 200"),
+    "q37_heavy_hitters" ->
+      ("SELECT l_partkey, count(*) AS cnt FROM lineitem " +
+        "GROUP BY l_partkey HAVING count(*) >= (SELECT " +
+        "CAST(ceil(0.0008 * count(*)) AS BIGINT) FROM lineitem) " +
+        "ORDER BY l_partkey"),
   )
 }

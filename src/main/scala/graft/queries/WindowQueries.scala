@@ -125,6 +125,28 @@ object WindowQueries {
       .orderBy("doc_id").limit(300)
   }
 
+  // bounded-state top-k per group (TopKAgg Aggregator): top-3 orders
+  // per customer by exact cent price. The window formulation (w01's
+  // shape) sorts every row of every group; this one is a partial+final
+  // aggregate whose buffer holds <= 3 entries — per-group shuffle
+  // volume is k rows per map partition, not the group. The oracle is
+  // the window formulation, so the gate proves agg == window exactly.
+  private def w10(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long)]())
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"),
+        col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(topk(col("cents"), col("o_orderkey")).as("ids"))
+      .select(col("o_custkey"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",")
+          .as("top_orders"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
@@ -135,6 +157,7 @@ object WindowQueries {
     "w07_set_ops" -> (w07 _),
     "w08_moving_avg" -> (w08 _),
     "w09_ntile" -> (w09 _),
+    "w10_topk_agg" -> (w10 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -190,5 +213,13 @@ object WindowQueries {
       ("SELECT doc_id, source, n_chars, ntile(10) OVER (" +
         "PARTITION BY source ORDER BY n_chars, doc_id) AS decile " +
         "FROM documents ORDER BY doc_id LIMIT 300"),
+    "w10_topk_agg" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn " +
+        "FROM orders) " +
+        "SELECT o_custkey, array_to_string(" +
+        "list(o_orderkey ORDER BY rn), ',') AS top_orders " +
+        "FROM r WHERE rn <= 3 GROUP BY o_custkey ORDER BY o_custkey"),
   )
 }

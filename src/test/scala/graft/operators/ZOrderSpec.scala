@@ -68,6 +68,29 @@ class ZOrderSpec extends SparkSpec {
       s"area: z-order ${area._2} vs natural ${area._1}")
   }
 
+  test("boxFiles: a box query on the z-ordered layout skips most files " +
+      "and loses no rows") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val dir = Files.createTempDirectory("zbox").toString
+    ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey", dir, 16)
+    val written = spark.read.parquet(dir)
+    val index = ZOrder.statsIndex(written, "l_partkey", "l_suppkey")
+      .cache()
+    val (lo1, hi1, lo2, hi2) = (10L, 30L, 2L, 5L)
+    val files = ZOrder.boxFiles(index, lo1, hi1, lo2, hi2)
+    // pruning: the box covers ~10% of partkey range x ~40% of suppkey
+    // range; the z-layout must confine it to a minority of the 16 files
+    assert(files.nonEmpty && files.length <= 8,
+      s"read ${files.length} of 16 files")
+    // correctness: pruned read + exact predicate == full-scan filter
+    val boxPred = col("l_partkey").between(lo1, hi1) &&
+      col("l_suppkey").between(lo2, hi2)
+    val pruned = spark.read.parquet(files: _*).filter(boxPred).count()
+    val full = written.filter(boxPred).count()
+    assert(pruned === full && full > 0)
+  }
+
   test("fileRanges accounts for every row") {
     val dir = Files.createTempDirectory("zr").toString
     spark.range(100).select(col("id"), (col("id") % 7).as("k"))
