@@ -266,6 +266,17 @@ object DedupQueries {
           lit(0L), (a, x) => a + x).as("pos_fp"))
       .orderBy("vec_id")
 
+  // JL random projection with an engine-portable sign matrix: the
+  // md5-parity ±1 signs and the 1e-4 integer quantization make each
+  // projection an exact integer dot product the oracle recomputes
+  // verbatim (no float-order sensitivity) — the dimensionality-
+  // reduction pre-step for clustering/ANN, gated bit-exact.
+  private def s06(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RandomProjection.projectExact(
+      emb(s, dir).filter(col("vec_id") <= 100),
+      "vec_id", "embedding", d = 64, k = 8)
+      .orderBy("vec_id", "k")
+
   // Exact shared-substring-run dedup (Lee et al. 2022 semantics): doc
   // pairs sharing >= 15 consecutive tokens, with the longest shared run
   // — positional-shingle equi-join + consecutive-chain counting; the
@@ -364,6 +375,7 @@ object DedupQueries {
     "s03_kmeans_assign" -> (s03 _),
     "s04_semantic_dedup" -> (s04 _),
     "s05_matryoshka" -> (s05 _),
+    "s06_random_project" -> (s06 _),
     "d13_fuzzy_join" -> (d13 _),
   )
 
@@ -663,6 +675,15 @@ object DedupQueries {
     // norm via sequential list_sum to mirror Spark's sequential
     // aggregate; per-element roundings are integers after that, so the
     // final sums are order-independent
+    "s06_random_project" ->
+      ("WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xf " +
+        "FROM embeddings WHERE vec_id <= 100), " +
+        "k AS (SELECT unnest(range(8)) AS k) " +
+        "SELECT vec_id, CAST(k.k AS INTEGER) AS k, " +
+        "CAST(SUM(CASE WHEN CAST('0x' || substr(md5(k.k || '_' || v.j), 1, 1) " +
+        "AS INTEGER) % 2 = 0 THEN xf ELSE -xf END) AS BIGINT) AS proj " +
+        "FROM v CROSS JOIN k GROUP BY vec_id, k.k ORDER BY vec_id, k"),
     "s05_matryoshka" ->
       ("WITH t AS (SELECT vec_id, " +
         "list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS tx " +
