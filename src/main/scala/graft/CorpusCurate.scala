@@ -28,6 +28,12 @@ import graft.operators.{Clustering, ConnectedComponents, DataSplit, Dedup}
   *   [--collapse cc|greedy] [--max-repetition 1.0] [--max-bucket 0]
   *   [--embeddings <parquet>] [--semantic-threshold 0.95] [--semantic-k 8]
   *   [--max-per-domain 0] [--domain-col source]
+  *   [--decontaminate <benchParquet>] [--min-bench-overlap 8]
+  *
+  * `--decontaminate <parquet>` enables benchmark decontamination
+  * (GPT-3-style shared-n-gram filter, [[Dedup.contaminationPairs]]):
+  * survivors sharing >= `--min-bench-overlap` trigrams with any bench
+  * doc are dropped, with the count reported as `after_decontamination`.
   *
   * `--max-per-domain N` enables a final per-domain quota stage
   * ([[graft.operators.DataSplit.domainQuota]], the "no single site
@@ -57,7 +63,8 @@ object CorpusCurate {
     * quota is disabled. */
   case class Stats(input: Long, afterQuality: Long, afterLang: Long,
       afterExact: Long, afterNear: Long, droppedBandBuckets: Long = 0L,
-      afterSemantic: Long = -1L, afterQuota: Long = -1L)
+      afterSemantic: Long = -1L, afterQuota: Long = -1L,
+      afterDecon: Long = -1L)
 
   /** Build the curation plan. Returns the curated frame plus a stats
     * thunk: all five per-stage counts ride the FIRST action on the
@@ -71,7 +78,8 @@ object CorpusCurate {
       maxRepetition: Double = 1.0, maxBucket: Int = 0,
       embeddings: Option[DataFrame] = None,
       semanticThreshold: Double = 0.95, semanticK: Int = 8,
-      maxPerDomain: Int = 0, domainCol: String = "source")
+      maxPerDomain: Int = 0, domainCol: String = "source",
+      bench: Option[DataFrame] = None, minBenchOverlap: Int = 8)
     : (DataFrame, () => Stats) = {
     // no-arg Observation() generates a unique name per call — a fixed
     // name collides when curate() runs more than once in a session (the
@@ -178,13 +186,35 @@ object CorpusCurate {
         .drop("_sdrop")
     }
 
+    // optional benchmark decontamination (GPT-3-style n-gram filter):
+    // drop any doc sharing >= minBenchOverlap n-grams with the eval
+    // set. Contamination is a property of the TEXT, not of pipeline
+    // position, so the contaminated-id set is computed once from the
+    // raw input (shared-shingle equi-join vs the small bench side) and
+    // applied here as an anti-join on the survivors.
+    val obsDecon = org.apache.spark.sql.Observation()
+    val deconIds = bench.map { b =>
+      Dedup.contaminationPairs(docs, b, "doc_id", "text",
+        n = 3, minOverlap = minBenchOverlap, maxBucket = maxBucket)
+        .select(col("doc").as("doc_id")).distinct()
+    }
+    val afterDecon = deconIds match {
+      case None => afterSem
+      case Some(ids) => afterSem
+        .join(ids.withColumn("_contam", lit(true)), Seq("doc_id"), "left")
+        .observe(obsDecon,
+          count(when(col("_contam").isNull, 1)).as("after_decon"))
+        .filter(col("_contam").isNull)
+        .drop("_contam")
+    }
+
     // final per-domain quota ("no single site dominates") over the
     // SURVIVORS — near-dup families collapsed above can't refill their
     // domain's quota. Map-side WindowGroupLimit, see DataSplit.
     val obsQuota = org.apache.spark.sql.Observation()
     val curated =
-      if (maxPerDomain <= 0) afterSem
-      else DataSplit.domainQuota(afterSem, "doc_id", domainCol, maxPerDomain)
+      if (maxPerDomain <= 0) afterDecon
+      else DataSplit.domainQuota(afterDecon, "doc_id", domainCol, maxPerDomain)
         .observe(obsQuota, count(lit(1)).as("after_quota"))
 
     val stats = () => {
@@ -221,8 +251,11 @@ object CorpusCurate {
       val sem =
         if (semDropIds.isEmpty) near
         else fetch(obsSem)("after_semantic").asInstanceOf[Long]
+      val decon =
+        if (deconIds.isEmpty) sem
+        else fetch(obsDecon)("after_decon").asInstanceOf[Long]
       val quota =
-        if (maxPerDomain <= 0) sem
+        if (maxPerDomain <= 0) decon
         else fetch(obsQuota)("after_quota").asInstanceOf[Long]
       Stats(
         in("input").asInstanceOf[Long],
@@ -232,7 +265,8 @@ object CorpusCurate {
         near,
         dropped,
         sem,
-        quota)
+        quota,
+        decon)
     }
     (curated, stats)
   }
@@ -255,13 +289,17 @@ object CorpusCurate {
         opts.get("semantic-threshold").map(_.toDouble).getOrElse(0.95),
       semanticK = opts.get("semantic-k").map(_.toInt).getOrElse(8),
       maxPerDomain = opts.get("max-per-domain").map(_.toInt).getOrElse(0),
-      domainCol = opts.getOrElse("domain-col", "source"))
+      domainCol = opts.getOrElse("domain-col", "source"),
+      bench = opts.get("decontaminate").map(spark.read.parquet(_)),
+      minBenchOverlap =
+        opts.get("min-bench-overlap").map(_.toInt).getOrElse(8))
     curated.write.mode("overwrite").parquet(opts("out"))
     val s = stats()
     println(s"""{"input":${s.input},"after_quality":${s.afterQuality},""" +
       s""""after_lang":${s.afterLang},"after_exact_dedup":${s.afterExact},""" +
       s""""after_near_dedup":${s.afterNear},""" +
       s""""after_semantic_dedup":${s.afterSemantic},""" +
+      s""""after_decontamination":${s.afterDecon},""" +
       s""""after_domain_quota":${s.afterQuota},""" +
       s""""dropped_band_buckets":${s.droppedBandBuckets}}""")
     spark.stop()

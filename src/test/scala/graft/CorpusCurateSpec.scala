@@ -116,4 +116,26 @@ class CorpusCurateSpec extends SparkSpec {
     assert(s2.afterQuota === s2.afterSemantic)
     assert(!c2.columns.contains("source"))
   }
+
+  test("decontamination drops docs sharing n-grams with the bench set") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // bench set = verbatim copies of two corpus docs (worst-case leak)
+    val bench = docs.filter(col("doc_id").isin(3L, 17L))
+      .select(col("doc_id").as("bench_id"), col("text"))
+      .withColumnRenamed("bench_id", "doc_id")
+    val (curated, stats) = CorpusCurate.curate(docs,
+      minQuality = 0.1, langs = Nil, jaccard = 0.8,
+      bench = Some(bench), minBenchOverlap = 8)
+    curated.count()
+    val s = stats()
+    assert(s.afterDecon < s.afterSemantic,
+      s"verbatim bench leaks must be dropped: $s")
+    val kept = curated.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(3L) && !kept.contains(17L))
+    // a run without the stage reports the pass-through count
+    val (c2, stats2) = CorpusCurate.curate(docs,
+      minQuality = 0.1, langs = Nil, jaccard = 0.8)
+    c2.count()
+    assert(stats2().afterDecon === stats2().afterSemantic)
+  }
 }
