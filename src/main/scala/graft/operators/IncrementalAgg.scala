@@ -35,4 +35,29 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
   }
+
+  /** Per-key DISTINCT-count state of one batch as an HLL sketch —
+    * the incremental form of count(DISTINCT v). An exact distinct can't
+    * be maintained incrementally without keeping every seen value; the
+    * sketch state is constant-size, and sketch merging is EXACT: the
+    * register state of `union(sketch(A), sketch(B))` is identical to
+    * `sketch(A ∪ B)` (element-wise register max is associative/
+    * commutative/idempotent), so the merged estimate equals the
+    * full-recompute estimate bit-for-bit — the spec asserts equality,
+    * not tolerance. */
+  def distinctPartial(batch: DataFrame, keys: Seq[String],
+      value: Column): DataFrame = {
+    require(keys.nonEmpty, "keys required")
+    batch.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(value).as("sketch"))
+  }
+
+  /** Merge distinct-count states and estimate: (keys..., approx_nd). */
+  def distinctMerge(keys: Seq[String], states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "at least one state required")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_nd"))
+  }
 }

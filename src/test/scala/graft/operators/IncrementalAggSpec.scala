@@ -27,6 +27,30 @@ class IncrementalAggSpec extends SparkSpec {
     assert(asMap(IncrementalAgg.merge(Seq("o_custkey"), even, odd)) === full)
   }
 
+  test("distinct sketches: merged batch states == full-recompute estimate " +
+      "exactly, and near the exact distinct") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_returnflag"), col("approx_nd"))
+        .as[(String, Long)].collect().toMap
+    val batches = (0 until 3).map(i => IncrementalAgg.distinctPartial(
+      li.filter(pmod($"l_orderkey", lit(3)) === i),
+      Seq("l_returnflag"), $"l_partkey"))
+    val merged = est(IncrementalAgg.distinctMerge(
+      Seq("l_returnflag"), batches: _*))
+    val full = est(IncrementalAgg.distinctMerge(Seq("l_returnflag"),
+      IncrementalAgg.distinctPartial(li, Seq("l_returnflag"),
+        $"l_partkey")))
+    assert(merged === full) // register merge is exact, not approximate
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct($"l_partkey").as("nd"))
+      .as[(String, Long)].collect().toMap
+    merged.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)).toDouble / exact(k) < 0.05,
+        s"$k: est $e vs exact ${exact(k)}")
+    }
+  }
+
   test("merge is associative: state ⊕ delta re-merges to the same result") {
     val batches = (0 until 3).map(i => IncrementalAgg.partial(
       orders.filter(pmod($"o_orderkey", lit(3)) === i),
