@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+import graft.operators.HeavyHitters
+
+/** Scale drive for the frequency/top-k operators on the regime they
+  * were built for: HIGH-CARDINALITY Zipf-skewed keys, where the naive
+  * formulations shuffle the whole key domain (or sort whole groups)
+  * and the bounded-state paths shuffle candidates (or k-row buffers).
+  *
+  * Keys derive from xxhash64 (deterministic, reproducible); the Zipf
+  * rank comes from the same inverse-CDF used by [[ZipfDrive]].
+  * Measures wall time AND result equality of:
+  *  1. [[HeavyHitters.heavyHitters]] (Misra-Gries candidates + exact
+  *     verify) vs the plain groupBy-HAVING over every distinct key;
+  *  2. [[TopKAgg]] (k-bounded partial+final aggregate) vs the window
+  *     row_number formulation that sorts every group.
+  *
+  * Usage: runMain graft.ScaleDrive [rows] [keyDomain] [groups]
+  */
+object ScaleDrive {
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val keyDomain = args.lift(1).map(_.toLong).getOrElse(2000000L)
+    val groups = args.lift(2).map(_.toLong).getOrElse(100000L)
+    val spark = GraftSession.getOrCreate("graft-scale-drive")
+    import spark.implicits._
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // Zipf(s=1) keys over `keyDomain` ranks: P(rank r) ∝ 1/r
+    val events = spark.range(rows).select(
+      expr(s"CAST(pow($keyDomain, (pmod(xxhash64(id, 7), 1000000) + 0.5)" +
+        s" / 1000000.0) AS BIGINT)").as("k"),
+      col("id"))
+      .localCheckpoint() // measure the operators, not the generator
+
+    // 1. heavy hitters: bounded-candidate two-pass vs full groupBy
+    val support = 0.001
+    val mg = timed("heavyHitters (Misra-Gries + exact verify)") {
+      HeavyHitters.heavyHitters(events, "k", support)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val plain = timed("plain groupBy-HAVING over the key domain") {
+      val t = math.ceil(support * rows).toLong
+      events.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    require(mg == plain, s"MG path diverged: ${mg.size} vs ${plain.size}")
+    val distinctKeys = events.select("k").distinct().count()
+    // honest accounting: at this domain size the plain path WINS on
+    // wall clock — map-side combine collapses its shuffle to per-
+    // partition distinct keys and the hash-agg state fits in memory.
+    // The MG path's win is BOUNDED state: counters x partitions rows
+    // shuffled and O(m) memory per task regardless of key cardinality,
+    // which is what survives a billion-key domain (where the plain
+    // path's agg state spills). This drive proves exactness on the
+    // skewed regime and records the local crossover honestly.
+    println(s"[scale] heavy hitters: ${mg.size} of $distinctKeys distinct " +
+      s"keys qualify at support $support; MG candidates shuffled <= " +
+      "counters x partitions, plain path shuffle grows with the domain")
+
+    // 2. top-k per group: k-bounded aggregate vs whole-group window sort
+    val grouped = events.select(pmod(col("k") + col("id"), lit(groups))
+        .as("g"),
+      pmod(xxhash64(col("id"), lit(3)), lit(1000000)).as("score"),
+      col("id")).localCheckpoint()
+    val topk = udaf(new TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    val viaAgg = grouped.groupBy("g")
+      .agg(topk(col("score"), col("id")).as("ids"))
+      .select(col("g"), explode(col("ids")).as("id"))
+      .cache()
+    val nAgg = timed("TopKAgg (k-bounded partial+final)")(viaAgg.count())
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("score").desc, col("id"))
+    val viaWindow = grouped.select(col("g"), col("id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3).select("g", "id")
+      .cache()
+    val nWin = timed("window row_number (whole-group sort)")(viaWindow.count())
+    val diff = viaAgg.except(viaWindow).count() +
+      viaWindow.except(viaAgg).count()
+    require(nAgg == nWin && diff == 0,
+      s"top-k diverged: $nAgg vs $nWin rows, $diff asymmetric")
+    println(s"[scale] top-k: $nAgg rows over $groups groups, agg == window")
+    spark.stop()
+  }
+}
