@@ -62,4 +62,48 @@ class SkewSpec extends SparkSpec {
       .toMap
     assert(assignment === assignment)
   }
+
+  test("AQE skew-join (the GraftSession default) splits the hot partition") {
+    // manual salting (above) is for engines/joins AQE can't reach;
+    // GraftSession turns on adaptive skew-join handling, and this pins
+    // that the runtime re-plan ACTUALLY fires: a shuffled join with one
+    // oversized partition must show skew=true in the executed plan.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled to test data: a 200k-row hot key (~2 MB
+      // shuffled) vs tail partitions of a few KB
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val big = spark.range(200000)
+        .select(lit("hot").as("k"), col("id").as("v"))
+        .unionByName(spark.range(200)
+          .select(concat(lit("k"), col("id")).as("k"), col("id").as("v")))
+      val right = spark.range(300)
+        .select(concat(lit("k"), col("id")).as("k"), col("id").as("r"))
+        .unionByName(Seq(("hot", 0L)).toDF("k", "r"))
+      val joined = big.join(right, Seq("k"))
+      // collect() drives joined's OWN query execution, so the adaptive
+      // plan below is the finalized one (count() would execute a
+      // different QueryExecution and leave this plan un-finalized)
+      assert(joined.collect().length === 200200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew handling did not engage:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
