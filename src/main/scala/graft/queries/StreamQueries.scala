@@ -81,6 +81,21 @@ object StreamQueries {
       .select(col("user_id"), col("steps_completed"), col("last_step_ts"))
       .orderBy("user_id")
 
+  // stream-stream LEFT OUTER interval join in batch mode: views with
+  // no qualifying click surface with a NULL click_id — the deferred
+  // null emission the streaming spec drives through watermarks
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts").as("vts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    EventStreams.viewClickLeftOuterJoin(views, clicks)
+      .select(col("view_id"), col("click_id"), col("user_id"))
+      .orderBy(col("view_id"), col("click_id").asc_nulls_first)
+      .limit(500)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
@@ -89,6 +104,7 @@ object StreamQueries {
     "e05_enrich_dim" -> (e05 _),
     "e06_interval_join" -> (e06 _),
     "e07_funnel_state" -> (e07 _),
+    "e08_interval_left" -> (e08 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -146,5 +162,13 @@ object StreamQueries {
         "AS INTEGER) AS steps_completed, " +
         "coalesce(t3, t2, t1, t0) AS last_step_ts " +
         "FROM s3 ORDER BY user_id"),
+    "e08_interval_left" ->
+      ("SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id " +
+        "FROM events v LEFT JOIN events c ON v.user_id = c.user_id " +
+        "AND c.event_type = 'click' " +
+        "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
+        "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+        "WHERE v.event_type = 'view' " +
+        "ORDER BY view_id, click_id NULLS FIRST LIMIT 500"),
   )
 }

@@ -61,6 +61,27 @@ object EventStreams {
         col("c.user_id"), col("c.ts"), col("v.vts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every view, matched to
+    * the clicks that followed it within `window` — or emitted with a
+    * NULL click once the watermark proves no match can still arrive
+    * (outer results are held in state until `view.vts + window + delay`
+    * passes; that deferred null emission is what distinguishes the
+    * outer case). Applied to batch frames it degrades to a plain
+    * left-outer theta join — the e08 oracle — so stream and batch
+    * agree once the stream's watermark has passed every view. */
+  def viewClickLeftOuterJoin(views: DataFrame, clicks: DataFrame,
+      window: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("vts", delay).as("v")
+    val c = clicks.withWatermark("ts", delay).as("c")
+    v.join(c,
+      expr(s"v.user_id = c.user_id AND c.ts >= v.vts " +
+        s"AND c.ts <= v.vts + INTERVAL $window"),
+      "left_outer")
+      .select(col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        col("v.user_id"), col("v.vts"))
+  }
+
   /** Stream-static enrichment: inner-join the stream against a slowly-
     * changing dimension. The static side is broadcast — the stream is
     * never shuffled for the join, and Structured Streaming re-plans the

@@ -220,6 +220,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewClickLeftOuterJoin: matches emit promptly, null rows only " +
+      "after the watermark proves no match can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val views = vMem.toDF().toDF("event_id", "user_id", "vts")
+    val clicks = cMem.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.viewClickLeftOuterJoin(views, clicks,
+        window = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("vclo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 view with a click 5 min later; u2 view with NO click ever
+      vMem.addData((1L, 1L, ts(0)), (2L, 2L, ts(1)))
+      cMem.addData((10L, 1L, ts(5)))
+      q.processAllAvailable()
+      val early = spark.table("vclo")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(early.contains((1L, Some(10L))))
+      assert(!early.exists(_._1 == 2L),
+        "outer null must NOT emit while a match could still arrive")
+      // advance both watermarks far past view@ts(1) + 1h + 10min
+      vMem.addData((99L, 9L, ts(300)))
+      cMem.addData((98L, 9L, ts(300)))
+      q.processAllAvailable()
+      val late = spark.table("vclo")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(late.contains((2L, None)),
+        s"watermark passed: u2's null row must emit, got $late")
+    } finally q.stop()
+  }
+
   test("funnelProgress: incremental == batch == the relational cascade") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
