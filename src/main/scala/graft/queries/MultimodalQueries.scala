@@ -28,9 +28,26 @@ object MultimodalQueries {
       .select("doc_id", "byte_len", "byte_sum", "n_frames")
       .orderBy("doc_id").limit(100)
 
+  // frame sampling over the video subset: every 4th fake frame of the
+  // stubbed decode's frame count — the sampling plan is real (one row
+  // per kept frame, computed scan-side), only the codec is fake
+  private def mm03(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.extractFeatures(media(s, dir)), stride = 4)
+      .orderBy("doc_id", "frame_idx")
+
+  // metadata-only resize: aspect-preserving fit into 128x96; the
+  // double scale arithmetic is the same IEEE ops in both engines
+  private def mm04(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(media(s, dir), maxW = 128, maxH = 96)
+      .select("doc_id", "width", "height", "out_width", "out_height")
+      .orderBy("doc_id").limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
+    "mm03_frame_sample" -> (mm03 _),
+    "mm04_resize_meta" -> (mm04 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -46,5 +63,22 @@ object MultimodalQueries {
         "i -> ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum, " +
         "CAST(greatest(1, octet_length(encode(text)) // 256) AS INT) AS n_frames " +
         "FROM documents ORDER BY doc_id LIMIT 100"),
+    "mm03_frame_sample" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CAST(greatest(1, octet_length(encode(text)) // 256) AS INT) " +
+        "AS n_frames FROM documents WHERE doc_id % 3 = 2) " +
+        "SELECT doc_id, CAST(unnest(range(0, n_frames, 4)) AS INT) " +
+        "AS frame_idx FROM f ORDER BY doc_id, frame_idx"),
+    "mm04_resize_meta" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CAST(doc_id % 640 + 64 AS INT) AS width, " +
+        "CAST(doc_id % 480 + 48 AS INT) AS height FROM documents), " +
+        "s AS (SELECT doc_id, width, height, " +
+        "least(1.0, least(CAST(128 AS DOUBLE) / width, " +
+        "CAST(96 AS DOUBLE) / height)) AS sc FROM m) " +
+        "SELECT doc_id, width, height, " +
+        "CAST(floor(width * sc) AS INT) AS out_width, " +
+        "CAST(floor(height * sc) AS INT) AS out_height " +
+        "FROM s ORDER BY doc_id LIMIT 100"),
   )
 }
