@@ -147,6 +147,24 @@ object WindowQueries {
       .orderBy("o_custkey")
   }
 
+  // arbitrary GROUPING SETS (the general form rollup/cube specialize):
+  // three hand-picked sets with grouping_id disambiguating subtotal
+  // levels — one Expand + one aggregate, same engine shape as w03/w06
+  private def w11(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("cnt"), col("total"))
+      .orderBy("gid", "status", "priority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
@@ -158,6 +176,7 @@ object WindowQueries {
     "w08_moving_avg" -> (w08 _),
     "w09_ntile" -> (w09 _),
     "w10_topk_agg" -> (w10 _),
+    "w11_grouping_sets" -> (w11 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -221,5 +240,14 @@ object WindowQueries {
         "SELECT o_custkey, array_to_string(" +
         "list(o_orderkey ORDER BY rn), ',') AS top_orders " +
         "FROM r WHERE rn <= 3 GROUP BY o_custkey ORDER BY o_custkey"),
+    "w11_grouping_sets" ->
+      ("SELECT coalesce(o_orderstatus, 'ALL') AS status, " +
+        "coalesce(o_orderpriority, 'ALL') AS priority, " +
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY GROUPING SETS " +
+        "((o_orderstatus, o_orderpriority), (o_orderpriority), ()) " +
+        "ORDER BY gid, status, priority"),
   )
 }
