@@ -81,6 +81,17 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(m(("click", "2024-01-03")) === 0L)
   }
 
+  test("funnel and retention tolerate an empty event log") {
+    val empty = events.filter(lit(false))
+    assert(EventAnalytics.funnelCounts(empty, "user_id", "event_type",
+      "ts", Seq("view", "click")).collect()
+      .map(r => r.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(EventAnalytics.cohortRetention(empty, "user_id", "ts")
+      .count() === 0L)
+    assert(EventAnalytics.gapFillDailyCounts(empty, "event_type", "ts")
+      .count() === 0L) // null min/max -> empty sequence, not a crash
+  }
+
   test("firstLastEvent: equal timestamps fall back to the tie column") {
     val e = Seq(
       (10L, 9L, "a", ts("2024-01-01 00:00:00")),
