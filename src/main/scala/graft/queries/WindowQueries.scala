@@ -165,6 +165,20 @@ object WindowQueries {
         col("gid"), col("cnt"), col("total"))
       .orderBy("gid", "status", "priority")
 
+  // relative-position window functions: percent_rank and cume_dist are
+  // ratios of integers ((rank-1)/(n-1), rows<=current/n) — identical
+  // IEEE division in both engines, so the doubles hash equal with no
+  // rounding step
+  private def w12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("doc_id").limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
@@ -177,6 +191,7 @@ object WindowQueries {
     "w09_ntile" -> (w09 _),
     "w10_topk_agg" -> (w10 _),
     "w11_grouping_sets" -> (w11 _),
+    "w12_percent_rank" -> (w12 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -249,5 +264,11 @@ object WindowQueries {
         "FROM orders GROUP BY GROUPING SETS " +
         "((o_orderstatus, o_orderpriority), (o_orderpriority), ()) " +
         "ORDER BY gid, status, priority"),
+    "w12_percent_rank" ->
+      ("SELECT doc_id, source, " +
+        "percent_rank() OVER w AS pr, cume_dist() OVER w AS cd " +
+        "FROM documents " +
+        "WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id) " +
+        "ORDER BY doc_id LIMIT 300"),
   )
 }
