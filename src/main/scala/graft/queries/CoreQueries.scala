@@ -626,8 +626,8 @@ object CoreQueries {
       ("SELECT event_type, count(*) AS cnt, " +
         "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) " +
         "AS k_sum, " +
-        "sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) " +
-        "AS n_bad FROM events GROUP BY event_type ORDER BY event_type"),
+        "CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_bad FROM events GROUP BY event_type ORDER BY event_type"),
     "q32_delta_join" ->
       ("SELECT o_orderstatus, count(*) AS cnt, " +
         "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
@@ -639,10 +639,10 @@ object CoreQueries {
         "p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
         "count(*) AS np FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
         "f AS (SELECT nc, np FROM c FULL OUTER JOIN p USING (user_id, d)) " +
-        "SELECT sum(CASE WHEN nc IS NOT NULL AND np IS NOT NULL THEN 1 ELSE 0 END) " +
-        "AS both_sides, " +
-        "sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS click_only, " +
-        "sum(CASE WHEN nc IS NULL THEN 1 ELSE 0 END) AS purchase_only, " +
+        "SELECT CAST(sum(CASE WHEN nc IS NOT NULL AND np IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS both_sides, " +
+        "CAST(sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS click_only, " +
+        "CAST(sum(CASE WHEN nc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS purchase_only, " +
         "CAST(sum(coalesce(nc, 0)) AS BIGINT) AS clicks, " +
         "CAST(sum(coalesce(np, 0)) AS BIGINT) AS purchases FROM f"),
     "q34_argmax" ->
