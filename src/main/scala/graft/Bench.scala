@@ -54,20 +54,46 @@ object Bench {
     // Sorted order: Map iteration order is arbitrary, which silently
     // reassigns residual cold-start cost to a different query each
     // build — sorted names make per-query times comparable across runs.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+    // Two warm iterations with min-of-n: single-run numbers at local[32]
+    // carry 2–3x one-off noise (GC pause, codegen compile landing on one
+    // query) that made the r3 artifact untrustworthy; min over warm runs
+    // is the steady-state cost a comparison against the baseline needs.
+    val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(2)
+    val names = selected.toSeq.sortBy(_._1)
+    val runs: Seq[Seq[(String, Double, Boolean)]] = (1 to iters).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // min over the iterations where the query succeeded; failed iff it
+    // failed in EVERY iteration (a one-off env hiccup shouldn't flag a
+    // query the other iteration proved runnable — but any failure is
+    // still printed to stderr above).
+    val results = names.map(_._1).map { name =>
+      val mine = runs.map(_.find(_._1 == name).get)
+      val oks = mine.collect { case (_, t, true) => t }
+      (name, if (oks.nonEmpty) oks.min else 0.0, oks.nonEmpty)
     }
     val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","iters":$iters}"""
+    println(line)
+    // durable copy: the driver captures only the log tail, which truncated
+    // the r3 artifact to 64 of 109 queries — a committed file survives.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
