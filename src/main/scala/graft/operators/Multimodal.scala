@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque BINARY payloads
   * with typed metadata, processed in distributed batches.
   *
-  * The Spark-side shape is real and tested — schema, partition-parallel
-  * batch processing, feature output — while the actual media decoding is
-  * STUBBED with a deterministic fake (no image/audio codecs in this
-  * environment). Swapping `decodeStub` for a real decoder (JNI/FFI or a
-  * Python `mapInPandas` stage) changes nothing structurally: the operator
-  * is a `mapPartitions` over (id, payload, meta) batches either way.
+  * IMAGE decode is REAL: payloads are PNG-encoded and decoded back to
+  * pixels with `javax.imageio` (in-JDK, no external codecs) — see
+  * [[decodeImage]]/[[decodeImageFeatures]]. Audio/video decoding remains
+  * STUBBED with a deterministic fake (`decodeStub` — no audio/video codecs
+  * in this environment). Swapping the stub for a real decoder (JNI/FFI or
+  * a Python `mapInPandas` stage) changes nothing structurally: every
+  * decode path is a `mapPartitions` over (id, payload, meta) batches.
   *
   * Scale notes: payloads never pass through a shuffle here — features are
   * computed scan-side and only the (small) feature rows move on. For real
@@ -65,6 +66,109 @@ object Multimodal {
         rows.map { r =>
           val (len, sum, frames, hist) = decodeStub(r.payload)
           MediaFeatures(r.doc_id, r.kind, len, sum, frames, hist.toSeq)
+        }
+      }
+  }
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long, pos_sum: Long,
+      r_h0: Long, r_h1: Long, r_h2: Long, r_h3: Long)
+
+  /** Deterministic synthetic pixel pattern: closed-form in (doc_id, x, y)
+    * so an independent oracle can recompute every pixel without decoding.
+    * Values are already in 0..255; all inputs non-negative. */
+  @inline private def pxR(docId: Long, x: Int, y: Int): Int =
+    ((x * 7L + y * 13L + docId) % 256).toInt
+  @inline private def pxG(docId: Long, x: Int, y: Int): Int =
+    ((x * 3L + y * 5L + docId * 2) % 256).toInt
+  @inline private def pxB(docId: Long, x: Int, y: Int): Int =
+    ((x * 11L + y * 17L + docId * 3) % 256).toInt
+
+  /** PNG-encode the synthetic pattern for one doc. PNG is lossless, so
+    * [[decodeImage]] must recover these exact pixels — that round-trip is
+    * what the mm05 gate's closed-form oracle pins. */
+  def syntheticPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pxR(docId, x, y) << 16) | (pxG(docId, x, y) << 8) | pxB(docId, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-PNG payload fixture: the image-kind doc subset (doc_id % 3 == 0,
+    * matching [[fakePayloads]]' kind assignment), each carrying an actual
+    * PNG whose dims derive from doc_id. Encoding runs scan-side in
+    * mapPartitions — payload bytes are born on the executor and never
+    * cross a shuffle. */
+  def imagePayloads(docs: DataFrame, limit: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .orderBy("doc_id").limit(limit)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 24 + 8).toInt
+          val h = (id % 16 + 6).toInt
+          (id, syntheticPng(id, w, h), "image")
+        }
+      }
+      .toDF("doc_id", "payload", "kind")
+  }
+
+  /** REAL image decode via javax.imageio (in-JDK PNG/JPEG/BMP readers).
+    * Returns (width, height, rSum, gSum, bSum, posSum, rHist4):
+    * per-channel sums, a position-weighted checksum
+    * sum((x+1)*(y+1)*(r+g+b)) that catches transposed/shifted pixels
+    * plain sums would miss, and a 4-bucket histogram of the R channel. */
+  def decodeImage(bytes: Array[Byte])
+      : (Int, Int, Long, Long, Long, Long, Array[Long]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (rs, gs, bs, ps) = (0L, 0L, 0L, 0L)
+    val hist = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        rs += r; gs += g; bs += b
+        ps += (x + 1L) * (y + 1L) * (r + g + b)
+        hist(r / 64) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rs, gs, bs, ps, hist)
+  }
+
+  /** Distributed decode of real image payloads → pixel-derived features.
+    * Same mapPartitions batch shape as [[extractFeatures]]; the codec is
+    * javax.imageio instead of the stub. */
+  def decodeImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, rs, gs, bs, ps, hist) = decodeImage(bytes)
+          ImageFeatures(id, w, h, rs, gs, bs, ps,
+            hist(0), hist(1), hist(2), hist(3))
         }
       }
   }

@@ -43,11 +43,22 @@ object MultimodalQueries {
       .select("doc_id", "width", "height", "out_width", "out_height")
       .orderBy("doc_id").limit(100)
 
+  // REAL image decode: PNG-encode a closed-form synthetic pixel pattern,
+  // decode it back with javax.imageio, emit pixel-derived features. The
+  // oracle recomputes every pixel from the same closed form in SQL — it
+  // matches iff the PNG encode→decode round-trip is pixel-exact, so a
+  // broken decode path hash-fails rather than passing rows-only.
+  private def mm05(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageFeatures(
+      Multimodal.imagePayloads(Tables(s, dir, "documents")))
+      .orderBy("doc_id").toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
     "mm04_resize_meta" -> (mm04 _),
+    "mm05_image_decode" -> (mm05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -80,5 +91,27 @@ object MultimodalQueries {
         "CAST(floor(width * sc) AS INT) AS out_width, " +
         "CAST(floor(height * sc) AS INT) AS out_height " +
         "FROM s ORDER BY doc_id LIMIT 100"),
+    "mm05_image_decode" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0 " +
+        "ORDER BY doc_id LIMIT 40), " +
+        "dim AS (SELECT doc_id, doc_id % 24 + 8 AS w, " +
+        "doc_id % 16 + 6 AS h FROM d), " +
+        "xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dim), " +
+        "px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs), " +
+        "v AS (SELECT doc_id, w, h, x, y, " +
+        "(x*7 + y*13 + doc_id) % 256 AS r, " +
+        "(x*3 + y*5 + doc_id*2) % 256 AS g, " +
+        "(x*11 + y*17 + doc_id*3) % 256 AS b FROM px) " +
+        "SELECT doc_id, CAST(max(w) AS INT) AS width, " +
+        "CAST(max(h) AS INT) AS height, " +
+        "CAST(sum(r) AS BIGINT) AS r_sum, " +
+        "CAST(sum(g) AS BIGINT) AS g_sum, " +
+        "CAST(sum(b) AS BIGINT) AS b_sum, " +
+        "CAST(sum((x+1)*(y+1)*(r+g+b)) AS BIGINT) AS pos_sum, " +
+        "CAST(sum(CASE WHEN r < 64 THEN 1 ELSE 0 END) AS BIGINT) AS r_h0, " +
+        "CAST(sum(CASE WHEN r >= 64 AND r < 128 THEN 1 ELSE 0 END) AS BIGINT) AS r_h1, " +
+        "CAST(sum(CASE WHEN r >= 128 AND r < 192 THEN 1 ELSE 0 END) AS BIGINT) AS r_h2, " +
+        "CAST(sum(CASE WHEN r >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS r_h3 " +
+        "FROM v GROUP BY doc_id ORDER BY doc_id"),
   )
 }

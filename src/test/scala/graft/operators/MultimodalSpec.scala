@@ -55,4 +55,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_ % 2 === 0))
   }
+
+  test("PNG round-trip: decodeImage recovers the exact synthetic pixels") {
+    val (docId, w, h) = (9L, 5, 4)
+    val png = Multimodal.syntheticPng(docId, w, h)
+    // a real PNG container, not raw bytes
+    assert(png.take(4).map(_ & 0xFF).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val (dw, dh, rs, gs, bs, ps, hist) = Multimodal.decodeImage(png)
+    // hand-computed from the closed-form pattern
+    def pixels = for { y <- 0 until h; x <- 0 until w } yield (
+      ((x * 7L + y * 13L + docId) % 256).toInt,
+      ((x * 3L + y * 5L + docId * 2) % 256).toInt,
+      ((x * 11L + y * 17L + docId * 3) % 256).toInt, x, y)
+    assert((dw, dh) === ((w, h)))
+    assert(rs === pixels.map(_._1.toLong).sum)
+    assert(gs === pixels.map(_._2.toLong).sum)
+    assert(bs === pixels.map(_._3.toLong).sum)
+    assert(ps === pixels.map { case (r, g, b, x, y) =>
+      (x + 1L) * (y + 1L) * (r + g + b) }.sum)
+    assert(hist.sum === w.toLong * h)
+  }
+
+  test("decodeImage rejects undecodable payloads with context") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage("not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
+  test("decodeImageFeatures runs distributed and matches per-doc decode") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val payloads = Multimodal.imagePayloads(docs, limit = 10).repartition(3)
+    val feats = Multimodal.decodeImageFeatures(payloads)
+    assert(feats.rdd.getNumPartitions === 3)
+    val rows = feats.collect().sortBy(_.doc_id)
+    assert(rows.nonEmpty)
+    rows.foreach { f =>
+      assert(f.width === (f.doc_id % 24 + 8).toInt)
+      assert(f.height === (f.doc_id % 16 + 6).toInt)
+      assert(f.r_h0 + f.r_h1 + f.r_h2 + f.r_h3 === f.width.toLong * f.height)
+    }
+  }
 }
