@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact heavy hitters (frequent items) without a full group-by over
@@ -47,7 +47,19 @@ object HeavyHitters {
   }
 
   /** All keys of `keyCol` (integer) with exact frequency ≥ support·N,
-    * with their exact counts. `support` in (0, 1]. */
+    * with their exact counts. `support` in (0, 1].
+    *
+    * Exactly TWO passes over the input: the Misra-Gries summary pass
+    * rides the per-partition row count along with the candidates (so N
+    * needs no separate `count()` scan — at 100 TB that third scan was a
+    * third of the I/O), then the exact-count pass. The per-partition
+    * summary is bounded: ≤ m candidate rows + 1 count row.
+    *
+    * The input must be DETERMINISTIC across recomputations (same
+    * discipline as the md5-based samplers): the candidate pass and the
+    * exact pass each scan it once, and a source that returns different
+    * rows per scan voids the no-false-negative guarantee. Cache or
+    * checkpoint upstream non-deterministic inputs first. */
   def heavyHitters(df: DataFrame, keyCol: String,
       support: Double): DataFrame = {
     require(support > 0 && support <= 1, "support must be in (0, 1]")
@@ -55,12 +67,21 @@ object HeavyHitters {
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("long")).as[Long]
     val m = math.ceil(2.0 / support).toInt
-    val candidates: Dataset[Long] =
-      keys.mapPartitions(misraGries(_, m)).distinct()
-    val n = keys.count()
+    // one pass: candidate rows (is_count=false) + one count row per
+    // partition. misraGries fully consumes the iterator before
+    // returning, so the count row sees the final per-partition n.
+    val summary: Array[(Boolean, Long, Long)] = keys.mapPartitions { it =>
+      var nPart = 0L
+      val cands = misraGries(it.map { k => nPart += 1; k }, m)
+      cands.map(k => (false, k, 0L)) ++ Iterator((true, 0L, nPart))
+    }.collect()
+    val n = summary.collect { case (true, _, c) => c }.sum
+    val candidates: Array[Long] =
+      summary.collect { case (false, k, _) => k }.distinct
     val threshold = math.ceil(support * n).toLong
     keys.toDF("k")
-      .join(broadcast(candidates.toDF("k")), Seq("k"), "left_semi")
+      .join(broadcast(spark.createDataset(candidates.toSeq).toDF("k")),
+        Seq("k"), "left_semi")
       .groupBy("k").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
       .select(col("k").as(keyCol), col("cnt"))

@@ -47,4 +47,16 @@ class HeavyHittersSpec extends SparkSpec {
     val df = (1L to 1000L).toDF("k")
     assert(HeavyHitters.heavyHitters(df, "k", 0.5).count() === 0L)
   }
+
+  test("heavyHitters: exactly two passes over the input") {
+    // an accumulator bumped once per input-partition computation counts
+    // scans directly — the fused summary pass + the exact-count pass
+    // must touch each of the 6 partitions exactly twice
+    val acc = spark.sparkContext.longAccumulator("inputScans")
+    val base = spark.range(0, 3000, 1, 6).as[Long]
+      .mapPartitions { it => acc.add(1); it.map(_ % 50) }
+      .toDF("k")
+    HeavyHitters.heavyHitters(base, "k", 0.02).collect()
+    assert(acc.value === 12L, s"expected 2 passes x 6 partitions, got ${acc.value}")
+  }
 }
