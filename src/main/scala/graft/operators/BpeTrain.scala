@@ -28,6 +28,41 @@ object BpeTrain {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  /** Split a word into CODE-POINT symbols (not UTF-16 chars): a
+    * per-char split would break supplementary-plane characters into
+    * lone surrogates, which have no UTF-8 encoding — and the
+    * distributed/local trainers would then disagree on symbol order. */
+  private[operators] def toSymbols(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String binary order.
+    * trainLocal must tie-break with THIS order, not Scala's default
+    * String ordering (UTF-16 code-unit order), or the two trainers pick
+    * different merges when tied symbols span the BMP/astral boundary. */
+  private[operators] def utf8Compare(s1: String, s2: String): Int = {
+    val a = s1.getBytes("UTF-8")
+    val b = s2.getBytes("UTF-8")
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[operators] val utf8Ordering: Ordering[String] =
+    (x: String, y: String) => utf8Compare(x, y)
+
   /** Greedy left-to-right, non-overlapping single-merge application:
     * BPE's standard "apply rule (a,b) → a+b" scan. */
   private[operators] def applyMerge(syms: Seq[String], a: String,
@@ -48,7 +83,7 @@ object BpeTrain {
   private[operators] def trainLocal(words: Map[String, Long],
       numMerges: Int): Seq[(String, String)] = {
     var vocab: Seq[(Seq[String], Long)] =
-      words.toSeq.map { case (w, f) => (w.map(_.toString).toSeq, f) }
+      words.toSeq.map { case (w, f) => (toSymbols(w), f) }
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     var done = false
@@ -62,7 +97,12 @@ object BpeTrain {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 byte order to match the distributed orderBy
+        implicit val u: Ordering[String] = utf8Ordering
+        val ((a, b), _) = counts.toSeq.min(
+          Ordering.by { e: ((String, String), Long) =>
+            (-e._2, e._1._1, e._1._2)
+          })
         merges += ((a, b))
         vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
         k += 1
@@ -79,7 +119,7 @@ object BpeTrain {
     // vocab-sized working frame: (symbols, freq)
     var vocab = words.select(col("word"), col("freq").cast("long"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString), f) }
+      .map { case (w, f) => (toSymbols(w), f) }
       .toDF("syms", "freq")
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
@@ -123,7 +163,7 @@ object BpeTrain {
     import spark.implicits._
     words.select(col("word"), col("freq").cast("long")).as[(String, Long)]
       .map { case (w, f) =>
-        val pieces = merges.foldLeft(w.map(_.toString): Seq[String]) {
+        val pieces = merges.foldLeft(toSymbols(w)) {
           case (syms, (a, b)) => applyMerge(syms, a, b)
         }
         (w, pieces, f)

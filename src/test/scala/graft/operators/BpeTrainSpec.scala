@@ -37,6 +37,25 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("train: distributed == reference on non-ASCII incl. astral plane") {
+    // U+10000 (astral: UTF-16 surrogates 0xD800.. sort BELOW U+E000, but
+    // UTF-8/code-point order sorts it ABOVE) — the exact boundary where
+    // UTF-16 and UTF-8 tie-break orders diverge
+    val astral = new String(Character.toChars(0x10000))
+    val priv = ""
+    val words = Map(s"${astral}a" -> 1L, s"${priv}a" -> 1L,
+      "café" -> 2L, s"$astral$priv" -> 1L)
+    val expected = BpeTrain.trainLocal(words, 6)
+    val got = BpeTrain.train(spark, wordsDf(words), 6)
+    assert(got === expected)
+    // the (é-free) tie (astral,a) vs (priv,a) must resolve to priv first
+    // under UTF-8 byte order
+    assert(expected.contains((priv, "a")))
+    assert(expected.indexOf((priv, "a")) < expected.indexOf((astral, "a")))
+    // code-point split: astral symbols survive as whole 2-char strings
+    assert(BpeTrain.toSymbols(s"$astral$priv") === Seq(astral, priv))
+  }
+
   test("train: stops early when no pairs remain") {
     val merges = BpeTrain.train(spark, wordsDf(Map("ab" -> 1L)), 10)
     assert(merges === Seq(("a", "b"))) // then single symbols: no pairs
