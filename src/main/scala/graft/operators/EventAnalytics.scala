@@ -60,11 +60,15 @@ object EventAnalytics {
     val counts = perUser.agg(
       count(col("step_ts_0")).as("c0"),
       steps.indices.drop(1).map(i => count(col(s"step_ts_$i")).as(s"c$i")): _*)
-    val stackArgs = steps.zipWithIndex
-      .map { case (s, i) => s"$i, '${s.replace("'", "''")}', c$i" }
-      .mkString(", ")
-    counts.selectExpr(
-      s"stack(${steps.size}, $stackArgs) AS (step_idx, step, users)")
+    // Column-API unpivot: string-SQL stack() would need step-name
+    // escaping (and Spark's adjacent-literal concat makes quote-doubling
+    // silently corrupt names like don't) — lit() carries any name intact
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step_idx"), lit(s).as("step"),
+        col(s"c$i").as("users"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.users"))
       .orderBy("step_idx")
   }
 

@@ -47,17 +47,27 @@ object ZOrder {
     }.mkString("(", ") | (", ")")
   }
 
-  /** Scale a column linearly onto [0, 2^bits) using one min/max pass —
-    * makes arbitrary integer ranges Z-orderable. */
-  private def scaled(df: DataFrame, c: String, bits: Int): Column = {
-    val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
-      .head()
-    val (lo, hi) = (r.getLong(0), r.getLong(1))
-    val span = math.max(hi - lo + 1, 1L)
-    // floor((x - lo) * 2^bits / span), clamped to the top bucket
-    least(
-      (col(c).cast("long") - lit(lo)) * lit(1L << bits) / lit(span),
-      lit((1L << bits) - 1)).cast("long")
+  /** Scale both columns linearly onto [0, 2^bits) from a SINGLE min/max
+    * aggregate pass (one job, not one per column — at 100 TB each extra
+    * pass is a full scan). Overflow bound: (x-lo)·2^bits is computed in
+    * Long, so each column's span must stay ≤ 2^(63-bits) (~2^47 at the
+    * default 16 bits) — enforced, with "reduce bits" as the remedy. */
+  private def scaledBoth(df: DataFrame, c1: String, c2: String,
+      bits: Int): (Column, Column) = {
+    val r = df.agg(
+      min(col(c1)).cast("long"), max(col(c1)).cast("long"),
+      min(col(c2)).cast("long"), max(col(c2)).cast("long")).head()
+    def mk(c: String, lo: Long, hi: Long): Column = {
+      val span = math.max(hi - lo + 1, 1L)
+      require(span <= (Long.MaxValue >> bits),
+        s"z-order column $c: span $span * 2^$bits overflows Long — " +
+          "use fewer bits or pre-scale the column")
+      // floor((x - lo) * 2^bits / span), clamped to the top bucket
+      least(
+        (col(c).cast("long") - lit(lo)) * lit(1L << bits) / lit(span),
+        lit((1L << bits) - 1)).cast("long")
+    }
+    (mk(c1, r.getLong(0), r.getLong(1)), mk(c2, r.getLong(2), r.getLong(3)))
   }
 
   /** Write `df` Z-ordered on (`c1`, `c2`): range-partition by the
@@ -66,13 +76,14 @@ object ZOrder {
     * ranges in both columns. Returns nothing; measure locality with
     * [[fileRanges]]. */
   def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
-      numFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("_z", zValue(scaled(df, c1, bits), scaled(df, c2, bits),
-        bits))
+      numFiles: Int, bits: Int = 16): Unit = {
+    val (s1, s2) = scaledBoth(df, c1, c2, bits)
+    df.withColumn("_z", zValue(s1, s2, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Per-file (min, max) width of a column in a written dataset — the
     * data-skipping figure of merit: a predicate on the column can prune

@@ -35,6 +35,18 @@ class EventAnalyticsSpec extends SparkSpec {
       (2, "purchase", 1L)))
   }
 
+  test("funnelCounts: step names with quotes and backslashes stay intact") {
+    val tricky = Seq("don't", """back\slash""", "a''b")
+    val e = Seq((1L, "don't", ts("2024-01-01 10:00:00")),
+      (1L, """back\slash""", ts("2024-01-01 10:01:00")),
+      (1L, "a''b", ts("2024-01-01 10:02:00")))
+      .toDF("user_id", "event_type", "ts")
+    val rows = EventAnalytics.funnelCounts(e, "user_id", "event_type",
+        "ts", tricky)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === tricky.map(_ -> 1L))
+  }
+
   test("funnelUserSteps: abandoned funnel leaves later steps null") {
     val m = EventAnalytics.funnelUserSteps(events, "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"))
