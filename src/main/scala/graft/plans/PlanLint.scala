@@ -39,21 +39,44 @@ object PlanLint {
       out += Finding("nested-loop-join",
         "plan contains BroadcastNestedLoopJoin — non-equi join condition; " +
           "bin/bucket the range predicate into an equi key (see RangeJoin)")
-    // formatted output OMITS the PushedFilters line entirely when a file
-    // scan pushes nothing, so the signal is: a Filter node present while
-    // some file-scan block carries no PushedFilters line at all
-    val hasFilter = formatted.linesIterator
-      .exists(l => l.trim.startsWith("(") && l.contains(" Filter ") ||
-        l.trim.startsWith("* Filter") || l.trim.startsWith("+- Filter") ||
-        l.trim.startsWith("+- * Filter"))
-    val scanBlocks = formatted.split("\n\n")
-      .filter(_.linesIterator.exists(_.trim.matches("""\(\d+\) Scan (parquet|orc|csv|json).*""")))
-    val unpushedScan = scanBlocks.exists(b => !b.contains("PushedFilters:"))
-    if (hasFilter && scanBlocks.nonEmpty && unpushedScan)
+    // unpushed-filter, scan-associated: flag only a Filter whose OWN
+    // subtree contains a file scan that pushes nothing. A residual
+    // Filter above a scan that pushed its predicates is normal (Spark
+    // re-evaluates pushed filters), and an unfiltered dimension scan
+    // elsewhere in a join is not this Filter's problem — a global
+    // "any Filter + any pushless scan" check would flag most real
+    // multi-table queries spuriously.
+    val headerNodes = parseTree(formatted)
+    val details = detailBlocks(formatted)
+    def pushesNothing(id: Int): Boolean = details.get(id).exists { b =>
+      !b.contains("PushedFilters:") || b.contains("PushedFilters: []")
+    }
+    // a filter on a DERIVED column (window rank, aggregate, computed
+    // score) is unpushable by nature — only blame the scan when the
+    // Filter's condition references one of the scan's own output
+    // attributes (then a pushable base-column predicate pushed nothing,
+    // which is the actual bug: usually a cast/UDF wrapper)
+    val attrRe = """#(\d+)""".r
+    def attrs(block: String, prefix: String): Set[String] = block
+      .linesIterator.filter(_.startsWith(prefix))
+      .flatMap(l => attrRe.findAllMatchIn(l).map(_.group(1))).toSet
+    val offending = headerNodes.zipWithIndex.flatMap {
+      case ((name, fid, depth), i) if name.startsWith("Filter") =>
+        val cond = details.get(fid)
+          .map(attrs(_, "Condition")).getOrElse(Set.empty)
+        headerNodes.drop(i + 1).takeWhile(_._3 > depth)
+          .collect {
+            case (n, id, _) if isFileScan(n) &&
+                details.get(id).exists(b =>
+                  attrs(b, "Output").intersect(cond).nonEmpty) => id
+          }
+      case _ => Nil
+    }.distinct.filter(pushesNothing)
+    if (offending.nonEmpty)
       out += Finding("unpushed-filter",
-        "a Filter runs while a file scan pushes no filters — the scan " +
-          "reads rows the filter discards; check for casts/UDFs on the " +
-          "predicate column")
+        s"Filter over file scan(s) ${offending.sorted.mkString(", ")} " +
+          "that push no filters — the scan reads rows the filter " +
+          "discards; check for casts/UDFs on the predicate column")
     // codegen ids only materialize in a finalized plan: under an
     // un-finalized AdaptiveSparkPlan the absence proves nothing, so the
     // rule applies only to non-adaptive (or already-executed) plans
@@ -65,4 +88,38 @@ object PlanLint {
           "built-ins or a doGenCode Expression")
     out.result()
   }
+
+  /** Parse the formatted-explain header tree into (name, id, depth) in
+    * DFS order — depth is the column where the operator name starts, so
+    * "subtree of node at depth d" = following nodes while depth > d. */
+  private def parseTree(formatted: String): Vector[(String, Int, Int)] = {
+    val idRe = """\((\d+)\)\s*$""".r
+    formatted.linesIterator
+      .dropWhile(!_.startsWith("== Physical Plan =="))
+      .drop(1)
+      .takeWhile(_.trim.nonEmpty)
+      .flatMap { l =>
+        idRe.findFirstMatchIn(l).flatMap { m =>
+          val depth = l.indexWhere(c => !" +-:*".contains(c))
+          if (depth < 0 || depth >= m.start) None
+          else Some((l.substring(depth, m.start).trim, m.group(1).toInt, depth))
+        }
+      }.toVector
+  }
+
+  /** Detail blocks of the formatted explain keyed by operator id. */
+  private def detailBlocks(formatted: String): Map[Int, String] = {
+    val headRe = """^\((\d+)\)\s""".r
+    formatted.split("\n\n").flatMap { b =>
+      // a block may start with leftover blank lines from a \n\n\n run
+      b.linesIterator.dropWhile(_.trim.isEmpty).nextOption()
+        .flatMap(headRe.findFirstMatchIn)
+        .map(_.group(1).toInt -> b)
+    }.toMap
+  }
+
+  private def isFileScan(name: String): Boolean =
+    name.startsWith("BatchScan") ||
+      Seq("parquet", "orc", "csv", "json", "text")
+        .exists(f => name.startsWith(s"Scan $f"))
 }
