@@ -351,5 +351,16 @@ object TextQueries {
         "array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings " +
         "FROM tok JOIN dfs USING (token) " +
         "GROUP BY token, df ORDER BY token"),
+    // golden-fixture oracle: iterative argmax-merge is not
+    // SQL-expressible, so the expected merges are COMMITTED (verified
+    // by BpeTrainSpec's distributed==in-memory-reference property) and
+    // keyed by a corpus discriminator — a trainer regression now
+    // hash-fails instead of passing rows-only. An sf absent from the
+    // fixture yields 0 oracle rows, i.e. a loud red, not a silent pass.
+    "t15_bpe_merges" ->
+      ("SELECT CAST(merge_idx AS INT) AS merge_idx, a, b FROM " +
+        "read_csv('/root/repo/fixtures/t15_golden_merges.csv', header=true) " +
+        "WHERE corpus_chars = (SELECT sum(length(text)) FROM documents) " +
+        "ORDER BY merge_idx"),
   )
 }
