@@ -96,6 +96,23 @@ object StreamQueries {
       .limit(500)
   }
 
+  // stream-stream FULL OUTER interval join in batch mode: unmatched
+  // views AND unmatched clicks both surface with a NULL partner — the
+  // two-sided deferred null emission the streaming spec drives through
+  // watermarks
+  private def e09(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts").as("vts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    EventStreams.viewClickFullOuterJoin(views, clicks)
+      .select(col("view_id"), col("click_id"), col("user_id"))
+      .orderBy(col("view_id").asc_nulls_first,
+        col("click_id").asc_nulls_first)
+      .limit(500)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
@@ -105,6 +122,7 @@ object StreamQueries {
     "e06_interval_join" -> (e06 _),
     "e07_funnel_state" -> (e07 _),
     "e08_interval_left" -> (e08 _),
+    "e09_interval_full" -> (e09 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -170,5 +188,16 @@ object StreamQueries {
         "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
         "WHERE v.event_type = 'view' " +
         "ORDER BY view_id, click_id NULLS FIRST LIMIT 500"),
+    // full outer: both sides must be PRE-filtered subqueries (a WHERE
+    // on the joined frame would discard the null-extended rows)
+    "e09_interval_full" ->
+      ("SELECT v.event_id AS view_id, c.event_id AS click_id, " +
+        "coalesce(v.user_id, c.user_id) AS user_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+        "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON v.user_id = c.user_id " +
+        "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
+        "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+        "ORDER BY view_id NULLS FIRST, click_id NULLS FIRST LIMIT 500"),
   )
 }

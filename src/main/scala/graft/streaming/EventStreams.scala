@@ -82,6 +82,29 @@ object EventStreams {
         col("v.user_id"), col("v.vts"))
   }
 
+  /** Stream-stream FULL OUTER interval join: the reconciliation shape
+    * for two late streams — every view paired with its in-window
+    * clicks, PLUS view-with-no-click rows (NULL click) and
+    * click-with-no-view rows (NULL view), each emitted only once its
+    * side's watermark proves no match can still arrive. State stays
+    * watermark-bounded exactly as in the left-outer case; the only
+    * addition is deferred null emission on BOTH sides. Applied to batch
+    * frames it degrades to a plain full-outer theta join — the e09
+    * oracle. */
+  def viewClickFullOuterJoin(views: DataFrame, clicks: DataFrame,
+      window: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("vts", delay).as("v")
+    val c = clicks.withWatermark("ts", delay).as("c")
+    v.join(c,
+      expr(s"v.user_id = c.user_id AND c.ts >= v.vts " +
+        s"AND c.ts <= v.vts + INTERVAL $window"),
+      "full_outer")
+      .select(col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        coalesce(col("v.user_id"), col("c.user_id")).as("user_id"),
+        col("v.vts"), col("c.ts"))
+  }
+
   /** Stream-static enrichment: inner-join the stream against a slowly-
     * changing dimension. The static side is broadcast — the stream is
     * never shuffled for the join, and Structured Streaming re-plans the

@@ -252,6 +252,57 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("viewClickFullOuterJoin: null rows emit on BOTH sides once " +
+      "watermarks prove no match can arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val views = vMem.toDF().toDF("event_id", "user_id", "vts")
+    val clicks = cMem.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.viewClickFullOuterJoin(views, clicks,
+        window = "1 hour", delay = "10 minutes")
+      .writeStream.format("memory").queryName("vcfo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: view + click (match); u2: view, NO click ever;
+      // u3: click, NO view ever (the side left-outer can't cover)
+      vMem.addData((1L, 1L, ts(0)), (2L, 2L, ts(1)))
+      cMem.addData((10L, 1L, ts(5)), (30L, 3L, ts(2)))
+      q.processAllAvailable()
+      val early = spark.table("vcfo").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(early.contains((Some(1L), Some(10L))))
+      assert(!early.exists(p => p._1.contains(2L) || p._2.contains(30L)),
+        "no outer null may emit while a match could still arrive")
+      // advance both watermarks far past every window + delay
+      vMem.addData((99L, 9L, ts(300)))
+      cMem.addData((98L, 9L, ts(300)))
+      q.processAllAvailable()
+      val late = spark.table("vcfo").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(late.contains((Some(2L), None)),
+        s"unmatched view must emit with null click, got $late")
+      assert(late.contains((None, Some(30L))),
+        s"unmatched click must emit with null view, got $late")
+    } finally q.stop()
+  }
+
+  test("viewClickFullOuterJoin: batch mode equals the SQL full outer") {
+    val views = Seq((1L, 1L, ts(0)), (2L, 2L, ts(1)))
+      .toDF("event_id", "user_id", "vts")
+    val clicks = Seq((10L, 1L, ts(5)), (30L, 3L, ts(2)),
+        (11L, 1L, ts(90))) // 90min after u1's view: outside the window
+      .toDF("event_id", "user_id", "ts")
+    val got = EventStreams.viewClickFullOuterJoin(views, clicks)
+      .select("view_id", "click_id", "user_id").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toSet
+    assert(got === Set(
+      (Some(1L), Some(10L), 1L),  // in-window match
+      (Some(2L), None, 2L),       // view with no click
+      (None, Some(30L), 3L),      // click with no view
+      (None, Some(11L), 1L)))     // click outside its view's window
+  }
+
   test("funnelProgress: incremental == batch == the relational cascade") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("view", "click", "purchase")
