@@ -113,6 +113,15 @@ object StreamQueries {
       .limit(500)
   }
 
+  // the graft-log connector (Kafka-shaped partitioned-log DSv2 source,
+  // micro-batch + batch) read in batch mode over a committed fixture
+  // log; the oracle recomputes each record's offset from the sequence
+  // number embedded in its value, so the gate pins the reader's
+  // partition/offset assignment, not just the payload
+  private def e10(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-log").load("/root/repo/fixtures/graftlog")
+      .orderBy("partition", "offset")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
@@ -123,6 +132,7 @@ object StreamQueries {
     "e07_funnel_state" -> (e07 _),
     "e08_interval_left" -> (e08 _),
     "e09_interval_full" -> (e09 _),
+    "e10_log_source" -> (e10 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -199,5 +209,12 @@ object StreamQueries {
         "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
         "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
         "ORDER BY view_id NULLS FIRST, click_id NULLS FIRST LIMIT 500"),
+    "e10_log_source" ->
+      ("SELECT CAST(regexp_extract(filename, 'p(\\d+)/', 1) AS INT) " +
+        "AS partition, " +
+        "CAST(regexp_extract(value, '-(\\d+)$', 1) AS BIGINT) AS \"offset\", " +
+        "CAST(\"timestamp\" AS BIGINT) AS \"timestamp\", \"key\", \"value\" " +
+        "FROM read_json_auto('/root/repo/fixtures/graftlog/*/*.jsonl', " +
+        "filename=true) ORDER BY partition, \"offset\""),
   )
 }

@@ -1,0 +1,129 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class GraftLogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def recs(partition: Int, from: Int, n: Int) =
+    (from until from + n).map(i =>
+      (1000L + i, s"k${i % 10}", s"v$partition-$i"))
+
+  test("batch read: every record once, offsets dense per partition") {
+    val dir = tmp("glog")
+    GraftLog.append(dir, 0, recs(0, 0, 25))
+    GraftLog.append(dir, 0, recs(0, 25, 17)) // second segment, base 25
+    GraftLog.append(dir, 1, recs(1, 0, 9))
+    val df = spark.read.format("graft-log").load(dir)
+    assert(df.count() === 51)
+    // offsets are 0..n-1 within each partition, in record order
+    val got = df.select("partition", "offset", "value").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val expected = (0 until 42).map(i => (0, i.toLong, s"v0-$i")).toSet ++
+      (0 until 9).map(i => (1, i.toLong, s"v1-$i"))
+    assert(got === expected)
+    // one InputPartition per log partition
+    assert(df.rdd.getNumPartitions === 2)
+  }
+
+  test("malformed line occupies its offset with a NULL payload") {
+    val dir = tmp("glog-bad")
+    GraftLog.append(dir, 0, recs(0, 0, 2))
+    // corrupt the active segment by appending garbage bytes as a new
+    // segment-with-one-bad-line
+    val f = new java.io.FileWriter(s"$dir/p0/${GraftLog.segName(2L)}")
+    f.write("{not json at all\n"); f.close()
+    GraftLog.append(dir, 0, recs(0, 3, 1)) // base must be 3, not 2
+    val rows = spark.read.format("graft-log").load(dir)
+      .orderBy("offset").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(rows(2).isNullAt(3) && rows(2).isNullAt(4),
+      "malformed record must surface as NULL payload at its offset")
+    assert(rows(3).getString(4) === "v0-3")
+  }
+
+  test("offset JSON round-trip") {
+    val o = GraftLogOffset(Map(0 -> 42L, 1 -> 9L, 12 -> 1000000L))
+    assert(GraftLogOffset.fromJson(o.json()) === o)
+    assert(o.json() === """{"0":42,"1":9,"12":1000000}""")
+  }
+
+  test("micro-batch: appended segments arrive as exactly the new offsets") {
+    val dir = tmp("glog-stream")
+    GraftLog.append(dir, 0, recs(0, 0, 5))
+    GraftLog.append(dir, 1, recs(1, 0, 3))
+    val q = spark.readStream.format("graft-log").load(dir)
+      .writeStream.format("memory").queryName("glog1")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("glog1").count() === 8)
+    // append while no query runs; a new AvailableNow query with the
+    // SAME checkpoint would resume — here a fresh query re-reads all,
+    // so assert the offsets, not just counts
+    GraftLog.append(dir, 0, recs(0, 5, 4))
+    val q2 = spark.readStream.format("graft-log").load(dir)
+      .writeStream.format("memory").queryName("glog2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.table("glog2")
+      .select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === ((0 until 9).map(i => (0, i.toLong)) ++
+      (0 until 3).map(i => (1, i.toLong))).toSet)
+  }
+
+  test("checkpoint recovery is exactly-once: restart resumes at the " +
+      "committed offset, no duplicates") {
+    val dir = tmp("glog-ckpt")
+    val ckpt = tmp("glog-ckpt-loc")
+    val out = tmp("glog-ckpt-out")
+    GraftLog.append(dir, 0, recs(0, 0, 6))
+    // parquet sink: the memory sink refuses checkpoint recovery, and
+    // recovery is exactly what this test drives
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 6)
+    GraftLog.append(dir, 0, recs(0, 6, 4))
+    run() // same checkpoint: must deliver ONLY offsets 6..9
+    val offsets = spark.read.parquet(out).select("offset").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(offsets === (0L to 9L),
+      s"duplicates or gaps after recovery: $offsets")
+  }
+
+  test("a partition appearing mid-stream is picked up from offset 0") {
+    val dir = tmp("glog-newpart")
+    val ckpt = tmp("glog-newpart-ckpt")
+    val out = tmp("glog-newpart-out")
+    GraftLog.append(dir, 0, recs(0, 0, 2))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    GraftLog.append(dir, 7, recs(7, 0, 3)) // brand-new partition p7
+    run()
+    val got = spark.read.parquet(out).select("partition", "offset")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got === Set((0, 0L), (0, 1L), (7, 0L), (7, 1L), (7, 2L)))
+  }
+}
