@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACT order statistics (k-th smallest, discrete quantiles) of a
+  * BIGINT column WITHOUT a global sort — histogram bisection
+  * (Blum-style distributed selection, public literature).
+  *
+  * Why it exists: the window formulation (`row_number() OVER (ORDER BY
+  * x)`) totally sorts the data — a full-shuffle range sort at 100 TB —
+  * and `percentile_approx` is approximate. Selection needs neither:
+  * each round partitions the VALUE RANGE into `buckets` fixed-width
+  * bins, one combinable count aggregate finds the bin holding the
+  * k-th value, and the range narrows by ~buckets× per round. Total
+  * cost is ⌈log_buckets(span)⌉ + 2 scans (min/max/count, the rounds,
+  * one final distinct-count walk) with only bucket-count rows ever
+  * shuffled — for cent-scale money values (span ~10⁹) that is THREE
+  * scans end to end, and every scan's filter is a pushdown-friendly
+  * BETWEEN on the raw column.
+  *
+  * Exactness: invariant "the k'-th smallest of values in [lo, hi]
+  * equals the answer" holds through every narrowing (counts below the
+  * chosen bucket are subtracted from k'); the final walk resolves ties
+  * and duplicates exactly, so the result matches the sort-based
+  * definition bit-for-bit — which is what lets the q38 gate
+  * hash-match a row_number oracle.
+  */
+object ExactSelection {
+
+  /** k-th smallest (1-indexed) among the non-null values of `c`. */
+  def kthSmallest(df: DataFrame, c: String, k: Long,
+      buckets: Int = 4096): Long = {
+    val vals = longs(df, c)
+    val (lo, hi, n) = stats(vals)
+    require(k >= 1 && k <= n, s"k=$k outside [1, $n]")
+    refine(vals, lo, hi, k, buckets,
+      collection.mutable.Map.empty)
+  }
+
+  /** Discrete quantiles: for each q, the smallest value whose
+    * cumulative count reaches ⌈q·n⌉ (the `row_number = ceil(q*n)`
+    * definition — no interpolation, always an actual data value).
+    * Returns (q, k, value) rows. The min/max/count pass and the
+    * first-round histogram are shared across all qs (memoized by
+    * range), so the marginal cost of an extra quantile is only its
+    * narrowed-range rounds. */
+  def quantiles(df: DataFrame, c: String, qs: Seq[Double],
+      buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val vals = longs(df, c)
+    val (lo, hi, n) = stats(vals)
+    val memo = collection.mutable.Map.empty[(Long, Long), Seq[(Int, Long)]]
+    val rows = qs.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      (q, k, refine(vals, lo, hi, k, buckets, memo))
+    }
+    rows.toDF("q", "k", "value").orderBy("q")
+  }
+
+  private def longs(df: DataFrame, c: String): Dataset[java.lang.Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(c).cast("long").as("x"))
+      .filter(col("x").isNotNull).as[java.lang.Long]
+  }
+
+  private def stats(vals: Dataset[java.lang.Long]): (Long, Long, Long) = {
+    val r = vals.agg(min(col("x")), max(col("x")), count(lit(1))).head()
+    require(r.getLong(2) > 0, "no non-null values to select from")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    // (x - lo) and bucket widths are computed in Long
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue) / 2,
+      s"value span [$lo, $hi] too wide for Long bucket arithmetic")
+    (lo, hi, r.getLong(2))
+  }
+
+  /** One bucket-count aggregate over vals ∩ [lo, hi]. */
+  private def bucketCounts(vals: Dataset[java.lang.Long], lo: Long,
+      hi: Long, width: Long): Seq[(Int, Long)] =
+    vals.filter(col("x").between(lo, hi))
+      .groupBy(((col("x") - lit(lo)) / lit(width)).cast("int").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+
+  @annotation.tailrec
+  private def refine(vals: Dataset[java.lang.Long], lo: Long, hi: Long,
+      k: Long, buckets: Int,
+      memo: collection.mutable.Map[(Long, Long), Seq[(Int, Long)]]): Long = {
+    if (hi - lo < buckets) {
+      // terminal: ≤ `buckets` distinct values possible — exact walk
+      // over (value, count), resolving duplicates precisely
+      val counts = vals.filter(col("x").between(lo, hi))
+        .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      var kk = k
+      var res = Option.empty[Long]
+      counts.foreach { case (v, cnt) =>
+        if (res.isEmpty) {
+          if (kk <= cnt) res = Some(v) else kk -= cnt
+        }
+      }
+      res.getOrElse(throw new IllegalStateException(
+        s"selection invariant broke: k=$k left over in [$lo, $hi]"))
+    } else {
+      val width = ((BigInt(hi) - BigInt(lo) + buckets) / buckets).toLong
+      val counts = memo.getOrElseUpdate((lo, hi),
+        bucketCounts(vals, lo, hi, width))
+      var kk = k
+      var chosen = -1
+      counts.foreach { case (b, cnt) =>
+        if (chosen < 0) {
+          if (kk <= cnt) chosen = b else kk -= cnt
+        }
+      }
+      require(chosen >= 0,
+        s"selection invariant broke: k=$k beyond counts in [$lo, $hi]")
+      val newLo = lo + chosen * width
+      val newHi = math.min(hi, newLo + width - 1)
+      refine(vals, newLo, newHi, kk, buckets, memo)
+    }
+  }
+}

@@ -448,6 +448,18 @@ object CoreQueries {
       support = 0.0008)
       .orderBy("l_partkey")
 
+  // exact quantiles by histogram bisection (no global sort, no
+  // approximation): three scans end-to-end at cent-scale spans, only
+  // bucket counts shuffled. The row_number oracle IS the sort-based
+  // definition — hash equality proves the selection exact. k derives
+  // from ceil of the same double product on both engines.
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactSelection.quantiles(
+      t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long")
+          .as("cents")),
+      "cents", Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -486,6 +498,7 @@ object CoreQueries {
     "q35_histogram" -> (q35 _),
     "q36_zvalue" -> (q36 _),
     "q37_heavy_hitters" -> (q37 _),
+    "q38_exact_quantile" -> (q38 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -668,5 +681,15 @@ object CoreQueries {
         "GROUP BY l_partkey HAVING count(*) >= (SELECT " +
         "CAST(ceil(0.0008 * count(*)) AS BIGINT) FROM lineitem) " +
         "ORDER BY l_partkey"),
+    "q38_exact_quantile" ->
+      ("WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) " +
+        "AS x FROM lineitem), " +
+        "r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s), " +
+        "n AS (SELECT count(*) AS n FROM s), " +
+        "qk AS (SELECT q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS k " +
+        "FROM (SELECT unnest([0.01, 0.25, 0.5, 0.9, 0.99, 1.0]) " +
+        "AS q), n) " +
+        "SELECT CAST(q AS DOUBLE) AS q, k, x AS value " +
+        "FROM qk JOIN r ON r.rn = qk.k ORDER BY q"),
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExactSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kthSmallest == sorted reference on random data incl. duplicates") {
+    val rnd = new Random(19)
+    (1 to 3).foreach { round =>
+      // heavy duplication + wide range + negatives
+      val data = (1 to 5000).map(_ => rnd.nextInt(200).toLong - 100) ++
+        (1 to 500).map(_ => rnd.nextLong() % 1000000000L)
+      val df = data.toDF("x").repartition(7)
+      val sorted = data.sorted
+      for (k <- Seq(1L, 17L, data.size / 2L, data.size.toLong)) {
+        val got = ExactSelection.kthSmallest(df, "x", k, buckets = 64)
+        assert(got === sorted((k - 1).toInt), s"round $round k=$k")
+      }
+    }
+  }
+
+  test("kthSmallest: small buckets force multiple narrowing rounds") {
+    val data = (1L to 100000L).map(i => i * 977L % 1000003L)
+    val sorted = data.sorted
+    val df = data.toDF("x")
+    // buckets=16 over span ~10^6 → ~5 rounds of narrowing
+    assert(ExactSelection.kthSmallest(df, "x", 31337L, buckets = 16) ===
+      sorted(31336))
+  }
+
+  test("quantiles: ceil(q*n) definition matches row_number formulation") {
+    val data = (1 to 999).map(_.toLong)
+    val df = data.toDF("x")
+    val got = ExactSelection.quantiles(df, "x", Seq(0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (q, k, v) =>
+      assert(k === math.max(1L, math.ceil(q * 999).toLong))
+      assert(v === k) // data IS 1..999 so kth smallest == k
+    }
+  }
+
+  test("nulls are ignored; k out of range rejected") {
+    val df = Seq[java.lang.Long](5L, null, 1L, null, 3L).toDF("x")
+    assert(ExactSelection.kthSmallest(df, "x", 2) === 3L)
+    intercept[IllegalArgumentException] {
+      ExactSelection.kthSmallest(df, "x", 4)
+    }
+  }
+
+  test("shared first histogram: extra quantiles do not rescan at the " +
+      "top level") {
+    val acc = spark.sparkContext.longAccumulator("scans")
+    val base = spark.range(0, 100000, 1, 4)
+      .mapPartitions { it => acc.add(1); it.map(i => (i * 31) % 65536) }
+      .toDF("x")
+    ExactSelection.quantiles(base, "x", Seq(0.1, 0.5, 0.9), buckets = 256)
+      .collect()
+    // stats pass (4) + ONE shared top histogram (4) + one terminal
+    // walk per quantile (range 65536/256=256 < buckets ⇒ terminal
+    // immediately; ≤ 3×4) — anything above means the memo failed
+    assert(acc.value <= 20L, s"too many partition scans: ${acc.value}")
+  }
+}

@@ -106,6 +106,53 @@ class GraftLogSourceSpec extends SparkSpec {
       s"duplicates or gaps after recovery: $offsets")
   }
 
+  test("composes with the streaming operators: log → windowedCounts " +
+      "== the same batch aggregate") {
+    val dir = tmp("glog-compose")
+    val ckpt = tmp("glog-compose-ckpt")
+    val out = tmp("glog-compose-out")
+    // JSON values carry an event type; timestamps 10 min apart so two
+    // 1-hour windows fill
+    val events = (0 until 12).map(i =>
+      (i * 600000L, s"k$i", if (i % 3 == 0) "click" else "view"))
+    GraftLog.append(dir, 0, events)
+    def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+      (col("timestamp") / 1000).cast("timestamp").as("ts"),
+      col("value").as("event_type"),
+      lit(1.0).as("value"))
+    def run(): Unit = {
+      val q = graft.streaming.EventStreams.windowedCounts(
+          shaped(spark.readStream.format("graft-log").load(dir)),
+          windowLen = "1 hour", delay = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    // append-mode windows emit only once the watermark passes, and the
+    // watermark advances at batch END — so a far-future record closes
+    // the old windows one run LATER: run 2 ingests it (watermark still
+    // old during the batch), run 3 emits the now-closed windows
+    GraftLog.append(dir, 0, Seq((36000000L, "k99", "view")))
+    run()
+    GraftLog.append(dir, 0, Seq((36600000L, "k99", "view")))
+    run()
+    val streamed = spark.read.parquet(out)
+      .filter(col("ws") < java.sql.Timestamp.valueOf("1970-01-01 02:00:00"))
+      .select("ws", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.streaming.EventStreams.windowedCounts(
+        shaped(spark.read.format("graft-log").load(dir)),
+        windowLen = "1 hour", delay = "10 minutes")
+      .select("ws", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // every watermark-closed window must match the batch answer exactly
+    val closed = batch.filter(_._1.getTime < 2 * 3600 * 1000L)
+    assert(streamed === closed, s"streamed=$streamed closed=$closed")
+  }
+
   test("a partition appearing mid-stream is picked up from offset 0") {
     val dir = tmp("glog-newpart")
     val ckpt = tmp("glog-newpart-ckpt")
