@@ -93,6 +93,26 @@ object ScaleDrive {
     require(nAgg == nWin && diff == 0,
       s"top-k diverged: $nAgg vs $nWin rows, $diff asymmetric")
     println(s"[scale] top-k: $nAgg rows over $groups groups, agg == window")
+
+    // 3. exact median: histogram bisection (bucket counts only) vs the
+    // row_number total sort
+    val xs = events.select(pmod(xxhash64(col("id"), lit(17)),
+      lit(1000000000L)).as("x")).localCheckpoint()
+    val kMid = (rows + 1) / 2
+    val viaSelect = timed("exact median via histogram bisection") {
+      graft.operators.ExactSelection.kthSmallest(xs, "x", kMid)
+    }
+    val viaSort = timed("exact median via row_number total sort") {
+      xs.select(col("x"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("x"))).as("rn"))
+        .filter(col("rn") === kMid).select("x").head().getLong(0)
+    }
+    require(viaSelect == viaSort,
+      s"median diverged: $viaSelect vs $viaSort")
+    println(s"[scale] exact median $viaSelect: bisection shuffles bucket " +
+      "counts; the sort formulation shuffles and sorts every row " +
+      "(single-partition window — the thing that cannot exist at 100 TB)")
     spark.stop()
   }
 }
