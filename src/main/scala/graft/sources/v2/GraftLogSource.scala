@@ -119,6 +119,8 @@ object GraftLog {
     val fs = partDir.getFileSystem(conf.value)
     fs.mkdirs(partDir)
     val base = endOffset(partDir, conf)
+    // an empty segment would collide with the next append's base name
+    if (records.isEmpty) return base
     val out = fs.create(new Path(partDir, segName(base)), false)
     try records.foreach { case (ts, k, v) =>
       def js(s: String) =
@@ -148,18 +150,31 @@ class GraftLogSource extends TableProvider with DataSourceRegister {
     new GraftLogTable(properties.get("path"))
 }
 
-class GraftLogTable(path: String) extends Table with SupportsRead {
+class GraftLogTable(path: String) extends Table
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_log($path)"
   override def schema(): StructType = GraftLog.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftLogScan(path,
         new SerializableHadoopConf(org.apache.spark.sql.SparkSession
           .active.sessionState.newHadoopConf()))
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new GraftLogWrite(path, info.schema(),
+          Option(info.options.get("partitions")).map(_.toInt).getOrElse(1),
+          new SerializableHadoopConf(org.apache.spark.sql.SparkSession
+            .active.sessionState.newHadoopConf()))
     }
 }
 
@@ -244,6 +259,175 @@ class GraftLogMicroBatchStream(path: String, conf: SerializableHadoopConf)
 
 case class GraftLogRange(partitionId: Int, partDir: String,
     startOffset: Long, endOffset: Long) extends InputPartition
+
+// ===== write path (streaming sink) =====
+
+/** One staged file an executor wrote: destination log partition, the
+  * hidden temp path inside that partition dir, and its record count
+  * (rides the commit message so the driver never reads data). */
+case class GraftLogStagedFile(partition: Int, tmpPath: String, lines: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Exactly-once log sink. Tasks write records as HIDDEN temp files
+  * (`.tmp-...`, invisible to the segment regex) inside their target
+  * partition dirs; the driver's `commit(epochId, _)` renames them into
+  * offset-named segments in deterministic (partition, taskId) order —
+  * a metadata-only commit, no data moves through the driver — and
+  * drops an `_epochs/<id>` marker first checked on entry, so a
+  * replayed epoch after failure commits nothing twice. Input rows
+  * route by their `partition` column when present and non-null,
+  * else hash(key) % partitions (option `partitions`, default 1) —
+  * the Kafka producer contract. */
+class GraftLogWrite(path: String, inputSchema: StructType, partitions: Int,
+    conf: SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.write.Write {
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftLogStreamingWrite(path, inputSchema, partitions, conf)
+}
+
+class GraftLogStreamingWrite(path: String, inputSchema: StructType,
+    partitions: Int, conf: SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new GraftLogWriterFactory(path, inputSchema, partitions, conf)
+
+  private def epochMarker(epochId: Long): Path =
+    new Path(new Path(path, "_epochs"), epochId.toString)
+
+  private def stagedOf(messages: Array[WriterCommitMessage]) =
+    messages.flatMap {
+      case GraftLogTaskCommit(files) => files
+      case _ => Nil
+    }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val marker = epochMarker(epochId)
+    val staged = stagedOf(messages)
+    if (fs.exists(marker)) {
+      // replayed epoch: already committed — drop the re-staged files
+      staged.foreach(m => fs.delete(new Path(m.tmpPath), false))
+      return
+    }
+    // deterministic order: by (partition, temp name); each staged file
+    // becomes one segment via RENAME (metadata-only). The partition's
+    // current end is read ONCE per epoch (the active-segment read
+    // latestOffset pays anyway); later bases ride the messages' record
+    // counts, so commit never reads staged data.
+    staged.groupBy(_.partition).toSeq.sortBy(_._1).foreach {
+      case (p, files) =>
+        val partDir = new Path(path, s"p$p")
+        var base = GraftLog.endOffset(partDir, conf)
+        files.sortBy(_.tmpPath).foreach { m =>
+          val ok = fs.rename(new Path(m.tmpPath),
+            new Path(partDir, GraftLog.segName(base)))
+          require(ok, s"rename failed for ${m.tmpPath} at base $base")
+          base += m.lines
+        }
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, false).close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    stagedOf(messages).foreach(m => fs.delete(new Path(m.tmpPath), false))
+  }
+}
+
+class GraftLogWriterFactory(path: String, inputSchema: StructType,
+    partitions: Int, conf: SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftLogDataWriter(path, inputSchema, partitions, conf,
+      partitionId, taskId, epochId)
+}
+
+/** Buffers one open temp file per target log partition. The input may
+  * carry any subset of (partition, timestamp, key, value) — missing
+  * fields default (partition → hash(key), timestamp/key/value → null). */
+class GraftLogDataWriter(path: String, inputSchema: StructType,
+    partitions: Int, conf: SerializableHadoopConf, sparkPartitionId: Int,
+    taskId: Long, epochId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val fs = new Path(path).getFileSystem(conf.value)
+  private def fieldIdx(name: String): Int = inputSchema.fieldNames.indexOf(name)
+  private val pIdx = fieldIdx("partition")
+  private val tsIdx = fieldIdx("timestamp")
+  private val kIdx = fieldIdx("key")
+  private val vIdx = fieldIdx("value")
+
+  private val open = collection.mutable.Map.empty[
+    Int, (org.apache.hadoop.fs.FSDataOutputStream, Path, Long)]
+
+  private def js(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (kIdx >= 0 && !row.isNullAt(kIdx))
+      row.getUTF8String(kIdx).toString else null
+    val p =
+      if (pIdx >= 0 && !row.isNullAt(pIdx)) row.getInt(pIdx)
+      else if (key != null) math.floorMod(key.hashCode, partitions)
+      else 0
+    val (out, pp, n) = open.getOrElseUpdate(p, {
+      val partDir = new Path(path, s"p$p")
+      fs.mkdirs(partDir)
+      val tmp = new Path(partDir,
+        f".tmp-$epochId%d-$sparkPartitionId%05d-$taskId%d.jsonl")
+      (fs.create(tmp, true), tmp, 0L)
+    })
+    val ts = if (tsIdx >= 0 && !row.isNullAt(tsIdx))
+      row.getLong(tsIdx).toString else "null"
+    val v = if (vIdx >= 0 && !row.isNullAt(vIdx))
+      row.getUTF8String(vIdx).toString else null
+    out.write(
+      s"""{"timestamp":$ts,"key":${js(key)},"value":${js(v)}}\n"""
+        .getBytes("UTF-8"))
+    open.update(p, (out, pp, n + 1))
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    open.values.foreach(_._1.close())
+    // one message per task is the API shape; fold multi-partition
+    // output into a composite
+    val files = open.map { case (p, (_, pp, n)) =>
+      GraftLogStagedFile(p, pp.toString, n)
+    }.toSeq
+    GraftLogTaskCommit(files)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (out, pp, _) =>
+      try out.close() catch { case _: Exception => () }
+      fs.delete(pp, false)
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+case class GraftLogTaskCommit(files: Seq[GraftLogStagedFile])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GraftLogReaderFactory(conf: SerializableHadoopConf)
   extends PartitionReaderFactory {

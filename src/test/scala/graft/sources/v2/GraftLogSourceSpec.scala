@@ -153,6 +153,87 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(streamed === closed, s"streamed=$streamed closed=$closed")
   }
 
+  test("sink: log → transform → log round-trip with dense offsets") {
+    val src = tmp("glog-sink-src")
+    val dst = tmp("glog-sink-dst")
+    val ckpt = tmp("glog-sink-ckpt")
+    GraftLog.append(src, 0, recs(0, 0, 10))
+    GraftLog.append(src, 1, recs(1, 0, 5))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-log").load(src)
+        .select(col("partition"), col("timestamp"), col("key"),
+          upper(col("value")).as("value"))
+        .writeStream.format("graft-log")
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val out1 = spark.read.format("graft-log").load(dst)
+      .select("partition", "offset", "value").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(out1 === ((0 until 10).map(i => (0, i.toLong, s"V0-$i")) ++
+      (0 until 5).map(i => (1, i.toLong, s"V1-$i"))).toSet)
+    // second batch appends at the running end offset, no gaps
+    GraftLog.append(src, 0, recs(0, 10, 3))
+    run()
+    val offs = spark.read.format("graft-log").load(dst)
+      .filter(col("partition") === 0).select("offset").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(offs === (0L until 13L), s"offsets not dense: $offs")
+  }
+
+  test("sink: replayed epoch commits nothing twice") {
+    val dst = tmp("glog-epoch")
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val w = new GraftLogStreamingWrite(dst, GraftLog.schema, 1, conf)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(conf.value)
+    def stage(name: String, lines: Int): GraftLogTaskCommit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dst/p0/$name")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      (0 until lines).foreach(i =>
+        out.write(s"""{"timestamp":$i,"key":"k","value":"v$i"}\n"""
+          .getBytes("UTF-8")))
+      out.close()
+      GraftLogTaskCommit(Seq(GraftLogStagedFile(0, p.toString, lines)))
+    }
+    w.commit(7L, Array(stage(".tmp-7-00000-1.jsonl", 4)))
+    assert(GraftLog.append(dst, 0, Seq.empty) === 4L) // end offset 4
+    // epoch 7 replays after a failure: re-staged file must be dropped
+    w.commit(7L, Array(stage(".tmp-7-00000-1.jsonl", 4)))
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dst/p0"))
+      .map(_.getPath.getName).filter(_.matches("\\d{20}\\.jsonl")).sorted
+    assert(segs.toSeq === Seq(GraftLog.segName(0L))) // exactly one segment
+    assert(spark.read.format("graft-log").load(dst).count() === 4)
+  }
+
+  test("sink: rows without a partition column route by key hash") {
+    val dst = tmp("glog-hash")
+    val ckpt = tmp("glog-hash-ckpt")
+    val src = tmp("glog-hash-src")
+    GraftLog.append(src, 0, (0 until 40).map(i =>
+      (i.toLong, s"key${i % 8}", s"v$i")))
+    val q = spark.readStream.format("graft-log").load(src)
+      .select(col("timestamp"), col("key"), col("value")) // no partition
+      .writeStream.format("graft-log")
+      .option("path", dst).option("partitions", "4")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.format("graft-log").load(dst)
+      .select("partition", "key").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(out.length === 40)
+    // same key always lands in the same partition
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._1).toSet.size === 1)
+    }
+    assert(out.map(_._1).toSet.subsetOf((0 until 4).toSet))
+  }
+
   test("a partition appearing mid-stream is picked up from offset 0") {
     val dir = tmp("glog-newpart")
     val ckpt = tmp("glog-newpart-ckpt")
