@@ -100,6 +100,32 @@ object PipelineQueries {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .orderBy("source")
 
+  // END-TO-END curation pipeline as ONE gate: quality floor → exact
+  // fingerprint dedup (keep lowest id) → per-source quota → md5 split →
+  // per-(source, split) rollup. Each stage is individually gated
+  // elsewhere (t02, t04/d01, p06, p01); THIS gate proves the stages
+  // compose — the oracle replays the whole chain in CTEs and the hash
+  // must match after four stage boundaries, so any inter-stage schema
+  // or ordering drift fails here even when every stage passes alone.
+  private def p09(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val annotated = docs(s, dir).select(
+      col("doc_id"), col("source"),
+      T.tokenCount(col("text")).as("n_tokens"),
+      T.qualityScore(col("text")).as("quality"),
+      T.fingerprint(col("text")).as("fp"))
+    val q = annotated.filter(col("quality") >= 0.55)
+    val keep = q.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    val deduped = q.join(keep, Seq("fp", "doc_id"), "left_semi")
+    val quota = DataSplit.domainQuota(deduped, "doc_id", "source",
+      maxPerDomain = 30)
+    DataSplit.assign(quota, "doc_id", trainPct = 80, valPct = 10)
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"))
+      .orderBy("source", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
@@ -109,7 +135,13 @@ object PipelineQueries {
     "p06_domain_quota" -> (p06 _),
     "p07_shard_shuffle" -> (p07 _),
     "p08_temperature_mix" -> (p08 _),
+    "p09_curate_e2e" -> (p09 _),
   )
+
+  // same list TextFunctions.qualityScore uses (t02's oracle, verbatim)
+  private val stopList = Seq("the", "a", "an", "of", "and", "to", "in",
+    "is", "that", "it", "for", "on", "with", "as", "was", "at", "by")
+    .map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val bucketSql =
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
@@ -194,5 +226,42 @@ object PipelineQueries {
         "FROM documents d JOIN r ON d.source = r.source) " +
         "SELECT source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) " +
         "AS chars FROM u WHERE u < rate GROUP BY source ORDER BY source"),
+    // the full curation chain replayed in CTEs: the quality/token/
+    // fingerprint formulas are the t01/t02/t04 oracles verbatim, then
+    // d01's keep-lowest-id dedup, p06's salted quota window, and p01's
+    // md5 split — composed exactly as the Spark pipeline composes them
+    "p09_curate_e2e" ->
+      ("WITH tk AS (SELECT doc_id, source, text, " +
+        "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+        "t -> t <> '')) AS n_tokens FROM documents), " +
+        "f AS (SELECT doc_id, source, n_tokens, " +
+        "CASE WHEN length(text) > 0 THEN " +
+        "CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) " +
+        "AS DOUBLE) / length(text) ELSE 0.0 END AS punct, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "CAST(len(list_filter(list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''), " +
+        s"t -> list_contains($stopList, t))) AS DOUBLE) / n_tokens " +
+        "ELSE 0.0 END AS stop, " +
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM tk), " +
+        "a AS (SELECT doc_id, source, n_tokens, fp, " +
+        "round(least(1.0, n_tokens/100.0)*0.4 + " +
+        "(1.0 - least(1.0, punct*10))*0.3 + " +
+        "least(1.0, stop*4)*0.3, 4) AS quality FROM f), " +
+        "q AS (SELECT * FROM a WHERE quality >= 0.55), " +
+        "k AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp), " +
+        "d AS (SELECT q.* FROM q JOIN k USING (fp, doc_id)), " +
+        "r AS (SELECT d.*, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id) " +
+        "AS rn FROM d), " +
+        "qt AS (SELECT * FROM r WHERE rn <= 30), " +
+        "s AS (SELECT source, n_tokens, CASE WHEN bkt < 80 THEN 'train' " +
+        "WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT qt.*, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), " +
+        "1, 4)) AS INT) % 100 AS bkt FROM qt)) " +
+        "SELECT source, split, count(*) AS docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens FROM s " +
+        "GROUP BY source, split ORDER BY source, split"),
   )
 }
