@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** EXACT order statistics (k-th smallest, discrete quantiles) of a
@@ -41,10 +41,17 @@ object ExactSelection {
   /** Discrete quantiles: for each q, the smallest value whose
     * cumulative count reaches ⌈q·n⌉ (the `row_number = ceil(q*n)`
     * definition — no interpolation, always an actual data value).
-    * Returns (q, k, value) rows. The min/max/count pass and the
-    * first-round histogram are shared across all qs (memoized by
-    * range), so the marginal cost of an extra quantile is only its
-    * narrowed-range rounds. */
+    * Returns (q, k, value) rows.
+    *
+    * LEVEL-SYNCHRONIZED: all quantiles advance through ONE scan per
+    * narrowing level. Every q starts from the same [min, max], so the
+    * ranges alive at any level are bucket-aligned — pairwise disjoint
+    * or identical — which lets a single pass tag each row with its
+    * (deduplicated) range id and count (range, bucket) cells for all
+    * quantiles at once. Total jobs: 1 stats + ~⌈log_buckets(span)⌉
+    * shared levels + 1 shared terminal walk — INDEPENDENT of how many
+    * quantiles are requested (p50/p90/p95/p99 costs the same scans as
+    * the median alone). */
   def quantiles(df: DataFrame, c: String, qs: Seq[Double],
       buckets: Int = 4096): DataFrame = {
     val spark = df.sparkSession
@@ -52,13 +59,86 @@ object ExactSelection {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must be in (0, 1]")
     val vals = longs(df, c)
-    val (lo, hi, n) = stats(vals)
-    val memo = collection.mutable.Map.empty[(Long, Long), Seq[(Int, Long)]]
-    val rows = qs.map { q =>
-      val k = math.max(1L, math.ceil(q * n).toLong)
-      (q, k, refine(vals, lo, hi, k, buckets, memo))
+    val (lo0, hi0, n) = stats(vals)
+    val kOf = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong)).toMap
+
+    // per distinct k: current range and the rank within it
+    case class St(lo: Long, hi: Long, kk: Long)
+    var active: Map[Long, St] =
+      kOf.values.toSeq.distinct.map(k => k -> St(lo0, hi0, k)).toMap
+    val resolved = collection.mutable.Map.empty[Long, Long]
+
+    // one pass: tag rows with the id of the (disjoint) range holding
+    // them, count per (rangeId, cell)
+    def rangedCounts(ranges: Seq[(Long, Long)], cell: Column)
+        : Map[Int, Seq[(Long, Long)]] = {
+      val rid = ranges.zipWithIndex.foldLeft(lit(-1)) {
+        case (acc, ((lo, hi), i)) =>
+          when(col("x").between(lo, hi), lit(i)).otherwise(acc)
+      }
+      vals.toDF("x").select(rid.as("rid"), cell.as("cell"))
+        .filter(col("rid") >= 0)
+        .groupBy("rid", "cell").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1)
+        .map { case (i, rows) => i -> rows.map(_._2).sortBy(_._1).toSeq }
     }
-    rows.toDF("q", "k", "value").orderBy("q")
+
+    while (active.nonEmpty) {
+      val (terminal, narrowing) =
+        active.partition { case (_, st) => st.hi - st.lo < buckets }
+
+      if (terminal.nonEmpty) {
+        // shared exact walk: cell = the value itself
+        val ranges = terminal.values.map(st => (st.lo, st.hi)).toSeq.distinct
+        val byRange = rangedCounts(ranges, col("x"))
+        terminal.foreach { case (k, st) =>
+          val counts = byRange.getOrElse(ranges.indexOf((st.lo, st.hi)), Nil)
+          var kk = st.kk
+          var res = Option.empty[Long]
+          counts.foreach { case (v, cnt) =>
+            if (res.isEmpty) { if (kk <= cnt) res = Some(v) else kk -= cnt }
+          }
+          resolved(k) = res.getOrElse(throw new IllegalStateException(
+            s"selection invariant broke: k=$k in [${st.lo}, ${st.hi}]"))
+        }
+      }
+
+      active =
+        if (narrowing.isEmpty) Map.empty
+        else {
+          // shared histogram level: cell = bucket index within the
+          // row's own range (all ranges at a level share the width
+          // formula, and identical ranges dedupe)
+          val ranges = narrowing.values.map(st => (st.lo, st.hi)).toSeq.distinct
+          val widths = ranges.map { case (lo, hi) =>
+            ((BigInt(hi) - BigInt(lo) + buckets) / buckets).toLong }
+          val cell = ranges.zip(widths).zipWithIndex.foldLeft(lit(0L)) {
+            case (acc, (((lo, _), w), i)) =>
+              when(col("x").between(lo, ranges(i)._2),
+                (col("x") - lit(lo)) / lit(w)).otherwise(acc)
+          }.cast("long")
+          val byRange = rangedCounts(ranges, cell)
+          narrowing.map { case (k, st) =>
+            val i = ranges.indexOf((st.lo, st.hi))
+            val w = widths(i)
+            val counts = byRange.getOrElse(i, Nil)
+            var kk = st.kk
+            var chosen = -1L
+            counts.foreach { case (b, cnt) =>
+              if (chosen < 0) { if (kk <= cnt) chosen = b else kk -= cnt }
+            }
+            require(chosen >= 0,
+              s"selection invariant broke: k=$k in [${st.lo}, ${st.hi}]")
+            val newLo = st.lo + chosen * w
+            k -> St(newLo, math.min(st.hi, newLo + w - 1), kk)
+          }
+        }
+    }
+
+    qs.map(q => (q, kOf(q), resolved(kOf(q))))
+      .toDF("q", "k", "value").orderBy("q")
   }
 
   private def longs(df: DataFrame, c: String): Dataset[java.lang.Long] = {
@@ -72,9 +152,12 @@ object ExactSelection {
     val r = vals.agg(min(col("x")), max(col("x")), count(lit(1))).head()
     require(r.getLong(2) > 0, "no non-null values to select from")
     val (lo, hi) = (r.getLong(0), r.getLong(1))
-    // (x - lo) and bucket widths are computed in Long
-    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue) / 2,
-      s"value span [$lo, $hi] too wide for Long bucket arithmetic")
+    // bucket assignment divides (x - lo) as a DOUBLE (Spark's `/`),
+    // which is exact only below 2^52 — beyond that an off-by-one
+    // bucket could silently mis-select, so refuse loudly
+    require(BigInt(hi) - BigInt(lo) < BigInt(1L << 52),
+      s"value span [$lo, $hi] exceeds 2^52 — bucket arithmetic would " +
+        "lose integer precision; pre-scale the column")
     (lo, hi, r.getLong(2))
   }
 

@@ -52,17 +52,34 @@ class ExactSelectionSpec extends SparkSpec {
     }
   }
 
-  test("shared first histogram: extra quantiles do not rescan at the " +
-      "top level") {
-    val acc = spark.sparkContext.longAccumulator("scans")
-    val base = spark.range(0, 100000, 1, 4)
-      .mapPartitions { it => acc.add(1); it.map(i => (i * 31) % 65536) }
-      .toDF("x")
-    ExactSelection.quantiles(base, "x", Seq(0.1, 0.5, 0.9), buckets = 256)
-      .collect()
-    // stats pass (4) + ONE shared top histogram (4) + one terminal
-    // walk per quantile (range 65536/256=256 < buckets ⇒ terminal
-    // immediately; ≤ 3×4) — anything above means the memo failed
-    assert(acc.value <= 20L, s"too many partition scans: ${acc.value}")
+  test("level-synchronized: scan count is independent of quantile count") {
+    def scansFor(nQs: Int): Long = {
+      val acc = spark.sparkContext.longAccumulator("scans")
+      val base = spark.range(0, 100000, 1, 4)
+        .mapPartitions { it => acc.add(1); it.map(i => (i * 31) % 65536) }
+        .toDF("x")
+      val qs = (1 to nQs).map(i => i.toDouble / (nQs + 1))
+      ExactSelection.quantiles(base, "x", qs, buckets = 256).collect()
+      acc.value
+    }
+    val one = scansFor(1)
+    val five = scansFor(5)
+    // stats (4 partitions) + shared level (4) + shared terminal (4)
+    assert(one === 12L, s"single-quantile scans: $one")
+    assert(five === one,
+      s"5 quantiles took $five partition scans vs $one for 1 — " +
+        "level synchronization broke")
+  }
+
+  test("quantiles: duplicates and repeated q values resolve exactly") {
+    val data = Seq.fill(400)(7L) ++ Seq.fill(300)(42L) ++ Seq.fill(300)(9999L)
+    val df = scala.util.Random.shuffle(data).toDF("x")
+    val got = ExactSelection.quantiles(df, "x", Seq(0.1, 0.4, 0.4, 0.7, 1.0),
+        buckets = 16)
+      .collect().map(r => (r.getDouble(0), r.getLong(2))).toMap
+    assert(got(0.1) === 7L)   // k=100 within the 400 sevens
+    assert(got(0.4) === 7L)   // k=400 still a seven
+    assert(got(0.7) === 42L)  // k=700 in the 42s
+    assert(got(1.0) === 9999L)
   }
 }
