@@ -106,6 +106,44 @@ object EventAnalytics {
         coalesce(col("c"), lit(0L)).as("cnt"))
   }
 
+  /** Conversion attribution: for each `convType` event, its FIRST- and
+    * LAST-touch among `touchTypes` events of the same user within the
+    * `lookback` window before (and including) the conversion —
+    * unattributed conversions survive with NULL touches.
+    *
+    * Shape: a per-user interval join (equi key + bounded time range,
+    * watermark-evictable if streamed) feeding one struct-argmax
+    * aggregate per conversion — the first/last pick is
+    * `min/max(struct(ts, id, type))`, whose lexicographic (ts, id)
+    * order makes ties deterministic on both engines. No window over
+    * the event log, no per-user sort; the only shuffle keys are
+    * user (join) and conversion id (agg). */
+  def attribution(events: DataFrame, idCol: String, user: String,
+      typeCol: String, ts: String, convType: String,
+      touchTypes: Seq[String], lookback: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(user).as("user_id"),
+        col(ts).as("cts"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(idCol).as("touch_id"), col(user).as("_tu"),
+        col(ts).as("tts"), col(typeCol).as("touch_type"))
+    val j = conv.join(touch,
+      col("user_id") === col("_tu") &&
+        col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $lookback"))
+    val agg = j.groupBy("conv_id").agg(
+      max(struct(col("tts"), col("touch_id"), col("touch_type"))).as("l"),
+      min(struct(col("tts"), col("touch_id"), col("touch_type"))).as("f"),
+      count(lit(1)).as("n_touches"))
+    conv.join(agg, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("user_id"),
+        col("l.touch_id").as("last_id"),
+        col("l.touch_type").as("last_type"),
+        col("f.touch_id").as("first_id"),
+        col("f.touch_type").as("first_type"),
+        coalesce(col("n_touches"), lit(0L)).as("n_touches"))
+  }
+
   /** First and last event type per user (ties broken by `tieCol`) — the
     * entry/exit view of a user journey, one window pass. */
   def firstLastEvent(events: DataFrame, user: String, typeCol: String,

@@ -37,11 +37,21 @@ object AnalyticsQueries {
     EventAnalytics.gapFillDailyCounts(events(s, dir), "event_type", "ts")
       .orderBy("event_type", "d")
 
+  // first/last-touch attribution: purchases attributed to view/click
+  // touches within a 2-hour lookback; unattributed purchases survive
+  // with NULL touches (the LEFT join the marketing report needs)
+  private def f05(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.attribution(events(s, dir), "event_id", "user_id",
+      "event_type", "ts", convType = "purchase",
+      touchTypes = Seq("view", "click"), lookback = "2 hours")
+      .orderBy("conv_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
     "f04_gap_fill" -> (f04 _),
+    "f05_attribution" -> (f05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -93,5 +103,35 @@ object AnalyticsQueries {
         "FROM spine s CROSS JOIN types t " +
         "LEFT JOIN cnt c ON c.event_type = t.event_type AND c.d = s.d " +
         "ORDER BY t.event_type, s.d"),
+    // deterministic first/last pick: row_number with (ts, id) tie-break
+    // — the same lexicographic order Spark's struct min/max uses
+    "f05_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, " +
+        "event_type FROM events), " +
+        "c AS (SELECT event_id AS conv_id, user_id, t AS cts FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "tc AS (SELECT event_id AS touch_id, user_id, t AS tts, " +
+        "event_type AS touch_type FROM e " +
+        "WHERE event_type IN ('view', 'click')), " +
+        "j AS (SELECT c.conv_id, tc.touch_id, tc.tts, tc.touch_type " +
+        "FROM c JOIN tc ON c.user_id = tc.user_id " +
+        "AND tc.tts <= c.cts AND tc.tts >= c.cts - INTERVAL 2 HOUR), " +
+        "l AS (SELECT conv_id, touch_id AS last_id, " +
+        "touch_type AS last_type FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY conv_id ORDER BY tts DESC, touch_id DESC) AS rn " +
+        "FROM j) WHERE rn = 1), " +
+        "f AS (SELECT conv_id, touch_id AS first_id, " +
+        "touch_type AS first_type FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY conv_id ORDER BY tts ASC, touch_id ASC) AS rn " +
+        "FROM j) WHERE rn = 1), " +
+        "n AS (SELECT conv_id, count(*) AS n_touches FROM j " +
+        "GROUP BY conv_id) " +
+        "SELECT c.conv_id, c.user_id, l.last_id, l.last_type, " +
+        "f.first_id, f.first_type, " +
+        "CAST(coalesce(n.n_touches, 0) AS BIGINT) AS n_touches " +
+        "FROM c LEFT JOIN l ON c.conv_id = l.conv_id " +
+        "LEFT JOIN f ON c.conv_id = f.conv_id " +
+        "LEFT JOIN n ON c.conv_id = n.conv_id " +
+        "ORDER BY c.conv_id"),
   )
 }

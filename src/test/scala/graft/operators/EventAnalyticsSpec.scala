@@ -104,6 +104,29 @@ class EventAnalyticsSpec extends SparkSpec {
       .count() === 0L) // null min/max -> empty sequence, not a crash
   }
 
+  test("attribution: first/last touch in window, nulls outside it") {
+    val e = Seq(
+      // u1: view@0, click@30, purchase@60 — both touches in 1h window
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 10:30:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      // u2: touch 3h before purchase — OUTSIDE the window → nulls
+      (10L, 2L, "view", ts("2024-01-01 07:00:00")),
+      (11L, 2L, "purchase", ts("2024-01-01 10:00:00")),
+      // u3: two touches at the SAME instant — tie broken by event_id
+      (20L, 3L, "view", ts("2024-01-01 09:00:00")),
+      (21L, 3L, "click", ts("2024-01-01 09:00:00")),
+      (22L, 3L, "purchase", ts("2024-01-01 09:30:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = EventAnalytics.attribution(e, "event_id", "user_id",
+        "event_type", "ts", "purchase", Seq("view", "click"), "1 hour")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(4)), r.getLong(6)))).toMap
+    assert(got(3L) === ((Some(2L), Some(1L), 2L)))  // last=click, first=view
+    assert(got(11L) === ((None, None, 0L)))          // stale touch → null
+    assert(got(22L) === ((Some(21L), Some(20L), 2L))) // id tie-break
+  }
+
   test("firstLastEvent: equal timestamps fall back to the tie column") {
     val e = Seq(
       (10L, 9L, "a", ts("2024-01-01 00:00:00")),
