@@ -179,6 +179,28 @@ object WindowQueries {
       .orderBy("doc_id").limit(300)
   }
 
+  // offset/navigation window coverage: lead/lag with DEFAULTS (the
+  // partition-edge case), nth_value over the full frame, and
+  // last_value IGNORE NULLS (carry-forward over the events table's
+  // genuinely-null values) — each frame spelled identically on both
+  // engines
+  private def w13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val toHere = w.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        round(lead(col("value"), 1, -1.0).over(w), 4).as("next_value"),
+        lag(col("event_type"), 2, "none").over(w).as("lag2_type"),
+        nth_value(col("event_id"), 3).over(full).as("third_id"),
+        round(last(col("value"), ignoreNulls = true).over(toHere), 4)
+          .as("last_nonnull"))
+      .orderBy("event_id").limit(300)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
@@ -192,6 +214,7 @@ object WindowQueries {
     "w10_topk_agg" -> (w10 _),
     "w11_grouping_sets" -> (w11 _),
     "w12_percent_rank" -> (w12 _),
+    "w13_offset_nav" -> (w13 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,5 +293,19 @@ object WindowQueries {
         "FROM documents " +
         "WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id) " +
         "ORDER BY doc_id LIMIT 300"),
+    "w13_offset_nav" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t, " +
+        "event_type, value FROM events) " +
+        "SELECT event_id, " +
+        "round(lead(value, 1, -1.0) OVER w, 4) AS next_value, " +
+        "lag(event_type, 2, 'none') OVER w AS lag2_type, " +
+        "nth_value(event_id, 3) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "UNBOUNDED FOLLOWING) AS third_id, " +
+        "round(last_value(value IGNORE NULLS) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW), 4) AS last_nonnull " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id) " +
+        "ORDER BY event_id LIMIT 300"),
   )
 }
