@@ -137,6 +137,29 @@ object GraftLog {
     } finally out.close()
     base + records.size
   }
+
+  /** Retention: delete whole segments that end at or before `offset`
+    * (a segment's extent ends at the NEXT segment's base, so no data
+    * reads — and the active segment always survives, like a broker's
+    * log cleaner that never splits a segment). Offsets of retained
+    * records are untouched; a reader asked for an offset below the
+    * retained head resumes at the head (Kafka's "earliest available").
+    * Returns the new earliest offset. */
+  def truncateBefore(dir: String, partition: Int, offset: Long): Long = {
+    val conf = new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+    val partDir = new Path(dir, s"p$partition")
+    val fs = partDir.getFileSystem(conf.value)
+    val segs = segments(partDir, conf)
+    segs.zip(segs.drop(1)).foreach { case ((_, st), (nextBase, _)) =>
+      if (nextBase <= offset) fs.delete(st.getPath, false)
+    }
+    segments(partDir, conf).headOption.map(_._1)
+      .getOrElse(endOffset(partDir, conf))
+  }
 }
 
 class GraftLogSource extends TableProvider with DataSourceRegister {

@@ -153,6 +153,25 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(streamed === closed, s"streamed=$streamed closed=$closed")
   }
 
+  test("retention: whole dead segments go, offsets survive, readers " +
+      "resume at the earliest retained record") {
+    val dir = tmp("glog-retain")
+    GraftLog.append(dir, 0, recs(0, 0, 10))   // seg base 0, ends at 10
+    GraftLog.append(dir, 0, recs(0, 10, 10))  // seg base 10
+    GraftLog.append(dir, 0, recs(0, 20, 5))   // active seg base 20
+    // offset 12 is mid-segment: only the FIRST segment (ends at 10) is
+    // deletable — retention never splits a segment
+    assert(GraftLog.truncateBefore(dir, 0, 12L) === 10L)
+    val rows = spark.read.format("graft-log").load(dir)
+      .select("offset", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === (10 until 25).map(i => (i.toLong, s"v0-$i")).toSet,
+      "retained records keep their original offsets")
+    // active segment always survives, even when fully below the cut
+    assert(GraftLog.truncateBefore(dir, 0, 999L) === 20L)
+    assert(spark.read.format("graft-log").load(dir).count() === 5)
+  }
+
   test("sink: log → transform → log round-trip with dense offsets") {
     val src = tmp("glog-sink-src")
     val dst = tmp("glog-sink-dst")
