@@ -77,6 +77,41 @@ object TextRank {
           .as("surprisal"))
   }
 
+  /** Bigram surprisal — the next step up from [[unigramSurprisal]]:
+    * each document's mean `-ln P(w_i | w_{i-1})` under the corpus's own
+    * bigram model, `P(b | a) = C(a,b) / C(a,·)`. Scoring the corpus
+    * that built the counts means every observed bigram has C ≥ 1 — no
+    * smoothing needed, and both engines compute identical rational
+    * probabilities before the log. Fluent common phrasing scores low;
+    * incoherent token soup scores high even when its unigrams are
+    * corpus-typical — exactly the gap a unigram filter misses.
+    * Documents with fewer than two tokens are absent.
+    *
+    * Scale: the bigram table is observed-bigram-sized (broadcast here;
+    * for web-scale vocabularies switch to the plain shuffled join —
+    * one equi-join keyed (a, b), same plan class as tf-idf's df join);
+    * context totals derive from the bigram table, not a second corpus
+    * pass. */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"), terms(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks.select(col("doc"),
+      explode(expr("transform(sequence(0, size(tk) - 2), " +
+        "i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+    val cnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    val ctx = cnt.groupBy("a").agg(sum(col("cnt")).as("ctx"))
+    bi.join(broadcast(cnt), Seq("a", "b"))
+      .join(broadcast(ctx), Seq("a"))
+      // DECIMAL sum: shuffle-order-independent, like unigramSurprisal
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((-sum(log(col("cnt") / col("ctx")).cast("decimal(28,14)"))
+          .cast("double")) / count(lit(1)))
+          .as("bigram_surprisal"))
+  }
+
   /** Okapi BM25 top-k documents for a bag of query terms:
     * `sum_q idf_q * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
     * `idf_q = ln(1 + (N - df + 0.5)/(df + 0.5))`. Documents matching no

@@ -165,6 +165,14 @@ object TextQueries {
       .orderBy("merge_idx")
   }
 
+  // bigram surprisal: the conditional-probability step past t12 —
+  // catches incoherent token soup whose unigrams look corpus-typical
+  private def t16(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.bigramSurprisal(docs(s, dir), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_bigrams"),
+        round(col("bigram_surprisal"), 4).as("bigram_surprisal"))
+      .orderBy("doc_id").limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -181,6 +189,7 @@ object TextQueries {
     "t13_chunking" -> (t13 _),
     "t14_inverted_index" -> (t14 _),
     "t15_bpe_merges" -> (t15 _),
+    "t16_bigram_surprisal" -> (t16 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -300,6 +309,22 @@ object TextQueries {
         "SELECT doc_id, dl, round(score, 4) AS score FROM " +
         "(SELECT * FROM s ORDER BY s.score DESC, doc_id LIMIT 20) " +
         "ORDER BY doc_id"),
+    "t16_bigram_surprisal" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') " +
+        "AS tk FROM documents), " +
+        "t2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 2), " +
+        "bi AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM t2), " +
+        "pairs AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM bi), " +
+        "c AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b), " +
+        "cx AS (SELECT a, sum(cnt) AS ctx FROM c GROUP BY a) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(-CAST(sum(CAST(ln(cnt / CAST(ctx AS DOUBLE)) " +
+        "AS DECIMAL(28,14))) AS DOUBLE) / count(*), 4) " +
+        "AS bigram_surprisal FROM pairs " +
+        "JOIN c USING (a, b) JOIN cx USING (a) " +
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 200"),
     "t12_surprisal" ->
       ("WITH tk AS (SELECT doc_id, unnest(list_filter(" +
         "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) " +

@@ -87,7 +87,8 @@ class PlanLintSpec extends SparkSpec {
         "d06_winnow_pairs", "d10_bloom_seen", "d11_shared_runs",
         "p03_stratified_sample", "p05_weighted_sample",
         "q17_delete_month", "s01_ann_topk", "t11_bm25", "t13_chunking",
-        "p09_curate_e2e"), // quality-score floor: computed predicate
+        "p09_curate_e2e",  // quality-score floor: computed predicate
+        "t16_bigram_surprisal"), // size(tokens) >= 2: computed predicate
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
