@@ -86,4 +86,28 @@ class TextRankSpec extends SparkSpec {
     // doc 3 holds the rare token -> strictly more surprising than doc 1
     assert(got(3L)._2 > got(1L)._2)
   }
+
+  test("bigramSurprisal: hand-computed conditional probabilities; " +
+      "sub-2-token docs absent") {
+    val docs = Seq(
+      (1L, "cat dog cat"),   // bigrams: (cat,dog), (dog,cat)
+      (2L, "cat dog fish"),  // bigrams: (cat,dog), (dog,fish)
+      (3L, "cat")            // no bigrams -> absent
+    ).toDF("doc_id", "text")
+    val got = TextRank.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // counts: (cat,dog)=2, (dog,cat)=1, (dog,fish)=1; ctx: cat=2, dog=2
+    val p = Map(("cat", "dog") -> 2.0 / 2, ("dog", "cat") -> 1.0 / 2,
+      ("dog", "fish") -> 1.0 / 2)
+    def want(bs: (String, String)*) =
+      -bs.map(b => math.log(p(b))).sum / bs.size
+    assert(!got.contains(3L))
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - want(("cat", "dog"), ("dog", "cat"))) < 1e-12)
+    assert(math.abs(got(2L)._2 - want(("cat", "dog"), ("dog", "fish"))) < 1e-12)
+    // (cat,dog) is certain given cat; doc with two half-likely bigrams
+    // is NOT more surprising than doc 1 (both share one 1/2 bigram)
+    assert(got(1L)._2 === got(2L)._2)
+  }
 }
