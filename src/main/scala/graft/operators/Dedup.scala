@@ -492,4 +492,90 @@ object Dedup {
         VectorOps.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Corpus-level duplicated-SPAN detection — the per-document answer to
+    * "which token ranges of this doc also appear elsewhere", i.e. the
+    * removal targets of exact substring dedup (Lee et al. 2022;
+    * [[sharedRunPairs]] gives the pair-level view, this gives the
+    * strippable spans). A token span is duplicated iff every length-`k`
+    * window inside it occurs at least `minCount` times corpus-wide;
+    * overlapping/adjacent duplicated windows merge into maximal spans
+    * (interval union via the running-max-end island trick).
+    *
+    * Output: (doc, span_start, span_end, n_grams) with 1-based inclusive
+    * token indices, one row per maximal span.
+    *
+    * Scale shape: positional k-grams are hashed BEFORE the shuffle, the
+    * corpus-wide frequency comes from ONE hash-partitioned window (no
+    * second shuffle, no join back), and the island merge is a per-doc
+    * window over only the duplicated positions (a tiny fraction of the
+    * corpus). Nothing is ever O(n²): no pair enumeration happens at all.
+    * md5 (not xxhash64) keys the shuffle so the DuckDB oracle can
+    * replay the hash exactly (the [[graft.operators.RandomProjection]]
+    * md5-parity discipline); a production deployment would swap the one
+    * `md5(...)` call for `xxhash64(...)` to shuffle 8-byte keys.
+    *
+    * Tokenization is a plain single-space split (matching the oracle's
+    * `string_split(text, ' ')`), not [[TextFunctions.tokens]] — span
+    * indices must map back to the ORIGINAL token stream for stripping. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 2, "k-gram width must be at least 2")
+    require(minCount >= 2, "a span seen once is not a duplicate")
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc"), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc"), explode(
+        transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ", slice(col("tk"), i, lit(k)))).as("h"))))
+        .as("g"))
+      .select(col("doc"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val hits = grams
+      .withColumn("c", count(lit(1)).over(w.partitionBy("h")))
+      .filter(col("c") >= minCount)
+      .select("doc", "pos")
+    val perDoc = w.partitionBy("doc").orderBy("pos")
+    hits
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(
+        perDoc.rowsBetween(w.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("pos") > coalesce(col("prev_end"), lit(-1L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(perDoc))
+      .groupBy(col("doc"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("island")
+  }
+
+  /** Strip token spans from documents: given a spans frame
+    * (doc, span_start, span_end) — normally a policy-filtered subset of
+    * [[dupSpans]] output, e.g. "every span except its earliest-doc
+    * occurrence" — rebuild each doc's text with the covered tokens
+    * removed. Docs with no spans pass through unchanged.
+    *
+    * Spans are collected per doc (`collect_list` bounded by spans in ONE
+    * document, not the corpus) and the removal is a pure codegen'd HOF
+    * chain over the token array — the full text never crosses a shuffle;
+    * only the tiny span table moves to the docs' partitions. */
+  def stripSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(col("doc").as(idCol))
+      .agg(collect_list(array(col("span_start"), col("span_end")))
+        .as("_spans"))
+    val tk = split(col(textCol), " ")
+    val kept = filter(
+      transform(sequence(lit(1), size(tk)),
+        i => struct(i.as("i"), element_at(tk, i).as("w"))),
+      s => !exists(col("_spans"),
+        r => s("i") >= element_at(r, 1) && s("i") <= element_at(r, 2)))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", transform(kept, s => s("w")))))
+      .drop("_spans")
+  }
 }

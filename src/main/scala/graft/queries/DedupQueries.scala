@@ -357,6 +357,16 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Maximal duplicated token spans per doc (the strippable ranges of
+  // exact substring dedup). md5-hashed positional 8-grams so the oracle
+  // replays the hash; the oracle rebuilds windows, corpus counts, and
+  // the interval-union island merge in plain SQL.
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(docs(s, dir), "doc_id", "text", k = 8, minCount = 2)
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
+      .orderBy("doc_id", "span_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
@@ -377,6 +387,7 @@ object DedupQueries {
     "s05_matryoshka" -> (s05 _),
     "s06_random_project" -> (s06 _),
     "d13_fuzzy_join" -> (d13 _),
+    "d14_dup_spans" -> (d14 _),
   )
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -732,5 +743,29 @@ object DedupQueries {
         "CAST((SELECT sum(clen) FROM d) AS BIGINT) AS bytes_dedup"),
     "s03_kmeans_assign" -> kmeansAssignSql,
     "s04_semantic_dedup" -> semanticDedupSql,
+    // same split / hash / count / island-merge pipeline in SQL; the
+    // running-max-end window is the interval-union merge
+    "d14_dup_spans" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, toks, " +
+        "unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS pos " +
+        "FROM d), " +
+        "grams AS (SELECT doc_id, pos, " +
+        "md5(array_to_string(toks[pos:pos+7], ' ')) AS h FROM p), " +
+        "hits AS (SELECT doc_id, pos FROM (" +
+        "SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c " +
+        "FROM grams) WHERE c >= 2), " +
+        "flagged AS (SELECT doc_id, pos, CASE WHEN pos > " +
+        "coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1 " +
+        "THEN 1 ELSE 0 END AS new_island FROM hits), " +
+        "islands AS (SELECT doc_id, pos, sum(new_island) OVER (" +
+        "PARTITION BY doc_id ORDER BY pos) AS island FROM flagged) " +
+        "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+        "CAST(max(pos) + 7 AS BIGINT) AS span_end, " +
+        "count(*) AS n_grams " +
+        "FROM islands GROUP BY doc_id, island " +
+        "ORDER BY doc_id, span_start"),
   )
 }

@@ -226,4 +226,39 @@ class DedupSpec extends SparkSpec {
       n = 8, minRun = 8, maxBucket = 8)
     assert(capped.count() === 0) // every shingle sits in 9 > 8 positions
   }
+
+  test("dupSpans: maximal duplicated spans, adjacent islands merge, " +
+    "within-doc repeats count") {
+    def words(r: Range, tag: String = "w") = r.map(i => s"$tag$i").mkString(" ")
+    val shared = words(1 to 10) // a 10-token sentence both docs carry
+    val corpus = Seq(
+      (1L, shared + " " + words(1 to 8, "a")),            // span at 1..10
+      (2L, words(1 to 5, "b") + " " + shared),            // span at 6..15
+      (3L, words(1 to 30, "c")),                          // unique — no spans
+      (4L, words(1 to 9, "r") + " " + words(1 to 9, "r")) // self-repeat
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: 4-grams at pos 1..7 all duplicated -> one span 1..10
+    // doc 2: pos 6..12 -> span 6..15; doc 3 absent
+    assert(spans.contains((1L, 1L, 10L)), spans)
+    assert(spans.contains((2L, 6L, 15L)), spans)
+    assert(!spans.exists(_._1 == 3L), spans)
+    // doc 4 repeats its own 9 tokens: every 4-gram inside each half that
+    // also occurs in the other half is duplicated; islands merge into
+    // one covering span (the two copies overlap at the seam)
+    assert(spans.exists(s => s._1 == 4L && s._2 == 1L && s._3 == 18L), spans)
+  }
+
+  test("stripSpans removes covered tokens, leaves span-free docs alone") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z")).toDF("doc_id", "text")
+    val spans = Seq((1L, 3L, 5L), (1L, 8L, 8L))
+      .toDF("doc", "span_start", "span_end")
+    val out = Dedup.stripSpans(corpus, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b f g")
+    assert(out(2L) === "x y z")
+  }
 }
