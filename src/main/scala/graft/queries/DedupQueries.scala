@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, Dedup, SimilaritySearch, VectorOps}
+import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, Dedup, ProductQuantization, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -357,6 +357,25 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // shared PQ training config for the s07 gate + aux fixture: 64 dims,
+  // 8 subspaces of 8 dims, 16 codes each (vectors compress 256 B -> 8 B)
+  private def s07Codebooks(s: SparkSession, dir: String) =
+    ProductQuantization.train(emb(s, dir), "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 4)
+
+  // PQ/ADC top-10 against the embedding of vec_id=1. Two-stage oracle:
+  // the codebook fixture goes to aux, and DuckDB replays subvector
+  // argmin encoding + the ADC lookup-sum from it — the encode and
+  // search logic is what's cross-checked (the s03/s04 discipline).
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cb = s07Codebooks(s, dir)
+    val q = e.filter(col("vec_id") === 1L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    ProductQuantization.adcTopK(e, "vec_id", "embedding", cb, q, 10)
+      .select(col("id").as("vec_id"), round(col("adc"), 4).as("adc"))
+  }
+
   // Maximal duplicated token spans per doc (the strippable ranges of
   // exact substring dedup). md5-hashed positional 8-grams so the oracle
   // replays the hash; the oracle rebuilds windows, corpus counts, and
@@ -388,6 +407,7 @@ object DedupQueries {
     "s06_random_project" -> (s06 _),
     "d13_fuzzy_join" -> (d13 _),
     "d14_dup_spans" -> (d14 _),
+    "s07_pq_topk" -> (s07 _),
   )
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -540,6 +560,8 @@ object DedupQueries {
       Clustering.assign(corpus, "vec_id", "embedding", cents)
         .select(col("id").as("vec_id"), col("cluster"))
     }),
+    "s07_codebooks" -> ((s, dir) =>
+      ProductQuantization.codebookTable(s, s07Codebooks(s, dir))),
   )
 
   // d11 oracle: identical run construction from STRING shingles (the
@@ -743,6 +765,30 @@ object DedupQueries {
         "CAST((SELECT sum(clen) FROM d) AS BIGINT) AS bytes_dedup"),
     "s03_kmeans_assign" -> kmeansAssignSql,
     "s04_semantic_dedup" -> semanticDedupSql,
+    // replay PQ encode (per-subspace argmin over the codebook fixture,
+    // ties to the lowest code) and the ADC lookup-sum; the query-side
+    // distance table is just the dist rows of vec_id=1
+    "s07_pq_topk" ->
+      ("WITH cbt AS (SELECT subspace, code, pos, CAST(val AS DOUBLE) AS v " +
+        "FROM read_parquet('{OUT}/aux/s07_codebooks/*.parquet')), " +
+        "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "es AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS subspace, " +
+        "((i - 1) % 8) + 1 AS pos, x FROM e), " +
+        "d AS (SELECT es.vec_id, es.subspace, cbt.code, " +
+        "sum((es.x - cbt.v) * (es.x - cbt.v)) AS dist " +
+        "FROM es JOIN cbt ON es.subspace = cbt.subspace " +
+        "AND es.pos = cbt.pos GROUP BY es.vec_id, es.subspace, cbt.code), " +
+        "codes AS (SELECT vec_id, subspace, code FROM (" +
+        "SELECT vec_id, subspace, code, row_number() OVER (" +
+        "PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d) " +
+        "WHERE rn = 1), " +
+        "qd AS (SELECT subspace, code, dist FROM d WHERE vec_id = 1), " +
+        "adc AS (SELECT c.vec_id, sum(qd.dist) AS adc FROM codes c " +
+        "JOIN qd ON c.subspace = qd.subspace AND c.code = qd.code " +
+        "GROUP BY c.vec_id) " +
+        "SELECT vec_id, round(adc, 4) AS adc FROM adc " +
+        "ORDER BY adc, vec_id LIMIT 10"),
     // same split / hash / count / island-merge pipeline in SQL; the
     // running-max-end window is the interval-union merge
     "d14_dup_spans" ->
