@@ -170,4 +170,31 @@ object BpeTrain {
       }
       .toDF("word", "pieces", "freq")
   }
+
+  /** Corpus-level BPE encoding — the tokenizer-APPLICATION half: every
+    * document becomes its subword-piece stream. Returns (doc, pieces).
+    *
+    * Scale shape: the iterative merge fold runs ONCE PER DISTINCT WORD
+    * (the vocab-sized [[encode]] map, Heaps' law — millions of rows at
+    * 100 TB, not trillions); the corpus-scale work is a positional
+    * explode plus one equi-join of the token stream against the pieces
+    * table (AQE broadcasts it when the vocab is small enough) and a
+    * per-doc reassembly whose `collect_list` is bounded by ONE
+    * document's length — the same per-doc bound every chunker/window
+    * op here relies on. Tokenization matches [[wordFreqs]]
+    * (trim/lower/whitespace) so every token hits the vocab. */
+  def encodeCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val pieces = encode(spark, wordFreqs(docs, textCol), merges)
+      .select("word", "pieces")
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    toks.join(pieces, "word")
+      .groupBy("doc")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("pieces")))),
+        s => s("pieces"))).as("pieces"))
+  }
 }

@@ -173,6 +173,23 @@ object TextQueries {
         round(col("bigram_surprisal"), 4).as("bigram_surprisal"))
       .orderBy("doc_id").limit(200)
 
+  // corpus-level BPE ENCODING (the application half of t15's training):
+  // each doc's subword-piece stream, fingerprinted. Two-stage oracle:
+  // the vocab-sized word->pieces table goes to aux (its own correctness
+  // is pinned by BpeTrainSpec's distributed==reference property), and
+  // DuckDB replays the corpus plumbing — tokenize, join, positional
+  // reassembly, flatten — that the distributed path must get right.
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.operators.BpeTrain.train(s,
+      graft.operators.BpeTrain.wordFreqs(docs(s, dir), "text"), 8)
+    graft.operators.BpeTrain.encodeCorpus(s, docs(s, dir), "doc_id",
+      "text", merges)
+      .select(col("doc").as("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        md5(concat_ws(" ", col("pieces"))).as("pieces_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -190,6 +207,7 @@ object TextQueries {
     "t14_inverted_index" -> (t14 _),
     "t15_bpe_merges" -> (t15 _),
     "t16_bigram_surprisal" -> (t16 _),
+    "t17_bpe_encode" -> (t17 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -197,6 +215,13 @@ object TextQueries {
     "t06_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("lang"),
         T.minHashSignature(lower(col("text")), 3, 64).as("sig"))),
+    "t17_pieces" -> ((s, dir) => {
+      val merges = graft.operators.BpeTrain.train(s,
+        graft.operators.BpeTrain.wordFreqs(docs(s, dir), "text"), 8)
+      graft.operators.BpeTrain.encode(s,
+        graft.operators.BpeTrain.wordFreqs(docs(s, dir), "text"), merges)
+        .select("word", "pieces")
+    }),
   )
 
   private val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is",
@@ -387,5 +412,21 @@ object TextQueries {
         "read_csv('/root/repo/fixtures/t15_golden_merges.csv', header=true) " +
         "WHERE corpus_chars = (SELECT sum(length(text)) FROM documents) " +
         "ORDER BY merge_idx"),
+    // replay the corpus plumbing from the pieces fixture: same
+    // trim/lower/whitespace tokenization, join, ORDER BY pos reassembly
+    "t17_bpe_encode" ->
+      ("WITH p AS (SELECT word, pieces FROM " +
+        "read_parquet('{OUT}/aux/t17_pieces/*.parquet')), " +
+        "d AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "trim(lower(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "w AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, " +
+        "tk FROM d), " +
+        "w2 AS (SELECT doc_id, pos, tk[pos] AS word FROM w), " +
+        "j AS (SELECT doc_id, pos, pieces FROM w2 JOIN p USING (word)), " +
+        "f AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS ps " +
+        "FROM j GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_pieces, " +
+        "md5(array_to_string(ps, ' ')) AS pieces_fp " +
+        "FROM f ORDER BY doc_id"),
   )
 }

@@ -87,4 +87,23 @@ class BpeTrainSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === Map("low" -> 3L, "newest" -> 1L, "widest" -> 1L))
   }
+
+  test("encodeCorpus: per-doc piece stream == local fold in token order") {
+    val docs = Seq(
+      (1L, "low lower Lowest"),
+      (2L, "  newest low  low "),
+      (3L, "widest")).toDF("doc_id", "text")
+    val merges = BpeTrain.train(spark,
+      BpeTrain.wordFreqs(docs, "text"), 6)
+    val got = BpeTrain.encodeCorpus(spark, docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    def enc(w: String) = merges.foldLeft(BpeTrain.toSymbols(w)) {
+      case (s, (a, b)) => BpeTrain.applyMerge(s, a, b)
+    }.toList
+    assert(got(1L) === enc("low") ++ enc("lower") ++ enc("lowest"))
+    assert(got(2L) === enc("newest") ++ enc("low") ++ enc("low"))
+    assert(got(3L) === enc("widest"))
+    // reassembled stream spells the normalized doc back out
+    assert(got(1L).mkString === "lowlowerlowest")
+  }
 }
