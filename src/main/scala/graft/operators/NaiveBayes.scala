@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier — the classic
+  * counting-based classifier (Manning et al., IR book ch. 13) that LLM
+  * data pipelines use for cheap corpus-scale labeling (fastText-style
+  * language ID, quality filtering à la CCNet/GPT-3's classifier stage).
+  * Training IS aggregation, so the whole thing is relational — no
+  * gradient loop, no driver-side weights beyond two small frames.
+  *
+  * Add-one smoothing folded into algebra so scoring never needs the
+  * zero-count (word, class) combinations:
+  *
+  *   score(d,c) = log(docs_c / D)                     — prior
+  *              - n_d · log(tokens_c + V)             — denominator
+  *              + Σ_w cnt(d,w) · log(k(w,c) + 1)      — seen words only
+  *
+  * because log((k+1)/(tokens_c+V)) splits and k=0 terms contribute
+  * log 1 = 0 — the inner join drops exactly them.
+  *
+  * Scale shape: training is one token-count shuffle keyed (word, class)
+  * plus a class-row rollup; the model is a vocab×C frame (equi-joined,
+  * AQE-broadcast when small) and a C-row stats frame (always broadcast).
+  * Scoring is one join + one (doc, class) aggregate; the per-doc argmax
+  * is a C-row window. Nothing is ever quadratic and no weights live on
+  * the driver.
+  */
+object NaiveBayes {
+
+  /** Trained model: `classStats` (label, docs_c, tokens_c) — C rows;
+    * `wordCounts` (word, label, k) — vocab×C rows at most; plus the two
+    * corpus scalars the score formula needs. */
+  final case class Model(classStats: DataFrame, wordCounts: DataFrame,
+      vocabSize: Long, totalDocs: Long)
+
+  private def toks(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("doc"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** Train from labeled docs: two aggregates over one tokenization. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): Model = {
+    val t = toks(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc"), col(labelCol).as("label")),
+        "doc")
+    val wc = t.groupBy("word", "label").agg(count(lit(1)).as("k"))
+    val cs = t.groupBy("label").agg(count(lit(1)).as("tokens_c"))
+      .join(docs.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("docs_c")), "label")
+    val v = wc.select("word").distinct().count()
+    val d = docs.count()
+    Model(cs, wc.select("word", "label", "k"), v, d)
+  }
+
+  /** Score + argmax: (doc, pred, score). Ties break toward the
+    * lexicographically smallest label on both engines. */
+  def predict(model: Model, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dw = toks(docs, idCol, textCol)
+      .groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
+    val nd = dw.groupBy("doc").agg(sum("cnt").as("n_d"))
+    val hits = dw.join(model.wordCounts, "word")
+      .groupBy("doc", "label")
+      .agg(sum(col("cnt") * log(col("k") + 1)).as("hit"))
+    val scored = nd
+      .crossJoin(broadcast(model.classStats))
+      .join(hits, Seq("doc", "label"), "left")
+      .withColumn("score",
+        log(col("docs_c") / model.totalDocs.toDouble)
+          - col("n_d") * log(col("tokens_c") + model.vocabSize.toDouble)
+          + coalesce(col("hit"), lit(0.0d)))
+    scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc")
+          .orderBy(col("score").desc, col("label").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("doc"), col("label").as("pred"), col("score"))
+  }
+
+  /** Train-and-score confusion matrix — the gate shape: how the learned
+    * classifier labels its own training corpus (resubstitution), counted
+    * per (true, predicted) cell. */
+  def confusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val preds = predict(train(docs, idCol, textCol, labelCol),
+      docs, idCol, textCol)
+    docs.select(col(idCol).as("doc"), col(labelCol).as("truth"))
+      .join(preds, "doc")
+      .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+  }
+}

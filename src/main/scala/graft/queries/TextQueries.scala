@@ -190,6 +190,17 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // Naive Bayes language classifier trained on the corpus's own lang
+  // labels, confusion-matrix gate. Training is pure counting, so the
+  // ENTIRE train+score pipeline (priors, add-one likelihoods, per-doc
+  // log-score argmax) replays in one DuckDB CTE — a full-model oracle,
+  // not a fixture.
+  private def t18(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NaiveBayes.confusion(docs(s, dir), "doc_id", "text",
+      "lang")
+      .select(col("truth"), col("pred"), col("n"))
+      .orderBy("truth", "pred")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -208,6 +219,7 @@ object TextQueries {
     "t15_bpe_merges" -> (t15 _),
     "t16_bigram_surprisal" -> (t16 _),
     "t17_bpe_encode" -> (t17 _),
+    "t18_nb_confusion" -> (t18 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -412,6 +424,41 @@ object TextQueries {
         "read_csv('/root/repo/fixtures/t15_golden_merges.csv', header=true) " +
         "WHERE corpus_chars = (SELECT sum(length(text)) FROM documents) " +
         "ORDER BY merge_idx"),
+    // full NB replay: same tokenization, (word,class) counts, smoothed
+    // log-score algebra (k=0 terms vanish -> inner join), same argmax
+    // tie-break (score DESC, label ASC)
+    "t18_nb_confusion" ->
+      ("WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(" +
+        "trim(lower(text)), '\\s+'), w -> w <> '')) AS word " +
+        "FROM documents), " +
+        "lbl AS (SELECT doc_id, lang AS label FROM documents), " +
+        "tl AS (SELECT t.doc_id, word, label FROM t JOIN lbl USING (doc_id)), " +
+        "wc AS (SELECT word, label, count(*) AS k FROM tl " +
+        "GROUP BY word, label), " +
+        "cs AS (SELECT label, count(*) AS tokens_c FROM tl GROUP BY label), " +
+        "dc AS (SELECT lang AS label, count(*) AS docs_c FROM documents " +
+        "GROUP BY lang), " +
+        "v AS (SELECT count(DISTINCT word) AS vs FROM wc), " +
+        "d AS (SELECT count(*) AS dn FROM documents), " +
+        "dw AS (SELECT doc_id, word, count(*) AS cnt FROM t " +
+        "GROUP BY doc_id, word), " +
+        "nd AS (SELECT doc_id, sum(cnt) AS n_d FROM dw GROUP BY doc_id), " +
+        "hits AS (SELECT doc_id, label, sum(cnt * ln(k + 1)) AS hit " +
+        "FROM dw JOIN wc USING (word) GROUP BY doc_id, label), " +
+        "scored AS (SELECT nd.doc_id, cs.label, " +
+        "ln(dc.docs_c * 1.0 / d.dn) " +
+        "- nd.n_d * ln(cs.tokens_c + v.vs) " +
+        "+ coalesce(hits.hit, 0) AS score " +
+        "FROM nd CROSS JOIN cs JOIN dc USING (label) " +
+        "CROSS JOIN v CROSS JOIN d " +
+        "LEFT JOIN hits ON hits.doc_id = nd.doc_id " +
+        "AND hits.label = cs.label), " +
+        "pred AS (SELECT doc_id, label AS pred FROM (" +
+        "SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, label ASC) AS rn FROM scored) WHERE rn = 1) " +
+        "SELECT lbl.label AS truth, pred.pred, count(*) AS n " +
+        "FROM lbl JOIN pred USING (doc_id) " +
+        "GROUP BY truth, pred.pred ORDER BY truth, pred.pred"),
     // replay the corpus plumbing from the pieces fixture: same
     // trim/lower/whitespace tokenization, join, ORDER BY pos reassembly
     "t17_bpe_encode" ->
