@@ -133,7 +133,19 @@ object StreamQueries {
     "e08_interval_left" -> (e08 _),
     "e09_interval_full" -> (e09 _),
     "e10_log_source" -> (e10 _),
+    "e11_stream_dedup" -> (e11 _),
   )
+
+  // bounded-state streaming dedup (dropDuplicatesWithinWatermark) in
+  // batch mode: one kept row per (user_id, event_type), rolled up per
+  // type so the output is key-determined (which row survives per key is
+  // arbitrary in batch; the count is not). The watermark-eviction
+  // semantics are two-trigger-spec'd in EventStreamsSpec.
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    EventStreams.dedupWithinWatermark(events(s, dir),
+      Seq("user_id", "event_type"), "ts", "1 hour")
+      .groupBy("event_type").agg(count(lit(1)).as("unique_users"))
+      .orderBy("event_type")
 
   val oracleSql: Map[String, String] = Map(
     "e01_windowed_counts" ->
@@ -209,6 +221,9 @@ object StreamQueries {
         "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
         "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
         "ORDER BY view_id NULLS FIRST, click_id NULLS FIRST LIMIT 500"),
+    "e11_stream_dedup" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS unique_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "e10_log_source" ->
       ("SELECT CAST(regexp_extract(filename, 'p(\\d+)/', 1) AS INT) " +
         "AS partition, " +

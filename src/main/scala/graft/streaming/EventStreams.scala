@@ -129,6 +129,27 @@ object EventStreams {
       .dropDuplicates("fp")
       .drop("fp")
 
+  /** Bounded-state streaming dedup on arbitrary key columns:
+    * `dropDuplicatesWithinWatermark` GUARANTEES eviction — a key's state
+    * lives exactly until the watermark passes its event time plus
+    * `delay`, so state size is bounded by the key arrival rate × the
+    * window, never by stream lifetime (the [[streamingDedup]] variant's
+    * `dropDuplicates` keeps state forever unless the key set is
+    * naturally bounded). The flip side, by design: a duplicate arriving
+    * after its original's state expired is re-emitted — dedup is exact
+    * WITHIN the watermark, at-least-once beyond it, which is the only
+    * honest contract at 100 TB/day ingest.
+    *
+    * Batch degradation: plain `dropDuplicates(keys)` — project the keys
+    * (or key-determined columns) downstream of this for a deterministic
+    * batch result. */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, delay)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else df.dropDuplicates(keys)
+
   case class UserRunning(user_id: Long, events_seen: Long, total_value: Double)
 
   case class UserStateFp(user_id: Long, events_seen: Long, total_fp: Long)

@@ -134,6 +134,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark: dups dropped inside the window, key state " +
+    "evicted once the watermark passes, late re-arrival re-emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.dedupWithinWatermark(stream,
+      Seq("user_id", "event_type"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode(OutputMode.Append).start()
+    def minutes(m: Int) = new Timestamp(ts(0).getTime + m * 60000L)
+    try {
+      // trigger 1: key (7,click) + an in-trigger duplicate -> one row
+      mem.addData((1L, minutes(0), 7L, "click"), (2L, minutes(1), 7L, "click"))
+      q.processAllAvailable()
+      // trigger 2: watermark advances to 00:30 - 10m = 00:20, expiring
+      // (7,click)'s state (kept until its ts + delay = 00:10)
+      mem.addData((3L, minutes(30), 9L, "view"))
+      q.processAllAvailable()
+      // trigger 3: same key re-arrives at 00:25 (> watermark, admitted;
+      // state gone) -> re-emitted: the documented at-least-once contract
+      mem.addData((4L, minutes(25), 7L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("ddw").select("event_id").as[Long]
+        .collect().sorted
+      assert(got.toSeq === Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("runningUserTotals: custom keyed state accumulates across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
