@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{DataSplit, Packing}
+import graft.operators.{DataSplit, Packing, SequentialIds}
 
 /** Training-pipeline orchestration gates: deterministic splits and
   * sequence packing over `documents`, each with an exactly mirrored
@@ -126,6 +126,16 @@ object PipelineQueries {
       .orderBy("source", "split")
   }
 
+  // dense global sequence ids in (lang, doc_id) order without a
+  // one-task global window: range exchange + per-partition offsets.
+  // The oracle is the single-partition row_number the operator refuses
+  // to plan — same answer, scalable shape.
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    SequentialIds.assign(docs(s, dir).select("doc_id", "lang"),
+      Seq(col("lang"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("seq_id"))
+      .orderBy("seq_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
@@ -136,6 +146,7 @@ object PipelineQueries {
     "p07_shard_shuffle" -> (p07 _),
     "p08_temperature_mix" -> (p08 _),
     "p09_curate_e2e" -> (p09 _),
+    "p10_seq_ids" -> (p10 _),
   )
 
   // same list TextFunctions.qualityScore uses (t02's oracle, verbatim)
@@ -147,6 +158,10 @@ object PipelineQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    "p10_seq_ids" ->
+      ("SELECT doc_id, lang, " +
+        "row_number() OVER (ORDER BY lang, doc_id) - 1 AS seq_id " +
+        "FROM documents ORDER BY seq_id"),
     "p01_split_counts" ->
       (s"WITH b AS (SELECT doc_id, n_chars, $bucketSql AS bkt FROM documents), " +
         "s AS (SELECT n_chars, CASE WHEN bkt < 80 THEN 'train' " +
