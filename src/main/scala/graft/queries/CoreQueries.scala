@@ -460,6 +460,24 @@ object CoreQueries {
           .as("cents")),
       "cents", Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0))
 
+  // count-min sketch: build over every lineitem part key (the sketch is
+  // <= 4x1024 rows no matter the corpus), then point-estimate the keys
+  // <= 100 against their exact counts. est >= exact is the CMS
+  // guarantee; the md5-parity hash lets DuckDB replay the sketch
+  // bit-for-bit.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sk = graft.operators.CountMin.sketch(li, col("l_partkey"))
+    val keys = li.filter(col("l_partkey") <= 100)
+      .select(col("l_partkey")).distinct()
+    val exact = li.filter(col("l_partkey") <= 100)
+      .groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+    graft.operators.CountMin.estimate(sk, keys, "l_partkey")
+      .join(exact, col("k") === col("l_partkey"))
+      .select(col("l_partkey"), col("exact"), col("est"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
@@ -499,6 +517,7 @@ object CoreQueries {
     "q36_zvalue" -> (q36 _),
     "q37_heavy_hitters" -> (q37 _),
     "q38_exact_quantile" -> (q38 _),
+    "q39_count_min" -> (q39 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -691,5 +710,26 @@ object CoreQueries {
         "AS q), n) " +
         "SELECT CAST(q AS DOUBLE) AS q, k, x AS value " +
         "FROM qk JOIN r ON r.rn = qk.k ORDER BY q"),
+    // replay the sketch: same md5 row-hash, same (row, bucket) counts,
+    // same min-over-depth probe
+    "q39_count_min" ->
+      ("WITH inc AS (SELECT t.r, CAST(('0x' || substr(md5(" +
+        "CAST(t.r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), " +
+        "1, 4)) AS INT) % 1024 AS bucket " +
+        "FROM lineitem CROSS JOIN generate_series(0, 3) AS t(r)), " +
+        "sk AS (SELECT r, bucket, count(*) AS c FROM inc " +
+        "GROUP BY r, bucket), " +
+        "q AS (SELECT DISTINCT l_partkey FROM lineitem " +
+        "WHERE l_partkey <= 100), " +
+        "qb AS (SELECT l_partkey, t.r, CAST(('0x' || substr(md5(" +
+        "CAST(t.r AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)), " +
+        "1, 4)) AS INT) % 1024 AS bucket " +
+        "FROM q CROSS JOIN generate_series(0, 3) AS t(r)), " +
+        "est AS (SELECT l_partkey, min(coalesce(sk.c, 0)) AS est " +
+        "FROM qb LEFT JOIN sk USING (r, bucket) GROUP BY l_partkey), " +
+        "ex AS (SELECT l_partkey, count(*) AS exact FROM lineitem " +
+        "WHERE l_partkey <= 100 GROUP BY l_partkey) " +
+        "SELECT ex.l_partkey, ex.exact, est.est " +
+        "FROM ex JOIN est USING (l_partkey) ORDER BY ex.l_partkey"),
   )
 }

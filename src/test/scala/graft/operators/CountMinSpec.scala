@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freqs(n: Int) =
+    (1 to n).map(i => (i % 17).toLong).toDF("k")
+
+  test("estimate never undercounts, and is exact when width >> keys") {
+    val df = freqs(500) // 17 keys, counts 29 or 30
+    val sk = CountMin.sketch(df, col("k"), depth = 4, width = 1024)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .select(col("k").cast("string").as("ek"), col("exact"))
+    val got = CountMin.estimate(sk, df.select("k").distinct(), "k")
+      .join(exact, col("k") === col("ek"))
+      .select(col("est"), col("exact")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) >= r.getLong(1)) // one-sided error
+    }
+    // 17 keys in 4x1024 buckets: no collisions, all exact
+    assert(got.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("narrow sketch overcounts colliding keys but never undercounts") {
+    val df = (1 to 1000).map(i => (i % 100).toLong).toDF("k")
+    val sk = CountMin.sketch(df, col("k"), depth = 2, width = 8)
+    val est = CountMin.estimate(sk, df.select("k").distinct(), "k",
+      depth = 2, width = 8)
+      .select("est").as[Long].collect()
+    assert(est.forall(_ >= 10L)) // every key occurs 10 times
+    assert(est.exists(_ > 10L))  // 100 keys in 8 buckets MUST collide
+  }
+
+  test("sketch size is bounded by depth x width regardless of input") {
+    val sk = CountMin.sketch(freqs(5000), col("k"), depth = 3, width = 4)
+    assert(sk.count() <= 12)
+  }
+
+  test("merged shard sketches == sketch of the union") {
+    val a = freqs(300)
+    val b = (301 to 500).map(i => (i % 17).toLong).toDF("k")
+    val merged = CountMin.merge(Seq(
+      CountMin.sketch(a, col("k")), CountMin.sketch(b, col("k"))))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = CountMin.sketch(a.unionByName(b), col("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
+  test("unknown keys estimate to zero (or collision noise), never error") {
+    val sk = CountMin.sketch(freqs(100), col("k"), depth = 4, width = 1024)
+    val est = CountMin.estimate(sk,
+      Seq(99999L).toDF("k"), "k").select("est").as[Long].collect().head
+    assert(est === 0L) // wide sketch: the absent key probes empty buckets
+  }
+}
