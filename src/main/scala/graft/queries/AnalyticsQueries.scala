@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.EventAnalytics
+import graft.operators.{EventAnalytics, PageRank}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -46,15 +46,54 @@ object AnalyticsQueries {
       touchTypes = Seq("view", "click"), lookback = "2 hours")
       .orderBy("conv_id")
 
+  // fixed-point PageRank over the order<->part bipartite graph (the
+  // link-centrality quality signal, exact in integer arithmetic so the
+  // 5-iteration oracle unroll hash-matches bit-for-bit). Top 20 nodes.
+  private def g01(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val fwd = li.select(
+      concat(lit("o"), col("l_orderkey")).as("src"),
+      concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.ranks(edges, iters = 5)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy(col("pr").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
     "f04_gap_fill" -> (f04 _),
     "f05_attribution" -> (f05 _),
+    "g01_pagerank" -> (g01 _),
   )
 
+  // 5 PageRank iterations unrolled as CTE stages — exact integer
+  // replay of the fixed-point update (rank // deg contribs, 17x//20
+  // damping, +0.15 at scale 10^12)
+  private val pagerankSql: String = {
+    val head =
+      "WITH fwd AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) " +
+        "AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem), " +
+        "e AS (SELECT src, dst FROM fwd " +
+        "UNION ALL SELECT dst, src FROM fwd), " +
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+        "r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr " +
+        "FROM d), "
+    val its = (1 to 5).map { i =>
+      s"r$i AS (SELECT e.dst AS node, " +
+        s"150000000000 + (17 * sum(r${i - 1}.pr // d.deg)) // 20 AS pr " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
+        s"JOIN d ON e.src = d.src GROUP BY e.dst)"
+    }.mkString(", ")
+    head + its + " SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> pagerankSql,
     "f01_funnel_steps" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t " +
         "FROM events), " +
