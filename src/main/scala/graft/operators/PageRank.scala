@@ -39,19 +39,27 @@ object PageRank {
     * longs. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    var rank = deg.select(col("src").as("node"), lit(One).as("rank"))
+    // ONE materialization: the edge list with its source degree riding
+    // along — every iteration equi-joins this frame, nothing else. The
+    // iterations themselves stay lazy (one query execution at the end,
+    // AQE planning all 2·iters exchanges together) — per-round
+    // checkpoints would pay iters materializations for a lineage that
+    // is only `iters` join+agg pairs deep.
+    val e = edges.select(col("src"), col("dst"))
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(col("src")) // pin the join layout: every iteration
+      .localCheckpoint()       // reuses it, only the rank side moves
+    var rank = eDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(One))
     for (_ <- 0 until iters) {
-      val contrib = rank.join(deg, col("node") === col("src"))
-        .select(col("node"), expr("rank div deg").as("contrib"))
-      val next = e.join(contrib, e("src") === contrib("node"))
+      rank = eDeg.join(rank, eDeg("src") === rank("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
         .groupBy(col("dst").as("node_"))
         .agg(expr(s"${3 * One / 20} + (17 * sum(contrib)) div 20")
           .as("rank"))
         .select(col("node_").as("node"), col("rank"))
-      rank = next.localCheckpoint()
     }
     rank
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.classic.{GraftColumnBridge => bridge}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al., "Product Quantization for Nearest
@@ -46,27 +47,12 @@ object ProductQuantization {
     def ksub: Int = centroids.head.size
   }
 
-  /** 1-based slice of subspace `j` (0-based). */
-  private def subvec(vec: Column, j: Int, dsub: Int): Column =
-    slice(vec, j * dsub + 1, dsub)
-
-  /** Squared L2 from a subvector to one literal centroid: a sequential
-    * double fold in array order — the same summation order the oracle's
-    * ordered SQL sum uses. */
-  private def sqDistTo(sub: Column, c: Seq[Float]): Column =
-    aggregate(
-      zip_with(sub, typedlit(c), (a, b) =>
-        (a.cast("double") - b.cast("double")) *
-          (a.cast("double") - b.cast("double"))),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Code of subspace `j`: argmin over the ksub centroid distances,
-    * ties toward the lowest code. */
-  private def codeCol(vec: Column, j: Int, cb: Codebooks): Column = {
-    val sub = subvec(vec, j, cb.dsub)
-    val d = array(cb.centroids(j).map(c => sqDistTo(sub, c)): _*)
-    (array_position(d, array_min(d)) - 1).cast("int")
-  }
+  /** All m codes of a vector in one fused native loop — the codegen'd
+    * [[graft.plans.PqEncode]] expression (the HOF formulation hit the
+    * interpreted-lambda + no-CSE perf cliffs; see its scaladoc). */
+  private def codesCol(vec: Column, cb: Codebooks): Column =
+    bridge.column(graft.plans.PqEncode(bridge.expression(vec),
+      cb.centroids))
 
   /** Encode every vector to its m codes: (id, codes array<int>). A pure
     * projection — persist this next to the corpus and ADC queries never
@@ -74,8 +60,7 @@ object ProductQuantization {
   def encode(emb: DataFrame, idCol: String, vecCol: String,
       cb: Codebooks): DataFrame =
     emb.select(col(idCol).as("id"),
-      array((0 until cb.m).map(j => codeCol(col(vecCol), j, cb)): _*)
-        .as("codes"))
+      codesCol(col(vecCol), cb).as("codes"))
 
   /** Train per-subspace k-means — ALL m subspaces learned in one job per
     * iteration (cluster key = (subspace, code), not m separate k-means
@@ -96,8 +81,7 @@ object ProductQuantization {
         // one scan: every row contributes (subspace, code, pos, x) for
         // each of its m subvectors; DECIMAL means, k×m×dsub result rows
         val assigned = v.select(col("v"),
-          array((0 until m).map(j => codeCol(col("v"), j, cb)): _*)
-            .as("codes"))
+          codesCol(col("v"), cb).as("codes"))
         val means = assigned
           .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
           .select((col("pos") / dsub).cast("int").as("subspace"),

@@ -48,12 +48,15 @@ object AnalyticsQueries {
 
   // fixed-point PageRank over the order<->part bipartite graph (the
   // link-centrality quality signal, exact in integer arithmetic so the
-  // 5-iteration oracle unroll hash-matches bit-for-bit). Top 20 nodes.
+  // 5-iteration oracle unroll hash-matches bit-for-bit). Node ids are
+  // tagged longs (2k for orders, 2k+1 for parts) — an 8-byte shuffle
+  // key instead of a string, the dictionary-encoding any 100 TB graph
+  // would use. Top 20 nodes.
   private def g01(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
     val fwd = li.select(
-      concat(lit("o"), col("l_orderkey")).as("src"),
-      concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst")).distinct()
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
     PageRank.ranks(edges, iters = 5)
@@ -76,8 +79,8 @@ object AnalyticsQueries {
   // damping, +0.15 at scale 10^12)
   private val pagerankSql: String = {
     val head =
-      "WITH fwd AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) " +
-        "AS src, 'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem), " +
+      "WITH fwd AS (SELECT DISTINCT l_orderkey * 2 AS src, " +
+        "l_partkey * 2 + 1 AS dst FROM lineitem), " +
         "e AS (SELECT src, dst FROM fwd " +
         "UNION ALL SELECT dst, src FROM fwd), " +
         "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +

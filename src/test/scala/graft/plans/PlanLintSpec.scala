@@ -76,7 +76,8 @@ class PlanLintSpec extends SparkSpec {
         "f04_gap_fill", "d01_exact_dedup_docs", "q19_text_stats",
         "w07_set_ops", "d12_cdc_dedup", "p08_temperature_mix",
         "q20_cosine_topk", "s01_ann_topk", "t10_tfidf_topk", "t11_bm25",
-        "t12_surprisal"),
+        "t12_surprisal",
+        "t18_nb_confusion"), // C-row class-stats broadcast rider
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
@@ -88,7 +89,8 @@ class PlanLintSpec extends SparkSpec {
         "p03_stratified_sample", "p05_weighted_sample",
         "q17_delete_month", "s01_ann_topk", "t11_bm25", "t13_chunking",
         "p09_curate_e2e",  // quality-score floor: computed predicate
-        "t16_bigram_surprisal"), // size(tokens) >= 2: computed predicate
+        "t16_bigram_surprisal", // size(tokens) >= 2: computed predicate
+        "d14_dup_spans"), // size(split(text)) >= k: computed predicate
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
