@@ -155,4 +155,33 @@ object EventAnalytics {
         last(col(typeCol)).over(w).as("last_ev"))
       .distinct()
   }
+
+  /** Gaps-and-islands sessionization: one row per (user, session) with
+    * start/end timestamps and event count. A new session starts when the
+    * gap to the previous event exceeds `gapSeconds` (strictly). Gap
+    * arithmetic is exact microsecond integers (`unix_micros`), so the
+    * session boundaries — and the oracle replay — are bit-deterministic.
+    *
+    * Scale shape: everything lives in ONE hash partitioning by `user`
+    * (lag flag, running sum, and the per-session agg all share the
+    * (user) grouping — the agg is a partial over already-co-located
+    * rows). No join, no second shuffle; state per task is one sort run.
+    * Ties on `ts` break by `tieCol` so the order — hence the lag — is a
+    * total order. */
+  def sessionize(events: DataFrame, user: String, ts: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val ord = Window.partitionBy(col(user)).orderBy(col(ts), col(tieCol))
+    val us = unix_micros(col(ts))
+    val flagged = events
+      .select(col(user), col(ts), col(tieCol))
+      .withColumn("_new",
+        when(us - lag(us, 1).over(ord) <= gapSeconds * 1000000L, lit(0L))
+          .otherwise(lit(1L))) // first row per user: lag NULL -> 1
+    val numbered = flagged.withColumn("session_num",
+      sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    numbered.groupBy(col(user), col("session_num"))
+      .agg(min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventAnalytics, PageRank}
+import graft.operators.{EventAnalytics, PageRank, Segmentation}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -65,12 +65,29 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // gaps-and-islands sessionization, 4-hour inactivity gap: one hash
+  // partitioning by user carries the lag flag, the running session
+  // number, and the per-session rollup — no second shuffle
+  private def f06(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sessionize(events(s, dir), "user_id", "ts",
+      "event_id", gapSeconds = 14400)
+      .orderBy("user_id", "session_num")
+
+  // RFM quintile segmentation over orders — global ranks WITHOUT the
+  // one-task ntile window (SequentialIds range exchange per metric)
+  private def f07(s: SparkSession, dir: String): DataFrame =
+    Segmentation.rfm(Tables(s, dir, "orders"),
+      "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
     "f04_gap_fill" -> (f04 _),
     "f05_attribution" -> (f05 _),
+    "f06_sessionize" -> (f06 _),
+    "f07_rfm" -> (f07 _),
     "g01_pagerank" -> (g01 _),
   )
 
@@ -97,6 +114,43 @@ object AnalyticsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pagerankSql,
+    // exact-µs gap arithmetic; ties broken by event_id so the lag — and
+    // therefore every session boundary — is a total order
+    "f06_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t " +
+        "FROM events), " +
+        "m AS (SELECT user_id, event_id, t, CASE WHEN " +
+        "epoch_us(t) - lag(epoch_us(t)) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id) <= 14400000000 " +
+        "THEN 0 ELSE 1 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, t, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY t, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS session_num FROM m) " +
+        "SELECT user_id, session_num, min(t) AS session_start, " +
+        "max(t) AS session_end, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, session_num " +
+        "ORDER BY user_id, session_num"),
+    // quintile = rank*5 // n + 1 on row_number()-1 ranks — the exact
+    // arithmetic the distributed SequentialIds formulation produces
+    "f07_rfm" ->
+      ("WITH b AS (SELECT o_custkey AS custkey, " +
+        "CAST(date_diff('day', max(o_orderdate), " +
+        "(SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days, " +
+        "count(*) AS frequency, " +
+        "CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) " +
+        "AS monetary FROM orders GROUP BY 1), " +
+        "n AS (SELECT count(*) AS c FROM b), " +
+        "r AS (SELECT custkey, recency_days, frequency, monetary, " +
+        "row_number() OVER (ORDER BY recency_days DESC, custkey) - 1 AS rr, " +
+        "row_number() OVER (ORDER BY frequency ASC, custkey) - 1 AS fr, " +
+        "row_number() OVER (ORDER BY CAST(monetary AS DECIMAL(18,2)) ASC, " +
+        "custkey) - 1 AS mr FROM b) " +
+        "SELECT custkey, recency_days, frequency, monetary, " +
+        "rr * 5 // c + 1 AS r_score, fr * 5 // c + 1 AS f_score, " +
+        "mr * 5 // c + 1 AS m_score, " +
+        "(rr * 5 // c + 1) * 100 + (fr * 5 // c + 1) * 10 + " +
+        "(mr * 5 // c + 1) AS rfm " +
+        "FROM r CROSS JOIN n ORDER BY custkey"),
     "f01_funnel_steps" ->
       ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t " +
         "FROM events), " +

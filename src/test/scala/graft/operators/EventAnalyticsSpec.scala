@@ -27,6 +27,31 @@ class EventAnalyticsSpec extends SparkSpec {
     (8L, 4L, "purchase", ts("2024-01-01 08:00:00"))
   ).toDF("event_id", "user_id", "event_type", "ts")
 
+  test("sessionize: gap boundary is strict, ties break by id, per-user") {
+    val e = Seq(
+      // u1: three events, gaps 30min / exactly 1h (inclusive) -> one session
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 10:30:00")),
+      (3L, 1L, "view", ts("2024-01-01 11:30:00")),
+      // gap 1h + 1s (strictly over) -> new session
+      (4L, 1L, "view", ts("2024-01-01 12:30:01")),
+      // u2: two events at the SAME ts -> one session, and the tie-break
+      // keeps the lag well-defined
+      (5L, 2L, "view", ts("2024-01-01 09:00:00")),
+      (6L, 2L, "view", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventAnalytics.sessionize(e, "user_id", "ts", "event_id",
+        gapSeconds = 3600)
+      .orderBy("user_id", "session_num")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00"), 3L),
+      (1L, 2L, ts("2024-01-01 12:30:01"), ts("2024-01-01 12:30:01"), 1L),
+      (2L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 2L)))
+  }
+
   test("funnelCounts: ordered completion, pre-step events don't count") {
     val rows = EventAnalytics.funnelCounts(events, "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"))
