@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventAnalytics, PageRank, Segmentation}
+import graft.operators.{EventAnalytics, PageRank, Segmentation, Triangles}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -80,6 +80,18 @@ object AnalyticsQueries {
       "o_custkey", "o_orderdate", "o_totalprice")
       .orderBy("custkey")
 
+  // degree-oriented triangle counting on the co-purchase graph (parts
+  // sharing an order; every-4th-order subset keeps the gate's triangle
+  // mass at ~400k). Top 20 nodes by triangle membership.
+  private def g02(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+    val edges = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    Triangles.perNodeCounts(edges)
+      .orderBy(col("triangles").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f02_cohort_retention" -> (f02 _),
@@ -89,6 +101,7 @@ object AnalyticsQueries {
     "f06_sessionize" -> (f06 _),
     "f07_rfm" -> (f07 _),
     "g01_pagerank" -> (g01 _),
+    "g02_triangles" -> (g02 _),
   )
 
   // 5 PageRank iterations unrolled as CTE stages — exact integer
@@ -114,6 +127,27 @@ object AnalyticsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pagerankSql,
+    // same (deg, node) orientation -> every triangle counted exactly
+    // once as an ordered wedge + closing edge
+    "g02_triangles" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "d AS (SELECT n, count(*) AS deg FROM " +
+        "(SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n), " +
+        "eo AS (SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) " +
+        "THEN e0.a ELSE e0.b END AS src, " +
+        "CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) " +
+        "THEN e0.b ELSE e0.a END AS dst " +
+        "FROM e0 JOIN d da ON da.n = e0.a JOIN d db ON db.n = e0.b), " +
+        "tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w " +
+        "FROM eo e1 JOIN eo e2 ON e1.dst = e2.src " +
+        "JOIN eo e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+        "pn AS (SELECT u AS node FROM tri UNION ALL " +
+        "SELECT v FROM tri UNION ALL SELECT w FROM tri) " +
+        "SELECT node, count(*) AS triangles FROM pn GROUP BY node " +
+        "ORDER BY triangles DESC, node LIMIT 20"),
     // exact-µs gap arithmetic; ties broken by event_id so the lag — and
     // therefore every session boundary — is a total order
     "f06_sessionize" ->
