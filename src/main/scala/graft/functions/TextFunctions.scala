@@ -205,4 +205,46 @@ object TextFunctions {
             array_min(transform(hs, h => xxhash64(seed, h))),
             lit(Long.MaxValue)))
     }
+
+  // Gopher's "no fewer than 2 of these" stopword list (Rae et al. 2021
+  // §A1.1) — NOT the ratio list above: the rule counts occurrences of
+  // exactly these eight
+  private val gopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1),
+    * evaluated in EXACT integer arithmetic — every threshold is a
+    * cross-multiplied integer comparison (mean word length in [3,10] is
+    * `3n ≤ Σlen ≤ 10n`, the 80% alpha-word floor is `5·alpha ≥ 4n`, the
+    * 15% duplicate-bigram ceiling is `20·dup ≤ 3·total`), so the flags
+    * are bit-deterministic and replay exactly in any engine. The
+    * symbol-ratio rule (`#`/`…` per word) is omitted: this corpus has no
+    * symbol characters, so it would be a constant-true column.
+    *
+    * Returns a struct of the counters and per-rule booleans plus the
+    * composite `keep`; one codegen'd projection per row, no shuffle, no
+    * UDF. */
+  def gopherStats(text: Column): Column = bind(tokens(text)) { tk =>
+    val n = size(tk).cast(LongType)
+    val sumChars = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(tk, t => t.rlike("[A-Za-z]"))).cast(LongType)
+    val nStop =
+      size(filter(tk, t => lower(t).isin(gopherStopwords: _*))).cast(LongType)
+    bind(shinglesFromTokens(tk, 2)) { bg =>
+      val nBg = size(bg).cast(LongType)
+      val nDup = (size(bg) - size(array_distinct(bg))).cast(LongType)
+      val okWords = n >= 50L && n <= 100000L
+      val okLen = sumChars >= n * 3L && sumChars <= n * 10L
+      val okAlpha = nAlpha * 5L >= n * 4L
+      val okStop = nStop >= 2L
+      val okRep = nDup * 20L <= nBg * 3L
+      struct(
+        n.as("n_words"), sumChars.as("sum_chars"), nAlpha.as("n_alpha"),
+        nStop.as("n_stop"), nBg.as("n_bigrams"), nDup.as("n_dup_bigrams"),
+        okWords.as("ok_wordcount"), okLen.as("ok_wordlen"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        okRep.as("ok_repetition"),
+        (okWords && okLen && okAlpha && okStop && okRep).as("keep"))
+    }
+  }
 }

@@ -201,6 +201,14 @@ object TextQueries {
       .select(col("truth"), col("pred"), col("n"))
       .orderBy("truth", "pred")
 
+  // Gopher rules, exact integer thresholds — the corpus-curation keep/
+  // drop decision with its full audit trail (per-rule flags + counters)
+  private def t19(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), T.gopherStats(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -220,6 +228,7 @@ object TextQueries {
     "t16_bigram_surprisal" -> (t16 _),
     "t17_bpe_encode" -> (t17 _),
     "t18_nb_confusion" -> (t18 _),
+    "t19_gopher_rules" -> (t19 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -248,6 +257,38 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // every threshold is a cross-multiplied integer comparison — flags
+    // replay bit-for-bit (no float thresholds to drift)
+    "t19_gopher_rules" ->
+      (s"WITH f AS (SELECT doc_id, $duckTokens AS tk FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_aggregate(list_transform(tk, t -> length(t)), " +
+        "'sum'), 0) AS BIGINT) AS sum_chars, " +
+        "CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) " +
+        "AS BIGINT) AS n_alpha, " +
+        "CAST(len(list_filter(tk, t -> list_contains(" +
+        "['the','be','to','of','and','that','have','with'], lower(t)))) " +
+        "AS BIGINT) AS n_stop, " +
+        "CASE WHEN len(tk) >= 2 THEN list_transform(" +
+        "generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1]) " +
+        "WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')] " +
+        "ELSE [] END AS bg FROM f), " +
+        "b AS (SELECT doc_id, n_words, sum_chars, n_alpha, n_stop, " +
+        "CAST(len(bg) AS BIGINT) AS n_bigrams, " +
+        "CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) " +
+        "AS n_dup_bigrams FROM c) " +
+        "SELECT doc_id, n_words, sum_chars, n_alpha, n_stop, n_bigrams, " +
+        "n_dup_bigrams, " +
+        "n_words >= 50 AND n_words <= 100000 AS ok_wordcount, " +
+        "sum_chars >= n_words * 3 AND sum_chars <= n_words * 10 AS ok_wordlen, " +
+        "n_alpha * 5 >= n_words * 4 AS ok_alpha, " +
+        "n_stop >= 2 AS ok_stop, " +
+        "n_dup_bigrams * 20 <= n_bigrams * 3 AS ok_repetition, " +
+        "(n_words >= 50 AND n_words <= 100000 AND " +
+        "sum_chars >= n_words * 3 AND sum_chars <= n_words * 10 AND " +
+        "n_alpha * 5 >= n_words * 4 AND n_stop >= 2 AND " +
+        "n_dup_bigrams * 20 <= n_bigrams * 3) AS keep " +
+        "FROM b ORDER BY doc_id"),
     "t01_token_counts" ->
       (s"SELECT doc_id, len($duckTokens) AS n_tokens, " +
         "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subwords " +

@@ -81,6 +81,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(agree > 8, s"similar docs should share many minhashes, got $agree/32")
   }
 
+  test("gopherStats: integer-exact rule flags and counters") {
+    import org.apache.spark.sql.Row
+    def stats(text: String): Row =
+      one[Row](T.gopherStats(col("t")), text)
+    // 60 words, all alpha, stopwords the+and, mean length ~5 -> keep
+    val good = (1 to 56).map(i => s"word$i").mkString("the cat and dog ", " ", "")
+    val g = stats(good)
+    assert(g.getAs[Long]("n_words") === 60L)
+    assert(g.getAs[Boolean]("keep") === true)
+    // short doc fails the word-count rule only at the word-count flag
+    val short = stats("the of " + (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(short.getAs[Boolean]("ok_wordcount") === false)
+    assert(short.getAs[Boolean]("ok_stop") === true) // the + of = 2
+    assert(short.getAs[Boolean]("keep") === false)
+    // repetitive doc: 'ab ab ab...' -> every bigram identical
+    val rep = stats(Seq.fill(60)("ab").mkString(" "))
+    assert(rep.getAs[Long]("n_dup_bigrams") === 58L)
+    assert(rep.getAs[Boolean]("ok_repetition") === false)
+    // numeric soup fails the alpha floor; mean word length 1 fails wordlen
+    val nums = stats((1 to 60).map(_ % 10).mkString(" "))
+    assert(nums.getAs[Boolean]("ok_alpha") === false)
+    assert(nums.getAs[Boolean]("ok_wordlen") === false)
+    // empty text: zero counters, keep=false (word count), no crash
+    val e = stats("")
+    assert(e.getAs[Long]("n_words") === 0L)
+    assert(e.getAs[Long]("sum_chars") === 0L)
+    assert(e.getAs[Boolean]("keep") === false)
+  }
+
   test("repetitionRatio: duplicate-bigram fraction with degenerate guards") {
     // "a b a b" -> bigrams [a b, b a, a b]: 3 total, 2 distinct -> 1/3
     val r = one[Double](T.repetitionRatio(col("t")), "a b a b")
