@@ -209,6 +209,13 @@ object TextQueries {
       .select(col("doc_id"), col("g.*"))
       .orderBy("doc_id")
 
+  // collocation lift: counts decide the rank (exact), the float column
+  // is a fixed-shape division chain rounded to 4 digits
+  private def t20(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.lift(docs(s, dir), "text", minCount = 10)
+      .orderBy(col("c_xy").desc, col("x"), col("y"))
+      .limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -229,6 +236,7 @@ object TextQueries {
     "t17_bpe_encode" -> (t17 _),
     "t18_nb_confusion" -> (t18 _),
     "t19_gopher_rules" -> (t19 _),
+    "t20_collocations" -> (t20 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -257,6 +265,25 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // identical division-chain shape both sides; ranks decided by exact
+    // counts only
+    "t20_collocations" ->
+      (s"WITH f AS (SELECT $duckTokens AS tk FROM documents), " +
+        "uni AS (SELECT unnest(tk) AS w FROM f), " +
+        "u AS (SELECT w, count(*) AS cu FROM uni GROUP BY w), " +
+        "bgx AS (SELECT tk[i] AS x, tk[i + 1] AS y FROM f, " +
+        "unnest(generate_series(1, len(tk) - 1)) AS t(i) " +
+        "WHERE len(tk) >= 2), " +
+        "bg AS (SELECT x, y, count(*) AS c_xy FROM bgx GROUP BY x, y), " +
+        "nb AS (SELECT sum(c_xy) AS n_bg FROM bg), " +
+        "nu AS (SELECT sum(cu) AS n_ug FROM u) " +
+        "SELECT bg.x, bg.y, c_xy, ux.cu AS c_x, uy.cu AS c_y, " +
+        "round((CAST(c_xy AS DOUBLE) / CAST(n_bg AS DOUBLE)) / " +
+        "((CAST(ux.cu AS DOUBLE) / CAST(n_ug AS DOUBLE)) * " +
+        "(CAST(uy.cu AS DOUBLE) / CAST(n_ug AS DOUBLE))), 4) AS lift " +
+        "FROM bg JOIN u ux ON ux.w = bg.x JOIN u uy ON uy.w = bg.y " +
+        "CROSS JOIN nb CROSS JOIN nu WHERE c_xy >= 10 " +
+        "ORDER BY c_xy DESC, bg.x, bg.y LIMIT 30"),
     // every threshold is a cross-multiplied integer comparison — flags
     // replay bit-for-bit (no float thresholds to drift)
     "t19_gopher_rules" ->
