@@ -94,4 +94,33 @@ object SimilaritySearch {
       .filter(probe)
       .transform(rerank(queryVec, k))
   }
+
+  /** Hard-negative mining for contrastive training: for each query row
+    * (rows matching `queryPred`), the top-`k` most-cosine-similar corpus
+    * vectors with a DIFFERENT label — the "closest wrong answers" a
+    * dual-encoder trains against.
+    *
+    * Candidate generation here is brute force over a BROADCAST query
+    * set (queries are a curated sample by construction — per-batch
+    * mining never scans queries × corpus with both sides large); the
+    * corpus side streams in one scan, and per-query top-k is a
+    * WindowGroupLimit, never a whole-partition sort. At retrieval scale,
+    * swap the candidate pass for [[annTopKPersisted]] probes and keep
+    * the same rerank/rank contract. Ranks order by the ROUNDED score
+    * with id tie-break so the contract is engine-replayable. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
+        col(vecCol).as("_qe"))
+    val scored = emb.join(broadcast(q), col(labelCol) =!= col("qlabel"))
+      .select(col("qid"),
+        col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        round(VectorOps.cosine(col(vecCol), col("_qe")), 4).as("score"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -386,7 +386,16 @@ object DedupQueries {
         col("n_grams"))
       .orderBy("doc_id", "span_start")
 
+  // hard-negative mining: per query (every 50th vec), top-5 most-similar
+  // OTHER-label vectors — ranks keyed on the rounded score so the oracle
+  // replays the exact ordering
+  private def s08(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.hardNegatives(emb(s, dir), "vec_id", "embedding",
+      "label", col("vec_id") % 50 === 0, k = 5)
+      .orderBy("qid", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_hard_negatives" -> (s08 _),
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
@@ -651,6 +660,28 @@ object DedupQueries {
       "WHERE dot / (na.nm * nb.nm) >= 0.95 ORDER BY id_a, id_b"
 
   val oracleSql: Map[String, String] = Map(
+    // rank = row_number over (rounded score DESC, neg_id) — the same
+    // replayable key the Spark side windows on
+    "s08_hard_negatives" ->
+      ("WITH v AS (SELECT vec_id, label, " +
+        "generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "n AS (SELECT vec_id, sqrt(sum(x * x)) AS nm FROM v " +
+        "GROUP BY vec_id), " +
+        "q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings " +
+        "WHERE vec_id % 50 = 0), " +
+        "d AS (SELECT q.qid, v.vec_id AS neg_id, v.label AS neg_label, " +
+        "sum(v.x * qv.x) AS dot FROM q " +
+        "JOIN v qv ON qv.vec_id = q.qid " +
+        "JOIN v ON v.i = qv.i AND v.label <> q.qlabel " +
+        "GROUP BY q.qid, v.vec_id, v.label), " +
+        "sc AS (SELECT qid, neg_id, neg_label, " +
+        "round(dot / (nn.nm * nq.nm), 4) AS score FROM d " +
+        "JOIN n nn ON nn.vec_id = neg_id JOIN n nq ON nq.vec_id = qid), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY score DESC, neg_id) AS INTEGER) AS rank FROM sc) " +
+        "SELECT qid, neg_id, neg_label, score, rank FROM r " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
     "d01_exact_dedup_docs" ->
       ("SELECT count(*) AS total_docs, " +
         "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS kept_docs " +
