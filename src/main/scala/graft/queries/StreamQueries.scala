@@ -134,7 +134,15 @@ object StreamQueries {
     "e09_interval_full" -> (e09 _),
     "e10_log_source" -> (e10 _),
     "e11_stream_dedup" -> (e11 _),
+    "e12_trending_topk" -> (e12 _),
   )
+
+  // trending top-3 event types per tumbling hour — the windowed-count
+  // stream plus the foreachBatch rank layer, composed end-to-end in
+  // batch so the oracle checks both stages
+  private def e12(s: SparkSession, dir: String): DataFrame =
+    EventStreams.trendingTopK(events(s, dir), k = 3)
+      .orderBy("ws", "rank")
 
   // bounded-state streaming dedup (dropDuplicatesWithinWatermark) in
   // batch mode: one kept row per (user_id, event_type), rolled up per
@@ -148,6 +156,15 @@ object StreamQueries {
       .orderBy("event_type")
 
   val oracleSql: Map[String, String] = Map(
+    "e12_trending_topk" ->
+      ("WITH c AS (SELECT time_bucket(INTERVAL 1 HOUR, " +
+        "CAST(ts AS TIMESTAMP)) AS ws, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY ws, event_type), " +
+        "r AS (SELECT ws, event_type, cnt, CAST(row_number() OVER (" +
+        "PARTITION BY ws ORDER BY cnt DESC, event_type) AS INTEGER) " +
+        "AS rank FROM c) " +
+        "SELECT ws, rank, event_type, cnt FROM r WHERE rank <= 3 " +
+        "ORDER BY ws, rank"),
     "e01_windowed_counts" ->
       ("SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, " +
         "event_type, count(*) AS cnt, " +

@@ -32,6 +32,30 @@ object EventStreams {
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
         col("total"))
 
+  /** Trending top-k: per tumbling window, the `k` event types with the
+    * most events, ranked (ties broken by type — a total, replayable
+    * order). A chained aggregation + rank is not one streaming query:
+    * run [[windowedCounts]] as the streaming half (update-mode upserts
+    * into a keyed count store) and apply THIS rank layer in
+    * `foreachBatch` over the store — per-window state is k-bounded
+    * downstream while the count state stays watermark-bounded upstream.
+    * In batch mode the composition runs end-to-end, which is what the
+    * oracle checks; the streaming spec drives the same two stages
+    * incrementally and converges to the identical table. */
+  def trendingTopK(events: DataFrame, k: Int, windowLen: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame =
+    rankWindows(windowedCounts(events, windowLen, delay), k)
+
+  /** The rank layer of [[trendingTopK]] — applied per microbatch over
+    * the upserted count store in streaming, or directly in batch. */
+  def rankWindows(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ws").orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ws"), col("rank"), col("event_type"), col("cnt"))
+  }
+
   /** Session windows per user with an inactivity gap — native
     * `session_window`, mergeable and watermark-aware on streams. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

@@ -49,6 +49,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingTopK: foreachBatch rank over upserted counts == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // streaming half: update-mode windowed counts upserting a keyed
+    // store; rank layer applied per microbatch over the full store
+    val store = scala.collection.mutable.Map.empty[(Timestamp, String), Long]
+    val q = EventStreams.windowedCounts(streamDf)
+      .select("ws", "event_type", "cnt")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store((r.getTimestamp(0), r.getString(1))) = r.getLong(2)
+        }
+      }
+      .start()
+    try {
+      mem.addData(rows.take(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      val counts = store.toSeq
+        .map { case ((ws, et), c) => (ws, et, c) }
+        .toDF("ws", "event_type", "cnt")
+      val streamed = EventStreams.rankWindows(counts, 2)
+        .orderBy("ws", "rank").collect().map(_.toSeq).toSeq
+      val batch = EventStreams.trendingTopK(eventsDf, 2)
+        .orderBy("ws", "rank").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("enrichWithDim: stream-static broadcast join == batch join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
