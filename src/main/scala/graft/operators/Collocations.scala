@@ -27,8 +27,9 @@ import graft.functions.TextFunctions
 object Collocations {
 
   /** Strict adjacent bigrams as (x, y) structs; docs under 2 tokens
-    * contribute none. */
-  private def bigrams(text: Column): Column =
+    * contribute none. Also the edge generator for TextRank's
+    * word-adjacency graph (t21). */
+  def bigramPairs(text: Column): Column =
     TextFunctions.bind(TextFunctions.tokens(text)) { tk =>
       when(size(tk) >= 2,
         transform(sequence(lit(1), size(tk) - 1),
@@ -41,11 +42,16 @@ object Collocations {
     * `c_xy >= minCount`. */
   def lift(docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
     val toks = docs.select(TextFunctions.tokens(col(textCol)).as("tk"))
+    // materialize both count frames: each feeds a total AND join(s), and
+    // without the checkpoint every reader re-scans the corpus — five
+    // full scans where two suffice (the frames are vocab-sized)
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-    val bg = docs.select(explode(bigrams(col(textCol))).as("b"))
+      .localCheckpoint()
+    val bg = docs.select(explode(bigramPairs(col(textCol))).as("b"))
       .select(col("b.x").as("x"), col("b.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
     val nBg = bg.agg(sum(col("c_xy")).as("n_bg"))
     val nUg = uni.agg(sum(col("cu")).as("n_ug"))
     bg.filter(col("c_xy") >= minCount)

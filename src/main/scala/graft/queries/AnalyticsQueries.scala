@@ -106,24 +106,30 @@ object AnalyticsQueries {
 
   // 5 PageRank iterations unrolled as CTE stages — exact integer
   // replay of the fixed-point update (rank // deg contribs, 17x//20
-  // damping, +0.15 at scale 10^12)
-  private val pagerankSql: String = {
-    val head =
-      "WITH fwd AS (SELECT DISTINCT l_orderkey * 2 AS src, " +
-        "l_partkey * 2 + 1 AS dst FROM lineitem), " +
-        "e AS (SELECT src, dst FROM fwd " +
-        "UNION ALL SELECT dst, src FROM fwd), " +
-        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+  // damping, +0.15 at scale 10^12). Reused by t21 (TextRank) with a
+  // different edge head: the caller supplies CTEs ending in
+  // `e(src, dst)`, this appends deg/init/iterations.
+  private[queries] def pagerankUnrollSql(iters: Int): String = {
+    val init =
+      "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
         "r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr " +
         "FROM d), "
-    val its = (1 to 5).map { i =>
+    val its = (1 to iters).map { i =>
       s"r$i AS (SELECT e.dst AS node, " +
         s"150000000000 + (17 * sum(r${i - 1}.pr // d.deg)) // 20 AS pr " +
         s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
         s"JOIN d ON e.src = d.src GROUP BY e.dst)"
     }.mkString(", ")
-    head + its + " SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"
+    init + its
   }
+
+  private val pagerankSql: String =
+    "WITH fwd AS (SELECT DISTINCT l_orderkey * 2 AS src, " +
+      "l_partkey * 2 + 1 AS dst FROM lineitem), " +
+      "e AS (SELECT src, dst FROM fwd " +
+      "UNION ALL SELECT dst, src FROM fwd), " +
+      pagerankUnrollSql(5) +
+      " SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"
 
   val oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pagerankSql,

@@ -216,6 +216,28 @@ object TextQueries {
       .orderBy(col("c_xy").desc, col("x"), col("y"))
       .limit(30)
 
+  // TextRank keyword extraction (Mihalcea & Tarau 2004): fixed-point
+  // PageRank over the corpus word-adjacency graph — operator
+  // composition: the SAME integer-exact PageRank as g01, so the
+  // 5-iteration oracle unroll hash-matches on string node keys.
+  // (Word keys are fine at this vocab; a web-scale run would
+  // dictionary-encode them to longs exactly as g01 does.)
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val bg = docs(s, dir)
+      .select(explode(graft.operators.Collocations
+        .bigramPairs(col("text"))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+    val edges = bg.select(col("x").as("src"), col("y").as("dst"))
+      .unionByName(bg.select(col("y").as("src"), col("x").as("dst")))
+      .distinct()
+    graft.operators.PageRank.ranks(edges, iters = 5)
+      .select(col("node").as("word"), col("rank").as("pr"))
+      .orderBy(col("pr").desc, col("word"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -237,6 +259,7 @@ object TextQueries {
     "t18_nb_confusion" -> (t18 _),
     "t19_gopher_rules" -> (t19 _),
     "t20_collocations" -> (t20 _),
+    "t21_textrank" -> (t21 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -265,6 +288,19 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // the g01 fixed-point PageRank unroll over the word-adjacency graph
+    // (UNION = symmetrize + dedup, matching Spark's union().distinct())
+    "t21_textrank" ->
+      (s"WITH f AS (SELECT $duckTokens AS tk FROM documents), " +
+        "bgx AS (SELECT tk[i] AS x, tk[i + 1] AS y FROM f, " +
+        "unnest(generate_series(1, len(tk) - 1)) AS t(i) " +
+        "WHERE len(tk) >= 2), " +
+        "fwd AS (SELECT DISTINCT x, y FROM bgx WHERE x <> y), " +
+        "e AS (SELECT x AS src, y AS dst FROM fwd " +
+        "UNION SELECT y, x FROM fwd), " +
+        AnalyticsQueries.pagerankUnrollSql(5) +
+        " SELECT node AS word, pr FROM r5 " +
+        "ORDER BY pr DESC, word LIMIT 20"),
     // identical division-chain shape both sides; ranks decided by exact
     // counts only
     "t20_collocations" ->

@@ -77,7 +77,12 @@ class PlanLintSpec extends SparkSpec {
         "w07_set_ops", "d12_cdc_dedup", "p08_temperature_mix",
         "q20_cosine_topk", "s01_ann_topk", "t10_tfidf_topk", "t11_bm25",
         "t12_surprisal",
-        "t18_nb_confusion"), // C-row class-stats broadcast rider
+        "t18_nb_confusion", // C-row class-stats broadcast rider
+        "t20_collocations", // 1-row corpus-total riders (n_bg, n_ug)
+        // broadcast query set joined on label-INEQUALITY: O(n·|Q|) with
+        // |Q| a curated sample by construction — the scale path swaps in
+        // ANN-probe candidates, same rank contract
+        "s08_hard_negatives"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
@@ -90,7 +95,8 @@ class PlanLintSpec extends SparkSpec {
         "q17_delete_month", "s01_ann_topk", "t11_bm25", "t13_chunking",
         "p09_curate_e2e",  // quality-score floor: computed predicate
         "t16_bigram_surprisal", // size(tokens) >= 2: computed predicate
-        "d14_dup_spans"), // size(split(text)) >= k: computed predicate
+        "d14_dup_spans", // size(split(text)) >= k: computed predicate
+        "t20_collocations"), // explode's size(tokens)>0 guard: computed
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
