@@ -201,7 +201,24 @@ object WindowQueries {
       .orderBy("event_id").limit(300)
   }
 
+  // UNPIVOT (melt): the wide per-user count matrix back to long form —
+  // the inverse surface of w05's pivot. Native Dataset.unpivot: a
+  // per-row Expand projection, no shuffle beyond the upstream agg.
+  private def w14(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "view", 1)).as("views"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("purchases"))
+    wide.unpivot(Array(col("user_id")),
+        Array(col("views"), col("clicks"), col("purchases")),
+        "metric", "cnt")
+      .orderBy("user_id", "metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_unpivot" -> (w14 _),
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
     "w03_rollup" -> (w03 _),
@@ -218,6 +235,17 @@ object WindowQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "w14_unpivot" ->
+      ("WITH wide AS (SELECT user_id, " +
+        "count(CASE WHEN event_type = 'view' THEN 1 END) AS views, " +
+        "count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks, " +
+        "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, metric, cnt FROM (" +
+        "SELECT user_id, 'views' AS metric, views AS cnt FROM wide " +
+        "UNION ALL SELECT user_id, 'clicks', clicks FROM wide " +
+        "UNION ALL SELECT user_id, 'purchases', purchases FROM wide) " +
+        "ORDER BY user_id, metric"),
     "w01_rank_topn" ->
       ("SELECT p_brand, p_partkey, p_retailprice, " +
         "rank() OVER (PARTITION BY p_brand " +
