@@ -41,9 +41,12 @@ object Triangles {
     * least one triangle. `edges` must be undirected-distinct with
     * a < b (see [[coOccurrenceEdges]]). */
   def perNodeCounts(edges: DataFrame): DataFrame = {
-    val e0 = edges.select(col("a"), col("b"))
-    val deg = e0.select(col("a").as("n"))
-      .unionAll(e0.select(col("b").as("n")))
+    // materialize the edge list once: the degree union reads it twice
+    // and the orientation join a third time — without this the upstream
+    // derivation (for co-purchase graphs, a self-join + distinct) runs
+    // three times
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // orient by (deg, node); materialize ONCE — the triangle join reads
     // this frame three times and re-deriving the co-occurrence self-join
