@@ -478,7 +478,30 @@ object CoreQueries {
       .orderBy("l_partkey")
   }
 
+  // grouped distribution stats from EXACT decimal moments (n, Σx, Σx²
+  // — the mergeable trio any two-level rollup combines), converted to
+  // mean/stddev through ONE fixed-shape double expression both engines
+  // evaluate identically. Never a second pass: stddev from moments, not
+  // from per-row deviations.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val p = col("o_totalprice").cast("decimal(18,2)")
+    val n = col("n").cast("double")
+    val s1 = col("_s1").cast("double")
+    val s2 = col("_s2").cast("double")
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(p).as("_s1"),
+        sum((p * p).cast("decimal(38,4)")).as("_s2"))
+      .select(col("o_orderstatus"), col("n"),
+        col("_s1").cast("decimal(28,2)").cast("string").as("total"),
+        round(s1 / n, 4).as("mean"),
+        round(sqrt((n * s2 - s1 * s1) / (n * (n - lit(1.0)))), 4)
+          .as("stddev"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_group_stats" -> (q40 _),
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
     "q03_string_filter" -> (q03 _),
@@ -710,6 +733,20 @@ object CoreQueries {
         "AS q), n) " +
         "SELECT CAST(q AS DOUBLE) AS q, k, x AS value " +
         "FROM qk JOIN r ON r.rn = qk.k ORDER BY q"),
+    // identical moment algebra: decimal Σx/Σx² exact, one double shape
+    "q40_group_stats" ->
+      ("WITH m AS (SELECT o_orderstatus, count(*) AS n, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s1, " +
+        "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s2 " +
+        "FROM orders GROUP BY o_orderstatus) " +
+        "SELECT o_orderstatus, n, " +
+        "CAST(CAST(s1 AS DECIMAL(28,2)) AS VARCHAR) AS total, " +
+        "round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean, " +
+        "round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - " +
+        "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 4) AS stddev " +
+        "FROM m ORDER BY o_orderstatus"),
     // replay the sketch: same md5 row-hash, same (row, bucket) counts,
     // same min-over-depth probe
     "q39_count_min" ->

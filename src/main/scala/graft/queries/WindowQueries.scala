@@ -217,7 +217,27 @@ object WindowQueries {
       .orderBy("user_id", "metric")
   }
 
+  // RANGE frame (value-based, not row-based): per customer, the total
+  // spent in the trailing 30 DAYS of each order — peers with the same
+  // date all join the frame, so the result is tie-order independent.
+  // Day arithmetic on unix_date keeps the bound exact.
+  private def w15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("_days"))
+      .rangeBetween(-30, 0)
+    Tables(s, dir, "orders")
+      .withColumn("_d", to_date(col("o_orderdate")))
+      .withColumn("_days", unix_date(col("_d")))
+      .withColumn("trailing30",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("decimal(28,2)").cast("string"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("_d").as("o_orderdate"), col("trailing30"))
+      .orderBy("o_custkey", "o_orderkey")
+      .limit(500)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_range_frame" -> (w15 _),
     "w14_unpivot" -> (w14 _),
     "w01_rank_topn" -> (w01 _),
     "w02_running_total" -> (w02 _),
@@ -235,6 +255,14 @@ object WindowQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "w15_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(o_orderdate AS DATE) AS o_orderdate, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (" +
+        "PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) " +
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) " +
+        "AS DECIMAL(28,2)) AS VARCHAR) AS trailing30 " +
+        "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500"),
     "w14_unpivot" ->
       ("WITH wide AS (SELECT user_id, " +
         "count(CASE WHEN event_type = 'view' THEN 1 END) AS views, " +
