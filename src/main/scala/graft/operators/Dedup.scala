@@ -227,6 +227,37 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Asymmetric shingle CONTAINMENT (quote/subset detection, Broder
+    * 1997's containment coefficient): how much of reference doc R's
+    * shingle set appears inside corpus doc D —
+    * `|sh(R) ∩ sh(D)| / |sh(R)|` — the direction Jaccard can't see (a
+    * short quote inside a long doc has tiny Jaccard but high
+    * containment). The ratio is reported as an exact integer
+    * `ratio_ppm = overlap · 10⁶ div |sh(R)|`: no float ever decides a
+    * row or an ordering.
+    *
+    * Scale shape: candidates come from the same hashed-shingle
+    * equi-join as [[contaminationPairs]] (never all-pairs); the
+    * reference side is small by contract (an eval set / known-source
+    * list), so its shingle table and per-ref sizes broadcast. */
+  def containmentPairs(corpus: DataFrame, refs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minPpm: Long = 0L): DataFrame = {
+    val c = shingleTable(corpus, idCol, textCol, n)
+    // one shingle pass over the (small) reference side: the size agg
+    // and the join both read it
+    val r = shingleTable(refs, idCol, textCol, n).toDF("ref", "sh")
+      .localCheckpoint()
+    val rSize = r.groupBy("ref").agg(count(lit(1)).as("ref_size"))
+    c.join(broadcast(r), "sh")
+      .groupBy("doc", "ref").agg(count(lit(1)).as("overlap"))
+      .join(broadcast(rSize), "ref")
+      .withColumn("ratio_ppm",
+        expr("overlap * 1000000 div ref_size"))
+      .filter(col("ratio_ppm") >= minPpm)
+      .select(col("doc"), col("ref"), col("overlap"), col("ref_size"),
+        col("ratio_ppm"))
+  }
+
   /** Per-doc distinct shingle-hash arrays — the compact set
     * representation used for candidate verification. */
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String,

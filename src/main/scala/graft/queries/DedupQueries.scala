@@ -394,8 +394,21 @@ object DedupQueries {
       "label", col("vec_id") % 50 === 0, k = 5)
       .orderBy("qid", "rank")
 
+  // asymmetric containment (quote detection): top-20 corpus docs by the
+  // exact-ppm fraction of a reference doc's trigrams they contain —
+  // the direction Jaccard can't see. Refs = docs 1-5 (the d07 eval set).
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.containmentPairs(
+      d.filter(col("doc_id") > 5), d.filter(col("doc_id") <= 5),
+      "doc_id", "text", n = 3, minPpm = 20000L)
+      .orderBy(col("ratio_ppm").desc, col("doc"), col("ref"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s08_hard_negatives" -> (s08 _),
+    "d15_containment" -> (d15 _),
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
@@ -660,6 +673,27 @@ object DedupQueries {
       "WHERE dot / (na.nm * nb.nm) >= 0.95 ORDER BY id_a, id_b"
 
   val oracleSql: Map[String, String] = Map(
+    // containment over shingle STRINGS (hash-join collision odds are
+    // negligible, d07 discipline); ratio is integer ppm — exact
+    "d15_containment" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk)-1), " +
+        "i -> array_to_string(tk[i:i+2], ' ')) " +
+        "WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')] " +
+        "ELSE [] END)) AS s FROM toks), " +
+        "rs AS (SELECT doc_id AS ref, count(*) AS ref_size FROM sh " +
+        "WHERE doc_id <= 5 GROUP BY 1), " +
+        "ov AS (SELECT c.doc_id AS doc, r.doc_id AS ref, " +
+        "count(*) AS overlap FROM sh c JOIN sh r ON c.s = r.s " +
+        "AND r.doc_id <= 5 AND c.doc_id > 5 GROUP BY 1, 2) " +
+        "SELECT doc, ref, overlap, ref_size, " +
+        "overlap * 1000000 // ref_size AS ratio_ppm " +
+        "FROM ov JOIN rs USING (ref) " +
+        "WHERE overlap * 1000000 // ref_size >= 20000 " +
+        "ORDER BY ratio_ppm DESC, doc, ref LIMIT 20"),
     // rank = row_number over (rounded score DESC, neg_id) — the same
     // replayable key the Spark side windows on
     "s08_hard_negatives" ->

@@ -16,6 +16,27 @@ class DedupSpec extends SparkSpec {
     (6L, "tiny doc"))
     .toDF("doc_id", "text")
 
+  test("containmentPairs: quote fully contained scores 10^6 ppm exactly") {
+    val refs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // ref has 2 trigrams: "alpha beta gamma", "beta gamma delta"
+    val corpus = Seq(
+      (10L, "intro alpha beta gamma delta outro"), // full quote -> 2/2
+      (11L, "alpha beta gamma something else entirely"), // 1/2
+      (12L, "no shared trigrams here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(corpus, refs, "doc_id", "text", n = 3)
+      .orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (10L, 1L, 2L, 2L, 1000000L),
+      (11L, 1L, 1L, 2L, 500000L)))
+    // minPpm floor prunes the weak pair
+    val floored = Dedup.containmentPairs(corpus, refs, "doc_id", "text",
+      n = 3, minPpm = 600000L)
+    assert(floored.select("doc").as[Long].collect().toSeq === Seq(10L))
+  }
+
   test("exact dedup keeps one representative (min id) per group") {
     val kept = Dedup.exact(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted
