@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item co-occurrence recommender ("customers who bought X also
+  * bought Y") — the classic implicit-feedback neighborhood model
+  * (Linden, Smith & York 2003, Amazon item-to-item CF). The reference's
+  * sales rows carry (order, item) incidence; the recommendation table
+  * is its self-join, ranked by association strength.
+  *
+  * Score: conditional attachment in parts-per-million —
+  * `ppm(a→b) = 1e6 · n(a,b) div n(b)` — i.e. lift against b's base
+  * rate with the per-a constant dropped (ranking within a group is
+  * unchanged), computed in EXACT integer arithmetic so ranks replay
+  * bit-for-bit in any engine (ties broken by pair count desc, then
+  * item id).
+  *
+  * Scale shape: pair generation is a per-group self-join, quadratic in
+  * GROUP size, not corpus size — order line counts are small and
+  * bounded (cap oversized groups upstream where they aren't, as
+  * [[Triangles.coOccurrenceEdges]] documents). Counts are one shuffle
+  * keyed (a,b); the top-k window partitions by item a — a bounded
+  * WindowGroupLimit, no global sort. Item base counts are a vocab-sized
+  * frame joined by key.
+  */
+object CoOccurrence {
+
+  /** Top-`k` recommendations per item from (group, item) incidence.
+    * Returns (item, rec, pair_cnt, rec_cnt, score_ppm, rank); pairs
+    * below `minPairs` co-occurrences are dropped (noise floor). */
+  def topK(incidence: DataFrame, group: String, item: String, k: Int,
+      minPairs: Long): DataFrame = {
+    val inc = incidence.select(col(group).as("_g"), col(item).as("_i"))
+      .distinct()
+    // both directions: a→b and b→a have different scores (different
+    // denominators), so emit ordered pairs from the one a<b join
+    val pairsAB = inc.as("x").join(inc.as("y"),
+        col("x._g") === col("y._g") && col("x._i") < col("y._i"))
+      .select(col("x._i").as("a"), col("y._i").as("b"))
+    val paired = pairsAB.unionByName(
+        pairsAB.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairs)
+    val base = inc.groupBy(col("_i").as("b")).agg(count(lit(1)).as("rec_cnt"))
+    val scored = paired.join(base, "b")
+      .select(col("a").as("item"), col("b").as("rec"),
+        col("pair_cnt"), col("rec_cnt"),
+        expr("(1000000 * pair_cnt) div rec_cnt").as("score_ppm"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("score_ppm").desc, col("pair_cnt").desc, col("rec"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

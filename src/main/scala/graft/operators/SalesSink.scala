@@ -44,12 +44,16 @@ object SalesSink {
     * Exchange on either side (spec-enforced). This is the layout for the
     * 100 TB fact⋈fact case where neither side broadcasts. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    // explicit path -> external table (keeps gate artifacts out of the
+    // session warehouse dir); default stays managed
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Transient-error classifier for the JDBC retry, mirroring the
     * reference's OperationalError/InterfaceError handling

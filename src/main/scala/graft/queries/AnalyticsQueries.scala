@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventAnalytics, PageRank, Segmentation, Triangles}
+import graft.operators.{Bfs, EventAnalytics, PageRank, Scd, Segmentation,
+  Triangles}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -92,6 +93,34 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // SCD Type-2 dimension: each order observes its customer's priority;
+  // compress to validity intervals. The whole build shares ONE
+  // PARTITION BY custkey layout (change flag, run id, rollup, close)
+  private def f08(s: SparkSession, dir: String): DataFrame =
+    Scd.type2(
+      Tables(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("obs_id"),
+        col("o_orderdate").as("obs_ts"),
+        col("o_orderpriority").as("prio")),
+      entity = "custkey", ts = "obs_ts", value = "prio", tieCol = "obs_id")
+      .orderBy("custkey", "version")
+
+  // multi-source BFS over the g02 co-purchase graph: hop distance from
+  // the seed parts (partkey % 500 = 0) — frontier-sized shuffles per
+  // round, src-partitioned edge frame materialized once
+  private def g03(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = li.filter(col("l_partkey") % 500 === 0)
+      .select(col("l_partkey").as("node")).distinct()
+    Bfs.layers(edges, seeds, maxHops = 3)
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f02_cohort_retention" -> (f02 _),
@@ -100,8 +129,10 @@ object AnalyticsQueries {
     "f05_attribution" -> (f05 _),
     "f06_sessionize" -> (f06 _),
     "f07_rfm" -> (f07 _),
+    "f08_scd2" -> (f08 _),
     "g01_pagerank" -> (g01 _),
     "g02_triangles" -> (g02 _),
+    "g03_bfs_layers" -> (g03 _),
   )
 
   // 5 PageRank iterations unrolled as CTE stages — exact integer
@@ -132,7 +163,42 @@ object AnalyticsQueries {
       " SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"
 
   val oracleSql: Map[String, String] = Map(
-    "g01_pagerank" -> pagerankSql,
+    // same total observation order (ts, orderkey) -> identical run
+    // boundaries; version sum cast to BIGINT (DuckDB sum = HUGEINT)
+    "f08_scd2" ->
+      ("WITH o AS (SELECT o_custkey AS custkey, o_orderkey AS ok, " +
+        "CAST(o_orderdate AS TIMESTAMP) AS t, o_orderpriority AS v " +
+        "FROM orders), " +
+        "m AS (SELECT custkey, ok, t, v, CASE WHEN lag(v) OVER " +
+        "(PARTITION BY custkey ORDER BY t, ok) IS NOT DISTINCT FROM v " +
+        "THEN 0 ELSE 1 END AS chg FROM o), " +
+        "r AS (SELECT custkey, t, v, sum(chg) OVER " +
+        "(PARTITION BY custkey ORDER BY t, ok ROWS UNBOUNDED PRECEDING) " +
+        "AS run FROM m), " +
+        "iv AS (SELECT custkey, CAST(run AS BIGINT) AS version, " +
+        "min(v) AS value, min(t) AS effective_from, " +
+        "count(*) AS n_obs FROM r GROUP BY custkey, run) " +
+        "SELECT custkey, version, value, effective_from, " +
+        "lead(effective_from) OVER " +
+        "(PARTITION BY custkey ORDER BY version) AS effective_to, " +
+        "lead(effective_from) OVER " +
+        "(PARTITION BY custkey ORDER BY version) IS NULL AS is_current, " +
+        "n_obs FROM iv ORDER BY custkey, version"),
+    // recursive frontier expansion; UNION (distinct) bounds the
+    // explored (node, hop) pairs, min(hop) = shortest distance
+    "g03_bfs_layers" ->
+      ("WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS o, " +
+        "l_partkey AS p FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "e AS (SELECT a AS src, b AS dst FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        "s AS (SELECT DISTINCT p AS node FROM op WHERE p % 500 = 0), " +
+        "bfs(node, hop) AS (SELECT node, 0 FROM s " +
+        "UNION SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e " +
+        "ON e.src = bfs.node WHERE bfs.hop < 3) " +
+        "SELECT node, min(hop) AS hop FROM bfs GROUP BY node " +
+        "ORDER BY node"),
     // same (deg, node) orientation -> every triangle counted exactly
     // once as an ordered wedge + closing edge
     "g02_triangles" ->

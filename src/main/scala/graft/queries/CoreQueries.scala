@@ -500,8 +500,41 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  // 2-D Pareto frontier over per-part (total spend, total quantity):
+  // the parts yielding the most units for the least money — one
+  // distinct + one window, no O(n²) dominance join
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skyline
+    val pts = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"),
+        sum(col("l_quantity").cast("long")).as("y"))
+    Skyline.frontier(pts, "l_partkey", "x", "y")
+      .withColumnRenamed("pid", "partkey")
+      .select("partkey", "x", "y")
+      .orderBy("partkey")
+  }
+
+  // robust per-month outlier summary: lower-median + MAD in exact cent
+  // integers, Hampel rule |x - med| > 3·MAD — the quality-filter shape
+  // mean/stddev rules get wrong when outliers exist
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RobustStats
+    val o = t(s, dir, "orders").select(
+      date_format(col("o_orderdate"), "yyyy-MM").as("grp"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    RobustStats.madOutliers(o, "grp", "cents", k = 3)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_group_stats" -> (q40 _),
+    "q41_skyline" -> (q41 _),
+    "q42_robust_outliers" -> (q42 _),
     "q01_scan_project" -> (q01 _),
     "q02_filter" -> (q02 _),
     "q03_string_filter" -> (q03 _),
@@ -747,6 +780,39 @@ object CoreQueries {
         "CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / " +
         "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 4) AS stddev " +
         "FROM m ORDER BY o_orderstatus"),
+    // same sort-based frontier pass: survivors have no preceding
+    // (x asc, y desc) row with y >= theirs; sums cast (DuckDB HUGEINT)
+    "q41_skyline" ->
+      ("WITH p AS (SELECT l_partkey AS partkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS x, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y " +
+        "FROM lineitem GROUP BY 1), " +
+        "d AS (SELECT DISTINCT x, y FROM p), " +
+        "m AS (SELECT x, y, max(y) OVER (ORDER BY x ASC, y DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxy FROM d), " +
+        "sky AS (SELECT x, y FROM m WHERE maxy IS NULL OR maxy < y) " +
+        "SELECT partkey, x, y FROM p JOIN sky USING (x, y) " +
+        "ORDER BY partkey"),
+    // lower median = element at rank (n+1)//2 — always a data value,
+    // so med/MAD/flags are pure integer arithmetic
+    "q42_robust_outliers" ->
+      ("WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS grp, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "r AS (SELECT grp, cents, row_number() OVER " +
+        "(PARTITION BY grp ORDER BY cents) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM o), " +
+        "med AS (SELECT grp, cents AS med FROM r WHERE rn = (n + 1) // 2), " +
+        "a AS (SELECT o.grp, o.cents, med.med, " +
+        "abs(o.cents - med.med) AS adev FROM o JOIN med USING (grp)), " +
+        "r2 AS (SELECT grp, adev, row_number() OVER " +
+        "(PARTITION BY grp ORDER BY adev) AS rn, " +
+        "count(*) OVER (PARTITION BY grp) AS n FROM a), " +
+        "mad AS (SELECT grp, adev AS mad FROM r2 WHERE rn = (n + 1) // 2), " +
+        "f AS (SELECT a.grp, a.cents, a.med, mad.mad " +
+        "FROM a JOIN mad USING (grp)) " +
+        "SELECT grp, count(*) AS n, min(med) AS med, min(mad) AS mad, " +
+        "CAST(sum(CASE WHEN abs(cents - med) > 3 * mad THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_outliers FROM f GROUP BY grp ORDER BY grp"),
     // replay the sketch: same md5 row-hash, same (row, bucket) counts,
     // same min-over-depth probe
     "q39_count_min" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, CoOccurrence, RangeJoin}
 
 /** Specialized join queries. a01 checks the composed as-of join against
   * DuckDB's NATIVE `ASOF JOIN` — a strong cross-implementation oracle.
@@ -41,12 +41,79 @@ object JoinQueries {
       .limit(500)
   }
 
+  // item-item CF: top-5 "also bought" per part, exact-integer ppm
+  // scores, pair blowup bounded by order line counts
+  private def a03(s: SparkSession, dir: String): DataFrame =
+    CoOccurrence.topK(Tables(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", k = 5, minPairs = 3)
+      .orderBy("item", "rank")
+
+  // co-located join through bucketed tables: both sides pre-bucketed
+  // on the join key, so the join plans with ZERO Exchange (asserted by
+  // BucketedJoinSpec) — the explicit-bucketing layout a 100 TB fact
+  // store ships with. Results identical to the plain join (the oracle).
+  private def a04(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SalesSink
+    val base = "/tmp/graft_bucketed_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val oTbl = "a04_orders_b"
+    val lTbl = "a04_lineitem_b"
+    if (!s.catalog.tableExists(oTbl)) {
+      SalesSink.writeBucketed(
+        Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        oTbl, "o_orderkey", 16, path = Some(s"$base/orders"))
+      SalesSink.writeBucketed(
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        lTbl, "l_orderkey", 16, path = Some(s"$base/lineitem"))
+    }
+    s.table(lTbl).join(s.table(oTbl),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))"))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01 _),
     "a02_range_join" -> (a02 _),
+    "a03_item_cooccur" -> (a03 _),
+    "a04_bucketed_join" -> (a04 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact-integer ppm scores -> ranks replay; row_number cast to INT
+    // to match Spark's rank type
+    "a03_item_cooccur" ->
+      ("WITH inc AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i " +
+        "FROM lineitem), " +
+        "pab AS (SELECT x.i AS a, y.i AS b FROM inc x JOIN inc y " +
+        "ON x.g = y.g AND x.i < y.i), " +
+        "p2 AS (SELECT a, b FROM pab UNION ALL SELECT b, a FROM pab), " +
+        "pc AS (SELECT a, b, count(*) AS pair_cnt FROM p2 GROUP BY a, b " +
+        "HAVING count(*) >= 3), " +
+        "base AS (SELECT i AS b, count(*) AS rec_cnt FROM inc GROUP BY i), " +
+        "sc AS (SELECT a AS item, b AS rec, pair_cnt, rec_cnt, " +
+        "(1000000 * pair_cnt) // rec_cnt AS score_ppm " +
+        "FROM pc JOIN base USING (b)), " +
+        "r AS (SELECT item, rec, pair_cnt, rec_cnt, score_ppm, " +
+        "CAST(row_number() OVER (PARTITION BY item " +
+        "ORDER BY score_ppm DESC, pair_cnt DESC, rec) AS INT) AS rank " +
+        "FROM sc) " +
+        "SELECT item, rec, pair_cnt, rec_cnt, score_ppm, rank FROM r " +
+        "WHERE rank <= 5 ORDER BY item, rank"),
+    // the bucketed layout must not change RESULTS — the oracle is the
+    // plain join; the zero-Exchange plan is asserted by BucketedJoinSpec
+    "a04_bucketed_join" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "a01_asof_join" ->
       ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
         "event_type, value FROM events), " +

@@ -136,7 +136,46 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("seq_id"))
       .orderBy("seq_id")
 
+  // data-quality expectation suite: all row checks on a table fold
+  // into ONE conditional-sum scan; uniqueness is one groupBy;
+  // referential integrity one anti-join per FK (broadcast-size parent
+  // for customer). The pre-load contract report, checks-sized output.
+  private def p11(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import Expectations.RowCheck
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val report = Expectations.rowChecks(li, "lineitem", Seq(
+        RowCheck("li_quantity_positive",
+          col("l_quantity").isNull || col("l_quantity") <= 0),
+        RowCheck("li_discount_domain",
+          col("l_discount").isNull || col("l_discount") < 0 ||
+            col("l_discount") > 1),
+        RowCheck("li_price_not_null", col("l_extendedprice").isNull),
+        RowCheck("li_shipdate_not_null", col("l_shipdate").isNull)))
+      .unionByName(Expectations.rowChecks(o, "orders", Seq(
+        RowCheck("o_totalprice_positive",
+          col("o_totalprice").isNull || col("o_totalprice") <= 0),
+        RowCheck("o_orderdate_not_null", col("o_orderdate").isNull),
+        RowCheck("o_priority_domain",
+          !col("o_orderpriority").isin(prios: _*) ||
+            col("o_orderpriority").isNull))))
+      .unionByName(Expectations.uniqueCheck(o, "orders",
+        "o_orderkey_unique", Seq("o_orderkey")))
+      .unionByName(Expectations.uniqueCheck(li, "lineitem",
+        "li_line_unique", Seq("l_orderkey", "l_linenumber")))
+      .unionByName(Expectations.fkCheck(li, "l_orderkey", o,
+        "o_orderkey", "lineitem", "li_orderkey_fk"))
+      .unionByName(Expectations.fkCheck(o, "o_custkey", c,
+        "c_custkey", "orders", "o_custkey_fk"))
+    report.orderBy("table_name", "check")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_expectations" -> (p11 _),
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
@@ -158,6 +197,47 @@ object PipelineQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    // one UNION ALL per check family; sums cast (DuckDB HUGEINT)
+    "p11_expectations" ->
+      ("SELECT * FROM (" +
+        "SELECT 'lineitem' AS table_name, 'li_quantity_positive' AS \"check\", " +
+        "CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem " +
+        "UNION ALL SELECT 'lineitem', 'li_discount_domain', " +
+        "CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 " +
+        "OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem', 'li_price_not_null', " +
+        "CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem', 'li_shipdate_not_null', " +
+        "CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'orders', 'o_totalprice_positive', " +
+        "CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orders', 'o_orderdate_not_null', " +
+        "CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orders', 'o_priority_domain', " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', " +
+        "'2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') " +
+        "OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "FROM orders " +
+        "UNION ALL SELECT 'orders', 'o_orderkey_unique', " +
+        "CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM " +
+        "(SELECT count(*) AS c FROM orders GROUP BY o_orderkey " +
+        "HAVING count(*) > 1) " +
+        "UNION ALL SELECT 'lineitem', 'li_line_unique', " +
+        "CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM " +
+        "(SELECT count(*) AS c FROM lineitem " +
+        "GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) " +
+        "UNION ALL SELECT 'lineitem', 'li_orderkey_fk', count(*) " +
+        "FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey " +
+        "NOT IN (SELECT o_orderkey FROM orders) " +
+        "UNION ALL SELECT 'orders', 'o_custkey_fk', count(*) " +
+        "FROM orders WHERE o_custkey IS NOT NULL AND o_custkey " +
+        "NOT IN (SELECT c_custkey FROM customer)" +
+        ") ORDER BY table_name, \"check\""),
     "p10_seq_ids" ->
       ("SELECT doc_id, lang, " +
         "row_number() OVER (ORDER BY lang, doc_id) - 1 AS seq_id " +

@@ -124,10 +124,13 @@ class PlanQualitySpec extends SparkSpec {
           |"gross_sales_money":{"amount":100}}]}""".stripMargin.replace("\n", ""))))
     val locations = Seq((2, "Current", "L5WST6KFZBT10"))
       .toDF("id", "name", "square_id")
-    val p = graft.operators.SalesEtl.run(orders, locations)
-      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val qe = graft.operators.SalesEtl.run(orders, locations).queryExecution
+    val p = qe.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    // toString, not formatted: formatted splits the node name from its
+    // hashpartitioning argument, making the phrase-match vacuous
+    val classic = qe.executedPlan.toString
+    assert(!classic.contains("Exchange hashpartitioning"), classic)
   }
 }

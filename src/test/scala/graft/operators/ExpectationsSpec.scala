@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Expectations.RowCheck
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rowChecks: one scan, all checks, NULL-safe predicates") {
+    val df = Seq((Some(1L), Some(5.0)), (None, Some(-1.0)),
+      (Some(3L), None)).toDF("id", "v")
+    val out = Expectations.rowChecks(df, "t", Seq(
+        RowCheck("id_not_null", col("id").isNull),
+        RowCheck("v_positive", col("v").isNull || col("v") <= 0)))
+      .orderBy("check")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("t", "id_not_null", 1L),
+      ("t", "v_positive", 2L)))
+  }
+
+  test("rowChecks runs as a single aggregate job") {
+    val df = (1L to 100L).toDF("id")
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    Expectations.rowChecks(df, "t", Seq(
+      RowCheck("a", col("id") < 0), RowCheck("b", col("id") > 1000),
+      RowCheck("c", col("id").isNull))).collect()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - jobs <= 2) // one aggregate (AQE may add a stage job)
+  }
+
+  test("uniqueCheck counts surplus rows only") {
+    val df = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
+    val out = Expectations.uniqueCheck(df, "t", "k_unique", Seq("k"))
+      .head()
+    assert(out.getLong(2) === 3L) // two extra 1s + one extra 3
+    val ok = Expectations.uniqueCheck(Seq(1L, 2L).toDF("k"), "t", "u",
+      Seq("k")).head()
+    assert(ok.getLong(2) === 0L)
+  }
+
+  test("fkCheck: orphans counted, NULL FKs exempt") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Expectations.fkCheck(child, "fk", parent, "pk", "t", "fk_ok")
+      .head()
+    assert(out.getLong(2) === 1L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("type2: runs compress, intervals chain, last run open") {
+    val obs = Seq(
+      (1L, 10L, ts("2025-01-01 00:00:00"), "A"),
+      (1L, 11L, ts("2025-01-02 00:00:00"), "A"), // same value: same run
+      (1L, 12L, ts("2025-01-05 00:00:00"), "B"),
+      (1L, 13L, ts("2025-01-09 00:00:00"), "A"), // A again: NEW run
+      (2L, 20L, ts("2025-02-01 00:00:00"), "X"))
+      .toDF("ent", "id", "t", "v")
+    val out = Scd.type2(obs, "ent", "t", "v", "id")
+      .orderBy("ent", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5),
+        r.getLong(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "A", ts("2025-01-01 00:00:00"),
+        Some(ts("2025-01-05 00:00:00")), false, 2L),
+      (1L, 2L, "B", ts("2025-01-05 00:00:00"),
+        Some(ts("2025-01-09 00:00:00")), false, 1L),
+      (1L, 3L, "A", ts("2025-01-09 00:00:00"), None, true, 1L),
+      (2L, 1L, "X", ts("2025-02-01 00:00:00"), None, true, 1L)))
+  }
+
+  test("type2: equal-ts observations ordered by tie column") {
+    val obs = Seq(
+      (1L, 2L, ts("2025-01-01 00:00:00"), "B"),
+      (1L, 1L, ts("2025-01-01 00:00:00"), "A"))
+      .toDF("ent", "id", "t", "v")
+    val out = Scd.type2(obs, "ent", "t", "v", "id")
+      .orderBy("version").select("value").as[String].collect()
+    assert(out.toSeq === Seq("A", "B"))
+  }
+
+  test("type2: NULL values form runs like any other value") {
+    val obs = Seq(
+      (1L, 1L, ts("2025-01-01 00:00:00"), Some("A")),
+      (1L, 2L, ts("2025-01-02 00:00:00"), None),
+      (1L, 3L, ts("2025-01-03 00:00:00"), None),
+      (1L, 4L, ts("2025-01-04 00:00:00"), Some("A")))
+      .toDF("ent", "id", "t", "v")
+    val out = Scd.type2(obs, "ent", "t", "v", "id")
+      .orderBy("version")
+      .collect().map(r => (r.getLong(1), Option(r.getString(2)), r.getLong(6)))
+    assert(out.toSeq === Seq((1L, Some("A"), 1L), (2L, None, 2L),
+      (3L, Some("A"), 1L)))
+  }
+}

@@ -96,7 +96,10 @@ class PlanLintSpec extends SparkSpec {
         "p09_curate_e2e",  // quality-score floor: computed predicate
         "t16_bigram_surprisal", // size(tokens) >= 2: computed predicate
         "d14_dup_spans", // size(split(text)) >= k: computed predicate
-        "t20_collocations"), // explode's size(tokens)>0 guard: computed
+        "t20_collocations", // explode's size(tokens)>0 guard: computed
+        // median-rank selection (_rn = (_n+1) div 2) filters columns a
+        // window just computed — inherently post-scan
+        "q42_robust_outliers"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
