@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, Dedup, ProductQuantization, SimilaritySearch, VectorOps}
+import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, Dedup, Pca, ProductQuantization, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -430,7 +430,18 @@ object DedupQueries {
     "d13_fuzzy_join" -> (d13 _),
     "d14_dup_spans" -> (d14 _),
     "s07_pq_topk" -> (s07 _),
+    "s09_pca_project" -> (s09 _),
   )
+
+  // PCA projection onto the top-2 components: one-scan moment fit,
+  // driver-side 64×64 eigensolve (bounded rider, the s03 centroid
+  // discipline), then an exact integer projection — the oracle replays
+  // it from the quantized component fixture
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val model = Pca.fit(emb(s, dir), "embedding", d = 64, nComp = 2)
+    Pca.projectExact(emb(s, dir), "vec_id", "embedding", model)
+      .orderBy("vec_id")
+  }
 
   // shared CTE: case-normalized distinct trigram shingles per doc
   private val shingleCte =
@@ -584,6 +595,9 @@ object DedupQueries {
     }),
     "s07_codebooks" -> ((s, dir) =>
       ProductQuantization.codebookTable(s, s07Codebooks(s, dir))),
+    "s09_components" -> ((s, dir) =>
+      Pca.fixtureTable(s,
+        Pca.fit(emb(s, dir), "embedding", d = 64, nComp = 2))),
   )
 
   // d11 oracle: identical run construction from STRING shingles (the
@@ -673,6 +687,20 @@ object DedupQueries {
       "WHERE dot / (na.nm * nb.nm) >= 0.95 ORDER BY id_a, id_b"
 
   val oracleSql: Map[String, String] = Map(
+    // replay the integer projection from the quantized component
+    // fixture: same 1e-4 element quantization, same mean-centering,
+    // same integer dot (generate_subscripts is 1-based, fixture 0-based)
+    "s09_pca_project" ->
+      ("WITH f AS (SELECT i, qmean, qc0, qc1 FROM " +
+        "read_parquet('{OUT}/aux/s09_components/*.parquet')), " +
+        "e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "q AS (SELECT vec_id, " +
+        "CAST(round(x * 10000) AS BIGINT) - f.qmean AS xc, " +
+        "f.qc0, f.qc1 FROM e JOIN f ON e.i = f.i) " +
+        "SELECT vec_id, CAST(sum(xc * qc0) AS BIGINT) AS p0, " +
+        "CAST(sum(xc * qc1) AS BIGINT) AS p1 FROM q GROUP BY vec_id " +
+        "ORDER BY vec_id"),
     // containment over shingle STRINGS (hash-join collision odds are
     // negligible, d07 discipline); ratio is integer ppm — exact
     "d15_containment" ->
