@@ -121,8 +121,28 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  // time-to-event: days from first signup to first STRICTLY-LATER
+  // purchase per user, histogrammed; never-converting users land in the
+  // -1 bucket (the survival-curve input, kept exact in day integers)
+  private def f09(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val s0 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tp"))
+    s0.join(p, s0("user_id") === p("user_id") && col("tp") > col("t0"),
+        "left")
+      .groupBy(s0("user_id"), col("t0")).agg(min(col("tp")).as("t1"))
+      .select(when(col("t1").isNull, lit(-1))
+        .otherwise(datediff(to_date(col("t1")), to_date(col("t0"))))
+        .as("days"))
+      .groupBy("days").agg(count(lit(1)).as("users"))
+      .orderBy("days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
+    "f09_time_to_event" -> (f09 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
     "f04_gap_fill" -> (f04 _),
@@ -184,6 +204,21 @@ object AnalyticsQueries {
         "lead(effective_from) OVER " +
         "(PARTITION BY custkey ORDER BY version) IS NULL AS is_current, " +
         "n_obs FROM iv ORDER BY custkey, version"),
+    // same strict-inequality window and -1 never-converted bucket
+    "f09_time_to_event" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "CAST(ts AS TIMESTAMP) AS t FROM events), " +
+        "s0 AS (SELECT user_id, min(t) AS t0 FROM e " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "p AS (SELECT s0.user_id, t0, min(e.t) AS t1 FROM s0 " +
+        "LEFT JOIN e ON e.user_id = s0.user_id " +
+        "AND e.event_type = 'purchase' AND e.t > s0.t0 " +
+        "GROUP BY s0.user_id, t0), " +
+        "d AS (SELECT CASE WHEN t1 IS NULL THEN -1 ELSE " +
+        "CAST(date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) " +
+        "AS INT) END AS days FROM p) " +
+        "SELECT days, count(*) AS users FROM d GROUP BY days " +
+        "ORDER BY days"),
     // recursive frontier expansion; UNION (distinct) bounds the
     // explored (node, hop) pairs, min(hop) = shortest distance
     "g03_bfs_layers" ->

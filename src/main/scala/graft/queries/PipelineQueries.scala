@@ -174,8 +174,21 @@ object PipelineQueries {
     report.orderBy("table_name", "check")
   }
 
+  // curriculum ordering + round-robin shard interleave: global rank in
+  // the (length asc) curriculum via SequentialIds (range exchange, no
+  // one-task window), then shard = rank % S, pos = rank div S — the
+  // deterministic "short docs first, spread evenly across loaders"
+  // layout a training run consumes
+  private def p12(s: SparkSession, dir: String): DataFrame =
+    SequentialIds.assign(docs(s, dir).select("doc_id", "n_chars"),
+      Seq(col("n_chars").asc, col("doc_id").asc), "rank")
+      .select(col("doc_id"), col("rank"), (col("rank") % 8).as("shard"),
+        expr("rank div 8").as("pos"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p11_expectations" -> (p11 _),
+    "p12_curriculum" -> (p12 _),
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
@@ -197,6 +210,12 @@ object PipelineQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    // the same total order (n_chars, doc_id) -> identical dense ranks
+    "p12_curriculum" ->
+      ("WITH r AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY n_chars, doc_id) - 1 AS rank FROM documents) " +
+        "SELECT doc_id, rank, rank % 8 AS shard, rank // 8 AS pos " +
+        "FROM r ORDER BY doc_id"),
     // one UNION ALL per check family; sums cast (DuckDB HUGEINT)
     "p11_expectations" ->
       ("SELECT * FROM (" +
