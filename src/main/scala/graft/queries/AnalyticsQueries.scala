@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bfs, EventAnalytics, PageRank, Scd, Segmentation,
-  Triangles}
+import graft.operators.{Bfs, EventAnalytics, KCore, PageRank, Scd,
+  Segmentation, Triangles}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -140,9 +140,23 @@ object AnalyticsQueries {
       .orderBy("days")
   }
 
+  // 4-core of the co-purchase graph after 3 peel rounds (fixed-round
+  // contract so the oracle unrolls the identical peel; spec proves the
+  // cascade needs multiple rounds and that 3 converge on this graph)
+  private def g04(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    KCore.peel(edges, k = 4, rounds = 3)
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_funnel_steps" -> (f01 _),
     "f09_time_to_event" -> (f09 _),
+    "g04_kcore" -> (g04 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
     "f04_gap_fill" -> (f04 _),
@@ -172,6 +186,33 @@ object AnalyticsQueries {
         s"JOIN d ON e.src = d.src GROUP BY e.dst)"
     }.mkString(", ")
     init + its
+  }
+
+  // fixed-round k-core peel unrolled as CTE stages (the PageRank-unroll
+  // discipline: data-dependent iteration can't hash-gate, fixed rounds
+  // can)
+  private val kcoreSql: String = {
+    val k = 4
+    val rounds = 3
+    val head =
+      "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "eu AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "e0 AS (SELECT a AS src, b AS dst FROM eu " +
+        "UNION ALL SELECT b, a FROM eu), " +
+        s"d0 AS (SELECT src AS node, count(*) AS deg FROM e0 GROUP BY src), " +
+        s"k0 AS (SELECT node FROM d0 WHERE deg >= $k)"
+    val stages = (1 to rounds).map { i =>
+      s"e$i AS (SELECT e.src, e.dst FROM e${i - 1} e " +
+        s"JOIN k${i - 1} a ON e.src = a.node " +
+        s"JOIN k${i - 1} b ON e.dst = b.node), " +
+        s"d$i AS (SELECT src AS node, count(*) AS deg FROM e$i " +
+        "GROUP BY src), " +
+        s"k$i AS (SELECT node FROM d$i WHERE deg >= $k)"
+    }.mkString(", ")
+    s"$head, $stages SELECT node, deg FROM d$rounds WHERE deg >= $k " +
+      "ORDER BY node"
   }
 
   private val pagerankSql: String =
@@ -234,6 +275,10 @@ object AnalyticsQueries {
         "ON e.src = bfs.node WHERE bfs.hop < 3) " +
         "SELECT node, min(hop) AS hop FROM bfs GROUP BY node " +
         "ORDER BY node"),
+    "g01_pagerank" -> pagerankSql,
+    // identical 3-round peel unrolled: each stage restricts edges to
+    // the previous survivor set on BOTH endpoints, recounts degrees
+    "g04_kcore" -> kcoreSql,
     // same (deg, node) orientation -> every triangle counted exactly
     // once as an ordered wedge + closing edge
     "g02_triangles" ->
