@@ -35,14 +35,17 @@ object CoOccurrence {
     val inc = incidence.select(col(group).as("_g"), col(item).as("_i"))
       .distinct()
     // both directions: a→b and b→a have different scores (different
-    // denominators), so emit ordered pairs from the one a<b join
+    // denominators) but the SAME pair count, so aggregate the a<b half
+    // only (half the rows through the dominant shuffle) and mirror the
+    // counted rows afterwards — minPairs prunes before the mirror
     val pairsAB = inc.as("x").join(inc.as("y"),
         col("x._g") === col("y._g") && col("x._i") < col("y._i"))
       .select(col("x._i").as("a"), col("y._i").as("b"))
-    val paired = pairsAB.unionByName(
-        pairsAB.select(col("b").as("a"), col("a").as("b")))
+    val cntAB = pairsAB
       .groupBy("a", "b").agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairs)
+    val paired = cntAB.unionByName(
+      cntAB.select(col("b").as("a"), col("a").as("b"), col("pair_cnt")))
     val base = inc.groupBy(col("_i").as("b")).agg(count(lit(1)).as("rec_cnt"))
     val scored = paired.join(base, "b")
       .select(col("a").as("item"), col("b").as("rec"),
