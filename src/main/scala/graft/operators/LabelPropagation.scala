@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
+  * the near-linear community detector: every node starts labeled with
+  * its own id; each round every node adopts the label most frequent
+  * among its neighbors, ties broken toward the SMALLEST label so the
+  * update is a pure deterministic function of the previous round
+  * (classic LPA breaks ties randomly; determinism is what makes the
+  * result hash-gateable and reproducible across engines).
+  *
+  * Like [[KCore]], this runs a FIXED number of rounds as part of the
+  * operator contract, so the DuckDB oracle replays the identical
+  * computation as an unrolled CTE chain (the PageRank discipline —
+  * data-dependent convergence loops can't hash-gate). LPA on real
+  * graphs settles most labels within a handful of rounds; the spec
+  * demonstrates the fixed-round/fixpoint relationship on the gate
+  * graph.
+  *
+  * Scale shape per round: one equi-join of the edge frame against the
+  * node-sized label frame on src, one (dst, label) count aggregate,
+  * and one per-node argmax — a WindowGroupLimit bounded by each
+  * node's distinct neighbor-label count, never a global sort. The
+  * edge frame is materialized once (localCheckpoint); per-round state
+  * is node-sized. Nothing driver-side.
+  */
+object LabelPropagation {
+
+  /** Community label per node after `rounds` synchronous updates:
+    * (node, label). `edges` is DIRECTED (src, dst) — pass both
+    * directions for an undirected graph; a node's neighbors are the
+    * dst rows it appears in as src's partner. */
+  def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 0 until rounds) {
+      val counted = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))
+      labels = counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Community rollup of [[propagate]]: (community, size, min_node,
+    * max_node), the summary a corpus-curation report wants (label
+    * clusters = boilerplate/link-farm candidates). */
+  def communities(edges: DataFrame, rounds: Int): DataFrame =
+    propagate(edges, rounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bfs, EventAnalytics, KCore, PageRank, Scd,
-  Segmentation, Triangles}
+import graft.operators.{Bfs, EventAnalytics, KCore, LabelPropagation,
+  PageRank, Scd, Segmentation, Triangles}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -153,7 +153,22 @@ object AnalyticsQueries {
       .orderBy("node")
   }
 
+  // deterministic label propagation on the co-purchase graph: 3
+  // synchronous rounds (fixed-round contract, min-label tie-break),
+  // rolled up to community sizes — boilerplate/link-farm clusters
+  private def g05(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    LabelPropagation.communities(edges, rounds = 3)
+      .orderBy(col("size").desc, col("community"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g05_label_prop" -> (g05 _),
     "f01_funnel_steps" -> (f01 _),
     "f09_time_to_event" -> (f09 _),
     "g04_kcore" -> (g04 _),
@@ -213,6 +228,32 @@ object AnalyticsQueries {
     }.mkString(", ")
     s"$head, $stages SELECT node, deg FROM d$rounds WHERE deg >= $k " +
       "ORDER BY node"
+  }
+
+  // 3 synchronous LPA rounds unrolled: per round, count neighbor
+  // labels and take the per-node argmax (count desc, label asc) —
+  // identical deterministic tie-break as the Spark side
+  private val labelPropSql: String = {
+    val rounds = 3
+    val head =
+      "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "eu AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "e AS (SELECT a AS src, b AS dst FROM eu " +
+        "UNION ALL SELECT b, a FROM eu), " +
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"
+    val stages = (1 to rounds).map { i =>
+      s"c$i AS (SELECT e.dst AS node, l.lbl, count(*) AS c " +
+        s"FROM e JOIN l${i - 1} l ON e.src = l.node " +
+        "GROUP BY e.dst, l.lbl), " +
+        s"l$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+        "row_number() OVER (PARTITION BY node " +
+        s"ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"
+    }.mkString(", ")
+    s"$head, $stages SELECT lbl AS community, count(*) AS size, " +
+      s"min(node) AS min_node, max(node) AS max_node FROM l$rounds " +
+      "GROUP BY lbl ORDER BY size DESC, community LIMIT 100"
   }
 
   private val pagerankSql: String =
@@ -279,6 +320,8 @@ object AnalyticsQueries {
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,
+    // identical fixed-round synchronous update with min-label ties
+    "g05_label_prop" -> labelPropSql,
     // same (deg, node) orientation -> every triangle counted exactly
     // once as an ordered wedge + closing edge
     "g02_triangles" ->
