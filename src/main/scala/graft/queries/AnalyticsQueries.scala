@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Bfs, EventAnalytics, KCore, LabelPropagation,
-  PageRank, Scd, Segmentation, Triangles}
+  PageRank, Scd, Segmentation, TargetEncode, Triangles}
 
 /** Event-journey analytics gates: ordered funnel, cohort retention, and
   * per-user entry/exit — the classic product-analytics questions over the
@@ -167,7 +167,17 @@ object AnalyticsQueries {
       .limit(100)
   }
 
+  // smoothed target encoding of each document source by its English
+  // rate (pseudo-count m=20) — the per-source language-purity prior a
+  // curation pipeline feeds its quality model, exact in ppm integers
+  private def f10(s: SparkSession, dir: String): DataFrame =
+    TargetEncode.encode(Tables(s, dir, "documents"),
+      "source", col("lang") === "en", m = 20)
+      .orderBy("category")
+      .limit(500)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f10_target_encode" -> (f10 _),
     "g05_label_prop" -> (g05 _),
     "f01_funnel_steps" -> (f01 _),
     "f09_time_to_event" -> (f09 _),
@@ -322,6 +332,17 @@ object AnalyticsQueries {
     "g04_kcore" -> kcoreSql,
     // identical fixed-round synchronous update with min-label ties
     "g05_label_prop" -> labelPropSql,
+    // identical ppm floor-division arithmetic; sums cast to BIGINT
+    // (DuckDB sum = HUGEINT)
+    "f10_target_encode" ->
+      ("WITH b AS (SELECT source AS category, count(*) AS n, " +
+        "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS pos FROM documents GROUP BY 1), " +
+        "g AS (SELECT CAST((1000000 * sum(pos)) // sum(n) AS BIGINT) " +
+        "AS global_ppm FROM b) " +
+        "SELECT category, n, pos, " +
+        "CAST((1000000 * pos + 20 * global_ppm) // (n + 20) AS BIGINT) " +
+        "AS enc_ppm FROM b CROSS JOIN g ORDER BY category LIMIT 500"),
     // same (deg, node) orientation -> every triangle counted exactly
     // once as an ordered wedge + closing edge
     "g02_triangles" ->

@@ -82,7 +82,8 @@ class PlanLintSpec extends SparkSpec {
         // broadcast query set joined on label-INEQUALITY: O(n·|Q|) with
         // |Q| a curated sample by construction — the scale path swaps in
         // ANN-probe candidates, same rank contract
-        "s08_hard_negatives"),
+        "s08_hard_negatives",
+        "f10_target_encode"), // 1-row global-rate broadcast rider
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
