@@ -238,7 +238,20 @@ object TextQueries {
       .limit(20)
   }
 
+  // hashing-trick featurization: signed sparse vectors in a fixed
+  // 64-dim space, md5-parity bucket/sign so DuckDB replays the exact
+  // same matrix; every-101st doc keeps the gate result bounded
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id"),
+        explode(T.tokens(lower(col("text")))).as("token"))
+    graft.operators.FeatureHash.sparseVectors(toks, "doc_id", "token",
+        dim = 64)
+      .orderBy("doc_id", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_feature_hash" -> (t22 _),
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -288,6 +301,19 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // identical md5-prefix bucket/sign arithmetic; sum cast to BIGINT
+    "t22_feature_hash" ->
+      ("WITH d AS (SELECT doc_id, lower(text) AS text FROM documents " +
+        "WHERE doc_id % 101 = 0), " +
+        s"tk AS (SELECT doc_id, unnest($duckTokens) AS token FROM d), " +
+        "h AS (SELECT doc_id, " +
+        "CAST(('0x' || substr(md5(token), 1, 4)) AS BIGINT) % 64 " +
+        "AS bucket, " +
+        "CASE WHEN CAST(('0x' || substr(md5(token), 5, 1)) AS BIGINT) % 2 " +
+        "= 0 THEN 1 ELSE -1 END AS sgn FROM tk) " +
+        "SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS val, " +
+        "count(*) AS n_tokens FROM h GROUP BY doc_id, bucket " +
+        "ORDER BY doc_id, bucket"),
     // the g01 fixed-point PageRank unroll over the word-adjacency graph
     // (UNION = symmetrize + dedup, matching Spark's union().distinct())
     "t21_textrank" ->
