@@ -531,7 +531,22 @@ object CoreQueries {
       .orderBy("grp")
   }
 
+  // mergeable histogram quantile sketch over order totals in cents:
+  // 256-bin equi-width state instead of q38's full-column rank
+  // shuffle — the percentile path that still works when the column is
+  // 100 TB (estimate = first bin edge reaching ceil(q·n), exact
+  // integer replay)
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistogramQuantile
+    val cents = t(s, dir, "orders").select(
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    HistogramQuantile.quantiles(cents, "cents", bins = 256,
+        pcts = Seq(1, 5, 25, 50, 75, 95, 99))
+      .orderBy("pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_histo_quantile" -> (q43 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -756,6 +771,23 @@ object CoreQueries {
         "GROUP BY l_partkey HAVING count(*) >= (SELECT " +
         "CAST(ceil(0.0008 * count(*)) AS BIGINT) FROM lineitem) " +
         "ORDER BY l_partkey"),
+    // identical 256-bin equi-width sketch: bin, cumulative count, and
+    // lower-edge estimate all in floor-division integer arithmetic
+    "q43_histo_quantile" ->
+      ("WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "AS c FROM orders), " +
+        "mm AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM v), " +
+        "b AS (SELECT ((c - lo) * 256) // (hi - lo + 1) AS bin " +
+        "FROM v CROSS JOIN mm), " +
+        "h AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin), " +
+        "cu AS (SELECT bin, sum(cnt) OVER (ORDER BY bin " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM h), " +
+        "p AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS pct), " +
+        "sel AS (SELECT pct, min(bin) AS bin FROM p CROSS JOIN mm " +
+        "JOIN cu ON cum >= (pct * n + 99) // 100 GROUP BY pct) " +
+        "SELECT pct, CAST(bin AS BIGINT) AS bin, " +
+        "CAST(lo + (bin * (hi - lo + 1)) // 256 AS BIGINT) AS est " +
+        "FROM sel CROSS JOIN mm ORDER BY pct"),
     "q38_exact_quantile" ->
       ("WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) " +
         "AS x FROM lineitem), " +

@@ -83,7 +83,10 @@ class PlanLintSpec extends SparkSpec {
         // |Q| a curated sample by construction — the scale path swaps in
         // ANN-probe candidates, same rank contract
         "s08_hard_negatives",
-        "f10_target_encode"), // 1-row global-rate broadcast rider
+        "f10_target_encode", // 1-row global-rate broadcast rider
+        // percentile thresholds joined on cum>=thr: both sides bounded
+        // by the sketch width (7 pcts x <=256 bins), never by n
+        "q43_histo_quantile"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
