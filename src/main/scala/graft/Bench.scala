@@ -89,10 +89,14 @@ object Bench {
     println(line)
     // durable copy: the driver captures only the log tail, which truncated
     // the r3 artifact to 64 of 109 queries — a committed file survives.
+    // A SPARK_GRAFT_ONLY subset run records to a sibling file so local
+    // iteration can't clobber the committed full-contract record.
+    val recordFile =
+      if (only.isDefined) "bench_subset.json" else "bench_last.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get(recordFile), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $recordFile write failed: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -184,4 +184,64 @@ object EventAnalytics {
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: one row per observed (prev_ev, next_ev) pair with the
+    * transition count and its probability in EXACT ppm of the prev
+    * row-total (`1e6 · cnt div Σcnt`, floor division — no float in the
+    * contract). The "what happens after a user does X" table feeding
+    * next-action prediction and anomalous-flow detection.
+    *
+    * Scale shape: ONE window pass in a (user)-partitioning derives the
+    * successor (lead), then a (prev, next)-keyed count collapses the
+    * log to a #types² frame — the row-total window runs on THAT tiny
+    * aggregated frame, not the log. Ties on `ts` break by `tieCol` so
+    * each user's sequence — hence every transition — is a total order
+    * both engines replay. */
+  def transitionMatrix(events: DataFrame, user: String, typeCol: String,
+      ts: String, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(user)).orderBy(col(ts), col(tieCol))
+    val counts = events.select(col(user), col(typeCol), col(ts), col(tieCol))
+      .withColumn("_next", lead(col(typeCol), 1).over(ord))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("prev_ev"), col("_next").as("next_ev"))
+      .agg(count(lit(1)).as("cnt"))
+    // row-normalize on the aggregated (#types²-row) frame
+    val rowTotal = Window.partitionBy(col("prev_ev"))
+    counts
+      .withColumn("_tot", sum(col("cnt")).over(rowTotal))
+      .withColumn("p_ppm", expr("(1000000 * cnt) div _tot"))
+      .drop("_tot")
+  }
+
+  /** Per-key union length of (possibly overlapping) time intervals —
+    * total covered microseconds, the uptime / ad-exposure / "time
+    * actually watching" metric a naive `sum(end - start)` double-counts.
+    * `startUs`/`endUs` are microsecond-integer columns (exact — derive
+    * them with `unix_micros`); empty/negative intervals contribute 0.
+    *
+    * Gaps-and-islands in ONE hash partitioning by `key` (the
+    * [[sessionize]] discipline): a running max of interval ends flags
+    * island starts (`start > max(end) so far`), a running sum numbers
+    * the islands, and the per-island rollup `max(end) - min(start)`
+    * sums to the answer — no self-join, no second shuffle, state per
+    * task is one sort run. */
+  def intervalUnion(intervals: DataFrame, key: String,
+      startUs: String, endUs: String): DataFrame = {
+    val cleaned = intervals
+      .select(col(key), col(startUs).as("_s"), col(endUs).as("_e"))
+      .filter(col("_e") > col("_s"))
+    val ord = Window.partitionBy(col(key)).orderBy(col("_s"), col("_e"))
+    val prevMaxEnd = max(col("_e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = cleaned.withColumn("_new",
+      when(col("_s") <= prevMaxEnd, lit(0L)).otherwise(lit(1L)))
+    val islands = flagged.withColumn("_island",
+      sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col(key), col("_island"))
+      .agg((max(col("_e")) - min(col("_s"))).as("_len"))
+      .groupBy(col(key))
+      .agg(sum(col("_len")).as("covered_us"),
+        count(lit(1)).as("n_islands"))
+  }
 }

@@ -176,7 +176,31 @@ object AnalyticsQueries {
       .orderBy("category")
       .limit(500)
 
+  // first-order Markov transitions between consecutive events per user:
+  // counts + exact-ppm row probabilities (the next-action table)
+  private def f11(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.transitionMatrix(events(s, dir),
+      "user_id", "event_type", "ts", "event_id")
+      .orderBy("prev_ev", "next_ev")
+
+  // union length of overlapping per-user activity intervals
+  // [ts, ts + floor(value) seconds] — exact-µs islands arithmetic;
+  // floor() BEFORE the cast on both engines (DuckDB CAST(DOUBLE)
+  // rounds where Spark truncates — floor makes the value integral
+  // first, so the cast is rounding-mode-independent)
+  private def f12(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(s, dir).select(
+      col("user_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) +
+        floor(col("value")).cast("long") * 1000000L).as("e_us"))
+    EventAnalytics.intervalUnion(iv, "user_id", "s_us", "e_us")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f11_markov" -> (f11 _),
+    "f12_interval_union" -> (f12 _),
     "f10_target_encode" -> (f10 _),
     "g05_label_prop" -> (g05 _),
     "f01_funnel_steps" -> (f01 _),
@@ -275,6 +299,39 @@ object AnalyticsQueries {
       " SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"
 
   val oracleSql: Map[String, String] = Map(
+    // identical (ts, event_id) total order per user; ppm by integer
+    // floor division; counts cast to BIGINT (DuckDB sum = HUGEINT)
+    "f11_markov" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "CAST(ts AS TIMESTAMP) AS t, event_id FROM events), " +
+        "s AS (SELECT user_id, event_type AS prev_ev, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY t, event_id) AS next_ev FROM e), " +
+        "c AS (SELECT prev_ev, next_ev, count(*) AS cnt FROM s " +
+        "WHERE next_ev IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_ev, next_ev, cnt, " +
+        "CAST((1000000 * cnt) // " +
+        "(sum(cnt) OVER (PARTITION BY prev_ev)) AS BIGINT) AS p_ppm " +
+        "FROM c ORDER BY prev_ev, next_ev"),
+    // identical islands arithmetic in exact µs; floor() before the
+    // BIGINT cast (DuckDB CAST(DOUBLE AS BIGINT) rounds, Spark
+    // truncates — floor first makes both exact); sums cast to BIGINT
+    "f12_interval_union" ->
+      ("WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) + " +
+        "CAST(floor(value) AS BIGINT) * 1000000 AS e FROM events), " +
+        "cl AS (SELECT * FROM iv WHERE e > s), " +
+        "m AS (SELECT user_id, s, e, CASE WHEN s <= max(e) OVER " +
+        "(PARTITION BY user_id ORDER BY s, e " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "THEN 0 ELSE 1 END AS new_i FROM cl), " +
+        "isl AS (SELECT user_id, s, e, sum(new_i) OVER " +
+        "(PARTITION BY user_id ORDER BY s, e " +
+        "ROWS UNBOUNDED PRECEDING) AS island FROM m), " +
+        "g AS (SELECT user_id, island, max(e) - min(s) AS len " +
+        "FROM isl GROUP BY user_id, island) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us, " +
+        "count(*) AS n_islands FROM g GROUP BY user_id ORDER BY user_id"),
     // same total observation order (ts, orderkey) -> identical run
     // boundaries; version sum cast to BIGINT (DuckDB sum = HUGEINT)
     "f08_scd2" ->
