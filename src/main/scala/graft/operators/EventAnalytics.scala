@@ -171,7 +171,10 @@ object EventAnalytics {
   def sessionize(events: DataFrame, user: String, ts: String,
       tieCol: String, gapSeconds: Long): DataFrame = {
     val ord = Window.partitionBy(col(user)).orderBy(col(ts), col(tieCol))
-    val us = unix_micros(col(ts))
+    // cast first: parquet timestamps arrive as TIMESTAMP_NTZ and
+    // unix_micros only accepts TIMESTAMP_LTZ; under the UTC session TZ
+    // the NTZ->LTZ cast is value-preserving
+    val us = unix_micros(col(ts).cast("timestamp"))
     val flagged = events
       .select(col(user), col(ts), col(tieCol))
       .withColumn("_new",
@@ -218,7 +221,9 @@ object EventAnalytics {
     * total covered microseconds, the uptime / ad-exposure / "time
     * actually watching" metric a naive `sum(end - start)` double-counts.
     * `startUs`/`endUs` are microsecond-integer columns (exact — derive
-    * them with `unix_micros`); empty/negative intervals contribute 0.
+    * them with `unix_micros(col(ts).cast("timestamp"))`; the cast is
+    * required because parquet timestamps read as TIMESTAMP_NTZ, which
+    * `unix_micros` rejects); empty/negative intervals contribute 0.
     *
     * Gaps-and-islands in ONE hash partitioning by `key` (the
     * [[sessionize]] discipline): a running max of interval ends flags

@@ -191,8 +191,8 @@ object AnalyticsQueries {
   private def f12(s: SparkSession, dir: String): DataFrame = {
     val iv = events(s, dir).select(
       col("user_id"),
-      unix_micros(col("ts")).as("s_us"),
-      (unix_micros(col("ts")) +
+      unix_micros(col("ts").cast("timestamp")).as("s_us"),
+      (unix_micros(col("ts").cast("timestamp")) +
         floor(col("value")).cast("long") * 1000000L).as("e_us"))
     EventAnalytics.intervalUnion(iv, "user_id", "s_us", "e_us")
       .orderBy("user_id")
@@ -296,7 +296,9 @@ object AnalyticsQueries {
       "e AS (SELECT src, dst FROM fwd " +
       "UNION ALL SELECT dst, src FROM fwd), " +
       pagerankUnrollSql(5) +
-      " SELECT node, pr FROM r5 ORDER BY pr DESC, node LIMIT 20"
+      // CAST: DuckDB sum = HUGEINT -> decimal128 in arrow; Spark is int64
+      " SELECT node, CAST(pr AS BIGINT) AS pr FROM r5 " +
+      "ORDER BY pr DESC, node LIMIT 20"
 
   val oracleSql: Map[String, String] = Map(
     // identical (ts, event_id) total order per user; ppm by integer

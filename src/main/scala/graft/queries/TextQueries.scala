@@ -325,7 +325,7 @@ object TextQueries {
         "e AS (SELECT x AS src, y AS dst FROM fwd " +
         "UNION SELECT y, x FROM fwd), " +
         AnalyticsQueries.pagerankUnrollSql(5) +
-        " SELECT node AS word, pr FROM r5 " +
+        " SELECT node AS word, CAST(pr AS BIGINT) AS pr FROM r5 " +
         "ORDER BY pr DESC, word LIMIT 20"),
     // identical division-chain shape both sides; ranks decided by exact
     // counts only

@@ -104,7 +104,8 @@ object WindowQueries {
   // the frame bounds are exact; mean = decimal window sum / window count
   // (the w02 rendering pattern), rounded.
   private def w08(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts").cast("timestamp")))
       .rangeBetween(-3600000000L, 0L)
     Tables(s, dir, "events")
       .select(col("event_id"), col("user_id"),
