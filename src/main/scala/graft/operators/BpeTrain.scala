@@ -112,12 +112,28 @@ object BpeTrain {
   }
 
   /** Distributed trainer: learns up to `numMerges` merge rules from a
-    * (word, freq) table. Stops early when no adjacent pair remains. */
-  def train(spark: SparkSession, words: DataFrame,
-      numMerges: Int): Seq[(String, String)] = {
+    * (word, freq) table. Stops early when no adjacent pair remains.
+    *
+    * Size-adaptive local finish (the [[ConnectedComponents]] union-find
+    * discipline): a vocab that fits one bounded collect trains
+    * driver-side via [[trainLocal]] — IDENTICAL semantics (the
+    * distributed==reference property spec pins both paths) with none of
+    * the per-round job overhead (each distributed round is a top-1 job
+    * plus a checkpoint job; at K rounds that's 2K jobs of fixed
+    * scheduling cost regardless of data size). The bound is CHECKED,
+    * not assumed — `limit(threshold+1).count()` never scans past the
+    * cap, so a 100 TB corpus with a 10^7-word vocab takes the
+    * distributed loop. Pass `localThreshold = 0` to force it. */
+  def train(spark: SparkSession, words: DataFrame, numMerges: Int,
+      localThreshold: Int = 1 << 16): Seq[(String, String)] = {
     import spark.implicits._
+    val wf = words.select(col("word"), col("freq").cast("long"))
+    if (localThreshold > 0 &&
+        wf.limit(localThreshold + 1).count() <= localThreshold) {
+      return trainLocal(wf.as[(String, Long)].collect().toMap, numMerges)
+    }
     // vocab-sized working frame: (symbols, freq)
-    var vocab = words.select(col("word"), col("freq").cast("long"))
+    var vocab = wf
       .as[(String, Long)]
       .map { case (w, f) => (toSymbols(w), f) }
       .toDF("syms", "freq")

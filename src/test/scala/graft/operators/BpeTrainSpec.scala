@@ -16,7 +16,11 @@ class BpeTrainSpec extends SparkSpec {
     m.toSeq.toDF("word", "freq")
 
   test("train: reproduces the paper example merge sequence") {
-    val merges = BpeTrain.train(spark, wordsDf(paperWords), 4)
+    // localThreshold = 0 forces the distributed loop — these
+    // distributed==reference comparisons must not short-circuit into
+    // comparing trainLocal with itself
+    val merges = BpeTrain.train(spark, wordsDf(paperWords), 4,
+      localThreshold = 0)
     // e+s (6+3=9), es+t (9), est+? no — w,e in newest/lower... the exact
     // sequence is pinned by the in-memory reference implementation:
     assert(merges === BpeTrain.trainLocal(paperWords, 4))
@@ -32,7 +36,8 @@ class BpeTrainSpec extends SparkSpec {
         w
       }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
       val expected = BpeTrain.trainLocal(words, 8)
-      val got = BpeTrain.train(spark, wordsDf(words), 8)
+      val got = BpeTrain.train(spark, wordsDf(words), 8,
+        localThreshold = 0)
       assert(got === expected)
     }
   }
@@ -46,7 +51,8 @@ class BpeTrainSpec extends SparkSpec {
     val words = Map(s"${astral}a" -> 1L, s"${priv}a" -> 1L,
       "café" -> 2L, s"$astral$priv" -> 1L)
     val expected = BpeTrain.trainLocal(words, 6)
-    val got = BpeTrain.train(spark, wordsDf(words), 6)
+    val got = BpeTrain.train(spark, wordsDf(words), 6,
+      localThreshold = 0)
     assert(got === expected)
     // the (é-free) tie (astral,a) vs (priv,a) must resolve to priv first
     // under UTF-8 byte order
@@ -57,8 +63,15 @@ class BpeTrainSpec extends SparkSpec {
   }
 
   test("train: stops early when no pairs remain") {
-    val merges = BpeTrain.train(spark, wordsDf(Map("ab" -> 1L)), 10)
+    val merges = BpeTrain.train(spark, wordsDf(Map("ab" -> 1L)), 10,
+      localThreshold = 0)
     assert(merges === Seq(("a", "b"))) // then single symbols: no pairs
+  }
+
+  test("train: local fast path == distributed loop") {
+    val merges = BpeTrain.train(spark, wordsDf(paperWords), 4)
+    assert(merges ===
+      BpeTrain.train(spark, wordsDf(paperWords), 4, localThreshold = 0))
   }
 
   test("applyMerge: greedy left-to-right, non-overlapping") {
