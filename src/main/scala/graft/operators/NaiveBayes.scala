@@ -43,8 +43,12 @@ object NaiveBayes {
 
   /** Train from labeled docs: two aggregates over one tokenization. */
   def train(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): Model =
+    trainToks(toks(docs, idCol, textCol), docs, idCol, labelCol)
+
+  private def trainToks(tk: DataFrame, docs: DataFrame, idCol: String,
       labelCol: String): Model = {
-    val t = toks(docs, idCol, textCol)
+    val t = tk
       .join(docs.select(col(idCol).as("doc"), col(labelCol).as("label")),
         "doc")
     val wc = t.groupBy("word", "label").agg(count(lit(1)).as("k"))
@@ -59,8 +63,11 @@ object NaiveBayes {
   /** Score + argmax: (doc, pred, score). Ties break toward the
     * lexicographically smallest label on both engines. */
   def predict(model: Model, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val dw = toks(docs, idCol, textCol)
+      textCol: String): DataFrame =
+    predictToks(model, toks(docs, idCol, textCol))
+
+  private def predictToks(model: Model, tk: DataFrame): DataFrame = {
+    val dw = tk
       .groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
     val nd = dw.groupBy("doc").agg(sum("cnt").as("n_d"))
     val hits = dw.join(model.wordCounts, "word")
@@ -86,8 +93,14 @@ object NaiveBayes {
     * per (true, predicted) cell. */
   def confusion(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
-    val preds = predict(train(docs, idCol, textCol, labelCol),
-      docs, idCol, textCol)
+    // resubstitution scores the SAME corpus it trained on: tokenize
+    // once and share the cached frame between train and predict —
+    // tokenization (split+explode over every document) was the
+    // dominant repeated cost of the naive train-then-predict chain
+    val tk = toks(docs, idCol, textCol).persist()
+    val preds = predictToks(trainToks(tk, docs, idCol, labelCol), tk)
+      .localCheckpoint() // doc-sized; frees the token cache below
+    tk.unpersist()
     docs.select(col(idCol).as("doc"), col(labelCol).as("truth"))
       .join(preds, "doc")
       .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
