@@ -432,9 +432,9 @@ object AnalyticsQueries {
         "epoch_us(t) - lag(epoch_us(t)) OVER " +
         "(PARTITION BY user_id ORDER BY t, event_id) <= 14400000000 " +
         "THEN 0 ELSE 1 END AS new_s FROM e), " +
-        "s AS (SELECT user_id, t, sum(new_s) OVER " +
+        "s AS (SELECT user_id, t, CAST(sum(new_s) OVER " +
         "(PARTITION BY user_id ORDER BY t, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS session_num FROM m) " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num FROM m) " +
         "SELECT user_id, session_num, min(t) AS session_start, " +
         "max(t) AS session_end, count(*) AS n_events " +
         "FROM s GROUP BY user_id, session_num " +

@@ -10,7 +10,34 @@ values, and reports match/mismatch per query.
 import sys, os, json, glob, datetime, decimal
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def type_class(t):
+    """Rendering class of an arrow type: the driver hashes CANONICALIZED
+    text, so two engines agree iff their output types render identically.
+    DuckDB sum() returns HUGEINT (decimal128(38,0) via arrow) while Spark
+    emits int64 — identical values, different fixed-scale rendering, hash
+    fail (the g01/t21/q31/q33 bug class, four times now). Flagging the
+    class mismatch here catches it at local-verify time."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
 
 
 def canon(v):
@@ -59,6 +86,19 @@ def main(sf_dir, out_dir):
         dcols, drows = rows_of_table(dtbl)
         if [c.lower() for c in scols] != [c.lower() for c in dcols]:
             print(f"COLS     {name}: spark={scols} duck={dcols}")
+            bad += 1
+            continue
+        sfields = sorted(stbl.schema, key=lambda f: f.name.lower())
+        dfields = sorted(dtbl.schema, key=lambda f: f.name.lower())
+        drift = [
+            (sf.name, type_class(sf.type), type_class(df.type))
+            for sf, df in zip(sfields, dfields)
+            if type_class(sf.type) != type_class(df.type)
+        ]
+        if drift:
+            det = ", ".join(f"{c}: spark={s} duck={d}" for c, s, d in drift)
+            print(f"TYPE-DRIFT {name}: {det} (driver hash would differ "
+                  f"even on equal values — cast the oracle column)")
             bad += 1
             continue
         if srows != drows:
