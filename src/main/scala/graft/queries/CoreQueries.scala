@@ -545,7 +545,31 @@ object CoreQueries {
       .orderBy("pct")
   }
 
+  // S1–S4 end-to-end through the square-orders V2 connector: read the
+  // per-location .jsonl fixture dir, push the state/date predicates and
+  // location pruning into the scan (plan-asserted by the source specs;
+  // the pruned LOC_C file is never opened), skip the malformed line
+  // (the reference's log-and-skip tolerance), and roll each order up to
+  // (n_items, gross). DuckDB replays it via read_json ignore_errors.
+  // Fixture-backed (absolute path, the e10_log_source discipline) —
+  // sfDir is unused.
+  private def src01(s: SparkSession, dir: String): DataFrame =
+    s.read.format("square-orders")
+      .load("/root/repo/fixtures/square_orders_v2")
+      .filter(col("state") === "COMPLETED" &&
+        col("closed_at") >= "2025-11-01T00:00:00Z" &&
+        col("closed_at") < "2025-12-01T00:00:00Z" &&
+        col("location_id").isin("LOC_A", "LOC_B"))
+      .select(col("id"), col("location_id"), col("closed_at"),
+        size(col("line_items")).cast("long").as("n_items"),
+        coalesce(aggregate(col("line_items"), lit(0L),
+          (acc, li) => acc +
+            coalesce(li("gross_sales_money")("amount"), lit(0L))),
+          lit(0L)).as("gross_amt"))
+      .orderBy("id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src01_square_source" -> (src01 _),
     "q43_histo_quantile" -> (q43 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
@@ -592,6 +616,23 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same fixture dir, typed read_json projection; ignore_errors skips
+    // the malformed line exactly like the connector's skip counter;
+    // sums/lengths cast to BIGINT (DuckDB sum = HUGEINT)
+    "src01_square_source" ->
+      ("SELECT id, location_id, closed_at, " +
+        "CAST(len(line_items) AS BIGINT) AS n_items, " +
+        "CAST(COALESCE(list_sum(list_transform(line_items, " +
+        "x -> COALESCE(x.gross_sales_money.amount, 0))), 0) AS BIGINT) " +
+        "AS gross_amt " +
+        "FROM read_json('/root/repo/fixtures/square_orders_v2/*.jsonl', " +
+        "format='newline_delimited', ignore_errors=true, " +
+        "columns={id: 'VARCHAR', location_id: 'VARCHAR', " +
+        "closed_at: 'VARCHAR', state: 'VARCHAR', " +
+        "line_items: 'STRUCT(gross_sales_money STRUCT(amount BIGINT))[]'}) " +
+        "WHERE state = 'COMPLETED' AND closed_at >= '2025-11-01T00:00:00Z' " +
+        "AND closed_at < '2025-12-01T00:00:00Z' " +
+        "AND location_id IN ('LOC_A', 'LOC_B') ORDER BY id"),
     "q01_scan_project" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q02_filter" ->
