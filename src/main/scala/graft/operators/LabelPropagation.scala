@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
@@ -22,10 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: one equi-join of the edge frame against the
   * node-sized label frame on src, one (dst, label) count aggregate,
-  * and one per-node argmax — a WindowGroupLimit bounded by each
-  * node's distinct neighbor-label count, never a global sort. The
-  * edge frame is materialized once (localCheckpoint); per-round state
-  * is node-sized. Nothing driver-side.
+  * and one per-node argmax — a hash-agg max_by over the (count,
+  * -label) key, partially aggregated map-side, never a global sort.
+  * The edge frame is materialized once (localCheckpoint); per-round
+  * state is node-sized. Nothing driver-side.
   */
 object LabelPropagation {
 
@@ -43,11 +42,13 @@ object LabelPropagation {
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lbl"))
-      labels = counted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+      // per-node argmax as a hash-agg max_by over the lexicographic
+      // (count, -label) key — count desc then label asc, the same
+      // total order the row_number window gave, without the window's
+      // per-node sort pass (one hash aggregate instead of sort+filter;
+      // (c, lbl) is unique per node so the key is a total order)
+      labels = counted.groupBy("node")
+        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
         .localCheckpoint()
     }
     labels
