@@ -67,7 +67,17 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // storage hygiene OUTSIDE the timed section: iterative gates
+        // leave localCheckpoint RDD blocks behind until GC; 150+ gates
+        // of accumulation inflates later gates via memory pressure
+        // (g01 measured ~1.5s slower mid-sweep than solo). A real
+        // deployment runs one job per session — this restores that
+        // assumption per gate.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+        (name, dt, ok)
       }
     }
     // min over the iterations where the query succeeded; failed iff it
