@@ -96,13 +96,18 @@ object TextRank {
       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"), terms(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 2)
+    // persist: the count aggregate AND the scoring join both read the
+    // bigram frame, and its derivation (tokenize + an INTERPRETED
+    // transform-lambda explode — HOFs don't codegen) is the dominant
+    // cost; without the cache it runs twice
     val bi = toks.select(col("doc"),
       explode(expr("transform(sequence(0, size(tk) - 2), " +
         "i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
       .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+      .persist()
     val cnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
     val ctx = cnt.groupBy("a").agg(sum(col("cnt")).as("ctx"))
-    bi.join(broadcast(cnt), Seq("a", "b"))
+    val out = bi.join(broadcast(cnt), Seq("a", "b"))
       .join(broadcast(ctx), Seq("a"))
       // DECIMAL sum: shuffle-order-independent, like unigramSurprisal
       .groupBy("doc")
@@ -110,6 +115,9 @@ object TextRank {
         ((-sum(log(col("cnt") / col("ctx")).cast("decimal(28,14)"))
           .cast("double")) / count(lit(1)))
           .as("bigram_surprisal"))
+      .localCheckpoint() // doc-sized; frees the bigram cache below
+    bi.unpersist()
+    out
   }
 
   /** Okapi BM25 top-k documents for a bag of query terms:
