@@ -86,6 +86,31 @@ object DedupQueries {
       .select(col("id"), col("comp").as("component"))
       .orderBy("id")
 
+  // the PRODUCTION dedup flow end-to-end, composed from the verified
+  // pieces: LSH candidate pairs (d03) → near-dup clusters (d09) →
+  // keep each cluster's min-id canonical doc → per-source kept/total
+  // census. This is the shape a 100 TB corpus actually runs: every
+  // stage is banding/equi-join/anti-join bounded — no all-pairs, no
+  // driver state; the final anti-join's right side is (duplicates
+  // only), which is tiny by construction.
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val comps = ConnectedComponents.components(
+      Dedup.minHashLshPairs(d, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.8),
+      "doc_a", "doc_b")
+    val dropped = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    d.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"))
+      .join(d.groupBy("source").agg(count(lit(1)).as("n_docs")), "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_chars"))
+      .orderBy("source")
+  }
+
   /** The d05 corpus: driver embeddings plus one deterministic
     * near-duplicate of each (dim 0 scaled ×1.05, id offset by 1e6) —
     * reproducible bit-for-bit in DuckDB, so the exact-pair oracle covers
@@ -418,6 +443,7 @@ object DedupQueries {
     "d07_contamination" -> (d07 _),
     "d08_cap_audit" -> (d08 _),
     "d09_components" -> (d09 _),
+    "d16_dedup_pipeline" -> (d16 _),
     "d10_bloom_seen" -> (d10 _),
     "d11_shared_runs" -> (d11 _),
     "d12_cdc_dedup" -> (d12 _),
@@ -468,15 +494,30 @@ object DedupQueries {
   // d09 oracle: the same exact-jaccard pair graph, components resolved
   // by a recursive CTE (min reachable node id == the min-label
   // representative the Spark pointer-jumping loop converges to).
-  private val componentsSql =
+  private val componentsBodySql =
     shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       ", e AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jac >= 0.8 " +
       "UNION SELECT doc_b AS a, doc_a AS b FROM j WHERE jac >= 0.8), " +
       "nodes AS (SELECT DISTINCT a AS id FROM e), " +
       "reach AS (SELECT id, id AS lab FROM nodes " +
       "UNION SELECT e.b AS id, r.lab AS lab FROM reach r " +
-      "JOIN e ON e.a = r.id) " +
-      "SELECT id, min(lab) AS component FROM reach GROUP BY id ORDER BY id"
+      "JOIN e ON e.a = r.id), " +
+      "comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)"
+
+  private val componentsSql = componentsBodySql +
+    " SELECT id, component FROM comp ORDER BY id"
+
+  // d16 oracle: same recursive-CTE component resolution, then the
+  // census — a doc is kept iff it is in no cluster (no LSH pair) or it
+  // IS its cluster's min-id representative; counts/sums cast to BIGINT
+  private val dedupPipelineSql = componentsBodySql +
+    " SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+    "CAST(sum(CASE WHEN c.id IS NULL OR c.id = c.component " +
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+    "CAST(sum(CASE WHEN c.id IS NULL OR c.id = c.component " +
+    "THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id " +
+    "GROUP BY d.source ORDER BY d.source"
 
   // d05 oracle: rebuilds the SAME planted-near-dup corpus (originals +
   // dim-0 ×1.05 copies at vec_id+1e6 — double-mul then float-cast, the
@@ -768,6 +809,7 @@ object DedupQueries {
         "WHERE c.doc_id > 5 AND b.doc_id <= 5 " +
         "GROUP BY doc, bench HAVING count(*) >= 3 ORDER BY doc, bench"),
     "d09_components" -> componentsSql,
+    "d16_dedup_pipeline" -> dedupPipelineSql,
     "d08_cap_audit" ->
       ("WITH toks AS (SELECT doc_id, " +
         "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
