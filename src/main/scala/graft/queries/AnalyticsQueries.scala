@@ -187,7 +187,11 @@ object AnalyticsQueries {
   // [ts, ts + floor(value) seconds] — exact-µs islands arithmetic;
   // floor() BEFORE the cast on both engines (DuckDB CAST(DOUBLE)
   // rounds where Spark truncates — floor makes the value integral
-  // first, so the cast is rounding-mode-independent)
+  // first, so the cast is rounding-mode-independent).
+  // PRECONDITION: value is finite (events.value is bounded synthetic
+  // data) — on NaN/Inf Spark's cast silently yields 0/Long.MaxValue
+  // where DuckDB raises; a production caller should filter
+  // isnan/isinf first.
   private def f12(s: SparkSession, dir: String): DataFrame = {
     val iv = events(s, dir).select(
       col("user_id"),
