@@ -114,6 +114,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("src01: location pruning plans one partition per surviving " +
+      "location, predicates pushed") {
+    import org.apache.spark.sql.functions.col
+    val scan = spark.read.format("square-orders")
+      .load("/root/repo/fixtures/square_orders_v2")
+      .filter(col("location_id").isin("LOC_A", "LOC_B") &&
+        col("state") === "COMPLETED")
+    // S4: LOC_C's file is pruned at planning — 2 InputPartitions, not 3
+    assert(scan.rdd.getNumPartitions == 2, scan.rdd.getNumPartitions)
+    val p = scan.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // S2: the scan's description carries the pushed predicate set
+    assert(p.contains("In(location_id") || p.contains("EqualTo(state"), p)
+  }
+
+  test("d16: dedup-pipeline census joins stay equi-keyed") {
+    val p = SparkEntry.queries("d16_dedup_pipeline")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sales ETL: broadcast dim join + no shuffle before the write") {
     import spark.implicits._
     val orders = graft.sources.SquareOrders.fromJson(spark,
