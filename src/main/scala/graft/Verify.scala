@@ -28,6 +28,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // storage hygiene between gates (the Bench discipline): drop
+      // leftover localCheckpoint blocks / persisted frames so 150+
+      // gates of accumulation can't pressure later iterative gates
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
     }
     // aux fixtures for two-stage oracles (hash-seeded intermediates the
     // oracle SQL reads back via read_parquet on the expanded {OUT} path).
