@@ -90,6 +90,24 @@ object VectorOps {
     }
   }
 
+  /** Sign-bit binary quantization (Charikar 2002 SimHash / modern
+    * binary-embedding practice): dims `[lo, lo+32)` packed into one
+    * long, bit i set iff `v[lo+i] > 0`. Two calls cover a 64-dim
+    * embedding as (w1, w2) — 16 bytes per vector, a 16× cut over
+    * float32, with Hamming distance (`bit_count(w1 ^ qw1) + ...`) as
+    * the codegen'd integer metric. The standard first-pass filter for
+    * billion-vector search: scan the packed codes, re-rank survivors
+    * with exact cosine; at 100 TB bucket by a code prefix and the scan
+    * prunes like [[hyperplaneSignatures]]' IVF path. */
+  def binarizeWord(v: Column, lo: Int): Column =
+    aggregate(
+      transform(slice(v, lo + 1, 32),
+        // 2^i as the bit mask: exact in double for i <= 31 (the word
+        // width), sidestepping shiftleft's literal-only shift argument
+        (x, i) => when(x > 0f, pow(lit(2.0), i).cast(LongType))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+
   /** L2 normalization: x / ||x||, the zero vector passed through
     * unchanged (a 0/0 NaN vector would poison every downstream cosine).
     * The norm is BOUND once per row via bind — an unbound `nrm` inside

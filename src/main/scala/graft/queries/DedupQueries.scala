@@ -457,6 +457,7 @@ object DedupQueries {
     "d14_dup_spans" -> (d14 _),
     "s07_pq_topk" -> (s07 _),
     "s09_pca_project" -> (s09 _),
+    "s10_binary_hamming" -> (s10 _),
   )
 
   // PCA projection onto the top-2 components: one-scan moment fit,
@@ -467,6 +468,28 @@ object DedupQueries {
     val model = Pca.fit(emb(s, dir), "embedding", d = 64, nComp = 2)
     Pca.projectExact(emb(s, dir), "vec_id", "embedding", model)
       .orderBy("vec_id")
+  }
+
+  // binary-quantized ANN: sign-bit codes (two packed 32-bit words per
+  // 64-dim vector, 16 bytes total) + Hamming top-10 to vec 0's code —
+  // the 16×-compressed first-pass filter a billion-vector search scans
+  // before exact re-rank. All-integer (bit_count of xor), so the gate
+  // hash-replays exactly; ties break on vec_id.
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val codes = emb(s, dir).select(col("vec_id"),
+      VectorOps.binarizeWord(col("embedding"), 0).as("w1"),
+      VectorOps.binarizeWord(col("embedding"), 32).as("w2"))
+    val qv = codes.filter(col("vec_id") === 0)
+      .select(col("w1").as("qw1"), col("w2").as("qw2"))
+    codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (bit_count(col("w1").bitwiseXOR(col("qw1"))) +
+          bit_count(col("w2").bitwiseXOR(col("qw2"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
   }
 
   // shared CTE: case-normalized distinct trigram shingles per doc
@@ -810,6 +833,22 @@ object DedupQueries {
         "GROUP BY doc, bench HAVING count(*) >= 3 ORDER BY doc, bench"),
     "d09_components" -> componentsSql,
     "d16_dedup_pipeline" -> dedupPipelineSql,
+    // identical sign-bit packing (2^i masks, strict > 0) and integer
+    // Hamming; list_sum is HUGEINT -> cast before the xor
+    "s10_binary_hamming" ->
+      ("WITH c AS (SELECT vec_id, " +
+        "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
+        "i -> CASE WHEN embedding[i + 1] > 0 " +
+        "THEN CAST(2 ** i AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS w1, " +
+        "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
+        "i -> CASE WHEN embedding[i + 33] > 0 " +
+        "THEN CAST(2 ** i AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS w2 " +
+        "FROM embeddings), " +
+        "q AS (SELECT w1 AS qw1, w2 AS qw2 FROM c WHERE vec_id = 0) " +
+        "SELECT vec_id, CAST(bit_count(xor(w1, qw1)) + " +
+        "bit_count(xor(w2, qw2)) AS BIGINT) AS hamming " +
+        "FROM c, q WHERE vec_id <> 0 " +
+        "ORDER BY hamming, vec_id LIMIT 10"),
     "d08_cap_audit" ->
       ("WITH toks AS (SELECT doc_id, " +
         "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +

@@ -37,4 +37,19 @@ class VectorOpsNormalizeSpec extends SparkSpec {
     val (x, y) = df.as[(Seq[Double], Seq[Double])].head()
     assert(x === y)
   }
+
+  test("binarizeWord: strictly-positive dims set their bit, offset slices") {
+    // 64-dim vector: dim 0 positive (bit 0 of w1), dim 1 zero and dim 2
+    // negative (unset — strict > 0), dim 31 positive (bit 31, the sign
+    // boundary of an int: must land exactly, 2^31), dim 32 positive
+    // (bit 0 of w2), dim 63 positive (bit 31 of w2)
+    val v = Array.fill(64)(0f)
+    v(0) = 1f; v(1) = 0f; v(2) = -3f; v(31) = 0.5f; v(32) = 2f; v(63) = 1f
+    val df = vecs(Seq(v.toSeq))
+      .select(VectorOps.binarizeWord(col("v"), 0).as("w1"),
+        VectorOps.binarizeWord(col("v"), 32).as("w2"))
+    val (w1, w2) = df.as[(Long, Long)].head()
+    assert(w1 === (1L | (1L << 31)))
+    assert(w2 === (1L | (1L << 31)))
+  }
 }
