@@ -458,6 +458,7 @@ object DedupQueries {
     "s07_pq_topk" -> (s07 _),
     "s09_pca_project" -> (s09 _),
     "s10_binary_hamming" -> (s10 _),
+    "s11_binary_rerank" -> (s11 _),
   )
 
   // PCA projection onto the top-2 components: one-scan moment fit,
@@ -489,6 +490,36 @@ object DedupQueries {
           bit_count(col("w2").bitwiseXOR(col("qw2"))))
           .cast("long").as("hamming"))
       .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
+  }
+
+  // the full two-stage retrieval s10 is the first half of: binary
+  // Hamming coarse filter to 100 candidates (16-byte codes, the only
+  // full scan), then exact-cosine re-rank of the survivors to top-10.
+  // Candidate cut is a total order (hamming, vec_id) so the set — and
+  // the hash — is deterministic; at 100 TB the code scan is the cheap
+  // pass and the float re-rank touches 100 rows.
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val e = emb(s, dir)
+    val codes = e.select(col("vec_id"),
+      VectorOps.binarizeWord(col("embedding"), 0).as("w1"),
+      VectorOps.binarizeWord(col("embedding"), 32).as("w2"))
+    val qv = codes.filter(col("vec_id") === 0)
+      .select(col("w1").as("qw1"), col("w2").as("qw2"))
+    val cand = codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (bit_count(col("w1").bitwiseXOR(col("qw1"))) +
+          bit_count(col("w2").bitwiseXOR(col("qw2"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(100)
+    val qe = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    cand.join(e, "vec_id")
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), col("hamming"),
+        round(VectorOps.cosine(col("embedding"), col("qe")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
 
@@ -849,6 +880,34 @@ object DedupQueries {
         "bit_count(xor(w2, qw2)) AS BIGINT) AS hamming " +
         "FROM c, q WHERE vec_id <> 0 " +
         "ORDER BY hamming, vec_id LIMIT 10"),
+    // same packing + the q20 cosine replay restricted to the 100-row
+    // Hamming candidate set
+    "s11_binary_rerank" ->
+      ("WITH c AS (SELECT vec_id, " +
+        "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
+        "i -> CASE WHEN embedding[i + 1] > 0 " +
+        "THEN CAST(2 ** i AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS w1, " +
+        "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
+        "i -> CASE WHEN embedding[i + 33] > 0 " +
+        "THEN CAST(2 ** i AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS w2 " +
+        "FROM embeddings), " +
+        "qc AS (SELECT w1 AS qw1, w2 AS qw2 FROM c WHERE vec_id = 0), " +
+        "h AS (SELECT vec_id, CAST(bit_count(xor(w1, qw1)) + " +
+        "bit_count(xor(w2, qw2)) AS BIGINT) AS hamming " +
+        "FROM c, qc WHERE vec_id <> 0 ORDER BY hamming, vec_id LIMIT 100), " +
+        "q AS (SELECT generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "v AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i, " +
+        "CAST(unnest(e.embedding) AS DOUBLE) AS x FROM embeddings e " +
+        "JOIN h ON e.vec_id = h.vec_id), " +
+        "d AS (SELECT v.vec_id, sum(v.x * q.x) AS dot, " +
+        "sum(v.x * v.x) AS nv, sum(q.x * q.x) AS nq " +
+        "FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id) " +
+        "SELECT d.vec_id, h.hamming, " +
+        "round(dot / (sqrt(nv) * sqrt(nq)), 4) AS cosine " +
+        "FROM d JOIN h ON d.vec_id = h.vec_id " +
+        "ORDER BY cosine DESC, d.vec_id LIMIT 10"),
     "d08_cap_audit" ->
       ("WITH toks AS (SELECT doc_id, " +
         "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
