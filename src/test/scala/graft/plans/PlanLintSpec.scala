@@ -77,6 +77,9 @@ class PlanLintSpec extends SparkSpec {
         "w07_set_ops", "d12_cdc_dedup", "p08_temperature_mix",
         "q20_cosine_topk", "s01_ann_topk", "t10_tfidf_topk", "t11_bm25",
         "t12_surprisal",
+        // 1-row binary query-code / query-vector broadcast riders
+        // (the q20 class): O(n·1) coarse scan + 100-row re-rank
+        "s10_binary_hamming", "s11_binary_rerank",
         "t18_nb_confusion", // C-row class-stats broadcast rider
         "t20_collocations", // 1-row corpus-total riders (n_bg, n_ug)
         // broadcast query set joined on label-INEQUALITY: O(n·|Q|) with
