@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/Plans/GraftSession: the unix_micros(cast) paths
+      // (sessionize, f12, w08) are only value-preserving under UTC — a
+      // non-UTC host would bench different session/interval shapes than
+      // the gates verify.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

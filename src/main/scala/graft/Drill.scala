@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Per-query cost drill-down (NOT part of the driver contract): times
+  * labeled variants of a gate to isolate where its wall-clock goes —
+  * scan vs aggregate vs join vs expression cost. Bench answers "how
+  * slow"; Drill answers "why". Results are read manually and recorded
+  * in COVERAGE.md's perf notes.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Drill q23"
+  */
+object Drill {
+
+  private def time(label: String, iters: Int = 3)(f: => Long): Unit = {
+    val ts = (1 to iters).map { _ =>
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val best = ts.map(_._1).min
+    println(f"[drill] $label%-42s min=${best}%6.2fs  runs=${ts.map(t => f"${t._1}%.2f").mkString(",")}  rows=${ts.head._2}")
+  }
+
+  private def q23Variants(s: SparkSession, dir: String): Unit = {
+    val li = Tables(s, dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem")
+    def dec(c: String) = col(c).cast(DecimalType(18, 4))
+
+    time("scan+count lineitem") { li.count() }
+    time("scan 3cols, sum double") {
+      li.select(sum(col("l_extendedprice"))).count()
+    }
+    time("scan 3cols, sum decimal(18,4)") {
+      li.select(sum(dec("l_extendedprice"))).count()
+    }
+    time("inner agg only (per-partkey avg, decimal)") {
+      li.groupBy("l_partkey")
+        .agg((lit(0.5) * sum(dec("l_quantity")).cast(DoubleType) /
+          count(lit(1))).as("thr")).count()
+    }
+    time("inner agg only (double)") {
+      li.groupBy("l_partkey")
+        .agg((lit(0.5) * sum(col("l_quantity")) / count(lit(1))).as("thr"))
+        .count()
+    }
+    time("join only, count (no outer decimal sum)") {
+      val thr = li.groupBy("l_partkey")
+        .agg((lit(0.5) * sum(dec("l_quantity")).cast(DoubleType) /
+          count(lit(1))).as("thr"))
+      li.join(broadcast(thr), "l_partkey")
+        .filter(col("l_quantity") < col("thr"))
+        .agg(count(lit(1))).count()
+    }
+    time("full DF variant (decimal outer sum)") {
+      val thr = li.groupBy("l_partkey")
+        .agg((lit(0.5) * sum(dec("l_quantity")).cast(DoubleType) /
+          count(lit(1))).as("thr"))
+      li.join(broadcast(thr), "l_partkey")
+        .filter(col("l_quantity") < col("thr"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("total"))
+        .count()
+    }
+    time("full SQL gate (correlated subquery)") {
+      s.sql("SELECT count(*) AS cnt, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM v_lineitem l1 WHERE l_quantity < " +
+        "(SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) " +
+        "/ count(*) FROM v_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)")
+        .count()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-drill")
+    spark.range(1000).selectExpr("sum(id)").collect() // JIT warm
+    args.headOption.getOrElse("q23") match {
+      case "q23" => q23Variants(spark, sfDir)
+      case other => sys.error(s"unknown drill target: $other")
+    }
+    spark.stop()
+  }
+}

@@ -13,11 +13,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Repo root for committed test fixtures (`fixtures/…`). Resolution:
+    * GRAFT_REPO_ROOT env var if set, else the JVM working directory —
+    * sbt runs tests/mains from the project root, so fixture-backed
+    * gates work from any checkout location, not just /root/repo. */
+  lazy val repoRoot: String =
+    sys.env.getOrElse("GRAFT_REPO_ROOT", sys.props("user.dir"))
+
+  /** Absolute path of a committed fixture directory/file. */
+  def fixture(rel: String): String = s"$repoRoot/fixtures/$rel"
+
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // µs-unit parquet timestamps (not INT96/ns): matches what every
+    // other engine (DuckDB, arrow) emits, so downstream type-sensitive
+    // readers see identical schemas from either side
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   /** Local-mode builder (tests, CLIs, single-node runs). */

@@ -127,7 +127,11 @@ object BpeTrain {
   def train(spark: SparkSession, words: DataFrame, numMerges: Int,
       localThreshold: Int = 1 << 16): Seq[(String, String)] = {
     import spark.implicits._
+    // pre-aggregate duplicate word rows so both paths see summed freqs
+    // (a collect().toMap would collapse duplicates last-wins while the
+    // distributed loop sums them — same input, same semantics, checked)
     val wf = words.select(col("word"), col("freq").cast("long"))
+      .groupBy("word").agg(sum("freq").as("freq"))
     if (localThreshold > 0 &&
         wf.limit(localThreshold + 1).count() <= localThreshold) {
       return trainLocal(wf.as[(String, Long)].collect().toMap, numMerges)

@@ -32,8 +32,15 @@ object CoOccurrence {
     * below `minPairs` co-occurrences are dropped (noise floor). */
   def topK(incidence: DataFrame, group: String, item: String, k: Int,
       minPairs: Long): DataFrame = {
+    // persist: this distinct frame feeds THREE scans — both sides of
+    // the pair self-join and the base-count aggregate — so without a
+    // persist the raw-incidence scan + distinct shuffle runs 3×.
+    // persist (not localCheckpoint) keeps the frame visible to Catalyst;
+    // the caller's session hygiene (Bench/Verify clear storage between
+    // gates) bounds its lifetime.
     val inc = incidence.select(col(group).as("_g"), col(item).as("_i"))
       .distinct()
+      .persist()
     // both directions: a→b and b→a have different scores (different
     // denominators) but the SAME pair count, so aggregate the a<b half
     // only (half the rows through the dominant shuffle) and mirror the

@@ -42,13 +42,16 @@ object LabelPropagation {
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      // per-node argmax as a hash-agg max_by over the lexicographic
-      // (count, -label) key — count desc then label asc, the same
+      // per-node argmax as a hash-agg min_by over the lexicographic
+      // (-count, label) key — count desc then label asc, the same
       // total order the row_number window gave, without the window's
       // per-node sort pass (one hash aggregate instead of sort+filter;
-      // (c, lbl) is unique per node so the key is a total order)
+      // (c, lbl) is unique per node so the key is a total order).
+      // Only the count (always a long) is negated, so the tie-break
+      // stays type-generic: string labels order lexically, and no
+      // label value is ever negated (no Long.MinValue overflow).
       labels = counted.groupBy("node")
-        .agg(max_by(col("lbl"), struct(col("c"), -col("lbl"))).as("lbl"))
+        .agg(min_by(col("lbl"), struct(-col("c"), col("lbl"))).as("lbl"))
         .localCheckpoint()
     }
     labels

@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: payloads are PNG-encoded and decoded back to
   * pixels with `javax.imageio` (in-JDK, no external codecs) — see
-  * [[decodeImage]]/[[decodeImageFeatures]]. Audio/video decoding remains
-  * STUBBED with a deterministic fake (`decodeStub` — no audio/video codecs
+  * [[decodeImage]]/[[decodeImageFeatures]]. AUDIO decode is REAL too:
+  * payloads are WAV-encoded 16-bit PCM and decoded back to samples with
+  * `javax.sound.sampled` (also in-JDK) — see
+  * [[decodeAudio]]/[[decodeAudioFeatures]]. Only VIDEO decoding remains
+  * STUBBED with a deterministic fake (`decodeStub` — no video codecs
   * in this environment). Swapping the stub for a real decoder (JNI/FFI or
   * a Python `mapInPandas` stage) changes nothing structurally: every
   * decode path is a `mapPartitions` over (id, payload, meta) batches.
@@ -169,6 +172,109 @@ object Multimodal {
           val (w, h, rs, gs, bs, ps, hist) = decodeImage(bytes)
           ImageFeatures(id, w, h, rs, gs, bs, ps,
             hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+  }
+
+  case class AudioFeatures(doc_id: Long, n_samples: Int, sample_rate: Int,
+      s_sum: Long, abs_sum: Long, s_min: Int, s_max: Int, pos_sum: Long,
+      zero_cross: Long)
+
+  /** Deterministic synthetic PCM sample: closed-form in (doc_id, i) so an
+    * independent oracle can recompute every sample without decoding.
+    * Range is a signed-16-bit subset [-2048, 2047]. */
+  @inline private def smp(docId: Long, i: Int): Int =
+    (((i * 31L + docId * 17L) % 4096L) - 2048L).toInt
+
+  /** WAV-encode the synthetic sample pattern for one doc: 16-bit signed
+    * little-endian mono PCM via in-JDK `javax.sound.sampled`. WAV/PCM is
+    * lossless, so [[decodeAudio]] must recover these exact samples — the
+    * mm06 gate's closed-form oracle pins that round-trip. */
+  def syntheticWav(docId: Long, nSamples: Int, rate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = smp(docId, i)
+      pcm(2 * i) = (s & 0xFF).toByte            // little-endian lo byte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte // hi byte (sign-extended)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real-WAV payload fixture: the audio-kind doc subset (doc_id % 3 == 1,
+    * matching [[fakePayloads]]' kind assignment), each carrying an actual
+    * RIFF/WAVE file whose length derives from doc_id. Encoded scan-side in
+    * mapPartitions — payload bytes never cross a shuffle. */
+  def audioPayloads(docs: DataFrame, limit: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 1)
+      .orderBy("doc_id").limit(limit)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (id % 300 + 50).toInt
+          (id, syntheticWav(id, n), "audio")
+        }
+      }
+      .toDF("doc_id", "payload", "kind")
+  }
+
+  /** REAL audio decode via javax.sound.sampled (in-JDK WAV/AIFF/AU
+    * readers). Parses the RIFF header for format (rate/bits/channels),
+    * streams the PCM frames, and emits sample-derived features:
+    * (nSamples, rate, sum, absSum, min, max, posSum, zeroCross) where
+    * posSum = sum((i+1) * s_i) catches reordered/shifted samples plain
+    * sums would miss, and zeroCross counts sign changes between
+    * consecutive samples (the classic cheap audio-activity feature). */
+  def decodeAudio(bytes: Array[Byte])
+      : (Int, Int, Long, Long, Int, Int, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian,
+      s"expected 16-bit LE mono PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    ais.close()
+    val n = pcm.length / 2
+    var (sum, absSum, posSum, zc) = (0L, 0L, 0L, 0L)
+    var (mn, mx) = (Int.MaxValue, Int.MinValue)
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF))
+      sum += s; absSum += math.abs(s)
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      posSum += (i + 1L) * s
+      if (i > 0 && ((s < 0) != (prev < 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    (n, fmt.getSampleRate.toInt, sum, absSum,
+      if (n == 0) 0 else mn, if (n == 0) 0 else mx, posSum, zc)
+  }
+
+  /** Distributed decode of real WAV payloads → sample-derived features.
+    * Same mapPartitions batch shape as [[decodeImageFeatures]]. */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (n, rate, sum, absSum, mn, mx, posSum, zc) = decodeAudio(bytes)
+          AudioFeatures(id, n, rate, sum, absSum, mn, mx, posSum, zc)
         }
       }
   }

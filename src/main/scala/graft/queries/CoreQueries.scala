@@ -96,7 +96,11 @@ object CoreQueries {
   private def q10(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
-        from_utc_timestamp(col("ts"), "America/Chicago").as("local_ts"))
+        // wall-clock result → TIMESTAMP_NTZ: parquet writes it naive
+        // (isAdjustedToUTC=false), matching the oracle's naive type —
+        // an instant-typed column would render tz-aware downstream
+        from_utc_timestamp(col("ts"), "America/Chicago")
+          .cast("timestamp_ntz").as("local_ts"))
       .orderBy("event_id")
       .limit(100)
 
@@ -551,11 +555,11 @@ object CoreQueries {
   // the pruned LOC_C file is never opened), skip the malformed line
   // (the reference's log-and-skip tolerance), and roll each order up to
   // (n_items, gross). DuckDB replays it via read_json ignore_errors.
-  // Fixture-backed (absolute path, the e10_log_source discipline) —
-  // sfDir is unused.
+  // Fixture-backed (repo-root-resolved path, the e10_log_source
+  // discipline) — sfDir is unused.
   private def src01(s: SparkSession, dir: String): DataFrame =
     s.read.format("square-orders")
-      .load("/root/repo/fixtures/square_orders_v2")
+      .load(graft.GraftSession.fixture("square_orders_v2"))
       .filter(col("state") === "COMPLETED" &&
         col("closed_at") >= "2025-11-01T00:00:00Z" &&
         col("closed_at") < "2025-12-01T00:00:00Z" &&
@@ -625,7 +629,8 @@ object CoreQueries {
         "CAST(COALESCE(list_sum(list_transform(line_items, " +
         "x -> COALESCE(x.gross_sales_money.amount, 0))), 0) AS BIGINT) " +
         "AS gross_amt " +
-        "FROM read_json('/root/repo/fixtures/square_orders_v2/*.jsonl', " +
+        "FROM read_json('" + graft.GraftSession.fixture("square_orders_v2") +
+        "/*.jsonl', " +
         "format='newline_delimited', ignore_errors=true, " +
         "columns={id: 'VARCHAR', location_id: 'VARCHAR', " +
         "closed_at: 'VARCHAR', state: 'VARCHAR', " +

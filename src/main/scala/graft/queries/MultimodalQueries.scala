@@ -53,12 +53,23 @@ object MultimodalQueries {
       Multimodal.imagePayloads(Tables(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  // REAL audio decode (the mm05 discipline for sound): WAV-encode a
+  // closed-form 16-bit PCM pattern, decode it back with
+  // javax.sound.sampled, emit sample-derived features. The oracle
+  // recomputes every sample from the same closed form — it matches iff
+  // the WAV encode→decode round-trip is sample-exact.
+  private def mm06(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAudioFeatures(
+      Multimodal.audioPayloads(Tables(s, dir, "documents")))
+      .orderBy("doc_id").toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
     "mm04_resize_meta" -> (mm04 _),
     "mm05_image_decode" -> (mm05 _),
+    "mm06_audio_decode" -> (mm06 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -113,5 +124,28 @@ object MultimodalQueries {
         "CAST(sum(CASE WHEN r >= 128 AND r < 192 THEN 1 ELSE 0 END) AS BIGINT) AS r_h2, " +
         "CAST(sum(CASE WHEN r >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS r_h3 " +
         "FROM v GROUP BY doc_id ORDER BY doc_id"),
+    // samples replayed from the closed form smp(doc_id,i) =
+    // (i*31 + doc_id*17) % 4096 - 2048 (non-negative operands, so Spark
+    // and DuckDB % agree); zero_cross via lag within each doc
+    "mm06_audio_decode" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1 " +
+        "ORDER BY doc_id LIMIT 40), " +
+        "n AS (SELECT doc_id, CAST(doc_id % 300 + 50 AS INT) AS n FROM d), " +
+        "s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM n), " +
+        "v AS (SELECT doc_id, n, i, " +
+        "(i*31 + doc_id*17) % 4096 - 2048 AS smp FROM s), " +
+        "w AS (SELECT doc_id, n, i, smp, " +
+        "lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prv FROM v) " +
+        "SELECT doc_id, CAST(max(n) AS INT) AS n_samples, " +
+        "CAST(8000 AS INT) AS sample_rate, " +
+        "CAST(sum(smp) AS BIGINT) AS s_sum, " +
+        "CAST(sum(abs(smp)) AS BIGINT) AS abs_sum, " +
+        "CAST(min(smp) AS INT) AS s_min, " +
+        "CAST(max(smp) AS INT) AS s_max, " +
+        "CAST(sum((i+1)*smp) AS BIGINT) AS pos_sum, " +
+        "CAST(sum(CASE WHEN prv IS NOT NULL AND " +
+        "((smp < 0) <> (prv < 0)) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS zero_cross " +
+        "FROM w GROUP BY doc_id ORDER BY doc_id"),
   )
 }

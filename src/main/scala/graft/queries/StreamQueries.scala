@@ -78,7 +78,10 @@ object StreamQueries {
   private def e07(s: SparkSession, dir: String): DataFrame =
     EventStreams.funnelProgress(events(s, dir),
       Seq("signup", "view", "click", "purchase"))
-      .select(col("user_id"), col("steps_completed"), col("last_step_ts"))
+      .select(col("user_id"), col("steps_completed"),
+        // UTC wall-clock render → NTZ (the q10 discipline): naive in
+        // parquet like the oracle's naive max(ts)
+        col("last_step_ts").cast("timestamp_ntz").as("last_step_ts"))
       .orderBy("user_id")
 
   // stream-stream LEFT OUTER interval join in batch mode: views with
@@ -119,7 +122,7 @@ object StreamQueries {
   // number embedded in its value, so the gate pins the reader's
   // partition/offset assignment, not just the payload
   private def e10(s: SparkSession, dir: String): DataFrame =
-    s.read.format("graft-log").load("/root/repo/fixtures/graftlog")
+    s.read.format("graft-log").load(graft.GraftSession.fixture("graftlog"))
       .orderBy("partition", "offset")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,7 +249,8 @@ object StreamQueries {
         "AS partition, " +
         "CAST(regexp_extract(value, '-(\\d+)$', 1) AS BIGINT) AS \"offset\", " +
         "CAST(\"timestamp\" AS BIGINT) AS \"timestamp\", \"key\", \"value\" " +
-        "FROM read_json_auto('/root/repo/fixtures/graftlog/*/*.jsonl', " +
+        "FROM read_json_auto('" + graft.GraftSession.fixture("graftlog") +
+        "/*/*.jsonl', " +
         "filename=true) ORDER BY partition, \"offset\""),
   )
 }

@@ -551,7 +551,8 @@ object TextQueries {
     // fixture yields 0 oracle rows, i.e. a loud red, not a silent pass.
     "t15_bpe_merges" ->
       ("SELECT CAST(merge_idx AS INT) AS merge_idx, a, b FROM " +
-        "read_csv('/root/repo/fixtures/t15_golden_merges.csv', header=true) " +
+        "read_csv('" + graft.GraftSession.fixture("t15_golden_merges.csv") +
+        "', header=true) " +
         "WHERE corpus_chars = (SELECT sum(length(text)) FROM documents) " +
         "ORDER BY merge_idx"),
     // full NB replay: same tokenization, (word,class) counts, smoothed

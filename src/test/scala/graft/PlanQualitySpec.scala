@@ -118,7 +118,7 @@ class PlanQualitySpec extends SparkSpec {
       "location, predicates pushed") {
     import org.apache.spark.sql.functions.col
     val scan = spark.read.format("square-orders")
-      .load("/root/repo/fixtures/square_orders_v2")
+      .load(graft.GraftSession.fixture("square_orders_v2"))
       .filter(col("location_id").isin("LOC_A", "LOC_B") &&
         col("state") === "COMPLETED")
     // S4: LOC_C's file is pruned at planning — 2 InputPartitions, not 3

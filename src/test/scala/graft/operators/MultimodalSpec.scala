@@ -96,4 +96,39 @@ class MultimodalSpec extends SparkSpec {
       assert(f.r_h0 + f.r_h1 + f.r_h2 + f.r_h3 === f.width.toLong * f.height)
     }
   }
+
+  test("WAV round-trip: decodeAudio recovers the exact synthetic samples") {
+    val (docId, n) = (7L, 123)
+    val wav = Multimodal.syntheticWav(docId, n)
+    // a real RIFF/WAVE container, not raw PCM
+    assert(wav.take(4).map(_.toChar).mkString === "RIFF")
+    assert(wav.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    val (dn, rate, sum, absSum, mn, mx, posSum, zc) =
+      Multimodal.decodeAudio(wav)
+    // hand-computed from the closed-form pattern
+    val samples = (0 until n).map(i => (((i * 31L + docId * 17L) % 4096L) - 2048L).toInt)
+    assert(dn === n)
+    assert(rate === 8000)
+    assert(sum === samples.map(_.toLong).sum)
+    assert(absSum === samples.map(s => math.abs(s).toLong).sum)
+    assert(mn === samples.min)
+    assert(mx === samples.max)
+    assert(posSum === samples.zipWithIndex.map { case (s, i) => (i + 1L) * s }.sum)
+    assert(zc === samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+  }
+
+  test("decodeAudioFeatures runs distributed over the audio-kind subset") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val payloads = Multimodal.audioPayloads(docs, limit = 10).repartition(3)
+    val feats = Multimodal.decodeAudioFeatures(payloads)
+    assert(feats.rdd.getNumPartitions === 3)
+    val rows = feats.collect().sortBy(_.doc_id)
+    assert(rows.nonEmpty)
+    rows.foreach { f =>
+      assert(f.doc_id % 3 === 1)
+      assert(f.n_samples === (f.doc_id % 300 + 50).toInt)
+      assert(f.sample_rate === 8000)
+      assert(f.s_min >= -2048 && f.s_max <= 2047)
+    }
+  }
 }

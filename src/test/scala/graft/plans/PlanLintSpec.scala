@@ -110,14 +110,22 @@ class PlanLintSpec extends SparkSpec {
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
+    val broken = Seq.newBuilder[String]
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .flatMap { case (name, fn) =>
+        // a gate whose plan fails to BUILD must fail the sweep too —
+        // swallowing the throwable would let a lint-time-only breakage
+        // (e.g. an sf0.001-missing aux table) pass every plan rule
         val found = try rules(fn(spark, dir)) catch {
-          case _: Throwable => Set.empty[String] // lint is best-effort
+          case e: Throwable =>
+            broken += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+            Set.empty[String]
         }
         found.filterNot(r => exempt.getOrElse(r, Set.empty)(name))
           .map(r => s"$name:$r")
       }
+    assert(broken.result().isEmpty,
+      s"gates failed to build a lintable plan: ${broken.result()}")
     assert(offenders.isEmpty, s"plan findings: $offenders")
   }
 }

@@ -28,7 +28,10 @@ def type_class(t):
     if pa.types.is_decimal(t):
         return f"decimal(scale={t.scale})"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # unit + tz-awareness matter: us-vs-ns or aware-vs-naive renders
+        # differently in the driver's canonicalized hash (same bug class
+        # the guard exists for) — don't collapse them into one class
+        return f"timestamp({t.unit},tz={bool(t.tz)})"
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_boolean(t):
