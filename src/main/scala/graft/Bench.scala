@@ -99,8 +99,30 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // regression budgets: bench_budgets.json pins a per-gate ceiling
+    // (~3x a committed full-sweep median — far above the measured ±40%
+    // sandbox noise band, so a breach is a plan/code regression, not
+    // noise). Gates absent from the file (new gates) are unchecked.
+    // Budget breaches are LOUD: listed in the JSON line, printed to
+    // stderr, and (for full runs) a nonzero exit below.
+    val budgets: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("bench_budgets.json"))
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val overBudget = results.collect {
+      case (k, v, true) if budgets.get(k).exists(v > _) => k
+    }
+    overBudget.foreach { k =>
+      val v = results.find(_._1 == k).get._2
+      System.err.println(
+        f"[bench] BUDGET BREACH: $k took $v%.2f s > budget ${budgets(k)}%.2f s")
+    }
+    val over = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$over,"sf":"$sfDir","iters":$iters}"""
     println(line)
     // durable copy: the driver captures only the log tail, which truncated
     // the r3 artifact to 64 of 109 queries — a committed file survives.
@@ -114,5 +136,9 @@ object Bench {
       System.err.println(s"[bench] $recordFile write failed: ${e.getMessage}")
     }
     spark.stop()
+    // fail loudly AFTER artifacts are written — a budget breach must not
+    // cost the round its bench record. Subset runs stay exit-0 (local
+    // iteration on one slow gate shouldn't scream).
+    if (only.isEmpty && overBudget.nonEmpty) sys.exit(1)
   }
 }

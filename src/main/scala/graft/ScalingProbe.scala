@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-exponent probe for the perf-tail gates: times each audited gate
+  * at sf0.01, sf0.1, and a GENERATED ~10x corpus ("sf1x"), then records
+  * per-gate wall times and fitted scaling exponents
+  * (alpha = log(t_hi/t_lo) / log(n_hi/n_lo)) to SCALING_r6.json.
+  *
+  * This is the evidence for the "constant-bound, scale-safe" claim on the
+  * iterative/tail gates: alpha ≈ 0 means per-stage constants dominate
+  * (cost barely moves when data 10x's), alpha ≈ 1 means linear data cost,
+  * alpha >> 1 means a super-linear blowup that needs fixing.
+  *
+  * The 10x corpus is a DISJOINT-COPY scale-up of sf0.1 (the TPC-H
+  * discipline — both key domains grow with volume):
+  *  - lineitem: 10 copies with l_orderkey/l_partkey shifted by
+  *    copy * (max+1), so copy 0 preserves original ids and copies are
+  *    structurally identical but disjoint — pure volume growth, no
+  *    densification of any single node's neighborhood;
+  *  - documents: 10 copies with doc_id shifted and every TOKEN suffixed
+  *    with the copy index, so shingle spaces across copies are disjoint —
+  *    near-dup structure per copy is preserved instead of every doc
+  *    gaining 9 exact duplicates (which would measure duplicate blowup,
+  *    not volume).
+  *
+  * Usage: runMain graft.ScalingProbe [outJson] [gates,comma,separated]
+  */
+object ScalingProbe {
+
+  private val defaultGates = Seq("g01_pagerank", "g05_label_prop",
+    "a03_item_cooccur", "g03_bfs_layers", "d02_ngram_jaccard",
+    "q23_corr_scalar")
+
+  private val copies = 10
+
+  /** Generate the 10x dir from sf0.1 if absent; returns its path. */
+  def ensureScaled(spark: SparkSession, baseDir: String): String = {
+    val out = "/tmp/graft_sf1x"
+    if (Files.exists(Paths.get(s"$out/_DONE"))) return out
+    val li = Tables(spark, baseDir, "lineitem")
+    val Array(maxO, maxP) = li
+      .agg(max("l_orderkey"), max("l_partkey")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    li.crossJoin(spark.range(copies).toDF("_c"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("_c") * maxO)
+      .withColumn("l_partkey", col("l_partkey") + col("_c") * maxP)
+      .drop("_c")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val docs = Tables(spark, baseDir, "documents")
+    val maxD = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
+    docs.crossJoin(spark.range(copies).toDF("_c"))
+      .withColumn("doc_id", col("doc_id") + col("_c") * maxD)
+      .withColumn("text", when(col("_c") === 0, col("text"))
+        .otherwise(array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("~"), col("_c"))), " ")))
+      .drop("_c")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Files.createFile(Paths.get(s"$out/_DONE"))
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SCALING_r6.json")
+    val gates = args.lift(1)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultGates)
+    val spark = GraftSession.getOrCreate("graft-scaling-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val sf1x = ensureScaled(spark, "/root/testdata/sf0.1")
+    val dirs = Seq("sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1", "sf1x" -> sf1x)
+    // per-dir size metric: the row count of the table the gate scans
+    val rowsOf: Map[String, Map[String, Long]] = dirs.map { case (label, d) =>
+      label -> Map(
+        "lineitem" -> Tables(spark, d, "lineitem").count(),
+        "documents" -> Tables(spark, d, "documents").count())
+    }.toMap
+    def tableOf(gate: String): String =
+      if (gate.startsWith("d")) "documents" else "lineitem"
+
+    val results = gates.map { gate =>
+      val fn = SparkEntry.queries(gate)
+      val times = dirs.map { case (label, d) =>
+        // min of 2: one-off GC/codegen noise must not set an exponent
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.sharedState.cacheManager.clearCache()
+          dt
+        }.min
+        println(f"[scaling] $gate%-20s $label%-7s ${t}%7.2f s")
+        label -> t
+      }.toMap
+      val tbl = tableOf(gate)
+      def alpha(lo: String, hi: String): Double = {
+        val (nLo, nHi) = (rowsOf(lo)(tbl), rowsOf(hi)(tbl))
+        math.log(times(hi) / times(lo)) / math.log(nHi.toDouble / nLo)
+      }
+      val a01 = alpha("sf0.01", "sf0.1")
+      val a1x = alpha("sf0.1", "sf1x")
+      println(f"[scaling] $gate%-20s alpha(sf0.01->sf0.1)=$a01%5.2f " +
+        f"alpha(sf0.1->sf1x)=$a1x%5.2f")
+      (gate, tbl, times, a01, a1x)
+    }
+    val json = results.map { case (g, tbl, t, a01, a1x) =>
+      s""""$g":{"table":"$tbl","sec":{"sf0.01":${t("sf0.01")},""" +
+        s""""sf0.1":${t("sf0.1")},"sf1x":${t("sf1x")}},""" +
+        s""""alpha_small":${f"$a01%.3f"},"alpha_large":${f"$a1x%.3f"}}"""
+    }.mkString(
+      s"""{"rows":{"lineitem":[${dirs.map(d => rowsOf(d._1)("lineitem")).mkString(",")}],""" +
+        s""""documents":[${dirs.map(d => rowsOf(d._1)("documents")).mkString(",")}],""" +
+        s""""dirs":["sf0.01","sf0.1","sf1x"]},""",
+      ",", "}")
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(s"[scaling] wrote $outJson")
+    spark.stop()
+  }
+}

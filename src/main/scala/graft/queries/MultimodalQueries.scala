@@ -63,6 +63,15 @@ object MultimodalQueries {
       Multimodal.audioPayloads(Tables(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  // REAL video decode: animated-GIF-encode a closed-form grayscale frame
+  // sequence (lossless 256-gray palette), decode it back frame-by-frame
+  // with javax.imageio's sequence reader, emit one row per (doc, frame).
+  // The oracle replays every pixel of every frame from the closed form.
+  private def mm07(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeVideoFrames(
+      Multimodal.videoPayloads(Tables(s, dir, "documents")))
+      .orderBy("doc_id", "frame_idx").toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
@@ -70,6 +79,7 @@ object MultimodalQueries {
     "mm04_resize_meta" -> (mm04 _),
     "mm05_image_decode" -> (mm05 _),
     "mm06_audio_decode" -> (mm06 _),
+    "mm07_video_frames" -> (mm07 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,5 +157,22 @@ object MultimodalQueries {
         "((smp < 0) <> (prv < 0)) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS zero_cross " +
         "FROM w GROUP BY doc_id ORDER BY doc_id"),
+    // every pixel of every frame replayed from the closed form
+    // pxV(doc,f,x,y) = (x*7 + y*13 + doc_id + f*29) % 256
+    "mm07_video_frames" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 " +
+        "ORDER BY doc_id LIMIT 30), " +
+        "dim AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n, " +
+        "doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h FROM d), " +
+        "fr AS (SELECT doc_id, w, h, unnest(range(0, n)) AS f FROM dim), " +
+        "xs AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM fr), " +
+        "px AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM xs), " +
+        "v AS (SELECT doc_id, w, h, f, x, y, " +
+        "(x*7 + y*13 + doc_id + f*29) % 256 AS g FROM px) " +
+        "SELECT doc_id, CAST(f AS INT) AS frame_idx, " +
+        "CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height, " +
+        "CAST(sum(g) AS BIGINT) AS g_sum, " +
+        "CAST(sum((x+1)*(y+1)*g) AS BIGINT) AS pos_sum " +
+        "FROM v GROUP BY doc_id, f ORDER BY doc_id, frame_idx"),
   )
 }

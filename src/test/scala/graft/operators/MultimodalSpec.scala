@@ -117,6 +117,47 @@ class MultimodalSpec extends SparkSpec {
     assert(zc === samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
   }
 
+  test("GIF round-trip: decodeVideo recovers every frame's exact pixels") {
+    val (docId, n, w, h) = (5L, 4, 7, 6)
+    val gif = Multimodal.syntheticGif(docId, n, w, h)
+    // a real GIF container
+    assert(gif.take(3).map(_.toChar).mkString === "GIF")
+    val frames = Multimodal.decodeVideo(gif)
+    assert(frames.size === n)
+    frames.foreach { case (f, dw, dh, gs, ps) =>
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield ((x * 7L + y * 13L + docId + f * 29L) % 256, x, y)
+      assert((dw, dh) === ((w, h)))
+      assert(gs === px.map(_._1).sum, s"frame $f gray sum")
+      assert(ps === px.map { case (g, x, y) => (x + 1L) * (y + 1L) * g }.sum,
+        s"frame $f pos sum")
+    }
+  }
+
+  test("decodeVideo rejects undecodable payloads with context") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo("not a video".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
+  test("decodeVideoFrames runs distributed, one row per (doc, frame)") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val payloads = Multimodal.videoPayloads(docs, limit = 8).repartition(3)
+    val rows = Multimodal.decodeVideoFrames(payloads).collect()
+      .sortBy(f => (f.doc_id, f.frame_idx))
+    assert(rows.nonEmpty)
+    rows.groupBy(_.doc_id).foreach { case (id, fs) =>
+      assert(id % 3 === 2)
+      assert(fs.length === (id % 5 + 2).toInt)
+      assert(fs.map(_.frame_idx).toSeq === (0 until fs.length))
+      fs.foreach { f =>
+        assert(f.width === (id % 20 + 6).toInt)
+        assert(f.height === (id % 12 + 5).toInt)
+      }
+    }
+  }
+
   test("decodeAudioFeatures runs distributed over the audio-kind subset") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val payloads = Multimodal.audioPayloads(docs, limit = 10).repartition(3)
