@@ -33,23 +33,38 @@ object ScalingProbe {
 
   private val defaultGates = Seq("g01_pagerank", "g05_label_prop",
     "a03_item_cooccur", "g03_bfs_layers", "d02_ngram_jaccard",
-    "q23_corr_scalar")
+    "q23_corr_scalar", "g02_triangles", "g04_kcore", "t21_textrank",
+    "d09_components", "d16_dedup_pipeline", "q38_exact_quantile",
+    "q29_salted_join")
+
+  /** Which table's row count is the gate's size metric (default
+    * lineitem; graph/sort gates scan it, d/t gates scan documents). */
+  private val gateTable: Map[String, String] = Map(
+    "d02_ngram_jaccard" -> "documents", "d09_components" -> "documents",
+    "d16_dedup_pipeline" -> "documents", "t21_textrank" -> "documents")
 
   private val copies = 10
 
   /** Generate the 10x dir from sf0.1 if absent; returns its path. */
   def ensureScaled(spark: SparkSession, baseDir: String): String = {
-    val out = "/tmp/graft_sf1x"
+    val out = "/tmp/graft_sf1x_v2"
     if (Files.exists(Paths.get(s"$out/_DONE"))) return out
     val li = Tables(spark, baseDir, "lineitem")
-    val Array(maxO, maxP) = li
-      .agg(max("l_orderkey"), max("l_partkey")).collect()(0)
-      .toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+    val ord = Tables(spark, baseDir, "orders")
+    // ONE shared orderkey offset for lineitem AND orders — the q29-style
+    // fact⋈fact join must keep every copy's lineitem rows joined to that
+    // copy's orders (per-table maxes would de-correlate the copies)
+    val maxO = ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1L
+    val maxP = li.agg(max("l_partkey")).collect()(0).getLong(0) + 1L
     li.crossJoin(spark.range(copies).toDF("_c"))
       .withColumn("l_orderkey", col("l_orderkey") + col("_c") * maxO)
       .withColumn("l_partkey", col("l_partkey") + col("_c") * maxP)
       .drop("_c")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    ord.crossJoin(spark.range(copies).toDF("_c"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("_c") * maxO)
+      .drop("_c")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val docs = Tables(spark, baseDir, "documents")
     val maxD = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
     docs.crossJoin(spark.range(copies).toDF("_c"))
@@ -80,11 +95,11 @@ object ScalingProbe {
         "documents" -> Tables(spark, d, "documents").count())
     }.toMap
     def tableOf(gate: String): String =
-      if (gate.startsWith("d")) "documents" else "lineitem"
+      gateTable.getOrElse(gate, "lineitem")
 
-    val results = gates.map { gate =>
+    val results = gates.flatMap { gate =>
       val fn = SparkEntry.queries(gate)
-      val times = dirs.map { case (label, d) =>
+      val timesOpt = try Some(dirs.map { case (label, d) =>
         // min of 2: one-off GC/codegen noise must not set an exponent
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -97,7 +112,15 @@ object ScalingProbe {
         }.min
         println(f"[scaling] $gate%-20s $label%-7s ${t}%7.2f s")
         label -> t
-      }.toMap
+      }.toMap) catch {
+        case e: Throwable =>
+          // a gate that needs a table the generated dir lacks is SKIPPED
+          // loudly, not silently recorded as fast
+          println(s"[scaling] $gate SKIPPED: ${e.getMessage}")
+          None
+      }
+      timesOpt.map(times => (gate, times))
+    }.map { case (gate, times) =>
       val tbl = tableOf(gate)
       def alpha(lo: String, hi: String): Double = {
         val (nLo, nHi) = (rowsOf(lo)(tbl), rowsOf(hi)(tbl))
