@@ -250,8 +250,19 @@ object TextQueries {
       .orderBy("doc_id", "bucket")
   }
 
+  // C4-style boilerplate strip (the REWRITE op d14's span report feeds):
+  // 3-token tiles whose corpus df >= 3 are template, removed; docs come
+  // back reassembled in order, one row per input doc. The clean_text
+  // column itself is hash-gated — a reassembly-order or off-by-one slice
+  // bug fails the gate, not just the counts.
+  private def t23(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.strip(docs(s, dir), "doc_id", "text",
+      tile = 3, dropDf = 3)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_feature_hash" -> (t22 _),
+    "t23_boilerplate" -> (t23 _),
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -301,6 +312,29 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // identical 3-token tiling (1-based inclusive list slice == Spark
+    // slice), df over distinct docs, strip at df>=3, in-order reassembly
+    "t23_boilerplate" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        "FROM documents), " +
+        "ex AS (SELECT doc_id, w, unnest(range(0, " +
+        "CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i FROM toks), " +
+        "tiles AS (SELECT doc_id, i, " +
+        "array_to_string(w[(i*3+1):(i*3+3)], ' ') AS t FROM ex), " +
+        "hot AS (SELECT t FROM tiles GROUP BY t " +
+        "HAVING count(DISTINCT doc_id) >= 3), " +
+        "kept AS (SELECT doc_id, i, t FROM tiles " +
+        "WHERE t NOT IN (SELECT t FROM hot)), " +
+        "reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(t, ' ' ORDER BY i) AS clean_text FROM kept " +
+        "GROUP BY doc_id), " +
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tiles " +
+        "FROM tiles GROUP BY doc_id) " +
+        "SELECT tot.doc_id, tot.n_tiles, " +
+        "CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "coalesce(reb.clean_text, '') AS clean_text " +
+        "FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id " +
+        "ORDER BY tot.doc_id"),
     // identical md5-prefix bucket/sign arithmetic; sum cast to BIGINT
     "t22_feature_hash" ->
       ("WITH d AS (SELECT doc_id, lower(text) AS text FROM documents " +
