@@ -84,12 +84,17 @@ object DataSplit {
     * no pair are their own representative. */
   def assignByComponent(df: DataFrame, idCol: String, pairs: DataFrame,
       srcCol: String, dstCol: String, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
+      valPct: Int = 10, keepKeyAs: String = ""): DataFrame = {
     val comp = ConnectedComponents.components(pairs, srcCol, dstCol)
       .withColumnRenamed("id", idCol)
-    df.join(comp, Seq(idCol), "left")
+    val joined = df.join(comp, Seq(idCol), "left")
       .withColumn("split",
         label(coalesce(col("comp"), col(idCol)), trainPct, valPct))
+    // keepKeyAs exposes the bucketing key (component representative, or
+    // the doc's own id for singletons) for group-level audits — e.g.
+    // "no group straddles splits", the leakage check itself
+    if (keepKeyAs.isEmpty) joined.drop("comp")
+    else joined.withColumn(keepKeyAs, coalesce(col("comp"), col(idCol)))
       .drop("comp")
   }
 

@@ -428,6 +428,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Bipartite MinHash-LSH join: near-dup pairs ACROSS two corpora
+    * (one doc from `existing`, one from `incoming`) — the incremental-
+    * ingest primitive. A daily crawl batch must be deduped against the
+    * standing corpus without re-pairing the corpus with itself:
+    * candidates here come from equi-joining the two sides' band-bucket
+    * frames, so existing×existing and incoming×incoming pairs are never
+    * enumerated, and at 100 TB the existing side's banded frame is the
+    * PERSISTED LSH index (band, bh, doc) the corpus already maintains —
+    * each ingest only scans+signs the new batch and probes the index.
+    * Same signature/banding/verification machinery as
+    * [[minHashLshPairs]], so the pair set equals the exact cross-corpus
+    * Jaccard pairs at `threshold` under d03's catch-probability bound
+    * (r=2 × 32 bands ⇒ miss ~1e-14 at j≥0.8). `maxBucket` caps bucket
+    * frequency counted across BOTH sides (a hot bucket floods the join
+    * regardless of which side it comes from). */
+  def minHashLshPairsAcross(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(side: DataFrame) = bandedFrame(
+      side.select(col(idCol).as("doc"),
+        minHashSignature(lower(col(textCol)), n, numHashes).as("sig")),
+      bands, r)
+    val exBand = banded(existing)
+    val inBand = banded(incoming)
+    val (exPruned, inPruned) =
+      if (maxBucket <= 0) (exBand, inBand)
+      else {
+        val hot = exBand.unionByName(inBand)
+          .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+          .filter(col("c") > maxBucket)
+          .select(col("band").as("hot_band"), col("bh").as("hot_bh"))
+        def drop(b: DataFrame) = b.join(hot,
+          b("band") === hot("hot_band") && b("bh") === hot("hot_bh"),
+          "left_anti")
+        (drop(exBand), drop(inBand))
+      }
+    val cand = exPruned.toDF("doc_ex", "band", "bh")
+      .join(inPruned.toDF("doc_in", "band", "bh"), Seq("band", "bh"))
+      .select("doc_ex", "doc_in").distinct()
+    val exSets = shingleSets(existing, idCol, textCol, n)
+    val inSets = shingleSets(incoming, idCol, textCol, n)
+    val inter = size(array_intersect(col("shs_a"), col("shs_b")))
+    cand
+      .join(exSets.toDF("doc_ex", "shs_a"), Seq("doc_ex"))
+      .join(inSets.toDF("doc_in", "shs_b"), Seq("doc_in"))
+      .select(col("doc_ex"), col("doc_in"),
+        (inter.cast(DoubleType) /
+          (size(col("shs_a")) + size(col("shs_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Character-level near-dup pairs via winnowing fingerprints
     * (rolling-hash sketches; graft.plans.WinnowFingerprint), verified by
     * sketch resemblance |A∩B| / |A∪B| at `threshold`.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, Dedup, Pca, ProductQuantization, SimilaritySearch, VectorOps}
+import graft.operators.{BloomSeenSet, Cdc, Clustering, ConnectedComponents, DataSplit, Dedup, Pca, ProductQuantization, SimilaritySearch, VectorOps}
 
 /** Dedup + similarity queries over `documents`/`embeddings`.
   *
@@ -431,7 +431,121 @@ object DedupQueries {
       .limit(20)
   }
 
+  // contamination-safe train/val/test split: near-dup documents (the
+  // LSH pair graph's connected components) must land in the SAME split
+  // — a train/test near-dup pair is evaluation leakage (the GPT-3
+  // paper's appendix-C failure). Bucketing key = the doc's component
+  // representative (own id for singletons), so membership is
+  // deterministic and engine-portable. Output: per-(split, source)
+  // doc/group/char census + the leak audit itself (groups straddling
+  // >1 split — 0 by construction, and the oracle proves the ORACLE's
+  // independent replay agrees). Scale shape: the split is one md5
+  // projection over the component join — the LSH+components cost is
+  // the d16 pipeline the corpus already runs.
+  private def p13(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32, threshold = 0.8)
+    val split = DataSplit.assignByComponent(d, "doc_id", pairs,
+      "doc_a", "doc_b", trainPct = 80, valPct = 10, keepKeyAs = "gkey")
+    val leak = split.groupBy("gkey")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1)
+      .agg(count(lit(1)).as("leak_groups"))
+    split.groupBy("split", "source")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("gkey")).as("groups"),
+        sum(col("n_chars")).as("chars"))
+      .crossJoin(leak)
+      .orderBy("split", "source")
+  }
+
+  // incremental corpus ingest (the daily-crawl op): docs with
+  // doc_id % 5 == 0 stand in for the new batch, the rest for the
+  // standing corpus. An incoming doc is dropped if it exactly matches
+  // an existing fingerprint, else if it is a near-dup (jaccard >= 0.8)
+  // of any existing doc — via [[Dedup.minHashLshPairsAcross]], the
+  // bipartite band join that never pairs existing×existing. Per-source
+  // ingest census gates exact membership of all three statuses (14
+  // cross-boundary near-dup pairs at sf0.01 — discriminating).
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val existing = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val incoming = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val exFp = existing.select(T.fingerprint(col("text")).as("fp"))
+      .distinct().withColumn("__ex", lit(1))
+    val nearIds = Dedup.minHashLshPairsAcross(existing, incoming,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 32,
+      threshold = 0.8)
+      .select(col("doc_in").as("doc_id")).distinct()
+      .withColumn("__nd", lit(1))
+    incoming.select(col("doc_id"), col("source"), col("n_chars"),
+        T.fingerprint(col("text")).as("fp"))
+      .join(exFp, Seq("fp"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nd") === 1, "near_dup")
+          .otherwise("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+          .as("exact_dups"),
+        sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+          .as("near_dups"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("status") === "kept", col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("source")
+  }
+
+  // ANN recall/cost curve — the evaluation every approximate index
+  // needs before it replaces the exact scan: recall@10 of the s11
+  // two-stage retrieval (binary-Hamming coarse filter to K → exact
+  // cosine re-rank to 10) as the coarse candidate budget K grows.
+  // The 16-byte-code Hamming frame is computed ONCE and persisted;
+  // each K is a TakeOrderedAndProject over it (no re-scan, no global
+  // window), then a 10-row semi-join against the exact top-10. The
+  // oracle replays all four curve points from the same closed-form
+  // packing, so a recall regression anywhere on the curve hash-fails.
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val codes = e.select(col("vec_id"),
+      VectorOps.binarizeWord(col("embedding"), 0).as("w1"),
+      VectorOps.binarizeWord(col("embedding"), 32).as("w2"))
+    val qv = codes.filter(col("vec_id") === 0)
+      .select(col("w1").as("qw1"), col("w2").as("qw2"))
+    val ham = codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        (bit_count(col("w1").bitwiseXOR(col("qw1"))) +
+          bit_count(col("w2").bitwiseXOR(col("qw2"))))
+          .cast("long").as("hamming"))
+      .persist()
+    val qe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    def cosTop10(frame: DataFrame): DataFrame =
+      frame.crossJoin(broadcast(qe))
+        .select(col("vec_id"),
+          VectorOps.cosine(col("embedding"), col("qe")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .select("vec_id")
+    val exact = cosTop10(e.filter(col("vec_id") =!= 0)).persist()
+    Seq(10, 25, 50, 100).map { k =>
+      val cand = ham.orderBy(col("hamming"), col("vec_id")).limit(k)
+      cosTop10(cand.join(e, "vec_id"))
+        .join(exact, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / lit(10.0)).as("recall"))
+        .select(lit(k).as("coarse_k"), col("recall"))
+    }.reduce(_.unionByName(_))
+      .orderBy("coarse_k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_leakage_split" -> (p13 _),
+    "d17_incremental_ingest" -> (d17 _),
+    "s12_recall_curve" -> (s12 _),
     "s08_hard_negatives" -> (s08 _),
     "d15_containment" -> (d15 _),
     "d01_exact_dedup_docs" -> (d01 _),
@@ -572,6 +686,94 @@ object DedupQueries {
     "THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars " +
     "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id " +
     "GROUP BY d.source ORDER BY d.source"
+
+  // p13 oracle: recursive-CTE components (the d09/d16 body) → group
+  // key = component representative (own id for singletons) → the p01
+  // md5-prefix bucket on the GROUP key → census + independent leak
+  // recount (must be 0)
+  private val leakageSplitSql = componentsBodySql +
+    ", g AS (SELECT d.doc_id, d.source, d.n_chars, " +
+    "COALESCE(c.component, d.doc_id) AS gkey " +
+    "FROM documents d LEFT JOIN comp c ON d.doc_id = c.id), " +
+    "sp AS (SELECT *, CASE WHEN b < 80 THEN 'train' " +
+    "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+    "(SELECT *, CAST(('0x' || substr(md5(CAST(gkey AS VARCHAR)), 1, 4)) " +
+    "AS INT) % 100 AS b FROM g)), " +
+    "leak AS (SELECT CAST(count(*) AS BIGINT) AS leak_groups FROM " +
+    "(SELECT gkey FROM sp GROUP BY gkey HAVING count(DISTINCT split) > 1)) " +
+    "SELECT split, source, CAST(count(*) AS BIGINT) AS docs, " +
+    "CAST(count(DISTINCT gkey) AS BIGINT) AS groups, " +
+    "CAST(sum(n_chars) AS BIGINT) AS chars, leak_groups " +
+    "FROM sp, leak GROUP BY split, source, leak_groups " +
+    "ORDER BY split, source"
+
+  // d17 oracle: exact cross-boundary jaccard pairs (equal to the
+  // bipartite LSH pair set under d03's catch-probability bound) +
+  // fingerprint match vs the existing side, composed into the same
+  // exact-first status precedence
+  private val incrementalIngestSql = shingleCte +
+    ", cj AS (SELECT DISTINCT CASE WHEN doc_a % 5 = 0 THEN doc_a " +
+    "ELSE doc_b END AS doc_id FROM j WHERE jac >= 0.8 " +
+    "AND ((doc_a % 5 = 0) <> (doc_b % 5 = 0))), " +
+    "fp AS (SELECT doc_id, " +
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f " +
+    "FROM documents), " +
+    "exf AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0), " +
+    "st AS (SELECT d.doc_id, d.source, d.n_chars, " +
+    "CASE WHEN p.f IN (SELECT f FROM exf) THEN 'exact_dup' " +
+    "WHEN d.doc_id IN (SELECT doc_id FROM cj) THEN 'near_dup' " +
+    "ELSE 'kept' END AS status " +
+    "FROM documents d JOIN fp p ON d.doc_id = p.doc_id " +
+    "WHERE d.doc_id % 5 = 0) " +
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_incoming, " +
+    "CAST(sum(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) " +
+    "AS BIGINT) AS exact_dups, " +
+    "CAST(sum(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) " +
+    "AS BIGINT) AS near_dups, " +
+    "CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) " +
+    "AS BIGINT) AS n_kept, " +
+    "CAST(sum(CASE WHEN status = 'kept' THEN n_chars ELSE 0 END) " +
+    "AS BIGINT) AS kept_chars " +
+    "FROM st GROUP BY source ORDER BY source"
+
+  // s12 oracle: the s10 sign-bit packing + s11 cosine replay, one
+  // two-stage curve point per coarse budget K, all from shared CTEs
+  private val recallCurveSql = {
+    val packed =
+      "WITH c AS (SELECT vec_id, " +
+        "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
+        "i -> CASE WHEN embedding[i + 1] > 0 " +
+        "THEN CAST(2 ** i AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS w1, " +
+        "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
+        "i -> CASE WHEN embedding[i + 33] > 0 " +
+        "THEN CAST(2 ** i AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS w2 " +
+        "FROM embeddings), " +
+        "qc AS (SELECT w1 AS qw1, w2 AS qw2 FROM c WHERE vec_id = 0), " +
+        "h AS (SELECT vec_id, CAST(bit_count(xor(w1, qw1)) + " +
+        "bit_count(xor(w2, qw2)) AS BIGINT) AS hamming " +
+        "FROM c, qc WHERE vec_id <> 0), " +
+        "q AS (SELECT generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+        "WHERE vec_id <> 0), " +
+        "cosv AS (SELECT v.vec_id, sum(v.x * q.x) / " +
+        "(sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))) AS cos " +
+        "FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id), " +
+        "exact AS (SELECT vec_id FROM cosv ORDER BY cos DESC, vec_id " +
+        "LIMIT 10)"
+    val points = Seq(10, 25, 50, 100).map { k =>
+      s"SELECT CAST($k AS INT) AS coarse_k, " +
+        "CAST(count(*) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall FROM " +
+        s"(SELECT c2.vec_id FROM (SELECT vec_id FROM h " +
+        s"ORDER BY hamming, vec_id LIMIT $k) cand " +
+        "JOIN cosv c2 ON cand.vec_id = c2.vec_id " +
+        "ORDER BY c2.cos DESC, c2.vec_id LIMIT 10) r " +
+        "WHERE r.vec_id IN (SELECT vec_id FROM exact)"
+    }.mkString(" UNION ALL ")
+    s"$packed SELECT * FROM ($points) ORDER BY coarse_k"
+  }
 
   // d05 oracle: rebuilds the SAME planted-near-dup corpus (originals +
   // dim-0 ×1.05 copies at vec_id+1e6 — double-mul then float-cast, the
@@ -864,6 +1066,9 @@ object DedupQueries {
         "GROUP BY doc, bench HAVING count(*) >= 3 ORDER BY doc, bench"),
     "d09_components" -> componentsSql,
     "d16_dedup_pipeline" -> dedupPipelineSql,
+    "p13_leakage_split" -> leakageSplitSql,
+    "d17_incremental_ingest" -> incrementalIngestSql,
+    "s12_recall_curve" -> recallCurveSql,
     // identical sign-bit packing (2^i masks, strict > 0) and integer
     // Hamming; list_sum is HUGEINT -> cast before the xor
     "s10_binary_hamming" ->

@@ -47,6 +47,25 @@ class DataSplitSpec extends SparkSpec {
     assert(out(20L) === own)
   }
 
+  test("assignByComponent keepKeyAs: group key = representative, " +
+      "and the split is the KEY's bucket") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val out = DataSplit.assignByComponent(df, "doc_id", pairs, "a", "b",
+        keepKeyAs = "gkey")
+      .select("doc_id", "gkey", "split")
+      .as[(Long, Long, String)].collect()
+      .map { case (id, k, s) => id -> ((k, s)) }.toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(3L)._1 === 1L)
+    assert(out(10L)._1 === 10L && out(11L)._1 === 10L)
+    assert(out(20L)._1 === 20L)
+    // every member's split equals its group key's own md5 bucket
+    val keyed = out.values.map(_._1).toSeq.distinct
+    val expect = DataSplit.assign(keyed.toDF("doc_id"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.values.foreach { case (k, s) => assert(s === expect(k)) }
+  }
+
   test("stratifiedSample: deterministic, per-stratum rates, split-independent") {
     val pcts = Map("en" -> 30, "de" -> 50)
     val once = DataSplit.stratifiedSample(docs, "doc_id", "lang", pcts)

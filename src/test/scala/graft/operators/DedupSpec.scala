@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -281,5 +281,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) === "a b f g")
     assert(out(2L) === "x y z")
+  }
+
+  test("bipartite LSH join == cross-boundary subset of the full-corpus " +
+      "pair set, and never pairs within a side") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val existing = docs.filter($"doc_id" % 5 =!= 0)
+    val incoming = docs.filter($"doc_id" % 5 === 0)
+    val across = Dedup.minHashLshPairsAcross(existing, incoming,
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32,
+        threshold = 0.5)
+      .select($"doc_ex", $"doc_in").as[(Long, Long)].collect().toSet
+    // every pair crosses the boundary by construction
+    across.foreach { case (ex, in) =>
+      assert(ex % 5 !== 0); assert(in % 5 === 0)
+    }
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val crossFromFull = full.collect {
+      case (a, b) if a % 5 != 0 && b % 5 == 0 => (a, b)
+      case (a, b) if b % 5 != 0 && a % 5 == 0 => (b, a)
+    }
+    assert(across === crossFromFull)
   }
 }

@@ -87,6 +87,10 @@ class PlanLintSpec extends SparkSpec {
         // ANN-probe candidates, same rank contract
         "s08_hard_negatives",
         "f10_target_encode", // 1-row global-rate broadcast rider
+        // 1-row leak-audit rider crossJoined onto the census (p13) and
+        // the q20-class 1-row query-vector/query-code riders (s12):
+        // O(n·1), scale-safe
+        "p13_leakage_split", "s12_recall_curve",
         // percentile thresholds joined on cum>=thr: both sides bounded
         // by the sketch width (7 pcts x <=256 bins), never by n
         "q43_histo_quantile"),
