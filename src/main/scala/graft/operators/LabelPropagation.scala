@@ -34,7 +34,12 @@ object LabelPropagation {
     * dst rows it appears in as src's partner. */
   def propagate(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // pin the src hash layout BEFORE the checkpoint: LogicalRDD keeps
+    // the physical partitioning visible to Catalyst, so every round's
+    // join reuses the edge layout and only the node-sized label frame
+    // moves (unpinned, both sides re-shuffled every round)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 0 until rounds) {
