@@ -180,6 +180,13 @@ object TextFunctions {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Per-document Shannon character entropy + code-point counts in one
+    * scan-side pass — struct(n_chars, n_distinct, entropy). See
+    * [[graft.plans.CharEntropyStats]] for the exactness contract with
+    * the relational DuckDB oracle (t24). */
+  def charEntropyStats(text: Column): Column =
+    bridge.column(graft.plans.CharEntropyStats(bridge.expression(text)))
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum hash over the document's distinct n-gram shingles.
     * Native expression; [[minHashSignatureHof]] is the pure-built-ins

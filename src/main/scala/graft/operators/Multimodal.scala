@@ -410,6 +410,97 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
   }
 
+  case class ImageHash(doc_id: Long, width: Int, height: Int, phash: Long)
+
+  /** 32-bit average-hash (aHash) of a decoded image: grayscale
+    * `(r+g+b)/3` average-pooled onto an 8×4 grid (pixel→block via
+    * `bx = x*8/w`, `by = y*4/h` — every block non-empty for w≥8, h≥4),
+    * each block's integer mean thresholded against the grid total with
+    * the integer cross-multiply `avg*32 > total` (no float mean), bit
+    * `by*8+bx` set when above. ALL-INTEGER end to end, so the DuckDB
+    * oracle replays it exactly from the closed-form pixels.
+    *
+    * This is the image-side near-dup signature (the d03/d04 discipline
+    * for pixels): re-encodes, minor crops, and brightness-preserving
+    * noise keep most bits, so banded Hamming join finds near-dups
+    * without an all-pairs pass. */
+  def imageAHash(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image payload ($id)")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sum = new Array[Long](32)
+          val cnt = new Array[Long](32)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) +
+                (rgb & 0xFF)) / 3
+              val idx = (y * 4 / h) * 8 + (x * 8 / w)
+              sum(idx) += gray
+              cnt(idx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val avg = new Array[Long](32)
+          var total = 0L
+          var i = 0
+          while (i < 32) { avg(i) = sum(i) / cnt(i); total += avg(i); i += 1 }
+          var hash = 0L
+          i = 0
+          while (i < 32) {
+            if (avg(i) * 32L > total) hash |= 1L << i
+            i += 1
+          }
+          ImageHash(id, w, h, hash)
+        }
+      }
+  }
+
+  /** Banded Hamming nearest neighbor over 32-bit perceptual hashes: the
+    * hash splits into four 8-bit bands; only hash pairs agreeing on at
+    * least one band become candidates (an equi-join on (band, value) —
+    * never all-pairs), then exact `bit_count(xor)` ranks them. Returns
+    * one row per input hash with its nearest band-mate (min Hamming,
+    * ties to the smallest id) or (-1, -1) when no candidate shares a
+    * band. At billions of images the same plan holds: the band join is
+    * the only shuffle and carries (id, 8-bit value) pairs, not pixels. */
+  def nearestByHamming(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), 8 * b).bitwiseAND(255L)
+              .as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("phash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("cand_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+    val nn = cand.groupBy("doc_id")
+      .agg(min_by(struct(col("cand_id"), col("hamming")),
+        struct(col("hamming"), col("cand_id"))).as("nn"))
+      .select(col("doc_id"), col("nn.cand_id").as("nn_id"),
+        col("nn.hamming").as("nn_hamming"))
+    hashes.join(nn, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("width"), col("height"), col("phash"),
+        coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
+        coalesce(col("nn_hamming"), lit(-1L)).as("nn_hamming"))
+  }
+
   /** Frame sampling plan for video rows: every `stride`-th fake frame. */
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
     val spark = features.sparkSession

@@ -72,7 +72,21 @@ object MultimodalQueries {
       Multimodal.videoPayloads(Tables(s, dir, "documents")))
       .orderBy("doc_id", "frame_idx").toDF()
 
+  // image NEAR-DUP: 32-bit average-hash over the decoded pixels (8×4
+  // integer average-pool + mean threshold), then a banded Hamming
+  // nearest-neighbor join (4×8-bit bands — an equi-join, never
+  // all-pairs). The oracle replays hash, bands, and argmin from the
+  // closed-form pixels, so the whole decode→pool→threshold→band→xor
+  // pipeline is hash-pinned. This is the d03/d04 dedup discipline
+  // applied to images — the missing modality in the dedup family.
+  private def mm08(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearestByHamming(
+      Multimodal.imageAHash(
+        Multimodal.imagePayloads(Tables(s, dir, "documents"))).toDF())
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm08_image_neardup" -> (mm08 _),
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -83,6 +97,44 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // full replay of the aHash pipeline from the closed-form pixels:
+    // gray = (r+g+b)//3, pixel→block via (x*8//w, y*4//h), integer
+    // block means, avg*32 > total threshold, bit by*8+bx; bands are
+    // the four bytes; nearest = min (hamming, cand_id) among band-mates
+    "mm08_image_neardup" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0 " +
+        "ORDER BY doc_id LIMIT 40), " +
+        "dim AS (SELECT doc_id, doc_id % 24 + 8 AS w, " +
+        "doc_id % 16 + 6 AS h FROM d), " +
+        "xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dim), " +
+        "px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs), " +
+        "g AS (SELECT doc_id, w, h, " +
+        "(((x*7 + y*13 + doc_id) % 256) + ((x*3 + y*5 + doc_id*2) % 256) " +
+        "+ ((x*11 + y*17 + doc_id*3) % 256)) // 3 AS gray, " +
+        "(y*4 // h)*8 + (x*8 // w) AS idx FROM px), " +
+        "blk AS (SELECT doc_id, idx, sum(gray) // count(*) AS avg " +
+        "FROM g GROUP BY doc_id, idx), " +
+        "tot AS (SELECT doc_id, sum(avg) AS total FROM blk GROUP BY doc_id), " +
+        "hsh AS (SELECT blk.doc_id, CAST(sum(CASE WHEN avg*32 > total " +
+        "THEN CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) AS BIGINT) " +
+        "AS phash FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
+        "bands AS (SELECT doc_id, phash, unnest([0,1,2,3]) AS band FROM hsh), " +
+        "bv AS (SELECT doc_id, phash, band, " +
+        "(phash >> (8*band)) & 255 AS v FROM bands), " +
+        "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +
+        "AND a.doc_id <> b.doc_id), " +
+        "nn AS (SELECT doc_id, cand_id AS nn_id, hamming AS nn_hamming " +
+        "FROM (SELECT doc_id, cand_id, hamming, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY hamming, cand_id) AS rn FROM cand) " +
+        "WHERE rn = 1) " +
+        "SELECT dim.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) " +
+        "AS height, hsh.phash, " +
+        "CAST(coalesce(nn.nn_id, -1) AS BIGINT) AS nn_id, " +
+        "CAST(coalesce(nn.nn_hamming, -1) AS BIGINT) AS nn_hamming " +
+        "FROM dim JOIN hsh USING (doc_id) LEFT JOIN nn USING (doc_id) " +
+        "ORDER BY dim.doc_id"),
     "mm01_payload_meta" ->
       ("SELECT doc_id, octet_length(encode(text)) AS payload_bytes, " +
         "(['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind, " +

@@ -260,9 +260,23 @@ object TextQueries {
       tile = 3, dropDf = 3)
       .orderBy("doc_id")
 
+  // per-doc character entropy (random-bytes / mojibake quality signal):
+  // ONE codegen-projection pass per doc on the Spark side vs the oracle's
+  // relational unnest — the gate cross-checks the two shapes. Counts are
+  // integer anchors; the entropy double follows the t12 decimal-quantized
+  // exact-sum recipe.
+  private def t24(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), T.charEntropyStats(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_chars").as("n_chars"),
+        col("e.n_distinct").as("n_distinct"),
+        round(col("e.entropy"), 4).as("entropy"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_feature_hash" -> (t22 _),
     "t23_boilerplate" -> (t23 _),
+    "t24_char_entropy" -> (t24 _),
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -312,6 +326,27 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // relational replay of the one-pass CharEntropyStats expression:
+    // per-code-point counts (string_split('') = code points, matching
+    // the expression's codePointAt loop), p*ln(p) terms quantized to
+    // DECIMAL(28,14) (the t12 recipe) and summed exactly, so the total
+    // is iteration-order-independent on both sides
+    "t24_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c " +
+        "FROM documents), " +
+        "n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chars, " +
+        "CAST(count(DISTINCT c) AS BIGINT) AS n_distinct FROM ch " +
+        "GROUP BY doc_id), " +
+        "f AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c), " +
+        "t AS (SELECT f.doc_id, CAST((CAST(k AS DOUBLE) / n.n_chars) * " +
+        "ln(CAST(k AS DOUBLE) / n.n_chars) AS DECIMAL(28,14)) AS term " +
+        "FROM f JOIN n USING (doc_id)) " +
+        "SELECT d.doc_id, coalesce(n.n_chars, 0) AS n_chars, " +
+        "coalesce(n.n_distinct, 0) AS n_distinct, " +
+        "round(-CAST(coalesce(sum(t.term), 0) AS DOUBLE), 4) AS entropy " +
+        "FROM documents d LEFT JOIN n USING (doc_id) " +
+        "LEFT JOIN t ON t.doc_id = d.doc_id " +
+        "GROUP BY d.doc_id, n.n_chars, n.n_distinct ORDER BY d.doc_id"),
     // identical 3-token tiling (1-based inclusive list slice == Spark
     // slice), df over distinct docs, strip at df>=3, in-order reassembly
     "t23_boilerplate" ->

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ImageHashSpec extends SparkSpec {
+
+  test("aHash of a half-bright image sets exactly the bright half's bits") {
+    import spark.implicits._
+    // 16x8: left half black (gray 0), right half white (gray 255).
+    // Blocks bx<4 avg 0, bx>=4 avg 255 → bits set iff bx>=4.
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val Array(h) = Multimodal.imageAHash(media).collect()
+    val expected = (0 until 32).filter(i => i % 8 >= 4)
+      .map(1L << _).sum
+    assert(h.width === 16 && h.height === 8 && h.phash === expected)
+  }
+
+  test("nearestByHamming: band-mates ranked by bit_count, ties to smallest id; loners get -1") {
+    import spark.implicits._
+    // a/b share bands 0,2,3 and differ in 1 bit of band 1;
+    // c shares no band with anyone (all bytes distinct from a/b's).
+    val hashes = Seq(
+      (1L, 8, 4, 0x00010111L), // bands 11 01 01 00
+      (2L, 8, 4, 0x00010311L), //      11 03 01 00 -> shares bytes 0,2,3 with 1
+      (3L, 8, 4, 0x7F22FF44L)) //      44 FF 22 7F -> no shared band
+      .toDF("doc_id", "width", "height", "phash")
+    val out = Multimodal.nearestByHamming(hashes)
+      .orderBy("doc_id")
+      .select("doc_id", "nn_id", "nn_hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, -1L, -1L)))
+  }
+}
