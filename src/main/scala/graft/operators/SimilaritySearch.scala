@@ -123,4 +123,79 @@ object SimilaritySearch {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick `k` results balancing relevance to the query
+    * against redundancy with what's already picked —
+    * `argmax λ·rel(i) − (1−λ)·max_{s∈S} sim(i,s)` per step, here at
+    * λ=0.5 so the decision value is the integer `rel − max_sim` (×2).
+    *
+    * Exactness: similarity is the INTEGER dot product of 1e-4-quantized
+    * elements (the s06 recipe) — every argmax compares exact integers,
+    * so the greedy trajectory is deterministic and replayable cross-
+    * engine (a float-cosine MMR would flip selections on last-ulp
+    * drift; swap cosine in for production ranking, the greedy mechanics
+    * are identical).
+    *
+    * Scale shape: stage 1 is the distributed part — integer relevance
+    * scan + TakeOrderedAndProject to `topN` (at 100 TB this is the s01
+    * IVF probe instead). Stage 2 collects only the topN candidate rows
+    * (constant-bounded: topN×(dim+2) longs) and runs the O(k·topN)
+    * greedy on the driver — the classic re-rank split.
+    *
+    * Output: (step, vec_id, rel, max_sim, mmr2x) — one row per pick, in
+    * pick order. Ties break toward the smaller id. */
+  def mmrDiversify(emb: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], topN: Int, k: Int): DataFrame = {
+    require(topN >= k && k >= 1, "need topN >= k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Spark SQL round() is HALF_UP — quantize the driver-side query
+    // vector identically (math.round floors negative halves)
+    val qf: Seq[Long] = queryVec.map(x =>
+      new java.math.BigDecimal(x.toDouble * 10000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    val xf = transform(col(vecCol),
+      x => round(x.cast("double") * 10000).cast("long"))
+    val rel = emb
+      .select(col(idCol).cast("long").as("vec_id"), xf.as("xf"))
+      .withColumn("rel",
+        aggregate(zip_with(col("xf"), typedLit(qf), (x, q) => x * q),
+          lit(0L), (acc, t) => acc + t))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(topN)
+    // constant-bounded collect: topN rows of (id, rel, dim longs)
+    val cands = rel.select("vec_id", "rel", "xf").collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val used = scala.collection.mutable.Set.empty[Long]
+    var step = 0
+    while (step < k && used.size < cands.length) {
+      var best: (Long, Long, Long, Long) = null // (mmr2x, -, id, maxSim)
+      cands.foreach { case (id, r, v) =>
+        if (!used(id)) {
+          val maxSim =
+            if (selected.isEmpty) 0L else selected.map(dot(v, _)).max
+          val score = r - maxSim
+          if (best == null || score > best._1 ||
+              (score == best._1 && id < best._3))
+            best = (score, r, id, maxSim)
+        }
+      }
+      val (score, r, id, maxSim) = (best._1, best._2, best._3, best._4)
+      picked += ((step, id, r, maxSim, score))
+      used += id
+      selected += cands.find(_._1 == id).get._3
+      step += 1
+    }
+    picked.toSeq.toDF("step", "vec_id", "rel", "max_sim", "mmr2x")
+  }
 }

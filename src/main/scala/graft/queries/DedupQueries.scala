@@ -573,7 +573,66 @@ object DedupQueries {
     "s09_pca_project" -> (s09 _),
     "s10_binary_hamming" -> (s10 _),
     "s11_binary_rerank" -> (s11 _),
+    "s13_mmr_diversify" -> (s13 _),
   )
+
+  // MMR diversified retrieval (λ=0.5): distributed integer-relevance
+  // top-25 (TakeOrderedAndProject), then the O(k·topN) greedy re-rank
+  // on the constant-bounded candidate set. Integer dot similarity (the
+  // s06 quantization) makes every greedy argmax exact, so the oracle
+  // replays the full 8-step selection trajectory as unrolled CTEs — a
+  // selection-order regression hash-fails, not just a membership drift.
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val queryVec = emb(s, dir).filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    graft.operators.SimilaritySearch.mmrDiversify(
+      emb(s, dir).filter(col("vec_id") =!= 1), "vec_id", "embedding",
+      queryVec, topN = 25, k = 8)
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of the s13 greedy trajectory: quantized relevance +
+    * pairwise dots over the top-`topN`, then `k` unrolled argmax steps
+    * (each `SELECT ... ORDER BY mmr2x DESC, vec_id LIMIT 1`).
+    *
+    * Every CTE is MATERIALIZED: each step references the previous
+    * selection chain more than once, and DuckDB's default CTE inlining
+    * re-expands the whole upstream tree per reference — the 8-step
+    * unroll goes exponential (>10 min); materialized it runs in 0.08 s. */
+  private def mmrUnrollSql(k: Int, topN: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH v AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xf " +
+      "FROM embeddings WHERE vec_id <> 1), " +
+      "q AS MATERIALIZED (SELECT generate_subscripts(embedding, 1) AS i, " +
+      "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qf " +
+      "FROM embeddings WHERE vec_id = 1), " +
+      "rel AS MATERIALIZED (SELECT vec_id, CAST(sum(xf * qf) AS BIGINT) AS rel " +
+      "FROM v JOIN q USING (i) GROUP BY vec_id), " +
+      s"top AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $topN), " +
+      "tv AS MATERIALIZED (SELECT v.* FROM v JOIN top USING (vec_id)), " +
+      "pd AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, " +
+      "CAST(sum(a.xf * b.xf) AS BIGINT) AS dot " +
+      "FROM tv a JOIN tv b ON a.i = b.i GROUP BY a.vec_id, b.vec_id), " +
+      "s0 AS MATERIALIZED (SELECT 0 AS step, vec_id, rel, CAST(0 AS BIGINT) AS max_sim, " +
+      "rel AS mmr2x FROM top ORDER BY rel DESC, vec_id LIMIT 1), " +
+      "sel0 AS MATERIALIZED (SELECT vec_id FROM s0)"
+    for (t <- 1 until k) {
+      sb ++= s", c$t AS MATERIALIZED (SELECT top.vec_id, top.rel, max(pd.dot) AS max_sim " +
+        s"FROM top JOIN pd ON pd.ia = top.vec_id " +
+        s"AND pd.ib IN (SELECT vec_id FROM sel${t - 1}) " +
+        s"WHERE top.vec_id NOT IN (SELECT vec_id FROM sel${t - 1}) " +
+        "GROUP BY top.vec_id, top.rel)" +
+        s", s$t AS MATERIALIZED (SELECT $t AS step, vec_id, rel, max_sim, " +
+        s"rel - max_sim AS mmr2x FROM c$t ORDER BY mmr2x DESC, vec_id LIMIT 1)" +
+        s", sel$t AS MATERIALIZED (SELECT vec_id FROM sel${t - 1} " +
+        s"UNION ALL SELECT vec_id FROM s$t)"
+    }
+    sb ++= " SELECT CAST(step AS INT) AS step, vec_id, rel, max_sim, mmr2x FROM (" +
+      (0 until k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+    sb.toString
+  }
 
   // PCA projection onto the top-2 components: one-scan moment fit,
   // driver-side 64×64 eigensolve (bounded rider, the s03 centroid
@@ -1087,6 +1146,7 @@ object DedupQueries {
         "ORDER BY hamming, vec_id LIMIT 10"),
     // same packing + the q20 cosine replay restricted to the 100-row
     // Hamming candidate set
+    "s13_mmr_diversify" -> mmrUnrollSql(8, 25),
     "s11_binary_rerank" ->
       ("WITH c AS (SELECT vec_id, " +
         "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
