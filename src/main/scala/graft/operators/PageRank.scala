@@ -64,12 +64,14 @@ object PageRank {
         .agg(expr(s"${3 * One / 20} + (17 * sum(contrib)) div 20")
           .as("rank"))
         .select(col("node_").as("node"), col("rank"))
-      // Materialize the node-sized rank frame each round. The lazy
-      // alternative (one 2·iters-exchange DAG planned at the end) was
-      // measured ~3x slower: AQE replans the whole tree per stage and
-      // re-shuffles the rank side repeatedly. The checkpoint writes a
-      // node-sized frame — cheap relative to the edge join it saves.
-      rank = rank.localCheckpoint()
+      // Materialize the node-sized rank frame every SECOND round. The
+      // cadence is measured (sf0.1, min-of-4 warm runs): every round
+      // 4.3 s, every 2nd 3.2 s, every 3rd 9.2 s — one lazy round costs
+      // less than its checkpoint job, two lazy rounds tip AQE into
+      // replanning/re-shuffling the doubled tree (the fully-lazy DAG
+      // was 3x slower still). The checkpoint writes a node-sized
+      // frame — cheap relative to the edge joins it caps.
+      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
     }
     eDeg.unpersist() // final rank is checkpointed — lineage-free
     rank
