@@ -63,7 +63,12 @@ object Bench {
     // carry 2–3x one-off noise (GC pause, codegen compile landing on one
     // query) that made the r3 artifact untrustworthy; min over warm runs
     // is the steady-state cost a comparison against the baseline needs.
-    val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(2)
+    // 3 warm iterations by default: at 2, one GC pause / codegen stall
+    // in either run still leaks into min() for ~a dozen gates per sweep
+    // (r5/r6 A-B sweeps showed 1.5-2x single-gate swings with identical
+    // code); the third run costs ~2 min and pins the steady-state floor
+    // the baseline comparison is defined over.
+    val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3)
     val names = selected.toSeq.sortBy(_._1)
     val runs: Seq[Seq[(String, Double, Boolean)]] = (1 to iters).map { _ =>
       names.map { case (name, fn) =>
