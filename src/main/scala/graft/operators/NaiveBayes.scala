@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive Bayes text classifier — the classic
@@ -34,7 +33,12 @@ object NaiveBayes {
     * `wordCounts` (word, label, k) — vocab×C rows at most; plus the two
     * corpus scalars the score formula needs. */
   final case class Model(classStats: DataFrame, wordCounts: DataFrame,
-      vocabSize: Long, totalDocs: Long)
+      corpusStats: DataFrame) {
+    // scalar views for callers that want them; the SCORE path joins
+    // `corpusStats` lazily instead, so training triggers no jobs
+    lazy val vocabSize: Long = corpusStats.head().getLong(0)
+    lazy val totalDocs: Long = corpusStats.head().getLong(1)
+  }
 
   private def toks(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol).as("doc"),
@@ -55,9 +59,12 @@ object NaiveBayes {
     val cs = t.groupBy("label").agg(count(lit(1)).as("tokens_c"))
       .join(docs.groupBy(col(labelCol).as("label"))
         .agg(count(lit(1)).as("docs_c")), "label")
-    val v = wc.select("word").distinct().count()
-    val d = docs.count()
-    Model(cs, wc.select("word", "label", "k"), v, d)
+    // 1-row (v, dn) frame instead of two eager count() actions — the
+    // score path broadcasts it, so the whole train+predict chain stays
+    // one lazy plan (two fewer jobs per confusion run)
+    val stats = wc.agg(countDistinct(col("word")).as("v"))
+      .crossJoin(docs.agg(count(lit(1)).as("dn")))
+    Model(cs, wc.select("word", "label", "k"), stats)
   }
 
   /** Score + argmax: (doc, pred, score). Ties break toward the
@@ -75,17 +82,20 @@ object NaiveBayes {
       .agg(sum(col("cnt") * log(col("k") + 1)).as("hit"))
     val scored = nd
       .crossJoin(broadcast(model.classStats))
+      .crossJoin(broadcast(model.corpusStats))
       .join(hits, Seq("doc", "label"), "left")
       .withColumn("score",
-        log(col("docs_c") / model.totalDocs.toDouble)
-          - col("n_d") * log(col("tokens_c") + model.vocabSize.toDouble)
+        log(col("docs_c") / col("dn").cast("double"))
+          - col("n_d") * log(col("tokens_c") + col("v").cast("double"))
           + coalesce(col("hit"), lit(0.0d)))
-    scored
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("doc")
-          .orderBy(col("score").desc, col("label").asc)))
-      .filter(col("_rn") === 1)
-      .select(col("doc"), col("label").as("pred"), col("score"))
+    // per-doc argmax as a hash agg (the LabelPropagation discipline):
+    // min_by over (-score, label) = score desc, label asc — one partial+
+    // final aggregate instead of a per-doc window sort
+    scored.groupBy("doc")
+      .agg(min_by(struct(col("label").as("pred"), col("score")),
+        struct(-col("score"), col("label"))).as("best"))
+      .select(col("doc"), col("best.pred").as("pred"),
+        col("best.score").as("score"))
   }
 
   /** Train-and-score confusion matrix — the gate shape: how the learned
