@@ -124,6 +124,45 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** Approximate kNN GRAPH: the k nearest neighbors of EVERY vector at
+    * once — the batch primitive SemDeDup-style semantic dedup, cluster
+    * seeding, and hard-negative mining all start from (vs [[annTopK]]'s
+    * one query). Candidates are restricted to LSH bucket-mates
+    * (`planes` sign bits × `tables` seeded tables — an equi-join on
+    * (table, bucket), NEVER all-pairs), then exact native-expression
+    * cosine ranks them; top-k per vector is a WindowGroupLimit, no
+    * global sort. Fewer planes → bigger buckets → higher recall and
+    * cost; vectors sharing no bucket contribute no edge.
+    *
+    * Ranking ties: cosine is ROUNDED to 4 digits before ranking and
+    * ties break on neighbor id, so the edge list is deterministic and
+    * engine-independent (raw-double ordering would flip on last-ulp
+    * sum-order differences).
+    *
+    * At 100 TB: persist the signature frame partitioned by (table,
+    * bucket) — the join becomes partition-local, and the per-bucket
+    * row counts bound the quadratic term exactly like d03's banding. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, planes: Int = 6, tables: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val sigs = VectorOps.hyperplaneSignatures(emb, idCol, vecCol, dim,
+      planes, tables, seed).localCheckpoint() // both sides of the join
+    val cand = sigs.toDF("id", "table", "bucket")
+      .join(sigs.toDF("nb", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("id") =!= col("nb"))
+      .select("id", "nb").distinct()
+    val a = emb.select(col(idCol).as("id"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("nb"), col(vecCol).as("v_b"))
+    val scored = cand.join(a, Seq("id")).join(b, Seq("nb"))
+      .select(col("id"), col("nb"),
+        round(VectorOps.cosine(col("v_a"), col("v_b")), 4).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("nb"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nb"), col("cosine"))
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
     * 1998): greedily pick `k` results balancing relevance to the query
     * against redundancy with what's already picked —

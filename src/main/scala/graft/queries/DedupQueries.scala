@@ -574,7 +574,21 @@ object DedupQueries {
     "s10_binary_hamming" -> (s10 _),
     "s11_binary_rerank" -> (s11 _),
     "s13_mmr_diversify" -> (s13 _),
+    "s14_knn_graph" -> (s14 _),
   )
+
+  // batch kNN GRAPH over the whole embedding table (the SemDeDup /
+  // cluster-seeding primitive): LSH bucket-mates only (equi-join on
+  // (table, bucket)), exact native-expression cosine, top-5 per vector
+  // via WindowGroupLimit on the ROUNDED cosine (deterministic ties).
+  // Two-stage oracle: the Spark bucket assignment goes to aux (planes
+  // are Spark-seeded; the assignment itself is spec-pinned against the
+  // HOF reference), and DuckDB replays candidates + cosine + ranking
+  // from that fixture — the join/rank plumbing is what cross-checks.
+  private def s14(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilaritySearch.knnGraph(emb(s, dir), "vec_id",
+      "embedding", dim = 64, k = 5, planes = 6, tables = 2)
+      .orderBy("id", "rank")
 
   // MMR diversified retrieval (λ=0.5): distributed integer-relevance
   // top-25 (TakeOrderedAndProject), then the O(k·topN) greedy re-rank
@@ -920,6 +934,11 @@ object DedupQueries {
     * builder; Verify writes each to {outDir}/aux/{name} before dumping
     * oracle_sql.json with {OUT} expanded. */
   val auxOutputs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_buckets" -> ((s, dir) =>
+      graft.operators.VectorOps.hyperplaneSignatures(emb(s, dir),
+        "vec_id", "embedding", dim = 64, planes = 6, tables = 2,
+        seed = 42L)
+        .select(col("id"), col("table").as("tbl"), col("bucket"))),
     "d04_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         T.simHash64(col("text")).as("sig"))),
@@ -1147,6 +1166,29 @@ object DedupQueries {
     // same packing + the q20 cosine replay restricted to the 100-row
     // Hamming candidate set
     "s13_mmr_diversify" -> mmrUnrollSql(8, 25),
+    // candidates + exact cosine + rounded-rank replay from the bucket
+    // fixture (see s14 comment); rank ties break on neighbor id in
+    // both engines
+    "s14_knn_graph" ->
+      ("WITH sig AS (SELECT id, tbl, bucket FROM " +
+        "read_parquet('{OUT}/aux/s14_buckets/*.parquet')), " +
+        "cand AS (SELECT DISTINCT a.id AS id, b.id AS nb FROM sig a " +
+        "JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket " +
+        "AND a.id <> b.id), " +
+        "v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "n AS (SELECT vec_id, sqrt(sum(x*x)) AS nm FROM v GROUP BY vec_id), " +
+        "d AS (SELECT c.id, c.nb, sum(va.x * vb.x) AS dot FROM cand c " +
+        "JOIN v va ON va.vec_id = c.id " +
+        "JOIN v vb ON vb.vec_id = c.nb AND vb.i = va.i " +
+        "GROUP BY c.id, c.nb), " +
+        "s AS (SELECT d.id, d.nb, round(dot / (na.nm * nb2.nm), 4) " +
+        "AS cosine FROM d JOIN n na ON na.vec_id = d.id " +
+        "JOIN n nb2 ON nb2.vec_id = d.nb), " +
+        "r AS (SELECT id, nb, cosine, row_number() OVER " +
+        "(PARTITION BY id ORDER BY cosine DESC, nb) AS rank FROM s) " +
+        "SELECT id, CAST(rank AS INT) AS rank, nb, cosine FROM r " +
+        "WHERE rank <= 5 ORDER BY id, rank"),
     "s11_binary_rerank" ->
       ("WITH c AS (SELECT vec_id, " +
         "CAST(COALESCE(list_sum(list_transform(range(0, 32), " +
