@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g on the 128 GiB test box: headroom for 32 executor threads of
+  // shuffle/cache state. (r6 A/B full sweeps at 8g vs 32g landed
+  // inside the ±40% ambient variance band — the bump is sizing
+  // hygiene, not a measured win; isolated-vs-in-sweep gaps on
+  // iterative gates tracked ambient load, not heap.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

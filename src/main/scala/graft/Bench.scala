@@ -13,6 +13,17 @@ object Bench {
       // the gates verify.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the app-status store tracks every job/stage/task/SQL execution
+      // even with the UI off; a 160+-gate sweep accumulates tens of
+      // thousands of entries. Keep only a token history — a benchmark
+      // serves no UI. (Bounded-state hygiene; in r6 A/B sweeps the
+      // ambient sandbox variance (~±40% per gate) dominated any
+      // measurable effect of this cap.)
+      .config("spark.ui.retainedJobs", "30")
+      .config("spark.ui.retainedStages", "30")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.worker.ui.retainedExecutors", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay one-time JIT/codegen/session bootstrap AND the

@@ -249,4 +249,58 @@ object EventAnalytics {
       .agg(sum(col("_len")).as("covered_us"),
         count(lit(1)).as("n_islands"))
   }
+
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958) with
+    * right-censoring — the survival-curve step past [[f09-style]]
+    * time-to-event histograms: subjects enroll at their first
+    * `startType` event, "die" at their first at-or-later `eventType`
+    * event, and are censored at `horizonHours` if no event lands inside
+    * the horizon. One row per distinct duration hour:
+    * (t, n_risk, d, c, survival).
+    *
+    * Exactness: durations are exact integer microsecond diffs floored
+    * to hours; risk sets and event counts are integers; the survival
+    * product Π(1 − d/n) is computed as exp of a running sum of
+    * DECIMAL(28,14)-quantized `ln(1 − d/n)` terms (the t12 recipe), so
+    * the cumulative sum is order-exact and the DuckDB oracle replays it
+    * bit-for-bit before the final round. A terminal riskset with d = n
+    * (nobody left censored) would hit ln(0): those rows render survival
+    * 0.0 and contribute no term, mirrored in the oracle.
+    *
+    * Scale shape: two filtered min-aggregates by subject (one shuffle
+    * each), a subject-sized left join, then all curve arithmetic runs
+    * on the DISTINCT-DURATION frame — at most `horizonHours`+1 rows, so
+    * the unpartitioned cumulative windows are bounded by the horizon
+    * constant, not the corpus. */
+  def kaplanMeier(events: DataFrame, user: String, ts: String,
+      typeCol: String, startType: String, eventType: String,
+      horizonHours: Long): DataFrame = {
+    val us = unix_micros(col(ts).cast("timestamp"))
+    val e = events.select(col(user).as("_u"), col(typeCol).as("_ty"),
+      us.as("_us"))
+    val su = e.filter(col("_ty") === startType)
+      .groupBy("_u").agg(min(col("_us")).as("_s0"))
+    val pu = e.filter(col("_ty") === eventType)
+      .join(su, "_u").filter(col("_us") >= col("_s0"))
+      .groupBy("_u").agg(min(col("_us")).as("_p0"))
+    val durHours = expr("(_p0 - _s0) div 3600000000")
+    val inside = col("_p0").isNotNull && durHours < horizonHours
+    val obs = su.join(pu, Seq("_u"), "left")
+      .select(
+        when(inside, lit(1L)).otherwise(lit(0L)).as("ev"),
+        when(inside, durHours).otherwise(lit(horizonHours)).as("t"))
+    val agg = obs.groupBy("t")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val backward = Window.orderBy(col("t").desc)
+    val forward = Window.orderBy(col("t"))
+    val withN = agg.withColumn("n_risk", sum(col("d") + col("c")).over(backward))
+    val term = when(col("d") > 0 && col("d") < col("n_risk"),
+      log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+      .otherwise(lit(0.0)).cast("decimal(28,14)")
+    withN.withColumn("_cum", sum(term).over(forward))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        round(when(col("d") < col("n_risk"),
+          exp(col("_cum").cast("double"))).otherwise(lit(0.0)), 4)
+          .as("survival"))
+  }
 }

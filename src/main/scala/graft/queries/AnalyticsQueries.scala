@@ -140,6 +140,16 @@ object AnalyticsQueries {
       .orderBy("days")
   }
 
+  // Kaplan-Meier survival curve (the estimator f09's histogram feeds):
+  // signup → first purchase, right-censored at 72 h. Integer risk sets
+  // and event counts anchor every row; the survival product replays as
+  // exp of an order-exact decimal sum of ln(1 − d/n) terms.
+  private def f13(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.kaplanMeier(events(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase",
+      horizonHours = 72L)
+      .orderBy("t")
+
   // 4-core of the co-purchase graph after 3 peel rounds (fixed-round
   // contract so the oracle unrolls the identical peel; spec proves the
   // cascade needs multiple rounds and that 3 converge on this graph)
@@ -209,6 +219,7 @@ object AnalyticsQueries {
     "g05_label_prop" -> (g05 _),
     "f01_funnel_steps" -> (f01 _),
     "f09_time_to_event" -> (f09 _),
+    "f13_kaplan_meier" -> (f13 _),
     "g04_kcore" -> (g04 _),
     "f02_cohort_retention" -> (f02 _),
     "f03_first_last" -> (f03 _),
@@ -359,6 +370,34 @@ object AnalyticsQueries {
         "lead(effective_from) OVER " +
         "(PARTITION BY custkey ORDER BY version) IS NULL AS is_current, " +
         "n_obs FROM iv ORDER BY custkey, version"),
+    // identical enrollment/censoring rules, hour durations from exact
+    // epoch-microsecond diffs, decimal-quantized ln terms (t12 recipe),
+    // and the d=n -> survival 0 guard on both sides
+    "f13_kaplan_meier" ->
+      ("WITH su AS (SELECT user_id, min(ts) AS s0 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "pu AS (SELECT e.user_id, min(e.ts) AS p0 FROM events e " +
+        "JOIN su USING (user_id) WHERE e.event_type = 'purchase' " +
+        "AND e.ts >= su.s0 GROUP BY e.user_id), " +
+        "obs AS (SELECT su.user_id, " +
+        "CASE WHEN pu.p0 IS NOT NULL AND (epoch_us(pu.p0) - " +
+        "epoch_us(su.s0)) // 3600000000 < 72 THEN 1 ELSE 0 END AS ev, " +
+        "CASE WHEN pu.p0 IS NOT NULL AND (epoch_us(pu.p0) - " +
+        "epoch_us(su.s0)) // 3600000000 < 72 THEN (epoch_us(pu.p0) - " +
+        "epoch_us(su.s0)) // 3600000000 ELSE 72 END AS t " +
+        "FROM su LEFT JOIN pu USING (user_id)), " +
+        "agg AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d, " +
+        "CAST(sum(1 - ev) AS BIGINT) AS c FROM obs GROUP BY t), " +
+        "r AS (SELECT t, d, c, sum(d + c) OVER (ORDER BY t DESC) AS n " +
+        "FROM agg), " +
+        "s AS (SELECT t, d, c, CAST(n AS BIGINT) AS n_risk, " +
+        "sum(CASE WHEN d > 0 AND d < n THEN " +
+        "CAST(ln(1 - CAST(d AS DOUBLE) / n) AS DECIMAL(28,14)) " +
+        "ELSE CAST(0 AS DECIMAL(28,14)) END) OVER (ORDER BY t) AS cum, " +
+        "d < n AS alive FROM r) " +
+        "SELECT t, n_risk, d, c, round(CASE WHEN alive THEN " +
+        "exp(CAST(cum AS DOUBLE)) ELSE 0.0 END, 4) AS survival " +
+        "FROM s ORDER BY t"),
     // same strict-inequality window and -1 never-converted bucket
     "f09_time_to_event" ->
       ("WITH e AS (SELECT user_id, event_type, " +
