@@ -493,12 +493,62 @@ object Multimodal {
     val nn = cand.groupBy("doc_id")
       .agg(min_by(struct(col("cand_id"), col("hamming")),
         struct(col("hamming"), col("cand_id"))).as("nn"))
-      .select(col("doc_id"), col("nn.cand_id").as("nn_id"),
-        col("nn.hamming").as("nn_hamming"))
+      .select(col("doc_id"), col("nn.cand_id").as("_nn_id"),
+        col("nn.hamming").as("_nn_hamming"))
+    // carry every input column through (image dims, sample counts, …) —
+    // the operator is modality-agnostic: anything with a 32-bit phash
     hashes.join(nn, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("width"), col("height"), col("phash"),
-        coalesce(col("nn_id"), lit(-1L)).as("nn_id"),
-        coalesce(col("nn_hamming"), lit(-1L)).as("nn_hamming"))
+      .withColumn("nn_id", coalesce(col("_nn_id"), lit(-1L)))
+      .withColumn("nn_hamming", coalesce(col("_nn_hamming"), lit(-1L)))
+      .drop("_nn_id", "_nn_hamming")
+  }
+
+  case class AudioHash(doc_id: Long, n_samples: Int, phash: Long)
+
+  /** 32-bit audio fingerprint over decoded PCM — the [[imageAHash]]
+    * discipline for sound: per-sample |amplitude| average-pooled onto
+    * 32 equal time windows (sample→window via `i*32/n`, every window
+    * non-empty for n≥32), each window's integer mean energy thresholded
+    * against the window-mean total with `avg*32 > total`, bit i set
+    * when above. All-integer, so the oracle replays it from the
+    * closed-form samples. Re-encodes and level-preserving noise keep
+    * most bits; band the result with [[nearestByHamming]]. */
+  def audioAHash(media: DataFrame): Dataset[AudioHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          require(n >= 32, s"audio payload too short for 32 windows ($id)")
+          val sum = new Array[Long](32)
+          val cnt = new Array[Long](32)
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF))
+            val w = (i.toLong * 32 / n).toInt
+            sum(w) += math.abs(s)
+            cnt(w) += 1
+            i += 1
+          }
+          val avg = new Array[Long](32)
+          var total = 0L
+          var w = 0
+          while (w < 32) { avg(w) = sum(w) / cnt(w); total += avg(w); w += 1 }
+          var hash = 0L
+          w = 0
+          while (w < 32) {
+            if (avg(w) * 32L > total) hash |= 1L << w
+            w += 1
+          }
+          AudioHash(id, n, hash)
+        }
+      }
   }
 
   /** Frame sampling plan for video rows: every `stride`-th fake frame. */

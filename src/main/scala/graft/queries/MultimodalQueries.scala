@@ -85,8 +85,21 @@ object MultimodalQueries {
         Multimodal.imagePayloads(Tables(s, dir, "documents"))).toDF())
       .orderBy("doc_id")
 
+  // audio NEAR-DUP — the mm08 discipline for sound: 32-bit energy-
+  // envelope fingerprint over really-decoded PCM (32 time windows,
+  // integer mean-|amplitude| threshold), banded Hamming NN through the
+  // SAME modality-agnostic nearestByHamming operator. With mm08 and
+  // d01–d17 this closes near-dup detection across text, image, and
+  // audio payloads.
+  private def mm09(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearestByHamming(
+      Multimodal.audioAHash(
+        Multimodal.audioPayloads(Tables(s, dir, "documents"))).toDF())
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm08_image_neardup" -> (mm08 _),
+    "mm09_audio_neardup" -> (mm09 _),
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -97,6 +110,39 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the mm08 replay recipe over closed-form SAMPLES: |amplitude|
+    // windows via i*32//n, integer mean threshold avg*32 > total, four
+    // 8-bit bands, min-(hamming, id) nearest
+    "mm09_audio_neardup" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1 " +
+        "ORDER BY doc_id LIMIT 40), " +
+        "nn0 AS (SELECT doc_id, CAST(doc_id % 300 + 50 AS INT) AS ns " +
+        "FROM d), " +
+        "sm AS (SELECT doc_id, ns, unnest(range(0, ns)) AS i FROM nn0), " +
+        "v AS (SELECT doc_id, ns, abs((i*31 + doc_id*17) % 4096 - 2048) " +
+        "AS a, (i*32 // ns) AS w FROM sm), " +
+        "blk AS (SELECT doc_id, w, sum(a) // count(*) AS avg FROM v " +
+        "GROUP BY doc_id, w), " +
+        "tot AS (SELECT doc_id, sum(avg) AS total FROM blk GROUP BY doc_id), " +
+        "hsh AS (SELECT blk.doc_id, CAST(sum(CASE WHEN avg*32 > total " +
+        "THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) " +
+        "AS phash FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
+        "bv AS (SELECT doc_id, phash, band, (phash >> (8*band)) & 255 " +
+        "AS v FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band " +
+        "FROM hsh)), " +
+        "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +
+        "AND a.doc_id <> b.doc_id), " +
+        "nn AS (SELECT doc_id, cand_id AS nn_id, hamming AS nn_hamming " +
+        "FROM (SELECT doc_id, cand_id, hamming, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY hamming, cand_id) AS rn FROM cand) " +
+        "WHERE rn = 1) " +
+        "SELECT nn0.doc_id, nn0.ns AS n_samples, hsh.phash, " +
+        "CAST(coalesce(nn.nn_id, -1) AS BIGINT) AS nn_id, " +
+        "CAST(coalesce(nn.nn_hamming, -1) AS BIGINT) AS nn_hamming " +
+        "FROM nn0 JOIN hsh USING (doc_id) LEFT JOIN nn USING (doc_id) " +
+        "ORDER BY nn0.doc_id"),
     // full replay of the aHash pipeline from the closed-form pixels:
     // gray = (r+g+b)//3, pixel→block via (x*8//w, y*4//h), integer
     // block means, avg*32 > total threshold, bit by*8+bx; bands are

@@ -23,6 +23,28 @@ class ImageHashSpec extends SparkSpec {
     assert(h.width === 16 && h.height === 8 && h.phash === expected)
   }
 
+  test("audioAHash sets exactly the loud half's window bits") {
+    import spark.implicits._
+    // 64 samples: first half silent (0), second half amplitude 1000 →
+    // windows 0..15 mean 0, 16..31 mean 1000; bits set iff w >= 16
+    val n = 64
+    val data = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      data(2 * i) = (1000 & 0xFF).toByte
+      data(2 * i + 1) = ((1000 >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((7L, bos.toByteArray)).toDF("doc_id", "payload")
+    val Array(h) = Multimodal.audioAHash(media).collect()
+    val expected = (16 until 32).map(1L << _).sum
+    assert(h.n_samples === n && h.phash === expected)
+  }
+
   test("nearestByHamming: band-mates ranked by bit_count, ties to smallest id; loners get -1") {
     import spark.implicits._
     // a/b share bands 0,2,3 and differ in 1 bit of band 1;
