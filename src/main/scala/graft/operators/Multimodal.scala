@@ -474,11 +474,13 @@ object Multimodal {
     * ties to the smallest id) or (-1, -1) when no candidate shares a
     * band. At billions of images the same plan holds: the band join is
     * the only shuffle and carries (id, 8-bit value) pairs, not pixels. */
-  def nearestByHamming(hashes: DataFrame): DataFrame = {
+  def nearestByHamming(hashes: DataFrame, bandBits: Int = 8,
+      numBands: Int = 4): DataFrame = {
+    val mask = (1L << bandBits) - 1L
     val bands = hashes.select(col("doc_id"), col("phash"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until numBands).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("phash"), 8 * b).bitwiseAND(255L)
+            shiftright(col("phash"), bandBits * b).bitwiseAND(mask)
               .as("v"))): _*)).as("bv"))
       .select(col("doc_id"), col("phash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
@@ -547,6 +549,70 @@ object Multimodal {
             w += 1
           }
           AudioHash(id, n, hash)
+        }
+      }
+  }
+
+  case class VideoHash(doc_id: Long, n_frames: Int, phash: Long)
+
+  /** 16-bit video fingerprint: per decoded frame, a 4x4 average-hash of
+    * the grayscale (pixel->cell via `x*4/w`, `y*4/h` — non-empty for
+    * w,h >= 4; the GIF corpus's dims go down to 6x5, too small for the
+    * image path's 8x4 grid), then a strict MAJORITY VOTE across frames
+    * per bit (the SimHash discipline over time): bit i set iff more
+    * than half the frames set it. All-integer; band with
+    * [[nearestByHamming]](bandBits = 4) for 4-bit bands. */
+  def videoAHash(media: DataFrame): Dataset[VideoHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"undecodable video payload ($id)")
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val votes = new Array[Int](16)
+          for (f <- 0 until n) {
+            val img = reader.read(f)
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sum = new Array[Long](16)
+            val cnt = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = img.getRGB(x, y) & 0xFF
+                val idx = (y * 4 / h) * 4 + (x * 4 / w)
+                sum(idx) += g
+                cnt(idx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val avg = new Array[Long](16)
+            var total = 0L
+            var i = 0
+            while (i < 16) { avg(i) = sum(i) / cnt(i); total += avg(i); i += 1 }
+            i = 0
+            while (i < 16) {
+              if (avg(i) * 16L > total) votes(i) += 1
+              i += 1
+            }
+          }
+          reader.dispose()
+          iis.close()
+          var hash = 0L
+          var i = 0
+          while (i < 16) {
+            if (votes(i) * 2 > n) hash |= 1L << i
+            i += 1
+          }
+          VideoHash(id, n, hash)
         }
       }
   }

@@ -97,9 +97,21 @@ object MultimodalQueries {
         Multimodal.audioPayloads(Tables(s, dir, "documents"))).toDF())
       .orderBy("doc_id")
 
+  // video NEAR-DUP: per-frame 4x4 aHash of the really-decoded GIF
+  // frames, strict majority vote across frames per bit (SimHash over
+  // time), 4-bit-banded Hamming NN via the same generic operator.
+  // Completes near-dup across every payload modality the engine ships.
+  private def mm10(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearestByHamming(
+      Multimodal.videoAHash(
+        Multimodal.videoPayloads(Tables(s, dir, "documents"))).toDF(),
+      bandBits = 4, numBands = 4)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm08_image_neardup" -> (mm08 _),
     "mm09_audio_neardup" -> (mm09 _),
+    "mm10_video_neardup" -> (mm10 _),
     "mm01_payload_meta" -> (mm01 _),
     "mm02_decode_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -110,6 +122,49 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // per-frame 4x4 cell means from the closed-form frame pixels,
+    // avg*16 > total frame bits, strict cross-frame majority, 4-bit
+    // bands, min-(hamming, id) nearest
+    "mm10_video_neardup" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 " +
+        "ORDER BY doc_id LIMIT 30), " +
+        "dim AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n, " +
+        "doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h FROM d), " +
+        "fr AS (SELECT doc_id, n, w, h, unnest(range(0, n)) AS f FROM dim), " +
+        "xs AS (SELECT doc_id, n, w, h, f, unnest(range(0, w)) AS x FROM fr), " +
+        "px AS (SELECT doc_id, n, w, h, f, x, unnest(range(0, h)) AS y " +
+        "FROM xs), " +
+        "g AS (SELECT doc_id, n, f, " +
+        "(x*7 + y*13 + doc_id + f*29) % 256 AS g, " +
+        "(y*4 // h)*4 + (x*4 // w) AS idx FROM px), " +
+        "blk AS (SELECT doc_id, n, f, idx, sum(g) // count(*) AS avg " +
+        "FROM g GROUP BY doc_id, n, f, idx), " +
+        "tot AS (SELECT doc_id, f, sum(avg) AS total FROM blk " +
+        "GROUP BY doc_id, f), " +
+        "fb AS (SELECT blk.doc_id, blk.n, blk.f, idx, " +
+        "CASE WHEN avg*16 > total THEN 1 ELSE 0 END AS bit FROM blk " +
+        "JOIN tot ON tot.doc_id = blk.doc_id AND tot.f = blk.f), " +
+        "votes AS (SELECT doc_id, n, idx, sum(bit) AS v FROM fb " +
+        "GROUP BY doc_id, n, idx), " +
+        "hsh AS (SELECT doc_id, CAST(sum(CASE WHEN v*2 > n THEN " +
+        "CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) AS BIGINT) " +
+        "AS phash FROM votes GROUP BY doc_id), " +
+        "bv AS (SELECT doc_id, phash, band, (phash >> (4*band)) & 15 " +
+        "AS v FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band " +
+        "FROM hsh)), " +
+        "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +
+        "AND a.doc_id <> b.doc_id), " +
+        "nn AS (SELECT doc_id, cand_id AS nn_id, hamming AS nn_hamming " +
+        "FROM (SELECT doc_id, cand_id, hamming, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY hamming, cand_id) AS rn FROM cand) " +
+        "WHERE rn = 1) " +
+        "SELECT dim.doc_id, dim.n AS n_frames, hsh.phash, " +
+        "CAST(coalesce(nn.nn_id, -1) AS BIGINT) AS nn_id, " +
+        "CAST(coalesce(nn.nn_hamming, -1) AS BIGINT) AS nn_hamming " +
+        "FROM dim JOIN hsh USING (doc_id) LEFT JOIN nn USING (doc_id) " +
+        "ORDER BY dim.doc_id"),
     // the mm08 replay recipe over closed-form SAMPLES: |amplitude|
     // windows via i*32//n, integer mean threshold avg*32 > total, four
     // 8-bit bands, min-(hamming, id) nearest

@@ -45,6 +45,39 @@ class ImageHashSpec extends SparkSpec {
     assert(h.n_samples === n && h.phash === expected)
   }
 
+  test("videoAHash: strict per-bit majority across frames") {
+    import spark.implicits._
+    // 3 frames, 8x8: two frames bright on the right half, one bright on
+    // the left -> majority picks the right-half bits only.
+    // GIF gray palette encode via the same writer the corpus uses.
+    def frame(brightLeft: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val bright = if (brightLeft) x < 4 else x >= 4
+        val v = if (bright) 200 else 10
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(false, true, false).foreach { left =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(frame(left), null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val media = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val Array(h) = Multimodal.videoAHash(media).collect()
+    // cells: idx = row*4 + colcell; right half = colcell 2,3
+    val expected = (0 until 16).filter(i => i % 4 >= 2).map(1L << _).sum
+    assert(h.n_frames === 3 && h.phash === expected)
+  }
+
   test("nearestByHamming: band-mates ranked by bit_count, ties to smallest id; loners get -1") {
     import spark.implicits._
     // a/b share bands 0,2,3 and differ in 1 bit of band 1;
