@@ -35,20 +35,29 @@ object ScalingProbe {
     "a03_item_cooccur", "g03_bfs_layers", "d02_ngram_jaccard",
     "q23_corr_scalar", "g02_triangles", "g04_kcore", "t21_textrank",
     "d09_components", "d16_dedup_pipeline", "q38_exact_quantile",
-    "q29_salted_join")
+    "q29_salted_join", "d06_winnow_pairs", "p13_leakage_split",
+    "d03_minhash_lsh", "t16_bigram_surprisal", "t18_nb_confusion",
+    "s03_kmeans_assign", "s04_semantic_dedup", "s14_knn_graph")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
   private val gateTable: Map[String, String] = Map(
     "d02_ngram_jaccard" -> "documents", "d09_components" -> "documents",
-    "d16_dedup_pipeline" -> "documents", "t21_textrank" -> "documents")
+    "d16_dedup_pipeline" -> "documents", "t21_textrank" -> "documents",
+    "d06_winnow_pairs" -> "documents", "p13_leakage_split" -> "documents",
+    "d03_minhash_lsh" -> "documents", "t16_bigram_surprisal" -> "documents",
+    "t18_nb_confusion" -> "documents", "s03_kmeans_assign" -> "embeddings",
+    "s04_semantic_dedup" -> "embeddings", "s14_knn_graph" -> "embeddings")
 
   private val copies = 10
 
   /** Generate the 10x dir from sf0.1 if absent; returns its path. */
   def ensureScaled(spark: SparkSession, baseDir: String): String = {
     val out = "/tmp/graft_sf1x_v2"
-    if (Files.exists(Paths.get(s"$out/_DONE"))) return out
+    if (Files.exists(Paths.get(s"$out/_DONE"))) {
+      ensureScaledEmbeddings(spark, baseDir, out) // additive v3 step
+      return out
+    }
     val li = Tables(spark, baseDir, "lineitem")
     val ord = Tables(spark, baseDir, "orders")
     // ONE shared orderkey offset for lineitem AND orders — the q29-style
@@ -75,7 +84,29 @@ object ScalingProbe {
       .drop("_c")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     Files.createFile(Paths.get(s"$out/_DONE"))
+    ensureScaledEmbeddings(spark, baseDir, out)
     out
+  }
+
+  /** Additive v3 step: scaled embeddings. Each copy's vectors are
+    * CIRCULARLY ROTATED by the copy index — ids disjoint AND vectors
+    * decorrelated across copies (plain duplication would plant 10
+    * identical copies of every vector and the near-dup/cluster gates
+    * would measure quadratic duplicate blowup, not volume). */
+  private def ensureScaledEmbeddings(spark: SparkSession, baseDir: String,
+      out: String): Unit = {
+    if (Files.exists(Paths.get(s"$out/_DONE_EMB"))) return
+    val emb = Tables(spark, baseDir, "embeddings")
+    val maxV = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1L
+    emb.crossJoin(spark.range(copies).toDF("_c"))
+      .withColumn("vec_id", col("vec_id") + col("_c") * maxV)
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(63)),
+          j => element_at(col("embedding"),
+            (pmod(j + col("_c"), lit(64)) + 1).cast("int"))))
+      .drop("_c")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    Files.createFile(Paths.get(s"$out/_DONE_EMB"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,7 +123,8 @@ object ScalingProbe {
     val rowsOf: Map[String, Map[String, Long]] = dirs.map { case (label, d) =>
       label -> Map(
         "lineitem" -> Tables(spark, d, "lineitem").count(),
-        "documents" -> Tables(spark, d, "documents").count())
+        "documents" -> Tables(spark, d, "documents").count(),
+        "embeddings" -> Tables(spark, d, "embeddings").count())
     }.toMap
     def tableOf(gate: String): String =
       gateTable.getOrElse(gate, "lineitem")

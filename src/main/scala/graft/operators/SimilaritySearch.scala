@@ -142,11 +142,24 @@ object SimilaritySearch {
     * At 100 TB: persist the signature frame partitioned by (table,
     * bucket) — the join becomes partition-local, and the per-bucket
     * row counts bound the quadratic term exactly like d03's banding. */
+  /** Plane count that keeps expected bucket population ≈ `targetBucket`
+    * as the corpus grows: 2^planes buckets per table ≈ n/targetBucket.
+    * THE knn-graph scale lever — at fixed planes the within-bucket
+    * candidate term grows quadratically in n (measured α≈1.34 on the
+    * 10× probe); scaling planes with log2(n) pins bucket size, so cost
+    * returns to ≈linear. Floor 4 keeps tiny corpora recall-rich. */
+  def autoPlanes(n: Long, targetBucket: Int = 32): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt)
+
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, planes: Int = 6, tables: Int = 2,
+      k: Int, planes: Int = 0, tables: Int = 2,
       seed: Long = 42L): DataFrame = {
+    // planes <= 0 = auto: one count() sizes the index to the corpus
+    val p = if (planes > 0) planes else autoPlanes(emb.count())
     val sigs = VectorOps.hyperplaneSignatures(emb, idCol, vecCol, dim,
-      planes, tables, seed).localCheckpoint() // both sides of the join
+      p, tables, seed).localCheckpoint() // both sides of the join
     val cand = sigs.toDF("id", "table", "bucket")
       .join(sigs.toDF("nb", "table", "bucket"), Seq("table", "bucket"))
       .filter(col("id") =!= col("nb"))

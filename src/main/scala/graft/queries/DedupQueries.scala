@@ -587,7 +587,7 @@ object DedupQueries {
   // from that fixture — the join/rank plumbing is what cross-checks.
   private def s14(s: SparkSession, dir: String): DataFrame =
     graft.operators.SimilaritySearch.knnGraph(emb(s, dir), "vec_id",
-      "embedding", dim = 64, k = 5, planes = 6, tables = 2)
+      "embedding", dim = 64, k = 5, tables = 2) // planes auto-scaled
       .orderBy("id", "rank")
 
   // MMR diversified retrieval (λ=0.5): distributed integer-relevance
@@ -936,8 +936,11 @@ object DedupQueries {
   val auxOutputs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s14_buckets" -> ((s, dir) =>
       graft.operators.VectorOps.hyperplaneSignatures(emb(s, dir),
-        "vec_id", "embedding", dim = 64, planes = 6, tables = 2,
-        seed = 42L)
+        "vec_id", "embedding", dim = 64,
+        // the same corpus-sized plane count the gate's auto path picks
+        planes = graft.operators.SimilaritySearch
+          .autoPlanes(emb(s, dir).count()),
+        tables = 2, seed = 42L)
         .select(col("id"), col("table").as("tbl"), col("bucket"))),
     "d04_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
