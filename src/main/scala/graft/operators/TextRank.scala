@@ -120,6 +120,59 @@ object TextRank {
     out
   }
 
+  /** Interpolated Kneser-Ney bigram score per document (Kneser & Ney
+    * 1995; Chen & Goodman 1999 formulation), absolute discount
+    * D = 0.75:
+    *
+    *   P(b|a) = max(c(a,b) − D, 0)/c(a·)
+    *          + (D · N1+(a·)/c(a·)) · N1+(·b)/T
+    *
+    * where c(a·) = Σ_b c(a,b), N1+(a·) = #distinct successors of a,
+    * N1+(·b) = #distinct predecessors of b (the CONTINUATION count —
+    * the thing that makes KN rank "Francisco" low despite high raw
+    * frequency), T = #distinct bigram types. The step past t16's
+    * raw-MLE surprisal: unseen-context mass is redistributed by
+    * versatility, the production smoothing for n-gram quality scoring.
+    *
+    * Every model statistic is an integer count from a relational
+    * aggregate over ONE persisted bigram frame; the double score chain
+    * has a fixed shape mirrored textually in the DuckDB oracle, and
+    * per-doc sums are decimal-quantized (t12 recipe). Output:
+    * (doc, n_bigrams, kn_score) with kn_score = −mean ln P. */
+  def kneserNeyBigram(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"), terms(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks.select(col("doc"),
+      explode(expr("transform(sequence(0, size(tk) - 2), " +
+        "i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+      .persist()
+    // type-level counts feed four aggregates + the scoring join
+    val cnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cnt")).persist()
+    val ctx = cnt.groupBy("a")
+      .agg(sum(col("cnt")).as("ctot"), count(lit(1)).as("fan"))
+    val cont = cnt.groupBy("b").agg(count(lit(1)).as("cont"))
+    val types = cnt.agg(count(lit(1)).as("tt"))
+    // fixed-shape double chain — textually mirrored in the oracle SQL
+    val p = expr(
+      "greatest(CAST(cnt AS DOUBLE) - CAST(0.75 AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) / ctot + " +
+        "(CAST(0.75 AS DOUBLE) * CAST(fan AS DOUBLE) / ctot) * " +
+        "(CAST(cont AS DOUBLE) / tt)")
+    val out = bi.join(broadcast(cnt), Seq("a", "b"))
+      .join(broadcast(ctx), Seq("a"))
+      .join(broadcast(cont), Seq("b"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((-sum(log(p).cast("decimal(28,14)")).cast("double")) /
+          count(lit(1))).as("kn_score"))
+      .localCheckpoint() // doc-sized; frees the caches below
+    bi.unpersist(); cnt.unpersist()
+    out
+  }
+
   /** Okapi BM25 top-k documents for a bag of query terms:
     * `sum_q idf_q * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
     * `idf_q = ln(1 + (N - df + 0.5)/(df + 0.5))`. Documents matching no

@@ -273,10 +273,21 @@ object TextQueries {
         round(col("e.entropy"), 4).as("entropy"))
       .orderBy("doc_id")
 
+  // Kneser-Ney smoothed bigram score — the production n-gram LM
+  // quality signal (t16 is the raw-MLE baseline); continuation-count
+  // smoothing is what separates "frequent because versatile" from
+  // "frequent in one collocation"
+  private def t25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.kneserNeyBigram(docs(s, dir), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_bigrams"),
+        round(col("kn_score"), 4).as("kn_score"))
+      .orderBy("doc_id").limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_feature_hash" -> (t22 _),
     "t23_boilerplate" -> (t23 _),
     "t24_char_entropy" -> (t24 _),
+    "t25_kneser_ney" -> (t25 _),
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -545,6 +556,32 @@ object TextQueries {
         "SELECT doc_id, dl, round(score, 4) AS score FROM " +
         "(SELECT * FROM s ORDER BY s.score DESC, doc_id LIMIT 20) " +
         "ORDER BY doc_id"),
+    // same tokenize/bigram CTEs as t16 plus the KN statistics; the
+    // double chain mirrors the Spark expr TEXTUALLY (same casts, same
+    // parenthesization), terms decimal-quantized before the sum
+    "t25_kneser_ney" ->
+      ("WITH tk AS (SELECT doc_id, list_filter(" +
+        "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') " +
+        "AS tk FROM documents), " +
+        "t2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 2), " +
+        "bi AS (SELECT doc_id, unnest(list_transform(" +
+        "range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM t2), " +
+        "pairs AS (SELECT doc_id, p[1] AS a, p[2] AS b FROM bi), " +
+        "c AS (SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b), " +
+        "cx AS (SELECT a, sum(cnt) AS ctot, count(*) AS fan FROM c " +
+        "GROUP BY a), " +
+        "cb AS (SELECT b, count(*) AS cont FROM c GROUP BY b), " +
+        "ty AS (SELECT count(*) AS tt FROM c) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(-CAST(sum(CAST(ln(" +
+        "greatest(CAST(cnt AS DOUBLE) - CAST(0.75 AS DOUBLE), " +
+        "CAST(0 AS DOUBLE)) / ctot + " +
+        "(CAST(0.75 AS DOUBLE) * CAST(fan AS DOUBLE) / ctot) * " +
+        "(CAST(cont AS DOUBLE) / tt)" +
+        ") AS DECIMAL(28,14))) AS DOUBLE) / count(*), 4) AS kn_score " +
+        "FROM pairs JOIN c USING (a, b) JOIN cx USING (a) " +
+        "JOIN cb USING (b) CROSS JOIN ty " +
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 200"),
     "t16_bigram_surprisal" ->
       ("WITH tk AS (SELECT doc_id, list_filter(" +
         "string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') " +
