@@ -53,4 +53,30 @@ object RobustStats {
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k.toLong) * col("mad"))
   }
+
+  /** Per-group WEIGHTED (lower) median: the smallest value whose
+    * cumulative weight reaches half the group's total —
+    * `min{v : 2·Σ_{x≤v} w(x) ≥ W}`. Weights are integer-exact (floor
+    * the weight column), the cumulative window uses RANGE framing
+    * (peers included), so duplicate values select deterministically in
+    * any engine regardless of tie order, and the returned median is a
+    * DATA value — no arithmetic to drift. Returns
+    * (group, tot_weight, wmedian).
+    *
+    * Scale note: exact weighted order statistics are sort-based by
+    * contract (parallelism = #groups); q43's mergeable histogram
+    * sketch is the scale path when an ε-approximation suffices. */
+  def weightedMedian(df: DataFrame, group: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val byG = Window.partitionBy(group)
+    val cum = df.select(col(group),
+        col(valueCol).as("_v"),
+        floor(col(weightCol)).cast("long").as("_w"))
+      .withColumn("_cumw", sum(col("_w")).over(byG.orderBy(col("_v"))))
+      .withColumn("_totw", sum(col("_w")).over(byG))
+    cum.filter(col("_cumw") * 2 >= col("_totw"))
+      .groupBy(group)
+      .agg(max(col("_totw")).as("tot_weight"),
+        min(col("_v")).as("wmedian"))
+  }
 }

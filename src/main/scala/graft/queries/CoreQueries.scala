@@ -549,6 +549,17 @@ object CoreQueries {
       .orderBy("pct")
   }
 
+  // exact per-group WEIGHTED median (quantity-weighted price): RANGE-
+  // framed cumulative weights so duplicate prices select identically in
+  // both engines; the median is a data value, no arithmetic to drift.
+  // q43's sketch is the scale path; this is the exact contract.
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.weightedMedian(
+      t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_extendedprice"), col("l_quantity")),
+      "flag", "l_extendedprice", "l_quantity")
+      .orderBy("flag")
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -575,6 +586,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_square_source" -> (src01 _),
     "q43_histo_quantile" -> (q43 _),
+    "q44_weighted_median" -> (q44 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -834,6 +846,16 @@ object CoreQueries {
         "SELECT pct, CAST(bin AS BIGINT) AS bin, " +
         "CAST(lo + (bin * (hi - lo + 1)) // 256 AS BIGINT) AS est " +
         "FROM sel CROSS JOIN mm ORDER BY pct"),
+    // identical floor-weight + RANGE-framed cumulative threshold
+    "q44_weighted_median" ->
+      ("WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem), " +
+        "c AS (SELECT flag, v, w, " +
+        "sum(w) OVER (PARTITION BY flag ORDER BY v) AS cumw, " +
+        "sum(w) OVER (PARTITION BY flag) AS totw FROM li) " +
+        "SELECT flag, CAST(max(totw) AS BIGINT) AS tot_weight, " +
+        "min(v) AS wmedian FROM c WHERE cumw * 2 >= totw " +
+        "GROUP BY flag ORDER BY flag"),
     "q38_exact_quantile" ->
       ("WITH s AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) " +
         "AS x FROM lineitem), " +
