@@ -171,6 +171,7 @@ object ScalingProbe {
     }.mkString(
       s"""{"rows":{"lineitem":[${dirs.map(d => rowsOf(d._1)("lineitem")).mkString(",")}],""" +
         s""""documents":[${dirs.map(d => rowsOf(d._1)("documents")).mkString(",")}],""" +
+        s""""embeddings":[${dirs.map(d => rowsOf(d._1)("embeddings")).mkString(",")}],""" +
         s""""dirs":["sf0.01","sf0.1","sf1x"]},""",
       ",", "}")
     Files.writeString(Paths.get(outJson), json + "\n")

@@ -37,8 +37,10 @@ object Boilerplate {
       tile: Int, dropDf: Long): DataFrame = {
     require(tile > 0, s"tile must be positive: $tile")
     require(dropDf >= 2, s"dropDf < 2 would drop every tile: $dropDf")
+    // NULL text must survive as (id, 0, 0, "") like the all-boilerplate
+    // docs — posexplode(NULL) would silently drop the row instead
     val toks = df.select(col(idCol).as("_id"),
-      split(col(textCol), " ").as("_w"))
+      split(coalesce(col(textCol), lit("")), " ").as("_w"))
     val tiles = toks
       .select(col("_id"), col("_w"),
         posexplode(sequence(lit(0),

@@ -67,7 +67,10 @@ object CoOccurrence {
         expr("(1000000 * pair_cnt) div rec_cnt").as("score_ppm"))
     val w = Window.partitionBy("item")
       .orderBy(col("score_ppm").desc, col("pair_cnt").desc, col("rec"))
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .localCheckpoint() // item-k-sized; frees the sets cache below
+    sets.unpersist()
+    out
   }
 }

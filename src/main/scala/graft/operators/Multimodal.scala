@@ -435,6 +435,9 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           require(img != null, s"undecodable image payload ($id)")
           val (w, h) = (img.getWidth, img.getHeight)
+          // every 8x4 block must be non-empty or the mean divides by 0
+          require(w >= 8 && h >= 4,
+            s"image $id too small for the 8x4 aHash grid (${w}x$h)")
           val sum = new Array[Long](32)
           val cnt = new Array[Long](32)
           var y = 0
@@ -524,6 +527,11 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          // same contract decodeAudio enforces — an 8-bit/stereo/BE WAV
+          // would otherwise pair bytes into silently-garbage samples
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"expected 16-bit LE mono PCM for $id, got $fmt")
           val pcm = ais.readAllBytes()
           ais.close()
           val n = pcm.length / 2
@@ -580,6 +588,9 @@ object Multimodal {
           for (f <- 0 until n) {
             val img = reader.read(f)
             val (w, h) = (img.getWidth, img.getHeight)
+            // every 4x4 cell must be non-empty or the mean divides by 0
+            require(w >= 4 && h >= 4,
+              s"video $id frame $f too small for the 4x4 grid (${w}x$h)")
             val sum = new Array[Long](16)
             val cnt = new Array[Long](16)
             var y = 0

@@ -35,9 +35,12 @@ object NaiveBayes {
   final case class Model(classStats: DataFrame, wordCounts: DataFrame,
       corpusStats: DataFrame) {
     // scalar views for callers that want them; the SCORE path joins
-    // `corpusStats` lazily instead, so training triggers no jobs
-    lazy val vocabSize: Long = corpusStats.head().getLong(0)
-    lazy val totalDocs: Long = corpusStats.head().getLong(1)
+    // `corpusStats` lazily instead, so training triggers no jobs.
+    // ONE shared head(): reading both scalars must not rerun the
+    // corpus-wide aggregation twice.
+    private lazy val statsRow = corpusStats.head()
+    lazy val vocabSize: Long = statsRow.getLong(0)
+    lazy val totalDocs: Long = statsRow.getLong(1)
   }
 
   private def toks(docs: DataFrame, idCol: String, textCol: String) =

@@ -532,7 +532,7 @@ object DedupQueries {
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
         .select("vec_id")
     val exact = cosTop10(e.filter(col("vec_id") =!= 0)).persist()
-    Seq(10, 25, 50, 100).map { k =>
+    val curve = Seq(10, 25, 50, 100).map { k =>
       val cand = ham.orderBy(col("hamming"), col("vec_id")).limit(k)
       cosTop10(cand.join(e, "vec_id"))
         .join(exact, Seq("vec_id"), "left_semi")
@@ -540,6 +540,9 @@ object DedupQueries {
         .select(lit(k).as("coarse_k"), col("recall"))
     }.reduce(_.unionByName(_))
       .orderBy("coarse_k")
+      .localCheckpoint() // 4-row result; frees the caches below
+    ham.unpersist(); exact.unpersist()
+    curve
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
