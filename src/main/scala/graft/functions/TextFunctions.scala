@@ -180,6 +180,24 @@ object TextFunctions {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Readability statistics (Flesch 1948 reading-ease inputs): sentence
+    * count = runs of terminal punctuation (min 1), syllable count per
+    * word = vowel-group runs (min 1) — the standard cheap heuristic.
+    * Returns struct(n_words, n_sentences, n_syllables); the score
+    * formula lives at the call site so the double chain stays a single
+    * fixed shape mirrored in the oracle. All three are integer anchors. */
+  def readabilityStats(text: Column): Column = {
+    val words = tokens(text)
+    struct(
+      size(words).cast("long").as("n_words"),
+      greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+        .cast("long").as("n_sentences"),
+      aggregate(words, lit(0L),
+        (acc, w) => acc +
+          greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1)))
+        .as("n_syllables"))
+  }
+
   /** Per-document Shannon character entropy + code-point counts in one
     * scan-side pass — struct(n_chars, n_distinct, entropy). See
     * [[graft.plans.CharEntropyStats]] for the exactness contract with

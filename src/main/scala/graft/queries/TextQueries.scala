@@ -283,11 +283,28 @@ object TextQueries {
         round(col("kn_score"), 4).as("kn_score"))
       .orderBy("doc_id").limit(200)
 
+  // Flesch reading ease from heuristic counts (vowel-group syllables,
+  // terminal-punctuation sentences) — integer anchors + one fixed-shape
+  // double formula; docs with no real sentences floor at 1 sentence
+  private def t26(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), T.readabilityStats(col("text")).as("r"))
+      .filter(col("r.n_words") > 0)
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_sentences").as("n_sentences"),
+        col("r.n_syllables").as("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("r.n_words").cast("double") / col("r.n_sentences"))
+          - lit(84.6) * (col("r.n_syllables").cast("double") / col("r.n_words")),
+          4).as("flesch"))
+      .orderBy("doc_id").limit(200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_feature_hash" -> (t22 _),
     "t23_boilerplate" -> (t23 _),
     "t24_char_entropy" -> (t24 _),
     "t25_kneser_ney" -> (t25 _),
+    "t26_readability" -> (t26 _),
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -556,6 +573,22 @@ object TextQueries {
         "SELECT doc_id, dl, round(score, 4) AS score FROM " +
         "(SELECT * FROM s ORDER BY s.score DESC, doc_id LIMIT 20) " +
         "ORDER BY doc_id"),
+    // same tokenization; sentence runs and vowel-group syllables via
+    // regexp_extract_all counts (both engines count non-overlapping
+    // matches identically); identical double formula + round(4)
+    "t26_readability" ->
+      (s"WITH f AS (SELECT doc_id, text, $duckTokens AS tk " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) " +
+        "AS BIGINT) AS n_sentences, " +
+        "CAST(coalesce(list_aggregate(list_transform(tk, w -> " +
+        "greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)), " +
+        "'sum'), 0) AS BIGINT) AS n_syllables FROM f) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) " +
+        "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch " +
+        "FROM c WHERE n_words > 0 ORDER BY doc_id LIMIT 200"),
     // same tokenize/bigram CTEs as t16 plus the KN statistics; the
     // double chain mirrors the Spark expr TEXTUALLY (same casts, same
     // parenthesization), terms decimal-quantized before the sum

@@ -138,4 +138,23 @@ class TextFunctionsSpec extends SparkSpec {
       "see example.org v1.2 price 3.14 id 12-34")
     assert(red("") === "")
   }
+
+  test("readabilityStats: vowel-group syllables, punctuation-run sentences, floors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "Hello world. It works!" -> 4 words, 2 sentences,
+    // syllables: he-llo(2: e, o) wor(1: o) ld., it(1) works(1+? o) ->
+    // hello=2 (e,o), world=1 (o), it=1 (i), works=1 (o) = 5
+    val Seq((w, sen, syl)) = Seq("Hello world. It works!").toDF("text")
+      .select(TextFunctions.readabilityStats(col("text")).as("r"))
+      .select(col("r.n_words"), col("r.n_sentences"), col("r.n_syllables"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert((w, sen, syl) === ((4L, 2L, 5L)))
+    // no terminal punctuation and a vowelless token both floor at 1
+    val Seq((w2, sen2, syl2)) = Seq("tsk brr").toDF("text")
+      .select(TextFunctions.readabilityStats(col("text")).as("r"))
+      .select(col("r.n_words"), col("r.n_sentences"), col("r.n_syllables"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert((w2, sen2, syl2) === ((2L, 1L, 2L)))
+  }
 }
