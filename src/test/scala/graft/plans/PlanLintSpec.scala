@@ -110,7 +110,10 @@ class PlanLintSpec extends SparkSpec {
         "t20_collocations", // explode's size(tokens)>0 guard: computed
         // median-rank selection (_rn = (_n+1) div 2) filters columns a
         // window just computed — inherently post-scan
-        "q42_robust_outliers"),
+        "q42_robust_outliers",
+        // n_words > 0 guard over the computed readabilityStats struct:
+        // same computed-predicate class as t16's size(tokens) >= 2
+        "t26_readability"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
