@@ -115,6 +115,15 @@ object Clustering {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cluster", argmax(cosines(col("v"), centroids)))
       .localCheckpoint(true)
+    pairsWithinClusters(tagged, threshold)
+  }
+
+  /** Within-cluster near-dup pairs from a pre-tagged (id, v, cluster)
+    * frame — the shared tail of [[semanticDedupPairs]] and the
+    * capped-cluster path. Caller must have materialized `tagged`
+    * (it feeds both sides of the self-join). */
+  private def pairsWithinClusters(tagged: DataFrame,
+      threshold: Double): DataFrame = {
     val a = tagged.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"))
     val b = tagged.select(col("cluster"), col("id").as("id_b"),
@@ -125,5 +134,127 @@ object Clustering {
         bridge.expression(col("va")), bridge.expression(col("vb")))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** SemDeDup over a SIZE-CAPPED assignment: near-dup pairs within the
+    * leaf clusters of [[capAssign]]. With leaves bounded by
+    * `maxClusterSize` the candidate term is <= n·maxClusterSize/2 —
+    * LINEAR in n (the fixed-k path's within-cluster term grows as
+    * (n/k)² per cluster, measured alpha=1.42 on the r6 probe). */
+  def semanticDedupPairsCapped(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, maxClusterSize: Int = 100,
+      k: Int = 8, iters: Int = 4): DataFrame = {
+    val tagged = capAssign(emb, idCol, vecCol, maxClusterSize, k, iters)
+      .localCheckpoint(true)
+    pairsWithinClusters(tagged, threshold)
+  }
+
+  /** Recursive-split assignment with a LEAF-SIZE CAP: cluster with
+    * grouped spherical k-means (k small, e.g. 8), then re-cluster every
+    * leaf still holding more than `maxClusterSize` rows, until all
+    * leaves fit or `maxLevels` is hit. Returns (id, v, cluster) where
+    * cluster is the split path (e.g. "r.3.5") — equal paths = same leaf.
+    *
+    * This is the s14/autoPlanes lever applied to SemDeDup: the
+    * effective cluster count is ≈ n/maxClusterSize and GROWS WITH THE
+    * CORPUS, so the within-cluster pairwise term stays linear, while
+    * per-level work stays O(n·k·d) because every oversized leaf at a
+    * level is split in ONE batched grouped-Lloyd pass (a windowed seed
+    * pick + iters join/aggregate rounds — job count is per LEVEL, not
+    * per cluster). Levels ≈ log_k(n/maxClusterSize): ~5 levels cover a
+    * trillion rows at k=8, so total work is O(n·k·d·log n) with no
+    * driver-side state beyond loop control.
+    *
+    * Determinism (two invocations in one engine must agree — the gate
+    * and its aux fixture run separately): seeds are the k smallest
+    * md5(id) per group (total order), means are DECIMAL sums
+    * (arrival-order independent), argmax ties break toward the lowest
+    * cluster id, and pos-sorted collect_list rebuilds centroid arrays
+    * order-stably. A leaf of > maxClusterSize IDENTICAL vectors cannot
+    * split (all rows follow the same argmax) — `maxLevels` bounds the
+    * recursion and such a leaf is returned oversized (its members are
+    * mutual duplicates, which is exactly what the caller dedups). */
+  def capAssign(emb: DataFrame, idCol: String, vecCol: String,
+      maxClusterSize: Int = 100, k: Int = 8, iters: Int = 4,
+      maxLevels: Int = 8): DataFrame = {
+    require(maxClusterSize > k && k > 1 && iters >= 0,
+      "need maxClusterSize > k > 1, iters >= 0")
+    var cur = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit("r").as("cluster"))
+      .localCheckpoint(true)
+    var level = 0
+    var done = false
+    while (!done && level < maxLevels) {
+      val sizes = cur.groupBy("cluster").agg(count(lit(1)).as("_n"))
+      // driver scalar for loop control only — never the member rows
+      if (sizes.filter(col("_n") > maxClusterSize).isEmpty) done = true
+      else {
+        val tagged = cur.join(broadcast(sizes), Seq("cluster"))
+        val over = tagged.filter(col("_n") > maxClusterSize)
+          .select("cluster", "id", "v")
+        val fit = tagged.filter(col("_n") <= maxClusterSize)
+          .select("cluster", "id", "v")
+        val sub = groupedLloyd(over, k, iters) // (cluster, id, v, c)
+          .select(concat(col("cluster"), lit("."), col("c"))
+            .as("cluster"), col("id"), col("v"))
+        cur = fit.unionByName(sub).localCheckpoint(true)
+        level += 1
+      }
+    }
+    cur
+  }
+
+  /** One batched Lloyd run over MANY groups at once: fits k centroids
+    * per `cluster` group and returns each row's final assignment
+    * (cluster, id, v, c). Centroids live in a (cluster, c, cent)
+    * DataFrame — no per-group driver loop, no k-literal projection
+    * (the flat [[fit]]'s k-wide expression array stops codegen'ing
+    * near k ~ 100; the join shape has no such ceiling). Empty clusters
+    * simply vanish from the centroid frame (they attract no rows). */
+  private def groupedLloyd(rows: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val seedW = Window.partitionBy("cluster")
+      .orderBy(md5(col("id").cast("string")))
+    var cents = rows
+      .withColumn("_rn", row_number().over(seedW))
+      .filter(col("_rn") <= k)
+      .select(col("cluster"), (col("_rn") - 1).as("c"),
+        col("v").as("cent"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignGrouped(rows, cents)
+      cents = assigned
+        .select(col("cluster"), col("c"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "c", "pos")
+        .agg((sum(col("x").cast("decimal(27,12)")) / count(lit(1)))
+          .cast("double").cast("float").as("m"))
+        .groupBy("cluster", "c")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cluster"), col("c"),
+          transform(col("pm"), e => e.getField("m")).as("cent"))
+        .localCheckpoint(true) // tiny (groups×k×dim) and cuts the
+                               // per-iteration lineage through the join
+    }
+    assignGrouped(rows, cents)
+  }
+
+  /** Nearest-centroid assignment via an equi-join on the group key:
+    * rows × (its group's k centroids) → native cosine → per-row argmax
+    * with ties toward the lowest cluster id (row_number over cos DESC,
+    * c ASC — mirrors [[argmax]]'s first-position-of-max). */
+  private def assignGrouped(rows: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val scored = rows.join(cents, Seq("cluster"))
+      .withColumn("_cos", nanvl(bridge.column(CosineSimilarity(
+        bridge.expression(col("v")), bridge.expression(col("cent")))),
+        lit(-2.0)))
+    val w = Window.partitionBy("cluster", "id")
+      .orderBy(col("_cos").desc, col("c"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster"), col("id"), col("v"), col("c"))
   }
 }

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: pair generation is a per-group self-join, quadratic in
   * GROUP size, not corpus size — order line counts are small and
-  * bounded (cap oversized groups upstream where they aren't, as
-  * [[Triangles.coOccurrenceEdges]] documents). Counts are one shuffle
+  * bounded, and `maxGroupRows` ENFORCES the bound on inputs where they
+  * aren't (see [[topK]]). Counts are one shuffle
   * keyed (a,b); the top-k window partitions by item a — a bounded
   * WindowGroupLimit, no global sort. Item base counts are a vocab-sized
   * frame joined by key.
@@ -29,18 +29,32 @@ object CoOccurrence {
 
   /** Top-`k` recommendations per item from (group, item) incidence.
     * Returns (item, rec, pair_cnt, rec_cnt, score_ppm, rank); pairs
-    * below `minPairs` co-occurrences are dropped (noise floor). */
+    * below `minPairs` co-occurrences are dropped (noise floor).
+    * Groups carrying more than `maxGroupRows` incidence rows are
+    * dropped entirely (0 = no cap). */
   def topK(incidence: DataFrame, group: String, item: String, k: Int,
-      minPairs: Long): DataFrame = {
+      minPairs: Long, maxGroupRows: Long = 100000L): DataFrame = {
+    val inc0 = incidence.select(col(group).as("_g"), col(item).as("_i"))
+    // ENFORCED hot-group guard (not just a documented caller contract):
+    // collect_set's aggregation buffer holds a group's whole distinct
+    // item set and does not spill, so a mega-group (a crawler "order"
+    // with millions of items) would OOM an executor. The windowed row
+    // count is sort-based and spill-safe, upper-bounds the distinct
+    // cardinality, and shares the groupBy's hash partitioning — one
+    // sort added, no extra exchange. A dropped mega-group is CF noise
+    // by construction (it co-occurs with everything).
+    val inc =
+      if (maxGroupRows <= 0L) inc0
+      else inc0.withColumn("_gn",
+          count(lit(1)).over(Window.partitionBy("_g")))
+        .filter(col("_gn") <= maxGroupRows).drop("_gn")
     // One collect_set shuffle replaces the former distinct + self-join
     // shape (distinct, join-side exchanges ×2, base-count rescan — ~6
     // exchanges of the incidence frame): group items are gathered once
-    // (collect_set = the old distinct, group sizes bounded by order
-    // line counts — cap upstream where they aren't, as
-    // [[Triangles.coOccurrenceEdges]] documents), pairs expand
+    // (collect_set = the old distinct), pairs expand
     // ARRAY-SIDE from the sorted set, and the base counts explode from
     // the same persisted frame. Measured at sf0.1: 3.3 s → ~1.5 s.
-    val sets = incidence.select(col(group).as("_g"), col(item).as("_i"))
+    val sets = inc
       .groupBy("_g").agg(array_sort(collect_set(col("_i"))).as("items"))
       .persist() // feeds the pair expansion AND the base-count explode
     // a<b pairs straight off the sorted set: for element i, every later

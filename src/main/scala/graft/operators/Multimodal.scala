@@ -412,13 +412,15 @@ object Multimodal {
 
   case class ImageHash(doc_id: Long, width: Int, height: Int, phash: Long)
 
-  /** 32-bit average-hash (aHash) of a decoded image: grayscale
-    * `(r+g+b)/3` average-pooled onto an 8×4 grid (pixel→block via
-    * `bx = x*8/w`, `by = y*4/h` — every block non-empty for w≥8, h≥4),
-    * each block's integer mean thresholded against the grid total with
-    * the integer cross-multiply `avg*32 > total` (no float mean), bit
-    * `by*8+bx` set when above. ALL-INTEGER end to end, so the DuckDB
-    * oracle replays it exactly from the closed-form pixels.
+  /** 63-bit perceptual hash of a decoded image: grayscale `(r+g+b)/3`
+    * average-pooled onto an 8×4 grid (pixel→block via `bx = x*8/w`,
+    * `by = y*4/h` — every block non-empty for w≥8, h≥4); bits 0..31 are
+    * the aHash (block mean vs grid total via the integer cross-multiply
+    * `avg*32 > total`, bit `by*8+bx`), bits 32..62 the chain-adjacent
+    * dHash (`avg(i+1) > avg(i)` gradient bits — survive global
+    * brightness shifts the aHash half is blind to). Bit 63 stays clear
+    * (signed-overflow-free on both engines). ALL-INTEGER end to end, so
+    * the DuckDB oracle replays it exactly from the closed-form pixels.
     *
     * This is the image-side near-dup signature (the d03/d04 discipline
     * for pixels): re-encodes, minor crops, and brightness-preserving
@@ -464,29 +466,46 @@ object Multimodal {
             if (avg(i) * 32L > total) hash |= 1L << i
             i += 1
           }
+          // bits 32..62: chain-adjacent difference hash (dHash) over the
+          // same block means — brightness-shift-invariant gradient bits.
+          // 31 bits, not 32: bit 63 stays clear so the value (and the
+          // oracle's 1<<idx replay) never overflows a signed 64-bit int.
+          i = 0
+          while (i < 31) {
+            if (avg(i + 1) > avg(i)) hash |= 1L << (32 + i)
+            i += 1
+          }
           ImageHash(id, w, h, hash)
         }
       }
   }
 
-  /** Banded Hamming nearest neighbor over 32-bit perceptual hashes: the
-    * hash splits into four 8-bit bands; only hash pairs agreeing on at
-    * least one band become candidates (an equi-join on (band, value) —
-    * never all-pairs), then exact `bit_count(xor)` ranks them. Returns
-    * one row per input hash with its nearest band-mate (min Hamming,
-    * ties to the smallest id) or (-1, -1) when no candidate shares a
-    * band. At billions of images the same plan holds: the band join is
-    * the only shuffle and carries (id, 8-bit value) pairs, not pixels. */
+  /** Banded Hamming nearest neighbor over perceptual hashes: the hash
+    * splits into `numBands` bands of `bandBits` bits; only hash pairs
+    * agreeing on at least one band become candidates (an equi-join on
+    * (band, value) — never all-pairs), then exact `bit_count(xor)`
+    * ranks them. Returns one row per input hash with its nearest
+    * band-mate (min Hamming, ties to the smallest id) or (-1, -1) when
+    * no candidate shares a band.
+    *
+    * Scale guards (the d03/d08 discipline): bucket CARDINALITY must
+    * grow with the corpus — 16-bit bands give 65k values per band
+    * (the r6 8-bit layout topped out at 1,024 (band, value) buckets,
+    * which goes quadratic once n >> 1k) — and bucket POPULATION is
+    * frequency-capped: `maxBucket > 0` drops hot (band, value) buckets
+    * (flat/monochrome payloads that aHash collapses onto one value)
+    * before the self-join, silently by design; run
+    * [[hammingCapAudit]] on the same frame to observe what a cap
+    * drops. At billions of payloads the band join is the only shuffle
+    * and carries (id, band-value) pairs, not pixels. */
   def nearestByHamming(hashes: DataFrame, bandBits: Int = 8,
-      numBands: Int = 4): DataFrame = {
-    val mask = (1L << bandBits) - 1L
-    val bands = hashes.select(col("doc_id"), col("phash"),
-        explode(array((0 until numBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("phash"), bandBits * b).bitwiseAND(mask)
-              .as("v"))): _*)).as("bv"))
-      .select(col("doc_id"), col("phash"),
-        col("bv.band").as("band"), col("bv.v").as("v"))
+      numBands: Int = 4, maxBucket: Int = 0): DataFrame = {
+    val bands0 = bandedHashes(hashes, bandBits, numBands)
+    val bands =
+      if (maxBucket <= 0) bands0
+      else bands0.withColumn("_bf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "v")))
+        .filter(col("_bf") <= maxBucket).drop("_bf")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -501,23 +520,58 @@ object Multimodal {
       .select(col("doc_id"), col("nn.cand_id").as("_nn_id"),
         col("nn.hamming").as("_nn_hamming"))
     // carry every input column through (image dims, sample counts, …) —
-    // the operator is modality-agnostic: anything with a 32-bit phash
+    // the operator is modality-agnostic: anything with a long phash
     hashes.join(nn, Seq("doc_id"), "left")
       .withColumn("nn_id", coalesce(col("_nn_id"), lit(-1L)))
       .withColumn("nn_hamming", coalesce(col("_nn_hamming"), lit(-1L)))
       .drop("_nn_id", "_nn_hamming")
   }
 
+  /** (doc_id, phash, band, v) — one row per (hash, band). */
+  private def bandedHashes(hashes: DataFrame, bandBits: Int,
+      numBands: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1L
+    hashes.select(col("doc_id"), col("phash"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), bandBits * b).bitwiseAND(mask)
+              .as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("phash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+  }
+
+  /** One-row audit of what [[nearestByHamming]]'s `maxBucket` cap
+    * drops from this corpus' (band, value) buckets — hot-bucket count,
+    * rows they carry, hottest frequency (the d08 observability pattern:
+    * caps drop silently so the join never stalls; pipelines run this
+    * against the same hash frame and alert on recall loss). */
+  def hammingCapAudit(hashes: DataFrame, bandBits: Int, numBands: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "audit needs a positive cap")
+    bandedHashes(hashes, bandBits, numBands)
+      .groupBy("band", "v").agg(count(lit(1)).as("df"))
+      .select(
+        sum(when(col("df") > maxBucket, 1L).otherwise(0L))
+          .as("hot_buckets"),
+        sum(when(col("df") > maxBucket, col("df")).otherwise(0L))
+          .as("dropped_rows"),
+        max(col("df")).as("max_df"))
+      .select(coalesce(col("hot_buckets"), lit(0L)).as("hot_buckets"),
+        coalesce(col("dropped_rows"), lit(0L)).as("dropped_rows"),
+        coalesce(col("max_df"), lit(0L)).as("max_df"))
+  }
+
   case class AudioHash(doc_id: Long, n_samples: Int, phash: Long)
 
-  /** 32-bit audio fingerprint over decoded PCM — the [[imageAHash]]
+  /** 63-bit audio fingerprint over decoded PCM — the [[imageAHash]]
     * discipline for sound: per-sample |amplitude| average-pooled onto
     * 32 equal time windows (sample→window via `i*32/n`, every window
-    * non-empty for n≥32), each window's integer mean energy thresholded
-    * against the window-mean total with `avg*32 > total`, bit i set
-    * when above. All-integer, so the oracle replays it from the
-    * closed-form samples. Re-encodes and level-preserving noise keep
-    * most bits; band the result with [[nearestByHamming]]. */
+    * non-empty for n≥32); bits 0..31 threshold each window's integer
+    * mean energy against the window-mean total (`avg*32 > total`),
+    * bits 32..62 are the chain-adjacent energy-gradient dHash
+    * (level-shift-invariant). All-integer, so the oracle replays it
+    * from the closed-form samples. Re-encodes and level-preserving
+    * noise keep most bits; band the result with [[nearestByHamming]]. */
   def audioAHash(media: DataFrame): Dataset[AudioHash] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -556,6 +610,14 @@ object Multimodal {
             if (avg(w) * 32L > total) hash |= 1L << w
             w += 1
           }
+          // bits 32..62: chain-adjacent energy-gradient bits over the
+          // window means (the imageAHash dHash extension; 31 bits so
+          // bit 63 stays clear — see imageAHash)
+          w = 0
+          while (w < 31) {
+            if (avg(w + 1) > avg(w)) hash |= 1L << (32 + w)
+            w += 1
+          }
           AudioHash(id, n, hash)
         }
       }
@@ -563,13 +625,21 @@ object Multimodal {
 
   case class VideoHash(doc_id: Long, n_frames: Int, phash: Long)
 
-  /** 16-bit video fingerprint: per decoded frame, a 4x4 average-hash of
+  /** 31-bit video fingerprint: per decoded frame, a 4x4 average-hash of
     * the grayscale (pixel->cell via `x*4/w`, `y*4/h` — non-empty for
     * w,h >= 4; the GIF corpus's dims go down to 6x5, too small for the
-    * image path's 8x4 grid), then a strict MAJORITY VOTE across frames
-    * per bit (the SimHash discipline over time): bit i set iff more
-    * than half the frames set it. All-integer; band with
-    * [[nearestByHamming]](bandBits = 4) for 4-bit bands. */
+    * image path's 8x4 grid) in bits 0..15 plus the chain-adjacent
+    * cell-gradient dHash in bits 16..30, then a strict MAJORITY VOTE
+    * across frames per bit (the SimHash discipline over time): bit i
+    * set iff more than half the frames set it. All-integer; band with
+    * [[nearestByHamming]](bandBits = 8) for 8-bit bands.
+    *
+    * Precondition: frames must be FULL-FRAME rasters. The synthetic GIF
+    * corpus encodes every frame whole; real-world GIFs with delta/
+    * disposal encoding hand `reader.read(f)` partial-frame rasters, so
+    * their hashes would be computed over deltas (or rejected by the
+    * w,h >= 4 guard). A production decode composites each frame onto
+    * the logical screen first — out of scope for the in-JDK codec. */
   def videoAHash(media: DataFrame): Dataset[VideoHash] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -584,7 +654,7 @@ object Multimodal {
           val reader = readers.next()
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          val votes = new Array[Int](16)
+          val votes = new Array[Int](31)
           for (f <- 0 until n) {
             val img = reader.read(f)
             val (w, h) = (img.getWidth, img.getHeight)
@@ -614,12 +684,20 @@ object Multimodal {
               if (avg(i) * 16L > total) votes(i) += 1
               i += 1
             }
+            // bits 16..30: per-frame chain-adjacent gradient bits over
+            // the cell means (the imageAHash dHash extension), majority-
+            // voted across frames like the aHash bits
+            i = 0
+            while (i < 15) {
+              if (avg(i + 1) > avg(i)) votes(16 + i) += 1
+              i += 1
+            }
           }
           reader.dispose()
           iis.close()
           var hash = 0L
           var i = 0
-          while (i < 16) {
+          while (i < 31) {
             if (votes(i) * 2 > n) hash |= 1L << i
             i += 1
           }

@@ -56,7 +56,9 @@ object RobustStats {
 
   /** Per-group WEIGHTED (lower) median: the smallest value whose
     * cumulative weight reaches half the group's total —
-    * `min{v : 2·Σ_{x≤v} w(x) ≥ W}`. Weights are integer-exact (floor
+    * `min{v : 2·Σ_{x≤v} w(x) ≥ W}`. Weights must be non-negative
+    * (enforced — a negative weight raises rather than silently
+    * selecting below any sensible median) and are integer-exact (floor
     * the weight column), the cumulative window uses RANGE framing
     * (peers included), so duplicate values select deterministically in
     * any engine regardless of tie order, and the returned median is a
@@ -71,7 +73,13 @@ object RobustStats {
     val byG = Window.partitionBy(group)
     val cum = df.select(col(group),
         col(valueCol).as("_v"),
-        floor(col(weightCol)).cast("long").as("_w"))
+        // negative weights would make the cumulative sum non-monotone
+        // and the half-total selection meaningless — fail loudly
+        // (raise_error is codegen'd; the happy path costs one branch)
+        when(col(weightCol) < 0, raise_error(concat(
+            lit(s"weightedMedian: negative weight in '$weightCol': "),
+            col(weightCol).cast("string"))))
+          .otherwise(floor(col(weightCol)).cast("long")).as("_w"))
       .withColumn("_cumw", sum(col("_w")).over(byG.orderBy(col("_v"))))
       .withColumn("_totw", sum(col("_w")).over(byG))
     cum.filter(col("_cumw") * 2 >= col("_totw"))

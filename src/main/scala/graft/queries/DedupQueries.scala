@@ -368,19 +368,19 @@ object DedupQueries {
       .orderBy("vec_id")
 
   // SemDeDup over the planted near-dup corpus: near-duplicate pairs
-  // enumerated WITHIN k-means clusters only. The oracle takes the
-  // (vec, cluster) assignment fixture and recomputes the within-cluster
-  // pairing + exact cosine — the candidate-generation logic is what's
-  // cross-checked, as in d04/d06.
-  private def s04(s: SparkSession, dir: String): DataFrame = {
-    val corpus = d05Corpus(s, dir)
-    val cents = Clustering.fit(corpus, "vec_id", "embedding",
-      k = 8, iters = 4)
-    Clustering.semanticDedupPairs(corpus, "vec_id", "embedding",
-      cents, threshold = 0.95)
+  // enumerated WITHIN size-capped recursive-split clusters only (r7:
+  // the fixed k=8 path measured alpha=1.42 on the r6 probe — leaf
+  // population grew with n; Clustering.capAssign pins leaves <= 100 so
+  // the pair term is linear, the autoPlanes lever applied to SemDeDup).
+  // The oracle takes the (vec, cluster) assignment fixture and
+  // recomputes the within-cluster pairing + exact cosine — the
+  // candidate-generation logic is what's cross-checked, as in d04/d06.
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    Clustering.semanticDedupPairsCapped(d05Corpus(s, dir), "vec_id",
+      "embedding", threshold = 0.95, maxClusterSize = 100, k = 8,
+      iters = 4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
-  }
 
   // shared PQ training config for the s07 gate + aux fixture: 64 dims,
   // 8 subspaces of 8 dims, 16 codes each (vectors compress 256 B -> 8 B)
@@ -967,13 +967,12 @@ object DedupQueries {
         .zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cluster", "centroid")
     }),
-    "s04_assign" -> ((s, dir) => {
-      val corpus = d05Corpus(s, dir)
-      val cents = Clustering.fit(corpus, "vec_id", "embedding",
-        k = 8, iters = 4)
-      Clustering.assign(corpus, "vec_id", "embedding", cents)
-        .select(col("id").as("vec_id"), col("cluster"))
-    }),
+    "s04_assign" -> ((s, dir) =>
+      // the same deterministic capAssign the gate runs (string leaf
+      // paths; the oracle only equality-joins on cluster)
+      Clustering.capAssign(d05Corpus(s, dir), "vec_id", "embedding",
+        maxClusterSize = 100, k = 8, iters = 4)
+        .select(col("id").as("vec_id"), col("cluster"))),
     "s07_codebooks" -> ((s, dir) =>
       ProductQuantization.codebookTable(s, s07Codebooks(s, dir))),
     "s09_components" -> ((s, dir) =>

@@ -86,10 +86,14 @@ object JoinQueries {
 
   val oracleSql: Map[String, String] = Map(
     // exact-integer ppm scores -> ranks replay; row_number cast to INT
-    // to match Spark's rank type
+    // to match Spark's rank type. ok replicates topK's maxGroupRows
+    // hot-group guard (never bites at fixture scale — max order line
+    // count is 7 — but keeps gate and oracle semantics identical)
     "a03_item_cooccur" ->
-      ("WITH inc AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i " +
-        "FROM lineitem), " +
+      ("WITH ok AS (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING count(*) <= 100000), " +
+        "inc AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i " +
+        "FROM lineitem JOIN ok USING (l_orderkey)), " +
         "pab AS (SELECT x.i AS a, y.i AS b FROM inc x JOIN inc y " +
         "ON x.g = y.g AND x.i < y.i), " +
         "p2 AS (SELECT a, b FROM pab UNION ALL SELECT b, a FROM pab), " +

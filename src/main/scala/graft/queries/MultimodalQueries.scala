@@ -72,40 +72,46 @@ object MultimodalQueries {
       Multimodal.videoPayloads(Tables(s, dir, "documents")))
       .orderBy("doc_id", "frame_idx").toDF()
 
-  // image NEAR-DUP: 32-bit average-hash over the decoded pixels (8×4
-  // integer average-pool + mean threshold), then a banded Hamming
-  // nearest-neighbor join (4×8-bit bands — an equi-join, never
-  // all-pairs). The oracle replays hash, bands, and argmin from the
-  // closed-form pixels, so the whole decode→pool→threshold→band→xor
-  // pipeline is hash-pinned. This is the d03/d04 dedup discipline
-  // applied to images — the missing modality in the dedup family.
+  // image NEAR-DUP: 63-bit perceptual hash over the decoded pixels
+  // (8×4 integer average-pool aHash + chain-gradient dHash bits), then
+  // a banded Hamming nearest-neighbor join (4×16-bit bands — an
+  // equi-join, never all-pairs) with a hot-bucket frequency cap (r7:
+  // the r6 32-bit/8-bit-band layout had only 1,024 possible buckets —
+  // a hard quadratic ceiling at corpus scale; 16-bit bands give 65k
+  // values per band and maxBucket drops degenerate flat-payload
+  // buckets, oracle-replayed via the same HAVING). The oracle replays
+  // hash, bands, cap, and argmin from the closed-form pixels, so the
+  // whole decode→pool→threshold→band→xor pipeline is hash-pinned.
   private def mm08(s: SparkSession, dir: String): DataFrame =
     Multimodal.nearestByHamming(
       Multimodal.imageAHash(
-        Multimodal.imagePayloads(Tables(s, dir, "documents"))).toDF())
+        Multimodal.imagePayloads(Tables(s, dir, "documents"))).toDF(),
+      bandBits = 16, numBands = 4, maxBucket = 1000)
       .orderBy("doc_id")
 
-  // audio NEAR-DUP — the mm08 discipline for sound: 32-bit energy-
+  // audio NEAR-DUP — the mm08 discipline for sound: 63-bit energy-
   // envelope fingerprint over really-decoded PCM (32 time windows,
-  // integer mean-|amplitude| threshold), banded Hamming NN through the
-  // SAME modality-agnostic nearestByHamming operator. With mm08 and
-  // d01–d17 this closes near-dup detection across text, image, and
-  // audio payloads.
+  // integer mean-|amplitude| threshold + chain-gradient bits), banded
+  // Hamming NN through the SAME modality-agnostic nearestByHamming
+  // operator (16-bit bands, capped). With mm08 and d01–d17 this closes
+  // near-dup detection across text, image, and audio payloads.
   private def mm09(s: SparkSession, dir: String): DataFrame =
     Multimodal.nearestByHamming(
       Multimodal.audioAHash(
-        Multimodal.audioPayloads(Tables(s, dir, "documents"))).toDF())
+        Multimodal.audioPayloads(Tables(s, dir, "documents"))).toDF(),
+      bandBits = 16, numBands = 4, maxBucket = 1000)
       .orderBy("doc_id")
 
-  // video NEAR-DUP: per-frame 4x4 aHash of the really-decoded GIF
-  // frames, strict majority vote across frames per bit (SimHash over
-  // time), 4-bit-banded Hamming NN via the same generic operator.
-  // Completes near-dup across every payload modality the engine ships.
+  // video NEAR-DUP: per-frame 4x4 aHash + chain-gradient bits of the
+  // really-decoded GIF frames (31 bits), strict majority vote across
+  // frames per bit (SimHash over time), 8-bit-banded capped Hamming NN
+  // via the same generic operator. Completes near-dup across every
+  // payload modality the engine ships.
   private def mm10(s: SparkSession, dir: String): DataFrame =
     Multimodal.nearestByHamming(
       Multimodal.videoAHash(
         Multimodal.videoPayloads(Tables(s, dir, "documents"))).toDF(),
-      bandBits = 4, numBands = 4)
+      bandBits = 8, numBands = 4, maxBucket = 1000)
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -123,8 +129,9 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     // per-frame 4x4 cell means from the closed-form frame pixels,
-    // avg*16 > total frame bits, strict cross-frame majority, 4-bit
-    // bands, min-(hamming, id) nearest
+    // avg*16 > total aHash bits 0..15 + chain dHash bits 16..30,
+    // strict cross-frame majority per bit, 8-bit bands capped at
+    // 1000, min-(hamming, id) nearest
     "mm10_video_neardup" ->
       ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 " +
         "ORDER BY doc_id LIMIT 30), " +
@@ -143,15 +150,22 @@ object MultimodalQueries {
         "GROUP BY doc_id, f), " +
         "fb AS (SELECT blk.doc_id, blk.n, blk.f, idx, " +
         "CASE WHEN avg*16 > total THEN 1 ELSE 0 END AS bit FROM blk " +
-        "JOIN tot ON tot.doc_id = blk.doc_id AND tot.f = blk.f), " +
+        "JOIN tot ON tot.doc_id = blk.doc_id AND tot.f = blk.f " +
+        "UNION ALL SELECT a.doc_id, a.n, a.f, 16 + a.idx AS idx, " +
+        "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
+        "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
+        "AND b.idx = a.idx + 1 WHERE a.idx <= 14), " +
         "votes AS (SELECT doc_id, n, idx, sum(bit) AS v FROM fb " +
         "GROUP BY doc_id, n, idx), " +
         "hsh AS (SELECT doc_id, CAST(sum(CASE WHEN v*2 > n THEN " +
         "CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) AS BIGINT) " +
         "AS phash FROM votes GROUP BY doc_id), " +
-        "bv AS (SELECT doc_id, phash, band, (phash >> (4*band)) & 15 " +
+        "bv0 AS (SELECT doc_id, phash, band, (phash >> (8*band)) & 255 " +
         "AS v FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band " +
         "FROM hsh)), " +
+        "bc AS (SELECT band, v FROM bv0 GROUP BY band, v " +
+        "HAVING count(*) <= 1000), " +
+        "bv AS (SELECT bv0.* FROM bv0 JOIN bc USING (band, v)), " +
         "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
         "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +
@@ -166,8 +180,9 @@ object MultimodalQueries {
         "FROM dim JOIN hsh USING (doc_id) LEFT JOIN nn USING (doc_id) " +
         "ORDER BY dim.doc_id"),
     // the mm08 replay recipe over closed-form SAMPLES: |amplitude|
-    // windows via i*32//n, integer mean threshold avg*32 > total, four
-    // 8-bit bands, min-(hamming, id) nearest
+    // windows via i*32//n, aHash bits 0..31 (avg*32 > total), chain
+    // dHash bits 32..62, four 16-bit bands capped at 1000,
+    // min-(hamming, id) nearest
     "mm09_audio_neardup" ->
       ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1 " +
         "ORDER BY doc_id LIMIT 40), " +
@@ -179,12 +194,21 @@ object MultimodalQueries {
         "blk AS (SELECT doc_id, w, sum(a) // count(*) AS avg FROM v " +
         "GROUP BY doc_id, w), " +
         "tot AS (SELECT doc_id, sum(avg) AS total FROM blk GROUP BY doc_id), " +
-        "hsh AS (SELECT blk.doc_id, CAST(sum(CASE WHEN avg*32 > total " +
-        "THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) AS BIGINT) " +
-        "AS phash FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
-        "bv AS (SELECT doc_id, phash, band, (phash >> (8*band)) & 255 " +
+        "ap AS (SELECT blk.doc_id, sum(CASE WHEN avg*32 > total " +
+        "THEN CAST(1 AS BIGINT) << CAST(w AS INT) ELSE 0 END) " +
+        "AS p FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
+        "dp AS (SELECT a.doc_id, sum(CASE WHEN b.avg > a.avg " +
+        "THEN CAST(1 AS BIGINT) << CAST(32 + a.w AS INT) ELSE 0 END) " +
+        "AS p FROM blk a JOIN blk b ON b.doc_id = a.doc_id " +
+        "AND b.w = a.w + 1 WHERE a.w <= 30 GROUP BY a.doc_id), " +
+        "hsh AS (SELECT ap.doc_id, CAST(ap.p + dp.p AS BIGINT) AS phash " +
+        "FROM ap JOIN dp USING (doc_id)), " +
+        "bv0 AS (SELECT doc_id, phash, band, (phash >> (16*band)) & 65535 " +
         "AS v FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band " +
         "FROM hsh)), " +
+        "bc AS (SELECT band, v FROM bv0 GROUP BY band, v " +
+        "HAVING count(*) <= 1000), " +
+        "bv AS (SELECT bv0.* FROM bv0 JOIN bc USING (band, v)), " +
         "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
         "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +
@@ -198,10 +222,12 @@ object MultimodalQueries {
         "CAST(coalesce(nn.nn_hamming, -1) AS BIGINT) AS nn_hamming " +
         "FROM nn0 JOIN hsh USING (doc_id) LEFT JOIN nn USING (doc_id) " +
         "ORDER BY nn0.doc_id"),
-    // full replay of the aHash pipeline from the closed-form pixels:
-    // gray = (r+g+b)//3, pixel→block via (x*8//w, y*4//h), integer
-    // block means, avg*32 > total threshold, bit by*8+bx; bands are
-    // the four bytes; nearest = min (hamming, cand_id) among band-mates
+    // full replay of the 63-bit hash pipeline from the closed-form
+    // pixels: gray = (r+g+b)//3, pixel→block via (x*8//w, y*4//h),
+    // integer block means, aHash bits 0..31 (avg*32 > total), dHash
+    // bits 32..62 (avg(i+1) > avg(i) chain); bands are the four 16-bit
+    // halves, hot buckets capped with the gate's HAVING <= 1000;
+    // nearest = min (hamming, cand_id) among band-mates
     "mm08_image_neardup" ->
       ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0 " +
         "ORDER BY doc_id LIMIT 40), " +
@@ -216,12 +242,21 @@ object MultimodalQueries {
         "blk AS (SELECT doc_id, idx, sum(gray) // count(*) AS avg " +
         "FROM g GROUP BY doc_id, idx), " +
         "tot AS (SELECT doc_id, sum(avg) AS total FROM blk GROUP BY doc_id), " +
-        "hsh AS (SELECT blk.doc_id, CAST(sum(CASE WHEN avg*32 > total " +
-        "THEN CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) AS BIGINT) " +
-        "AS phash FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
+        "ap AS (SELECT blk.doc_id, sum(CASE WHEN avg*32 > total " +
+        "THEN CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) " +
+        "AS p FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
+        "dp AS (SELECT a.doc_id, sum(CASE WHEN b.avg > a.avg " +
+        "THEN CAST(1 AS BIGINT) << CAST(32 + a.idx AS INT) ELSE 0 END) " +
+        "AS p FROM blk a JOIN blk b ON b.doc_id = a.doc_id " +
+        "AND b.idx = a.idx + 1 WHERE a.idx <= 30 GROUP BY a.doc_id), " +
+        "hsh AS (SELECT ap.doc_id, CAST(ap.p + dp.p AS BIGINT) AS phash " +
+        "FROM ap JOIN dp USING (doc_id)), " +
         "bands AS (SELECT doc_id, phash, unnest([0,1,2,3]) AS band FROM hsh), " +
-        "bv AS (SELECT doc_id, phash, band, " +
-        "(phash >> (8*band)) & 255 AS v FROM bands), " +
+        "bv0 AS (SELECT doc_id, phash, band, " +
+        "(phash >> (16*band)) & 65535 AS v FROM bands), " +
+        "bc AS (SELECT band, v FROM bv0 GROUP BY band, v " +
+        "HAVING count(*) <= 1000), " +
+        "bv AS (SELECT bv0.* FROM bv0 JOIN bc USING (band, v)), " +
         "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
         "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
         "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +

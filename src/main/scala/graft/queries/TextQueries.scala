@@ -267,7 +267,13 @@ object TextQueries {
   // exact-sum recipe.
   private def t24(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), T.charEntropyStats(col("text")).as("e"))
+      // coalesce BEFORE the null-intolerant native expression: a NULL
+      // text must score as an empty doc — (0, 0, 0.0) — matching the
+      // oracle's LEFT JOIN + coalesce (the Boilerplate NULL-guard
+      // discipline; the fixture has no NULL texts today, but the gate
+      // must not hash-fail the day one appears)
+      .select(col("doc_id"),
+        T.charEntropyStats(coalesce(col("text"), lit(""))).as("e"))
       .select(col("doc_id"), col("e.n_chars").as("n_chars"),
         col("e.n_distinct").as("n_distinct"),
         round(col("e.entropy"), 4).as("entropy"))

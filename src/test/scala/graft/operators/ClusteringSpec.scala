@@ -65,6 +65,73 @@ class ClusteringSpec extends SparkSpec {
     assert(none.count() === 0)
   }
 
+  // 40 vectors in two tight direction bundles (20 each) + tiny angular
+  // jitter: one flat k=2 pass would leave 20-row clusters, so a cap of
+  // 8 forces at least one recursive split per bundle
+  private def bundled = {
+    val rows = for {
+      b <- 0 until 2
+      i <- 0 until 20
+    } yield {
+      val theta = b * math.Pi / 2 + (i - 10) * 0.002
+      (b * 100L + i,
+        Seq(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("capAssign: every leaf respects the size cap when splittable") {
+    val leaves = Clustering
+      .capAssign(bundled, "vec_id", "embedding", maxClusterSize = 8,
+        k = 2, iters = 2)
+      .groupBy("cluster").count().collect()
+    assert(leaves.forall(_.getLong(1) <= 8),
+      leaves.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(","))
+    assert(leaves.map(_.getLong(1)).sum === 40)
+  }
+
+  test("capAssign is deterministic across invocations (gate vs aux)") {
+    val a = Clustering.capAssign(bundled, "vec_id", "embedding", 8, 2, 2)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    val b = Clustering.capAssign(bundled, "vec_id", "embedding", 8, 2, 2)
+      .select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("capAssign: identical-vector glut stops at maxLevels, unsplit") {
+    val dupes = (0 until 12).map(i => (i.toLong, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.capAssign(dupes, "vec_id", "embedding",
+      maxClusterSize = 4, k = 2, iters = 1, maxLevels = 3)
+      .select("cluster").collect().map(_.getString(0))
+    // unsplittable: all 12 share one leaf; recursion bounded by levels
+    assert(out.distinct.length === 1)
+    assert(out.head.count(_ == '.') <= 3)
+  }
+
+  test("semanticDedupPairsCapped keeps near-dup pairs co-clustered") {
+    // planted near-dups: each base vector + an exact twin under a new
+    // id — bit-identical vectors get bit-identical cosines to every
+    // centroid at every level, so co-clustering is guaranteed, not
+    // knife-edge (a scaled twin could tie-flip on a deep split)
+    val base = bundled
+    val twins = base.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val corpus = base.unionByName(twins)
+    val pairs = Clustering.semanticDedupPairsCapped(corpus, "vec_id",
+      "embedding", threshold = 0.9999, maxClusterSize = 8, k = 2,
+      iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (v, v+1000) twin pair must survive the splits —
+    // scaled copies are cosine-1.0 with their base
+    val planted = (0 until 2).flatMap(b => (0 until 20)
+      .map(i => (b * 100L + i, b * 100L + i + 1000L))).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing: ${(planted -- pairs).take(5)}")
+  }
+
   test("assignment plan stays codegen (native cosine, no shuffle)") {
     // parquet-backed input: a purely-local relation would be constant-
     // folded away and show nothing of the real scan-side plan

@@ -47,4 +47,16 @@ class CoOccurrenceSpec extends SparkSpec {
       .filter($"item" === 1L).select("pair_cnt").as[Long].collect()
     assert(out.toSeq === Seq(1L))
   }
+
+  test("topK: maxGroupRows drops the mega-group, keeps the rest") {
+    // group 1 = a 30-row glut (collect_set OOM class), group 2 = sane
+    val glut = (1L to 30L).map(i => (1L, i))
+    val sane = Seq((2L, 100L), (2L, 101L), (3L, 100L), (3L, 101L))
+    val inc = (glut ++ sane).toDF("g", "i")
+    val out = CoOccurrence
+      .topK(inc, "g", "i", k = 5, minPairs = 1, maxGroupRows = 10L)
+      .select("item", "rec").as[(Long, Long)].collect().toSet
+    // no pair from the glut survives; the sane groups' pair does
+    assert(out === Set((100L, 101L), (101L, 100L)))
+  }
 }

@@ -18,8 +18,11 @@ class ImageHashSpec extends SparkSpec {
     javax.imageio.ImageIO.write(img, "png", bos)
     val media = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
     val Array(h) = Multimodal.imageAHash(media).collect()
+    // aHash bits: bright half (bx >= 4); dHash chain bits: avg rises
+    // only at the dark→bright step inside each row, i % 8 == 3
     val expected = (0 until 32).filter(i => i % 8 >= 4)
-      .map(1L << _).sum
+      .map(1L << _).sum +
+      Seq(3, 11, 19, 27).map(i => 1L << (32 + i)).sum
     assert(h.width === 16 && h.height === 8 && h.phash === expected)
   }
 
@@ -41,7 +44,9 @@ class ImageHashSpec extends SparkSpec {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     val media = Seq((7L, bos.toByteArray)).toDF("doc_id", "payload")
     val Array(h) = Multimodal.audioAHash(media).collect()
-    val expected = (16 until 32).map(1L << _).sum
+    // aHash: loud windows 16..31; dHash: energy rises only at the
+    // silent→loud step, window 15 → 16
+    val expected = (16 until 32).map(1L << _).sum + (1L << (32 + 15))
     assert(h.n_samples === n && h.phash === expected)
   }
 
@@ -73,8 +78,11 @@ class ImageHashSpec extends SparkSpec {
     writer.endWriteSequence(); ios.close(); writer.dispose()
     val media = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
     val Array(h) = Multimodal.videoAHash(media).collect()
-    // cells: idx = row*4 + colcell; right half = colcell 2,3
-    val expected = (0 until 16).filter(i => i % 4 >= 2).map(1L << _).sum
+    // cells: idx = row*4 + colcell; right half = colcell 2,3. The two
+    // right-bright frames carry the majority for both the aHash bits
+    // and the dark→bright chain-step dHash bits (i % 4 == 1).
+    val expected = (0 until 16).filter(i => i % 4 >= 2).map(1L << _).sum +
+      Seq(1, 5, 9, 13).map(i => 1L << (16 + i)).sum
     assert(h.n_frames === 3 && h.phash === expected)
   }
 
@@ -92,5 +100,34 @@ class ImageHashSpec extends SparkSpec {
       .select("doc_id", "nn_id", "nn_hamming")
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, -1L, -1L)))
+  }
+
+  test("nearestByHamming maxBucket drops hot buckets; audit counts them") {
+    import spark.implicits._
+    // ten flat payloads collapse onto phash 0 (every band value 0 —
+    // the degenerate bucket the cap exists for); two structured hashes
+    // share a band with each other but not with the flat glut
+    val flat = (1L to 10L).map(i => (i, 0L))
+    val pair = Seq((101L, 0x0101010101010101L),
+      (102L, 0x0101010101010102L))
+    val hashes = (flat ++ pair).toDF("doc_id", "phash")
+    val capped = Multimodal
+      .nearestByHamming(hashes, bandBits = 16, numBands = 4,
+        maxBucket = 5)
+      .select("doc_id", "nn_id").as[(Long, Long)].collect().toMap
+    // flat glut: every (band, 0) bucket holds 10 > 5 rows -> dropped,
+    // no candidates, nn = -1; the pair still pairs up through its
+    // surviving small buckets
+    assert((1L to 10L).forall(capped(_) === -1L))
+    assert(capped(101L) === 102L && capped(102L) === 101L)
+    val uncapped = Multimodal
+      .nearestByHamming(hashes, bandBits = 16, numBands = 4)
+      .select("doc_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(capped(1L) !== uncapped(1L)) // the cap is load-bearing
+    val Array(a) = Multimodal
+      .hammingCapAudit(hashes, bandBits = 16, numBands = 4, maxBucket = 5)
+      .as[(Long, Long, Long)].collect()
+    // 4 hot buckets (band 0..3, value 0) x 10 rows each; hottest = 10
+    assert(a === ((4L, 40L, 10L)))
   }
 }

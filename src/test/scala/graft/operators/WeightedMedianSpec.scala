@@ -33,4 +33,12 @@ class WeightedMedianSpec extends SparkSpec {
     // d: floored weights 1,1 -> lower median 1.0, W=2; e: single value
     assert(out === Seq(("d", 2L, 1.0), ("e", 3L, 7.0)))
   }
+
+  test("negative weights raise instead of silently skewing the median") {
+    val e = intercept[Exception] {
+      wm(Seq(("f", 1.0, 2.0), ("f", 5.0, -3.0)))
+    }
+    assert(e.getMessage.contains("negative weight"),
+      s"unexpected: ${e.getMessage}")
+  }
 }
