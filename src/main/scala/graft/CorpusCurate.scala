@@ -78,6 +78,7 @@ object CorpusCurate {
       maxRepetition: Double = 1.0, maxBucket: Int = 0,
       embeddings: Option[DataFrame] = None,
       semanticThreshold: Double = 0.95, semanticK: Int = 8,
+      semanticMaxCluster: Int = 100,
       maxPerDomain: Int = 0, domainCol: String = "source",
       bench: Option[DataFrame] = None, minBenchOverlap: Int = 8)
     : (DataFrame, () => Stats) = {
@@ -153,11 +154,14 @@ object CorpusCurate {
       .drop("_dropped", "fp")
 
     // optional SemDeDup stage (Abbas et al. 2023): embedding-space
-    // near-duplicates among the text-stage survivors — k-means clusters
-    // bound the pairwise search, connected components collapse the pair
-    // graph to one representative, exactly like the lexical stage.
-    // Embeddings join on vec_id == doc_id; docs without a vector pass
-    // through untouched.
+    // near-duplicates among the text-stage survivors — size-capped
+    // recursive-split clusters (Clustering.capAssign: leaves stay
+    // <= semanticMaxCluster however large the corpus grows, so the
+    // within-cluster pair term is LINEAR — the r6 fixed-k path measured
+    // alpha=1.42) bound the pairwise search, connected components
+    // collapse the pair graph to one representative, exactly like the
+    // lexical stage. Embeddings join on vec_id == doc_id; docs without
+    // a vector pass through untouched.
     val obsSem = org.apache.spark.sql.Observation()
     val semDropIds = embeddings.map { emb =>
       val alivePlain = exactPlain
@@ -165,16 +169,12 @@ object CorpusCurate {
         .filter(col("_d").isNull)
         .select(col("doc_id").as("vec_id"))
       val embAlive = emb.join(alivePlain, Seq("vec_id"), "left_semi")
-      val cents = Clustering.fit(embAlive, "vec_id", "embedding",
-        semanticK, iters = 4)
-      if (cents.isEmpty) // no survivor has a vector: nothing to drop
-        embAlive.select(col("vec_id").as("doc_id")).limit(0)
-      else
-        ConnectedComponents.nonRepresentatives(
-          Clustering.semanticDedupPairs(embAlive, "vec_id", "embedding",
-            cents, semanticThreshold),
-          "id_a", "id_b")
-          .withColumnRenamed("id", "doc_id")
+      ConnectedComponents.nonRepresentatives(
+        Clustering.semanticDedupPairsCapped(embAlive, "vec_id",
+          "embedding", semanticThreshold,
+          maxClusterSize = semanticMaxCluster, k = semanticK, iters = 4),
+        "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
     }
     val afterSem = semDropIds match {
       case None => afterNear
@@ -288,6 +288,8 @@ object CorpusCurate {
       semanticThreshold =
         opts.get("semantic-threshold").map(_.toDouble).getOrElse(0.95),
       semanticK = opts.get("semantic-k").map(_.toInt).getOrElse(8),
+      semanticMaxCluster =
+        opts.get("semantic-max-cluster").map(_.toInt).getOrElse(100),
       maxPerDomain = opts.get("max-per-domain").map(_.toInt).getOrElse(0),
       domainCol = opts.getOrElse("domain-col", "source"),
       bench = opts.get("decontaminate").map(spark.read.parquet(_)),

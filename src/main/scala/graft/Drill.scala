@@ -73,12 +73,63 @@ object Drill {
     }
   }
 
+  private def s04Variants(s: SparkSession, dir: String): Unit = {
+    import operators.Clustering
+    val base = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = base.unionByName(base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x.cast("double") * 1.05).cast("float"))
+          .otherwise(x)).as("embedding")))
+    time("corpus count") { corpus.count() }
+    time("corpus localCheckpoint") { corpus.localCheckpoint(true).count() }
+    for (k <- Seq(8, 32); it <- Seq(1, 4)) {
+      time(s"capAssign k=$k iters=$it") {
+        val n = Clustering.capAssign(corpus, "vec_id", "embedding",
+          100, k, it).count()
+        s.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        n
+      }
+    }
+    time("full pairs k=32 iters=4") {
+      val n = Clustering.semanticDedupPairsCapped(corpus, "vec_id",
+        "embedding", 0.95, 100, 32, 4).count()
+      s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      n
+    }
+  }
+
+  private def g04Variants(s: SparkSession, dir: String): Unit = {
+    import operators.{KCore, Triangles}
+    val li = Tables(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+    time("li count") { li.count() }
+    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    time("edge build (coOccurrenceEdges)") { e0.count() }
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    time("edges both directions") { edges.count() }
+    val ck = edges.localCheckpoint(true)
+    time("peel r=1 (on checkpointed edges)") {
+      KCore.peel(ck, k = 4, rounds = 1).count()
+    }
+    time("peel r=3 (on checkpointed edges)") {
+      KCore.peel(ck, k = 4, rounds = 3).count()
+    }
+    time("full gate (build + peel r=3)") {
+      KCore.peel(edges, k = 4, rounds = 3).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
     spark.range(1000).selectExpr("sum(id)").collect() // JIT warm
     args.headOption.getOrElse("q23") match {
       case "q23" => q23Variants(spark, sfDir)
+      case "s04" => s04Variants(spark, sfDir)
+      case "g04" => g04Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-exponent probe for the perf-tail gates: times each audited gate
@@ -37,7 +37,13 @@ object ScalingProbe {
     "d09_components", "d16_dedup_pipeline", "q38_exact_quantile",
     "q29_salted_join", "d06_winnow_pairs", "p13_leakage_split",
     "d03_minhash_lsh", "t16_bigram_surprisal", "t18_nb_confusion",
-    "s03_kmeans_assign", "s04_semantic_dedup", "s14_knn_graph")
+    "s03_kmeans_assign", "s04_semantic_dedup", "s14_knn_graph",
+    // r7 additions: every r6 gate >= 1 s at sf0.1 plus the remaining
+    // near-dup/similarity family (r6 verdict item #5)
+    "q44_weighted_median", "t25_kneser_ney", "t26_readability",
+    "f13_kaplan_meier", "d17_incremental_ingest", "s13_mmr_diversify",
+    "mm08_image_neardup_nx", "mm09_audio_neardup_nx",
+    "mm10_video_neardup_nx")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
@@ -47,7 +53,49 @@ object ScalingProbe {
     "d06_winnow_pairs" -> "documents", "p13_leakage_split" -> "documents",
     "d03_minhash_lsh" -> "documents", "t16_bigram_surprisal" -> "documents",
     "t18_nb_confusion" -> "documents", "s03_kmeans_assign" -> "embeddings",
-    "s04_semantic_dedup" -> "embeddings", "s14_knn_graph" -> "embeddings")
+    "s04_semantic_dedup" -> "embeddings", "s14_knn_graph" -> "embeddings",
+    "t25_kneser_ney" -> "documents", "t26_readability" -> "documents",
+    "d17_incremental_ingest" -> "documents",
+    "s13_mmr_diversify" -> "embeddings", "f13_kaplan_meier" -> "events",
+    "mm08_image_neardup_nx" -> "documents",
+    "mm09_audio_neardup_nx" -> "documents",
+    "mm10_video_neardup_nx" -> "documents")
+
+  /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
+    * pin their payload count (LIMIT 40/30) for oracle determinism, so
+    * the gate itself cannot show a scaling exponent — these variants
+    * grow the payload corpus with the documents table (one payload per
+    * eligible doc_id % 3 residue, i.e. ~n/3 synthetic media blobs) and
+    * run the exact gate pipeline: decode → pool → hash → banded capped
+    * Hamming NN. */
+  private val probeOnly: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.operators.Multimodal
+    Map(
+      "mm08_image_neardup_nx" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = (docs.count() / 3).toInt + 1
+        Multimodal.nearestByHamming(
+          Multimodal.imageAHash(
+            Multimodal.imagePayloads(docs, limit = n)).toDF(),
+          bandBits = 16, numBands = 4, maxBucket = 1000)
+      }),
+      "mm09_audio_neardup_nx" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = (docs.count() / 3).toInt + 1
+        Multimodal.nearestByHamming(
+          Multimodal.audioAHash(
+            Multimodal.audioPayloads(docs, limit = n)).toDF(),
+          bandBits = 16, numBands = 4, maxBucket = 1000)
+      }),
+      "mm10_video_neardup_nx" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = (docs.count() / 3).toInt + 1
+        Multimodal.nearestByHamming(
+          Multimodal.videoAHash(
+            Multimodal.videoPayloads(docs, limit = n)).toDF(),
+          bandBits = 8, numBands = 4, maxBucket = 1000)
+      }))
+  }
 
   private val copies = 10
 
@@ -56,6 +104,7 @@ object ScalingProbe {
     val out = "/tmp/graft_sf1x_v2"
     if (Files.exists(Paths.get(s"$out/_DONE"))) {
       ensureScaledEmbeddings(spark, baseDir, out) // additive v3 step
+      ensureScaledEvents(spark, baseDir, out) // additive v4 step
       return out
     }
     val li = Tables(spark, baseDir, "lineitem")
@@ -85,7 +134,27 @@ object ScalingProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     Files.createFile(Paths.get(s"$out/_DONE"))
     ensureScaledEmbeddings(spark, baseDir, out)
+    ensureScaledEvents(spark, baseDir, out)
     out
+  }
+
+  /** Additive v4 step: scaled events. Copies shift user_id AND
+    * event_id (user sessions are the unit of work for the funnel/
+    * survival gates — disjoint user domains = pure volume growth, no
+    * densified per-user timelines). Timestamps pass through Tables'
+    * nanos handling once and are written as plain µs. */
+  private def ensureScaledEvents(spark: SparkSession, baseDir: String,
+      out: String): Unit = {
+    if (Files.exists(Paths.get(s"$out/_DONE_EVT"))) return
+    val ev = Tables(spark, baseDir, "events")
+    val maxU = ev.agg(max("user_id")).collect()(0).getLong(0) + 1L
+    val maxE = ev.agg(max("event_id")).collect()(0).getLong(0) + 1L
+    ev.crossJoin(spark.range(copies).toDF("_c"))
+      .withColumn("user_id", col("user_id") + col("_c") * maxU)
+      .withColumn("event_id", col("event_id") + col("_c") * maxE)
+      .drop("_c")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    Files.createFile(Paths.get(s"$out/_DONE_EVT"))
   }
 
   /** Additive v3 step: scaled embeddings. Each copy's vectors are
@@ -110,7 +179,7 @@ object ScalingProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("SCALING_r6.json")
+    val outJson = args.headOption.getOrElse("SCALING_r7.json")
     val gates = args.lift(1)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultGates)
@@ -124,13 +193,14 @@ object ScalingProbe {
       label -> Map(
         "lineitem" -> Tables(spark, d, "lineitem").count(),
         "documents" -> Tables(spark, d, "documents").count(),
-        "embeddings" -> Tables(spark, d, "embeddings").count())
+        "embeddings" -> Tables(spark, d, "embeddings").count(),
+        "events" -> Tables(spark, d, "events").count())
     }.toMap
     def tableOf(gate: String): String =
       gateTable.getOrElse(gate, "lineitem")
 
     val results = gates.flatMap { gate =>
-      val fn = SparkEntry.queries(gate)
+      val fn = SparkEntry.queries.getOrElse(gate, probeOnly(gate))
       val timesOpt = try Some(dirs.map { case (label, d) =>
         // min of 2: one-off GC/codegen noise must not set an exponent
         val t = (1 to 2).map { _ =>

@@ -186,18 +186,50 @@ object Clustering {
     var level = 0
     var done = false
     while (!done && level < maxLevels) {
+      // leaf-count-sized; checkpointed so the loop-control probe and
+      // both join references read it instead of re-aggregating cur
       val sizes = cur.groupBy("cluster").agg(count(lit(1)).as("_n"))
+        .localCheckpoint(true)
       // driver scalar for loop control only — never the member rows
-      if (sizes.filter(col("_n") > maxClusterSize).isEmpty) done = true
+      val nOver = sizes.filter(col("_n") > maxClusterSize).count()
+      if (nOver == 0L) done = true
       else {
         val tagged = cur.join(broadcast(sizes), Seq("cluster"))
+        // materialized: the Lloyd chain references this frame iters+2
+        // times (seeds + every assignment); without the checkpoint each
+        // reference re-derives the join from cur
         val over = tagged.filter(col("_n") > maxClusterSize)
           .select("cluster", "id", "v")
+          .localCheckpoint(true)
         val fit = tagged.filter(col("_n") <= maxClusterSize)
           .select("cluster", "id", "v")
-        val sub = groupedLloyd(over, k, iters) // (cluster, id, v, c)
+        // the ROOT split is autoK: one Lloyd pass with k0 ≈ 2n/cap
+        // clusters (bounded at 1024 — broadcast/seed state stays
+        // constant) lands most leaves under the cap immediately; later
+        // levels split only the stragglers k-way. Without this, every
+        // level re-clusters nearly the whole corpus and the per-level
+        // AQE stage barriers — not the math — dominate (measured 7-9 s
+        // at sf0.1 vs ~3 s with the wide root).
+        val kLevel =
+          if (level == 0) {
+            val n = sizes.agg(sum(col("_n"))).collect()(0).getLong(0)
+            math.min(math.max(k.toLong,
+              2L * n / math.max(1, maxClusterSize) + 1L), 1024L).toInt
+          } else k
+        // centroid-array broadcast is the fast path (no per-row
+        // shuffle); past ~200k centroids (nOver·k) the broadcast stops
+        // fitting and assignment falls back to the shuffled equi-join +
+        // window — same values, exchange-per-iteration cost
+        val sub = groupedLloyd(over, kLevel, iters,
+          broadcastCents = nOver * kLevel <= 200000L,
+          rootSeeds = level == 0) // (cluster, id, v, c)
           .select(concat(col("cluster"), lit("."), col("c"))
             .as("cluster"), col("id"), col("v"))
+        // ONE materialization closes the level: the whole iters-round
+        // Lloyd chain (seeds + per-iteration assign/means) executes
+        // lazily inside this job over the checkpointed `over` frame —
+        // per-iteration checkpoint barriers measured slower than the
+        // math they saved
         cur = fit.unionByName(sub).localCheckpoint(true)
         level += 1
       }
@@ -211,19 +243,43 @@ object Clustering {
     * DataFrame — no per-group driver loop, no k-literal projection
     * (the flat [[fit]]'s k-wide expression array stops codegen'ing
     * near k ~ 100; the join shape has no such ceiling). Empty clusters
-    * simply vanish from the centroid frame (they attract no rows). */
-  private def groupedLloyd(rows: DataFrame, k: Int,
-      iters: Int): DataFrame = {
-    val seedW = Window.partitionBy("cluster")
-      .orderBy(md5(col("id").cast("string")))
-    var cents = rows
-      .withColumn("_rn", row_number().over(seedW))
-      .filter(col("_rn") <= k)
-      .select(col("cluster"), (col("_rn") - 1).as("c"),
-        col("v").as("cent"))
-      .localCheckpoint(true)
+    * simply vanish from the centroid frame (they attract no rows).
+    *
+    * Entirely LAZY: the returned frame chains seed window → iters ×
+    * (assign join + decimal means) → final assign into one plan whose
+    * only data dependency is `rows` — the caller materializes `rows`
+    * once and the whole run executes inside the caller's next action
+    * (iters is small and fixed, so the linear lineage stays shallow;
+    * per-iteration checkpoint barriers measured slower than the math
+    * they saved). */
+  private def groupedLloyd(rows: DataFrame, k: Int, iters: Int,
+      broadcastCents: Boolean, rootSeeds: Boolean = false): DataFrame = {
+    def assignWith(r: DataFrame, c: DataFrame): DataFrame =
+      if (broadcastCents) assignGrouped(r, c)
+      else assignGroupedShuffle(r, c)
+    // root level = ONE group: the per-group seed window would plan a
+    // single-task sort of the whole corpus; a distributed TakeOrdered
+    // of the k smallest md5(id) rows (k bounded by the caller) gives
+    // the same seeds scale-safely. Deeper levels have many groups, so
+    // the group-parallel window is the right shape there.
+    var cents =
+      if (rootSeeds)
+        rows.orderBy(md5(col("id").cast("string"))).limit(k)
+          .withColumn("_rn", row_number().over(org.apache.spark.sql
+            .expressions.Window.orderBy(md5(col("id").cast("string")))))
+          .select(col("cluster"), (col("_rn") - 1).as("c"),
+            col("v").as("cent"))
+      else {
+        val seedW = Window.partitionBy("cluster")
+          .orderBy(md5(col("id").cast("string")))
+        rows
+          .withColumn("_rn", row_number().over(seedW))
+          .filter(col("_rn") <= k)
+          .select(col("cluster"), (col("_rn") - 1).as("c"),
+            col("v").as("cent"))
+      }
     for (_ <- 0 until iters) {
-      val assigned = assignGrouped(rows, cents)
+      val assigned = assignWith(rows, cents)
       cents = assigned
         .select(col("cluster"), col("c"),
           posexplode(col("v")).as(Seq("pos", "x")))
@@ -235,17 +291,17 @@ object Clustering {
           .as("pm"))
         .select(col("cluster"), col("c"),
           transform(col("pm"), e => e.getField("m")).as("cent"))
-        .localCheckpoint(true) // tiny (groups×k×dim) and cuts the
-                               // per-iteration lineage through the join
     }
-    assignGrouped(rows, cents)
+    assignWith(rows, cents)
   }
 
-  /** Nearest-centroid assignment via an equi-join on the group key:
-    * rows × (its group's k centroids) → native cosine → per-row argmax
-    * with ties toward the lowest cluster id (row_number over cos DESC,
-    * c ASC — mirrors [[argmax]]'s first-position-of-max). */
-  private def assignGrouped(rows: DataFrame,
+  /** Large-scale assignment fallback: rows × centroids through a
+    * shuffled equi-join on the group key, per-row argmax via a
+    * (cluster, id) window — no broadcast, so it holds when the
+    * centroid population itself is beyond executor memory. Ties break
+    * toward the lowest c (row_number over cos DESC, c ASC — the same
+    * first-position-of-max rule as [[argmax]]). */
+  private def assignGroupedShuffle(rows: DataFrame,
       cents: DataFrame): DataFrame = {
     val scored = rows.join(cents, Seq("cluster"))
       .withColumn("_cos", nanvl(bridge.column(CosineSimilarity(
@@ -256,5 +312,31 @@ object Clustering {
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("cluster"), col("id"), col("v"), col("c"))
+  }
+
+  /** Nearest-centroid assignment with NO per-row shuffle: each group's
+    * centroids collapse to ONE c-ordered array row (groups×k×dim
+    * floats — broadcast-sized by construction), the broadcast join
+    * multiplies nothing (one array per input row), and the argmax runs
+    * scan-side over the cosine array — the same first-position-of-max
+    * tie rule as [[argmax]]. (The first r7 cut shuffled rows×centroids
+    * through an equi-join + a (cluster,id) window sort per iteration;
+    * with AQE materializing a stage per exchange, the 4-iteration Lloyd
+    * paid ~3 stage barriers per round and s04 benched 9 s at sf0.1.
+    * The HOF cosine is interpreted, but it's k·d multiply-adds per row
+    * on the scan — no exchange — and cosine itself is the codegen'd
+    * native expression.) */
+  private def assignGrouped(rows: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val centArr = cents.groupBy("cluster")
+      .agg(sort_array(collect_list(struct(col("c"), col("cent"))))
+        .as("_ca"))
+      .select(col("cluster"),
+        transform(col("_ca"), e => e.getField("cent")).as("_cents"))
+    rows.join(broadcast(centArr), Seq("cluster"))
+      .withColumn("_cos", transform(col("_cents"),
+        cent => nanvl(VectorOps.cosine(col("v"), cent), lit(-2.0))))
+      .select(col("cluster"), col("id"), col("v"),
+        argmax(col("_cos")).as("c"))
   }
 }

@@ -152,6 +152,30 @@ object Dedup {
         coalesce(col("max_df"), lit(0L)).as("max_df"))
   }
 
+  /** AutoScale: the n-scaled hot-bucket cap for every banded family in
+    * this file — [[SimilaritySearch.autoPlanes]]'s discipline applied
+    * to frequency caps. The banded joins (d02's shingle-prefix join,
+    * d03's MinHash band buckets, d05's hyperplane buckets, d11's
+    * shingle runs) are linear in n only while bucket width stays
+    * BOUNDED; the caps enforce that, but a cap FIXED as the corpus
+    * grows starts dropping legitimately-frequent keys (at 10⁹ docs a
+    * shingle in 2,001 docs is ordinary vocabulary, not boilerplate).
+    * Scaling the cap as a parts-per-million share of the corpus keeps
+    * the cap's MEANING fixed — "drop keys hot enough that >ppm of all
+    * docs collide on them" — while the floor preserves small-corpus
+    * behavior (the gates pin explicit caps so oracles replay; the
+    * production default is `maxBucket = autoMaxBucket(n)` and the
+    * matching `*CapAudit` on the same frame).
+    *
+    * Per-family levers: d02 prefix join — cap on shingle df (this
+    * knob); d03 MinHash — bands/rows set the similarity threshold
+    * (s-curve), this knob caps band-bucket width against mega-dup
+    * clusters; d05/s14 LSH — plane count via `autoPlanes` (bucket
+    * CARDINALITY) plus this cap (bucket POPULATION); mm08–10 Hamming
+    * bands — same pair, via `nearestByHamming(maxBucket)`. */
+  def autoMaxBucket(n: Long, ppm: Long = 400L, floor: Int = 2000): Int =
+    math.max(floor.toLong, n * ppm / 1000000L).toInt
+
   /** Audit of the shingle cap used by the n-gram similarity paths:
     * what `maxBucket` drops from this corpus' shingle buckets. */
   def shingleCapAudit(docs: DataFrame, idCol: String, textCol: String,

@@ -37,7 +37,12 @@ object KCore {
     var deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     for (_ <- 0 until rounds) {
+      // keep is node-sized and referenced by BOTH endpoint semi-joins;
+      // left lazy, each reference re-runs the full edge-frame degree
+      // aggregate (measured: the r6 shape spent ~2/3 of g04's sf1x
+      // wall on those re-aggregations — 57 s → ~20 s with the pin)
       val keep = deg.filter(col("deg") >= k).select("node")
+        .localCheckpoint()
       e = e
         .join(keep.withColumnRenamed("node", "src"), Seq("src"),
           "left_semi")

@@ -168,11 +168,20 @@ object DedupQueries {
     * seeded planes; verified at sf0.001/0.01/0.1), while probing scans
     * ~0.1% of the corpus. */
   private def s01(s: SparkSession, dir: String): DataFrame = {
-    val corpus = plantedCorpus(s, dir, s01Plants)
-    val queryVec = corpus.filter(col("vec_id") === 1)
+    // r7 probe-overhead drill: the r6 shape re-derived the 5-branch
+    // planted-union THREE times in one plan (query-vector scan, brute
+    // path, IVF path) and the brute top-5 twice (emit + recall join) —
+    // 31× DuckDB, nearly all repeated derivation. Now: the query vector
+    // comes off the RAW table (vec_id=1 is a base row — no union scan),
+    // the corpus materializes once (5n×64 floats), and the 5-row exact
+    // result materializes once and feeds both uses.
+    val corpus = plantedCorpus(s, dir, s01Plants).localCheckpoint(true)
+    val queryVec = emb(s, dir).filter(col("vec_id") === 1)
       .select("embedding").collect().head.getSeq[Float](0)
     val q = array(queryVec.map(lit): _*)
-    val exact = SimilaritySearch.bruteForceTopK(corpus, "vec_id", "embedding", q, 5)
+    val exact = SimilaritySearch
+      .bruteForceTopK(corpus, "vec_id", "embedding", q, 5)
+      .localCheckpoint(true) // 5 rows; feeds the emit AND the recall join
     val index = SimilaritySearch.ivfIndex(corpus, "vec_id", "embedding",
       dim = 64, planes = 12, tables = 6)
     val ann = SimilaritySearch.annTopK(index, queryVec, dim = 64, k = 5,
@@ -377,8 +386,8 @@ object DedupQueries {
   // candidate-generation logic is what's cross-checked, as in d04/d06.
   private def s04(s: SparkSession, dir: String): DataFrame =
     Clustering.semanticDedupPairsCapped(d05Corpus(s, dir), "vec_id",
-      "embedding", threshold = 0.95, maxClusterSize = 100, k = 8,
-      iters = 4)
+      "embedding", threshold = 0.95, maxClusterSize = 100, k = 32,
+      iters = 2)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("id_a", "id_b")
 
@@ -971,7 +980,7 @@ object DedupQueries {
       // the same deterministic capAssign the gate runs (string leaf
       // paths; the oracle only equality-joins on cluster)
       Clustering.capAssign(d05Corpus(s, dir), "vec_id", "embedding",
-        maxClusterSize = 100, k = 8, iters = 4)
+        maxClusterSize = 100, k = 32, iters = 2)
         .select(col("id").as("vec_id"), col("cluster"))),
     "s07_codebooks" -> ((s, dir) =>
       ProductQuantization.codebookTable(s, s07Codebooks(s, dir))),

@@ -148,29 +148,31 @@ object PipelineQueries {
     val c = Tables(s, dir, "customer")
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
       "5-LOW")
-    val report = Expectations.rowChecks(li, "lineitem", Seq(
+    // r7: the composed rowChecks/uniqueCheck/fkCheck shape scanned each
+    // fact table 3× across 6 aggregate branches (12× DuckDB, mostly
+    // rescans + stage constants); tableReport fuses each table's whole
+    // suite into one scan + one key-grouped aggregation
+    val report = Expectations.tableReport(li, "lineitem", Seq(
         RowCheck("li_quantity_positive",
           col("l_quantity").isNull || col("l_quantity") <= 0),
         RowCheck("li_discount_domain",
           col("l_discount").isNull || col("l_discount") < 0 ||
             col("l_discount") > 1),
         RowCheck("li_price_not_null", col("l_extendedprice").isNull),
-        RowCheck("li_shipdate_not_null", col("l_shipdate").isNull)))
-      .unionByName(Expectations.rowChecks(o, "orders", Seq(
+        RowCheck("li_shipdate_not_null", col("l_shipdate").isNull)),
+        uniqueName = "li_line_unique",
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        fks = Seq(("li_orderkey_fk", "l_orderkey", o, "o_orderkey")))
+      .unionByName(Expectations.tableReport(o, "orders", Seq(
         RowCheck("o_totalprice_positive",
           col("o_totalprice").isNull || col("o_totalprice") <= 0),
         RowCheck("o_orderdate_not_null", col("o_orderdate").isNull),
         RowCheck("o_priority_domain",
           !col("o_orderpriority").isin(prios: _*) ||
-            col("o_orderpriority").isNull))))
-      .unionByName(Expectations.uniqueCheck(o, "orders",
-        "o_orderkey_unique", Seq("o_orderkey")))
-      .unionByName(Expectations.uniqueCheck(li, "lineitem",
-        "li_line_unique", Seq("l_orderkey", "l_linenumber")))
-      .unionByName(Expectations.fkCheck(li, "l_orderkey", o,
-        "o_orderkey", "lineitem", "li_orderkey_fk"))
-      .unionByName(Expectations.fkCheck(o, "o_custkey", c,
-        "c_custkey", "orders", "o_custkey_fk"))
+            col("o_orderpriority").isNull)),
+        uniqueName = "o_orderkey_unique",
+        keyCols = Seq("o_orderkey"),
+        fks = Seq(("o_custkey_fk", "o_custkey", c, "c_custkey"))))
     report.orderBy("table_name", "check")
   }
 
@@ -186,9 +188,23 @@ object PipelineQueries {
         expr("rank div 8").as("pos"))
       .orderBy("doc_id")
 
+  // DSIR-style importance selection (Xie et al. 2023): docs with
+  // doc_id % 7 == 0 play the trusted target distribution, the rest are
+  // the raw source pool; every source doc scores its unigram
+  // log-importance-weight toward the target (add-one smoothing over the
+  // joint vocab, t12 decimal-quantized exact sums) and the top 200
+  // survive — the "make web text look like the curated set" pretraining
+  // selection step, as a deterministic top-k.
+  private def p14(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceTopK(docs(s, dir), "doc_id", "text",
+      isTarget = pmod(col("doc_id"), lit(7)) === 0, k = 200)
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("log_weight"))
+      .orderBy(col("log_weight").desc, col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
+    "p14_dsir_select" -> (p14 _),
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
@@ -210,6 +226,27 @@ object PipelineQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    // identical tokenization (t12's), identical smoothed rational
+    // operands, ln terms quantized DECIMAL(28,14) before the exact sum,
+    // rank on the 4-digit rounding with doc_id tie-break
+    "p14_dsir_select" ->
+      ("WITH tk AS (SELECT doc_id, doc_id % 7 = 0 AS is_t, " +
+        "unnest(list_filter(string_split_regex(trim(lower(text)), " +
+        "'\\s+'), t -> t <> '')) AS term FROM documents), " +
+        "f AS (SELECT term, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS ct, CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) " +
+        "AS BIGINT) AS cs FROM tk GROUP BY term), " +
+        "tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, " +
+        "CAST(sum(cs) AS BIGINT) AS ns, count(*) AS v FROM f), " +
+        "j AS (SELECT doc_id, ct, cs, nt, ns, v FROM tk " +
+        "JOIN f USING (term) CROSS JOIN tot WHERE NOT is_t) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(CAST(sum(CAST(" +
+        "ln((ct + 1) / CAST(nt + v AS DOUBLE)) - " +
+        "ln((cs + 1) / CAST(ns + v AS DOUBLE)) " +
+        "AS DECIMAL(28,14))) AS DOUBLE), 4) AS log_weight " +
+        "FROM j GROUP BY doc_id " +
+        "ORDER BY log_weight DESC, doc_id LIMIT 200"),
     // the same total order (n_chars, doc_id) -> identical dense ranks
     "p12_curriculum" ->
       ("WITH r AS (SELECT doc_id, row_number() OVER " +

@@ -47,4 +47,39 @@ class ExpectationsSpec extends SparkSpec {
       .head()
     assert(out.getLong(2) === 1L)
   }
+
+  test("tableReport fuses row+unique+fk and matches the composed path") {
+    // id 1 duplicated (2 surplus rows across keys 1,1,1 -> 2; 3,3 -> 1),
+    // v<=0 violations on two rows, fk 9 orphaned, NULL fk exempt
+    val child = Seq(
+      (1L, 5.0, Some(10L)), (1L, -1.0, Some(10L)), (1L, 2.0, Some(20L)),
+      (2L, 0.0, Some(9L)), (3L, 1.0, None), (3L, 4.0, Some(10L)))
+      .toDF("k", "v", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val fused = Expectations.tableReport(child, "t",
+      Seq(Expectations.RowCheck("v_positive", $"v" <= 0)),
+      uniqueName = "k_unique", keyCols = Seq("k"),
+      fks = Seq(("fk_ok", "fk", parent, "pk")))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fused === Map("v_positive" -> 2L, "fk_ok" -> 1L,
+      "k_unique" -> 3L))
+    // parity with the composed primitives on the same inputs
+    val composed = Expectations.rowChecks(child, "t",
+        Seq(Expectations.RowCheck("v_positive", $"v" <= 0)))
+      .unionByName(Expectations.uniqueCheck(child, "t", "k_unique",
+        Seq("k")))
+      .unionByName(Expectations.fkCheck(child, "fk", parent, "pk", "t",
+        "fk_ok"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fused === composed)
+  }
+
+  test("tableReport on an empty table reports zero violations") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val out = Expectations.tableReport(empty, "t",
+      Seq(Expectations.RowCheck("v_positive", $"v" <= 0)),
+      uniqueName = "k_unique", keyCols = Seq("k"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("v_positive" -> 0L, "k_unique" -> 0L))
+  }
 }
