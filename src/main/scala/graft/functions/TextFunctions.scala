@@ -65,6 +65,11 @@ object TextFunctions {
   private val enStopwords = Seq("the", "a", "an", "of", "and", "to", "in",
     "is", "that", "it", "for", "on", "with", "as", "was", "at", "by")
 
+  /** The English stopword list shared by [[stopwordRatio]], the t02
+    * oracle, and phrase-boundary operators (RAKE) — one definition so
+    * the Spark side and every oracle's inline list cannot drift. */
+  val enStopwordList: Seq[String] = enStopwords
+
   /** Fraction of tokens that are English stopwords (0 for empty docs). */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)

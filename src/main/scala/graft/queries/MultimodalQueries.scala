@@ -114,7 +114,24 @@ object MultimodalQueries {
       bandBits = 8, numBands = 4, maxBucket = 1000)
       .orderBy("doc_id")
 
+  // hot-bucket cap observability for the Hamming near-dup family (the
+  // d08 discipline: caps drop silently so the join never stalls — the
+  // matching audit is what a pipeline alerts on): what cap=2 and the
+  // production cap=1000 would drop from the image-hash (band, value)
+  // buckets, audited on the COARSE 4×8-bit layout where collisions
+  // concentrate (the aHash half of the 63-bit hash).
+  private def mm11(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.imageAHash(
+      Multimodal.imagePayloads(Tables(s, dir, "documents"))).toDF()
+    def at(cap: Int) = Multimodal.hammingCapAudit(hashes, bandBits = 8,
+      numBands = 4, maxBucket = cap).withColumn("cap", lit(cap))
+    at(2).unionByName(at(1000))
+      .select("cap", "hot_buckets", "dropped_rows", "max_df")
+      .orderBy("cap")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_cap_audit" -> (mm11 _),
     "mm08_image_neardup" -> (mm08 _),
     "mm09_audio_neardup" -> (mm09 _),
     "mm10_video_neardup" -> (mm10 _),
@@ -128,6 +145,46 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the mm08 hash replay down to the banding, then the d08-style
+    // audit aggregate at both caps over the coarse 8-bit bands
+    "mm11_cap_audit" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0 " +
+        "ORDER BY doc_id LIMIT 40), " +
+        "dim AS (SELECT doc_id, doc_id % 24 + 8 AS w, " +
+        "doc_id % 16 + 6 AS h FROM d), " +
+        "xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dim), " +
+        "px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs), " +
+        "g AS (SELECT doc_id, w, h, " +
+        "(((x*7 + y*13 + doc_id) % 256) + ((x*3 + y*5 + doc_id*2) % 256) " +
+        "+ ((x*11 + y*17 + doc_id*3) % 256)) // 3 AS gray, " +
+        "(y*4 // h)*8 + (x*8 // w) AS idx FROM px), " +
+        "blk AS (SELECT doc_id, idx, sum(gray) // count(*) AS avg " +
+        "FROM g GROUP BY doc_id, idx), " +
+        "tot AS (SELECT doc_id, sum(avg) AS total FROM blk GROUP BY doc_id), " +
+        "ap AS (SELECT blk.doc_id, sum(CASE WHEN avg*32 > total " +
+        "THEN CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) " +
+        "AS p FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id), " +
+        "dp AS (SELECT a.doc_id, sum(CASE WHEN b.avg > a.avg " +
+        "THEN CAST(1 AS BIGINT) << CAST(32 + a.idx AS INT) ELSE 0 END) " +
+        "AS p FROM blk a JOIN blk b ON b.doc_id = a.doc_id " +
+        "AND b.idx = a.idx + 1 WHERE a.idx <= 30 GROUP BY a.doc_id), " +
+        "hsh AS (SELECT ap.doc_id, CAST(ap.p + dp.p AS BIGINT) AS phash " +
+        "FROM ap JOIN dp USING (doc_id)), " +
+        "bv0 AS (SELECT doc_id, band, (phash >> (8*band)) & 255 AS v " +
+        "FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band FROM hsh)), " +
+        "df AS (SELECT band, v, count(*) AS df FROM bv0 " +
+        "GROUP BY band, v), " +
+        "a AS (SELECT 2 AS cap, " +
+        "CAST(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS hot_buckets, " +
+        "CAST(sum(CASE WHEN df > 2 THEN df ELSE 0 END) AS BIGINT) " +
+        "AS dropped_rows, CAST(max(df) AS BIGINT) AS max_df FROM df " +
+        "UNION ALL SELECT 1000, " +
+        "CAST(sum(CASE WHEN df > 1000 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN df > 1000 THEN df ELSE 0 END) AS BIGINT), " +
+        "CAST(max(df) AS BIGINT) FROM df) " +
+        "SELECT cap, hot_buckets, dropped_rows, max_df FROM a " +
+        "ORDER BY cap"),
     // per-frame 4x4 cell means from the closed-form frame pixels,
     // avg*16 > total aHash bits 0..15 + chain dHash bits 16..30,
     // strict cross-frame majority per bit, 8-bit bands capped at

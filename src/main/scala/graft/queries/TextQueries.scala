@@ -305,12 +305,58 @@ object TextQueries {
           4).as("flesch"))
       .orderBy("doc_id").limit(200)
 
+  // Zipf-law fit — the corpus-health diagnostic (a natural-language
+  // corpus's rank-frequency curve is ~power-law with slope ≈ −1;
+  // boilerplate floods or template spam bend it): OLS of ln(freq) on
+  // ln(rank) over the vocabulary. Ranks ride SequentialIds (range
+  // exchange — no one-task window over the vocab), each ln term/product
+  // is DECIMAL(28,14)-quantized before the exact sum (t12 recipe), the
+  // closed-form OLS arithmetic on the five sums is identical IEEE in
+  // both engines. One row: vocab size, token mass, slope, intercept.
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SequentialIds
+    val freq = docs(s, dir)
+      .select(explode(T.tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = SequentialIds
+      .assign(freq, Seq(col("cnt").desc, col("term")), "_r0")
+      .select(col("cnt"), (col("_r0") + 1).as("rank"))
+      .select(col("cnt"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,14)")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("cnt")).as("toks"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+      .select(col("n").as("vocab_size"),
+        col("toks").as("total_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 4).as("zipf_intercept"))
+  }
+
+  // RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+  // non-stop token runs scored by summed member degree/frequency —
+  // the no-iteration keyword baseline next to t21's TextRank. Top 100
+  // corpus-wide, ranked on the 4-digit rounding with text tie-break.
+  private def t28(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Rake.keywords(docs(s, dir), "doc_id", "text",
+      topK = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_feature_hash" -> (t22 _),
     "t23_boilerplate" -> (t23 _),
     "t24_char_entropy" -> (t24 _),
     "t25_kneser_ney" -> (t25 _),
     "t26_readability" -> (t26 _),
+    "t27_zipf_fit" -> (t27 _),
+    "t28_rake_keywords" -> (t28 _),
     "t01_token_counts" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_langid" -> (t03 _),
@@ -360,6 +406,58 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // identical islands chain key (pos - row_number), identical integer
+    // word stats, degree/freq terms quantized DECIMAL(28,14) before the
+    // exact per-phrase sum, rank on the rounding with text tie-break
+    "t28_rake_keywords" ->
+      ("WITH tk0 AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "trim(lower(text)), '\\s+'), t -> t <> '') AS ws FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(ws) AS w, " +
+        "generate_subscripts(ws, 1) - 1 AS pos FROM tk0), " +
+        "ns AS (SELECT doc_id, w, pos, pos - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS chain FROM tk " +
+        "WHERE w NOT IN ('the','a','an','of','and','to','in','is'," +
+        "'that','it','for','on','with','as','was','at','by')), " +
+        "ph AS (SELECT doc_id, chain, " +
+        "array_to_string(list(w ORDER BY pos), ' ') AS phrase, " +
+        "count(*) AS len FROM ns GROUP BY doc_id, chain), " +
+        "mem AS (SELECT ns.doc_id, ns.chain, ns.w, ph.len FROM ns " +
+        "JOIN ph USING (doc_id, chain)), " +
+        "st AS (SELECT w, count(*) AS freq, " +
+        "CAST(sum(len) AS BIGINT) AS degree FROM mem GROUP BY w), " +
+        "sc AS (SELECT doc_id, chain, " +
+        "sum(CAST(CAST(degree AS DOUBLE) / freq AS DECIMAL(28,14))) " +
+        "AS s FROM mem JOIN st USING (w) GROUP BY doc_id, chain), " +
+        "g AS (SELECT phrase, CAST(max(len) AS BIGINT) AS n_words, " +
+        "count(*) AS n_occurrences, " +
+        "round(CAST(max(s) AS DOUBLE), 4) AS rake_score " +
+        "FROM ph JOIN sc USING (doc_id, chain) GROUP BY phrase) " +
+        "SELECT phrase, n_words, n_occurrences, rake_score FROM g " +
+        "ORDER BY rake_score DESC, phrase LIMIT 100"),
+    // identical rank construction (row_number over cnt desc, term),
+    // identical ln operands, DECIMAL(28,14)-quantized sums, identical
+    // closed-form OLS arithmetic on the five sums
+    "t27_zipf_fit" ->
+      ("WITH tk AS (SELECT unnest(list_filter(string_split_regex(" +
+        "trim(lower(text)), '\\s+'), t -> t <> '')) AS term " +
+        "FROM documents), " +
+        "f AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term), " +
+        "r AS (SELECT term, cnt, row_number() OVER " +
+        "(ORDER BY cnt DESC, term) AS rank FROM f), " +
+        "xy AS (SELECT cnt, ln(CAST(rank AS DOUBLE)) AS x, " +
+        "ln(CAST(cnt AS DOUBLE)) AS y FROM r), " +
+        "sums AS (SELECT count(*) AS n, " +
+        "CAST(sum(cnt) AS BIGINT) AS toks, " +
+        "CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx " +
+        "FROM xy) " +
+        "SELECT n AS vocab_size, toks AS total_tokens, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) " +
+        "AS zipf_slope, " +
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) " +
+        "/ n, 4) AS zipf_intercept FROM sums"),
     // relational replay of the one-pass CharEntropyStats expression:
     // per-code-point counts (string_split('') = code points, matching
     // the expression's codePointAt loop), p*ln(p) terms quantized to

@@ -87,6 +87,7 @@ class PlanLintSpec extends SparkSpec {
         // ANN-probe candidates, same rank contract
         "s08_hard_negatives",
         "f10_target_encode", // 1-row global-rate broadcast rider
+        "p14_dsir_select", // 1-row vocab-totals broadcast rider (t12 class)
         // 1-row leak-audit rider crossJoined onto the census (p13) and
         // the q20-class 1-row query-vector/query-code riders (s12):
         // O(n·1), scale-safe
