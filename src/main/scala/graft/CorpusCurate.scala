@@ -25,8 +25,10 @@ import graft.operators.{Clustering, ConnectedComponents, DataSplit, Dedup}
   *
   * Usage: runMain graft.CorpusCurate --docs <parquet> --out <dir>
   *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
-  *   [--collapse cc|greedy] [--max-repetition 1.0] [--max-bucket 0]
+  *   [--collapse cc|greedy] [--max-repetition 1.0]
+  *   [--max-bucket 0|N|auto]  (auto = Dedup.autoMaxBucket(corpus size))
   *   [--embeddings <parquet>] [--semantic-threshold 0.95] [--semantic-k 8]
+  *   [--semantic-max-cluster 100]  (capAssign leaf-size cap)
   *   [--max-per-domain 0] [--domain-col source]
   *   [--decontaminate <benchParquet>] [--min-bench-overlap 8]
   *
@@ -283,7 +285,13 @@ object CorpusCurate {
       opts.get("jaccard").map(_.toDouble).getOrElse(0.8),
       greedyCollapse = opts.get("collapse").contains("greedy"),
       maxRepetition = opts.get("max-repetition").map(_.toDouble).getOrElse(1.0),
-      maxBucket = opts.get("max-bucket").map(_.toInt).getOrElse(0),
+      maxBucket = opts.get("max-bucket") match {
+        // the AutoScale default: cap scaled to the corpus so its
+        // MEANING (ppm of docs colliding on one key) stays fixed
+        case Some("auto") => Dedup.autoMaxBucket(docs.count())
+        case Some(v) => v.toInt
+        case None => 0
+      },
       embeddings = opts.get("embeddings").map(spark.read.parquet(_)),
       semanticThreshold =
         opts.get("semantic-threshold").map(_.toDouble).getOrElse(0.95),

@@ -70,13 +70,19 @@ object ScalingProbe {
     * Hamming NN. */
   private val probeOnly: Map[String, (SparkSession, String) => DataFrame] = {
     import graft.operators.Multimodal
+    // NOTE the repartition between payload synthesis and hashing: the
+    // payload builders end in orderBy+LIMIT, whose GlobalLimit collapses
+    // everything onto one partition — without the respread the probe
+    // would time a ONE-TASK decode pipeline instead of the gate's
+    // distributed mapPartitions shape.
+    def spread(df: DataFrame): DataFrame = df.repartition(32)
     Map(
       "mm08_image_neardup_nx" -> ((s, d) => {
         val docs = Tables(s, d, "documents")
         val n = (docs.count() / 3).toInt + 1
         Multimodal.nearestByHamming(
           Multimodal.imageAHash(
-            Multimodal.imagePayloads(docs, limit = n)).toDF(),
+            spread(Multimodal.imagePayloads(docs, limit = n))).toDF(),
           bandBits = 16, numBands = 4, maxBucket = 1000)
       }),
       "mm09_audio_neardup_nx" -> ((s, d) => {
@@ -84,7 +90,7 @@ object ScalingProbe {
         val n = (docs.count() / 3).toInt + 1
         Multimodal.nearestByHamming(
           Multimodal.audioAHash(
-            Multimodal.audioPayloads(docs, limit = n)).toDF(),
+            spread(Multimodal.audioPayloads(docs, limit = n))).toDF(),
           bandBits = 16, numBands = 4, maxBucket = 1000)
       }),
       "mm10_video_neardup_nx" -> ((s, d) => {
@@ -92,7 +98,7 @@ object ScalingProbe {
         val n = (docs.count() / 3).toInt + 1
         Multimodal.nearestByHamming(
           Multimodal.videoAHash(
-            Multimodal.videoPayloads(docs, limit = n)).toDF(),
+            spread(Multimodal.videoPayloads(docs, limit = n))).toDF(),
           bandBits = 8, numBands = 4, maxBucket = 1000)
       }))
   }
@@ -242,6 +248,7 @@ object ScalingProbe {
       s"""{"rows":{"lineitem":[${dirs.map(d => rowsOf(d._1)("lineitem")).mkString(",")}],""" +
         s""""documents":[${dirs.map(d => rowsOf(d._1)("documents")).mkString(",")}],""" +
         s""""embeddings":[${dirs.map(d => rowsOf(d._1)("embeddings")).mkString(",")}],""" +
+        s""""events":[${dirs.map(d => rowsOf(d._1)("events")).mkString(",")}],""" +
         s""""dirs":["sf0.01","sf0.1","sf1x"]},""",
       ",", "}")
     Files.writeString(Paths.get(outJson), json + "\n")

@@ -143,11 +143,11 @@ object Clustering {
     * (n/k)² per cluster, measured alpha=1.42 on the r6 probe). */
   def semanticDedupPairsCapped(emb: DataFrame, idCol: String,
       vecCol: String, threshold: Double, maxClusterSize: Int = 100,
-      k: Int = 8, iters: Int = 4): DataFrame = {
-    val tagged = capAssign(emb, idCol, vecCol, maxClusterSize, k, iters)
-      .localCheckpoint(true)
-    pairsWithinClusters(tagged, threshold)
-  }
+      k: Int = 8, iters: Int = 4): DataFrame =
+    // capAssign's result is already a localCheckpoint frame — both
+    // self-join sides read that materialization directly
+    pairsWithinClusters(
+      capAssign(emb, idCol, vecCol, maxClusterSize, k, iters), threshold)
 
   /** Recursive-split assignment with a LEAF-SIZE CAP: cluster with
     * grouped spherical k-means (k small, e.g. 8), then re-cluster every
@@ -161,9 +161,12 @@ object Clustering {
     * per-level work stays O(n·k·d) because every oversized leaf at a
     * level is split in ONE batched grouped-Lloyd pass (a windowed seed
     * pick + iters join/aggregate rounds — job count is per LEVEL, not
-    * per cluster). Levels ≈ log_k(n/maxClusterSize): ~5 levels cover a
-    * trillion rows at k=8, so total work is O(n·k·d·log n) with no
-    * driver-side state beyond loop control.
+    * per cluster). Level count: the root splits up to 1024 ways
+    * (autoK, bounded), then k-way levels finish the job — about
+    * 1 + log_k(n / (1024 · maxClusterSize)) levels, e.g. ~9 for 10¹²
+    * rows at k=8/cap=100 (`maxLevels` defaults comfortably above
+    * that), so total work is O(n·k·d·log n) with no driver-side state
+    * beyond loop control.
     *
     * Determinism (two invocations in one engine must agree — the gate
     * and its aux fixture run separately): seeds are the k smallest
@@ -176,7 +179,7 @@ object Clustering {
     * mutual duplicates, which is exactly what the caller dedups). */
   def capAssign(emb: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 100, k: Int = 8, iters: Int = 4,
-      maxLevels: Int = 8): DataFrame = {
+      maxLevels: Int = 16): DataFrame = {
     require(maxClusterSize > k && k > 1 && iters >= 0,
       "need maxClusterSize > k > 1, iters >= 0")
     var cur = emb
@@ -331,12 +334,15 @@ object Clustering {
     val centArr = cents.groupBy("cluster")
       .agg(sort_array(collect_list(struct(col("c"), col("cent"))))
         .as("_ca"))
-      .select(col("cluster"),
-        transform(col("_ca"), e => e.getField("cent")).as("_cents"))
+    // emit the struct's ACTUAL c, not the argmax position — once a
+    // centroid empties mid-Lloyd the array has id gaps, and the
+    // position would diverge from the shuffled fallback's labels
     rows.join(broadcast(centArr), Seq("cluster"))
-      .withColumn("_cos", transform(col("_cents"),
-        cent => nanvl(VectorOps.cosine(col("v"), cent), lit(-2.0))))
+      .withColumn("_cos", transform(col("_ca"),
+        e => nanvl(VectorOps.cosine(col("v"), e.getField("cent")),
+          lit(-2.0))))
       .select(col("cluster"), col("id"), col("v"),
-        argmax(col("_cos")).as("c"))
+        element_at(col("_ca"), argmax(col("_cos")) + 1)
+          .getField("c").as("c"))
   }
 }

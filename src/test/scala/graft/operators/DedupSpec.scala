@@ -305,4 +305,16 @@ class DedupSpec extends SparkSpec {
     }
     assert(across === crossFromFull)
   }
+
+  test("autoMaxBucket: small-corpus floor, ppm-proportional past it") {
+    // floor regime: any corpus below floor/ppm·1e6 rows keeps the floor
+    assert(Dedup.autoMaxBucket(0L) === 2000)
+    assert(Dedup.autoMaxBucket(1000000L) === 2000) // 400 < floor
+    // proportional regime: cap = n·ppm/1e6 once past the floor
+    assert(Dedup.autoMaxBucket(10000000L) === 4000)
+    assert(Dedup.autoMaxBucket(1000000000L) === 400000)
+    // knobs: ppm and floor both honored
+    assert(Dedup.autoMaxBucket(1000000000L, ppm = 10L) === 10000)
+    assert(Dedup.autoMaxBucket(10L, floor = 7) === 7)
+  }
 }
