@@ -51,6 +51,25 @@ class CorpusCurateSpec extends SparkSpec {
     assert(stats2().afterSemantic === stats2().afterNear)
   }
 
+  test("semantic stage with NO surviving vectors is a clean no-op") {
+    // r7 removed the cents.isEmpty guard (capAssign handles the empty
+    // frame); this pins that path: embeddings whose ids match no
+    // surviving doc must drop nothing and not throw
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different text with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val embs = Seq((999L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (curated, stats) = CorpusCurate.curate(docs,
+      minQuality = 0.0, langs = Nil, jaccard = 0.8,
+      embeddings = Some(embs))
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    val s = stats()
+    assert(s.afterSemantic === s.afterNear)
+  }
+
   test("chains collapse to one representative") {
     val chain = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
