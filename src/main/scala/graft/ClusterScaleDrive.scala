@@ -57,6 +57,26 @@ object ClusterScaleDrive {
         s"clusters=${sizes.length} maxCluster=${sizes.max} " +
         s"withinClusterPairs=${pairs.toBigInt} bruteReduction=${reduction}x")
     }
+    // capAssign (r7): the adaptive counterpart of the sweep above —
+    // instead of choosing k per corpus, the leaf-size cap ENFORCES the
+    // pair bound (Σ n_c·(n_c−1)/2 ≤ n·cap/2) at any n: the root splits
+    // ~2n/cap ways (bounded 1024), stragglers re-split k-way. One run,
+    // no tuning; report the same pair metric the sweep measures.
+    val cap = args.lift(3 + ks.length).map(_.toInt).getOrElse(1000)
+    val t0 = System.nanoTime()
+    val leaves = Clustering
+      .capAssign(emb, "id", "v", maxClusterSize = cap, k = 16, iters = 2)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0)) // leaf-count-sized
+    val secs = (System.nanoTime() - t0) / 1e9
+    val pairs = leaves.map(n => BigDecimal(n) * BigDecimal(n - 1) / 2).sum
+    val bound = BigDecimal(rows) * cap / 2
+    println(f"[cluster-scale] capAssign cap=$cap assign=$secs%6.1f s " +
+      s"leaves=${leaves.length} maxLeaf=${leaves.max} " +
+      s"withinClusterPairs=${pairs.toBigInt} " +
+      s"bound(n*cap/2)=${bound.toBigInt} " +
+      s"bruteReduction=${(brutePairs / pairs.max(BigDecimal(1)))
+        .setScale(1, BigDecimal.RoundingMode.HALF_UP)}x")
     spark.stop()
   }
 }
