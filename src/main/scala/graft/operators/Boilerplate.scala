@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   * stages are unchanged).
   *
   * Scale shape: tile generation is map-only (explode+slice); the df
-  * count shuffles 16-byte md5 tile keys, never text; the strip is an
-  * equi-join on the same key (broadcastable while the hot-tile table is
-  * dimension-sized — at corpus scale it stays small because only tiles
-  * with df ≥ threshold are joined); reassembly is one per-doc hash agg
-  * (sort_array over collected (idx, tile) structs — group-sized, no
-  * window sort). One 100 TB pass: tokenize → count → join → agg.
+  * count shuffles 16-byte md5 tile keys, never text; the strip is a
+  * LEFT join against the hot-tile keys (broadcastable while the
+  * hot-tile table is dimension-sized — at corpus scale it stays small
+  * because only tiles with df ≥ threshold are joined) whose flag feeds
+  * ONE per-doc hash agg computing n_tiles, n_kept, and the reassembly
+  * together (sort_array over collected (idx, tile) structs —
+  * group-sized, no window sort). Two 100 TB passes over the tile
+  * frame: count, then flag+agg — the r7 rewrite of a three-scan shape.
   */
 object Boilerplate {
 
@@ -37,11 +39,15 @@ object Boilerplate {
       tile: Int, dropDf: Long): DataFrame = {
     require(tile > 0, s"tile must be positive: $tile")
     require(dropDf >= 2, s"dropDf < 2 would drop every tile: $dropDf")
-    // NULL text must survive as (id, 0, 0, "") like the all-boilerplate
-    // docs — posexplode(NULL) would silently drop the row instead
-    val toks = df.select(col(idCol).as("_id"),
-      split(coalesce(col(textCol), lit("")), " ").as("_w"))
-    val tiles = toks
+    // NULL/empty text must survive as (id, 0, 0, "") like the
+    // all-boilerplate docs: split("", " ") is [""] (size 1), which
+    // would mint a phantom '' tile per empty doc — and enough empty
+    // docs would make '' itself boilerplate. Empty docs skip tiling
+    // entirely and rejoin through the base-doc left joins below.
+    val base = df.select(col(idCol).as("_id"),
+      coalesce(col(textCol), lit("")).as("_txt"))
+    val tiles = base.filter(length(col("_txt")) > 0)
+      .select(col("_id"), split(col("_txt"), " ").as("_w"))
       .select(col("_id"), col("_w"),
         posexplode(sequence(lit(0),
           ceil(size(col("_w")) / lit(tile.toDouble)).cast("long") - 1))
@@ -54,17 +60,22 @@ object Boilerplate {
     val hot = tiles.groupBy(md5(col("_t")).as("_h"))
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") >= dropDf)
-      .select(col("_h"))
-    val kept = tiles
-      .join(hot, md5(col("_t")) === hot("_h"), "left_anti")
-    val rebuilt = kept.groupBy("_id")
-      .agg(count(lit(1)).as("n_kept"),
+      .select(col("_h"), lit(1).as("_hot"))
+    // one flagged pass: collect_list skips NULLs, so hot tiles vanish
+    // from the reassembly while still counting toward n_tiles
+    val rebuilt = tiles
+      .join(hot, md5(col("_t")) === hot("_h"), "left")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_tiles"),
+        count(when(col("_hot").isNull, 1)).as("n_kept"),
         array_join(transform(
-          sort_array(collect_list(struct(col("_i"), col("_t")))),
+          sort_array(collect_list(
+            when(col("_hot").isNull, struct(col("_i"), col("_t"))))),
           s => s("_t")), " ").as("clean_text"))
-    tiles.groupBy("_id").agg(count(lit(1)).as("n_tiles"))
+    base.select(col("_id"))
       .join(rebuilt, Seq("_id"), "left")
-      .select(col("_id").as(idCol), col("n_tiles"),
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }

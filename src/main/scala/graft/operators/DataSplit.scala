@@ -40,11 +40,26 @@ object DataSplit {
   private def label(key: Column, trainPct: Int, valPct: Int): Column = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages ($trainPct, $valPct)")
-    val b = bucket(key)
+    // NULL keys hash as "" (the stratifiedSample discipline): bucket(
+    // NULL) is NULL, both when()s go three-valued-false, and every
+    // malformed-id row would silently concentrate in 'test' — a
+    // systematic eval-set bias, not a random one
+    val b = bucket(coalesce(key.cast("string"), lit("")))
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Salted md5-uniform draw in [0, 1): the ONE uniform definition
+    * behind the weighted/temperature samplers (each primitive salts
+    * differently so draws are independent). NULL keys hash as "" —
+    * a NULL would NULL the keep-comparison and silently drop the row
+    * even at rate 1.0. */
+  private def md5Uniform(key: Column, salt: String): Column =
+    conv(substring(
+      md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))),
+      1, 4), 16, 10)
+      .cast("double") / lit(65536.0)
 
   /** Label rows train/val/test by md5-bucket thresholds. */
   def assign(df: DataFrame, keyCol: String, trainPct: Int = 80,
@@ -113,9 +128,7 @@ object DataSplit {
     // hash, composing weightedSample over a tokenBudgetSample output (or
     // a split) would re-test the same u and silently break the keep
     // probability
-    val u = conv(substring(
-      md5(concat(col(idCol).cast("string"), lit(":weight"))), 1, 4), 16, 10)
-      .cast("double") / lit(65536.0)
+    val u = md5Uniform(col(idCol), ":weight")
     df.filter(u < least(lit(1.0), greatest(lit(0.0), weight.cast("double"))))
   }
 
@@ -130,7 +143,12 @@ object DataSplit {
     * The md5 order makes the kept subset stable as the corpus grows
     * (existing docs keep their position hash; new docs interleave), and
     * independent of storage order. Adds `cum_tokens` (running total
-    * INCLUDING the row) for audit. With no strata the window is one
+    * INCLUDING the row) for audit. `idCol` must be UNIQUE within each
+    * stratum (the SequentialIds total-order contract): md5 ties happen
+    * only for equal ids, and two rows sharing an id would order
+    * arbitrarily inside the cumulative frame — the tie-break below
+    * pins the md5-collision case but cannot distinguish true
+    * duplicates. With no strata the window is one
     * partition — fine for a bounded stratum list, not for a global
     * budget over 100 TB; shard first (e.g. [[Packing.packByBudget]]'s
     * md5-shard pattern) if a single stratum's candidate set exceeds one
@@ -145,8 +163,13 @@ object DataSplit {
         org.apache.spark.sql.expressions.Window
           .partitionBy(strataCols.map(col): _*)
     // ":budget" salt: the draw order must be independent of the split/
-    // sampling hash family (same reasoning as stratifiedSample's salt)
-    val w = w0.orderBy(md5(concat(col(idCol).cast("string"), lit(":budget"))))
+    // sampling hash family (same reasoning as stratifiedSample's salt).
+    // idCol tie-break (the domainQuota/shardShuffle discipline):
+    // duplicate ids tie on the md5 key, and a ROWS cumulative frame
+    // over a nondeterministic tie order would flip membership at the
+    // budget cut between runs.
+    val w = w0.orderBy(md5(concat(col(idCol).cast("string"), lit(":budget"))),
+        col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
@@ -203,9 +226,7 @@ object DataSplit {
       .select(col("__dom"),
         pow(col("__nmin").cast("double") / col("__nd"),
           lit(1.0) - lit(alpha)).as("__rate"))
-    val u = conv(substring(
-      md5(concat(col(idCol).cast("string"), lit(":temp"))), 1, 4), 16, 10)
-      .cast("double") / lit(65536.0)
+    val u = md5Uniform(col(idCol), ":temp")
     df.join(broadcast(rates), col(domainCol) <=> col("__dom"), "inner")
       .filter(u < col("__rate"))
       .drop("__dom", "__rate")

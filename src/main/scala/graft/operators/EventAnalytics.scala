@@ -94,8 +94,12 @@ object EventAnalytics {
     * shuffle. */
   def gapFillDailyCounts(events: DataFrame, typeCol: String,
       ts: String): DataFrame = {
-    val e = events.select(col(typeCol).as("event_type"),
-      to_date(col(ts)).as("d"))
+    // NULL types are excluded up front: a NULL would enter the types
+    // dim via distinct() but never match the equi-join below, so its
+    // real daily counts would silently render as a zero-filled series
+    val e = events.filter(col(typeCol).isNotNull)
+      .select(col(typeCol).as("event_type"),
+        to_date(col(ts)).as("d"))
     val spine = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
     val types = e.select("event_type").distinct()
@@ -147,14 +151,19 @@ object EventAnalytics {
   /** First and last event type per user (ties broken by `tieCol`) — the
     * entry/exit view of a user journey, one window pass. */
   def firstLastEvent(events: DataFrame, user: String, typeCol: String,
-      ts: String, tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(user)).orderBy(col(ts), col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    events.select(col(user),
-        first(col(typeCol)).over(w).as("first_ev"),
-        last(col(typeCol)).over(w).as("last_ev"))
-      .distinct()
-  }
+      ts: String, tieCol: String): DataFrame =
+    // struct-argmax (the attribution idiom): min/max(struct(ts, tie,
+    // type)) per user — ONE partial-aggregating shuffle of user-sized
+    // rows. The former full-frame window + distinct() sorted the whole
+    // event log per user and shuffled it twice for identical results.
+    events
+      .groupBy(col(user))
+      .agg(
+        min(struct(col(ts), col(tieCol), col(typeCol))).as("_f"),
+        max(struct(col(ts), col(tieCol), col(typeCol))).as("_l"))
+      .select(col(user),
+        col("_f").getField(typeCol).as("first_ev"),
+        col("_l").getField(typeCol).as("last_ev"))
 
   /** Gaps-and-islands sessionization: one row per (user, session) with
     * start/end timestamps and event count. A new session starts when the

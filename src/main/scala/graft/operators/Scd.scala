@@ -34,11 +34,14 @@ object Scd {
   def type2(obs: DataFrame, entity: String, ts: String, value: String,
       tieCol: String): DataFrame = {
     val ord = Window.partitionBy(entity).orderBy(col(ts), col(tieCol))
-    // change flag: first observation of the entity, or value differs
+    // change flag: first observation of the entity (EXPLICIT row_number
+    // check — an entity whose first value is NULL would otherwise match
+    // lag's NULL null-safely and start at version 0), or value differs
     // from the previous observation (null-safe — a NULL value run is a
     // run like any other)
     val flagged = obs.withColumn("_chg",
-      when(lag(col(value), 1).over(ord).eqNullSafe(col(value)), lit(0))
+      when(row_number().over(ord) === 1, lit(1))
+        .when(lag(col(value), 1).over(ord).eqNullSafe(col(value)), lit(0))
         .otherwise(lit(1)))
     val runs = flagged.withColumn("_run",
       sum(col("_chg")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))

@@ -331,7 +331,7 @@ object PipelineQueries {
         "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) " +
         "AS n_tokens FROM documents), " +
         "c AS (SELECT source, n_tokens, sum(n_tokens) OVER (" +
-        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR) || ':budget') " +
+        "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR) || ':budget'), doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
         "SELECT source, count(*) AS kept_docs, " +
         "CAST(sum(n_tokens) AS BIGINT) AS kept_tokens " +

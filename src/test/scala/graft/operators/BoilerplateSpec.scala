@@ -49,4 +49,18 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.getAs[String]("clean_text") === doc)
     assert(out.getAs[Long]("n_tiles") === 10L)
   }
+
+  test("NULL and empty text survive as (id, 0, 0, \"\"), no phantom tile") {
+    // r7 review fix: split("", " ") is [""], which minted one ''-tile
+    // per empty doc (n_tiles=1) — and enough empty docs made '' itself
+    // boilerplate, corrupting the kept stats of every other empty doc
+    val df = Seq((1L, Option("real words here")), (2L, None),
+      (3L, Option(""))).toDF("doc_id", "text")
+    val out = Boilerplate.strip(df, "doc_id", "text", tile = 2, dropDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq === Seq((1L, 2L, 2L, "real words here"),
+      (2L, 0L, 0L, ""), (3L, 0L, 0L, "")))
+  }
 }

@@ -223,4 +223,21 @@ class DataSplitSpec extends SparkSpec {
       .groupBy("source").count().as[(String, Long)].collect().toMap
     assert(again === after)
   }
+
+  test("NULL ids: samplers keep rate-1 rows, assign spreads, no drops") {
+    // r7 review fix: NULL keys hash as "" everywhere — before, a NULL
+    // id NULL'd the uniform draw and the row silently vanished from
+    // weightedSample/temperatureSample even at rate 1.0, and assign()
+    // routed every NULL-key row to 'test' (systematic eval-set bias)
+    val docs = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "a"))
+      .toDF("doc_id", "source")
+    assert(DataSplit.weightedSample(docs, "doc_id", lit(1.0)).count() === 3)
+    assert(DataSplit
+      .temperatureSample(docs, "doc_id", "source", 1.0).count() === 3)
+    val s = DataSplit.assign(docs, "doc_id").filter($"doc_id".isNull)
+      .select("split").as[String].collect()
+    // the NULL row gets md5("")'s bucket (1 -> train at 80/10), not a
+    // hardwired 'test'
+    assert(s.toSeq === Seq("train"))
+  }
 }

@@ -162,4 +162,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.length === 1)
     assert((r(0).getString(1), r(0).getString(2)) === ("a", "b"))
   }
+
+  test("gapFillDailyCounts drops NULL event types instead of zeroing them") {
+    // r7 review fix: a NULL type entered the dims via distinct() but
+    // never matched the equi-join, so its real counts rendered as an
+    // all-zero series
+    import java.sql.Timestamp
+    val e = Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, null: String, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "event_type", "ts")
+    val rows = EventAnalytics.gapFillDailyCounts(e, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(rows.toSeq === Seq(("a", 1L))) // no NULL series at all
+  }
 }

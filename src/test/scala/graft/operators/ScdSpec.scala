@@ -55,4 +55,19 @@ class ScdSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, Some("A"), 1L), (2L, None, 2L),
       (3L, Some("A"), 1L)))
   }
+
+  test("type2: a NULL FIRST value still numbers versions from 1") {
+    // r7 review fix: lag() is NULL on the first row, and NULL <=> NULL
+    // made the opening _chg 0 — a NULL-first entity numbered from 0
+    // while every other entity numbers from 1
+    import java.sql.Timestamp
+    val obs = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), null: String, 1L),
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), "A", 2L))
+      .toDF("entity", "obs_ts", "value", "obs_id")
+    val out = Scd.type2(obs, "entity", "obs_ts", "value", "obs_id")
+      .orderBy("version")
+      .collect().map(r => (r.getLong(1), Option(r.getString(2))))
+    assert(out.toSeq === Seq((1L, None), (2L, Some("A"))))
+  }
 }

@@ -114,7 +114,11 @@ class PlanLintSpec extends SparkSpec {
         "q42_robust_outliers",
         // n_words > 0 guard over the computed readabilityStats struct:
         // same computed-predicate class as t16's size(tokens) >= 2
-        "t26_readability"),
+        "t26_readability",
+        // length(coalesce(text,'')) > 0 empty-doc guard (the r7
+        // phantom-tile fix): computed over the NULL-normalized column —
+        // parquet pushdown has no expression language for it
+        "t23_boilerplate"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
