@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
 
   /** Distinct (token, doc) pairs from whitespace-tokenized lowercased
-    * text — one row per token occurrence per doc. */
+    * text — one row per token occurrence per doc. Tokenization is THE
+    * shared [[graft.functions.TextFunctions.tokens]] (identical
+    * behavior; a second hand-rolled split here could silently drift
+    * the index vocabulary from every other text operator's). */
   def tokenDocPairs(docs: DataFrame, docId: String, text: String): DataFrame =
     docs.select(col(docId).as("doc"),
-        explode(split(trim(lower(col(text))), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
+        explode(graft.functions.TextFunctions.tokens(lower(col(text))))
+          .as("token"))
       .distinct()
 
   /** Postings table for tokens with document frequency in [minDf, maxDf]:

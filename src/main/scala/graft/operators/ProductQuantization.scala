@@ -75,6 +75,12 @@ object ProductQuantization {
     try {
       val seedRows = v.orderBy(md5(col("id").cast("string"))).limit(ksub)
         .select(col("v")).collect().map(_.getSeq[Float](0).toVector).toVector
+      // codes from PqEncode range over the ACTUAL seed count: a corpus
+      // smaller than ksub would leave unseeded codebook slots that the
+      // Lloyd fallback below dereferences out of bounds — fail loudly
+      require(seedRows.size >= ksub,
+        s"corpus has ${seedRows.size} rows < ksub=$ksub — " +
+          "lower ksub or train on a larger corpus")
       var cb = Codebooks(dim, m, Vector.tabulate(m)(j =>
         seedRows.map(r => r.slice(j * dsub, (j + 1) * dsub))))
       for (_ <- 0 until iters) {
@@ -143,6 +149,10 @@ object ProductQuantization {
           zip_with(col("codes"), sequence(lit(1), lit(cb.m)), (c, j) =>
             element_at(element_at(lut, j), c + 1)),
           lit(0.0d), (acc, x) => acc + x).as("adc"))
+      // undecodable rows (short/null-element vectors → null codes →
+      // null adc) are EXCLUDED: ASC default is NULLS FIRST, so an
+      // unfiltered corrupt row would otherwise claim rank 1
+      .filter(col("adc").isNotNull)
       .orderBy(col("adc").asc, col("id"))
       .limit(k)
   }

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
 object SimilaritySearch {
 
   /** Exact brute-force top-k by cosine against one query vector.
-    * `query` is a literal array column (broadcast with the plan). */
+    * `query` is a literal array column (broadcast with the plan).
+    * Zero-norm vectors (NaN cosine) are excluded — Spark orders NaN
+    * ABOVE every double, so an unfiltered padding/all-zero row would
+    * otherwise rank #1 at every rank site in this file. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       query: Column, k: Int): DataFrame =
     emb.select(col(idCol), VectorOps.cosine(col(vecCol), query).as("score"))
+      .filter(!isnan(col("score")))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
@@ -55,6 +59,7 @@ object SimilaritySearch {
     candidates
       .select(col("id"), col("vec")).distinct()
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("score"))
+      .filter(!isnan(col("score"))) // zero-norm guard (bruteForceTopK)
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
@@ -62,13 +67,21 @@ object SimilaritySearch {
   /** Persist the IVF index partitioned by (table, bucket) — the 100 TB
     * layout: each LSH bucket is its own partition directory, so a probe
     * reads ONLY the query's buckets (partition pruning at the file
-    * listing, before any I/O). Build once, probe many. */
+    * listing, before any I/O). Build once, probe many. The build
+    * params land in a `_ivf_params` sidecar so a probe with drifted
+    * (dim, planes, tables, seed) fails loudly instead of matching
+    * essentially-random buckets and returning plausible-looking wrong
+    * neighbors. */
   def writeIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
-      dim: Int, planes: Int = 6, tables: Int = 8, seed: Long = 42L): Unit =
+      dim: Int, planes: Int = 6, tables: Int = 8, seed: Long = 42L): Unit = {
     ivfIndex(emb, idCol, vecCol, dim, planes, tables, seed)
       .write.mode("overwrite")
       .partitionBy("table", "bucket")
       .parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_ivf_params"),
+      s"dim=$dim planes=$planes tables=$tables seed=$seed\n")
+  }
 
   /** ANN top-k against a [[writeIndex]]-persisted index: the bucket
     * predicate is a partition filter, so Spark's scan lists and reads
@@ -80,6 +93,16 @@ object SimilaritySearch {
       queryVec: Seq[Float], dim: Int, k: Int, planes: Int = 6,
       tables: Int = 8, seed: Long = 42L): DataFrame = {
     import spark.implicits._
+    // param-drift guard: query signatures computed with different
+    // hyperplanes than the stored buckets probe random partitions and
+    // return silently-wrong neighbors — refuse the mismatch
+    val sidecar = java.nio.file.Paths.get(path, "_ivf_params")
+    if (java.nio.file.Files.exists(sidecar)) {
+      val want = s"dim=$dim planes=$planes tables=$tables seed=$seed"
+      val have = java.nio.file.Files.readString(sidecar).trim
+      require(have == want,
+        s"IVF probe params ($want) != index build params ($have)")
+    }
     val qdf = Seq(Tuple1(queryVec)).toDF("qv")
     val qBuckets = VectorOps.hyperplaneSignatures(
       qdf.withColumn("id", lit(0L)), "id", "qv", dim, planes, tables, seed)
@@ -118,6 +141,7 @@ object SimilaritySearch {
       .select(col("qid"),
         col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
         round(VectorOps.cosine(col(vecCol), col("_qe")), 4).as("score"))
+      .filter(!isnan(col("score"))) // zero-norm guard (bruteForceTopK)
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("neg_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -169,6 +193,7 @@ object SimilaritySearch {
     val scored = cand.join(a, Seq("id")).join(b, Seq("nb"))
       .select(col("id"), col("nb"),
         round(VectorOps.cosine(col("v_a"), col("v_b")), 4).as("cosine"))
+      .filter(!isnan(col("cosine"))) // zero-norm guard (bruteForceTopK)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("cosine").desc, col("nb"))
     scored.withColumn("rank", row_number().over(w))
@@ -216,10 +241,12 @@ object SimilaritySearch {
           lit(0L), (acc, t) => acc + t))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(topN)
-    // constant-bounded collect: topN rows of (id, rel, dim longs)
+    // constant-bounded collect: topN rows of (id, rel, dim longs) —
+    // deduped by id (a duplicate-key corpus would otherwise leave the
+    // greedy loop a row it can never pick and NPE past exhaustion)
     val cands = rel.select("vec_id", "rel", "xf").collect().map { r =>
       (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray)
-    }
+    }.distinctBy(_._1)
     def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -227,25 +254,38 @@ object SimilaritySearch {
     }
     val picked = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Long, Long, Long)]
-    val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     val used = scala.collection.mutable.Set.empty[Long]
+    // classic MMR incremental form: per-candidate running max-sim,
+    // refreshed with ONLY the newly picked vector each round — the
+    // recompute-against-all-selected form is O(k²·topN·dim) and was
+    // ~10× the necessary driver work at production topN. Integer max
+    // over the same integer dots ⟹ the greedy trajectory (and the
+    // emitted max_sim) is unchanged.
+    // absent key = no picks yet (step 0 scores use 0, matching the
+    // empty-selected convention); after the first pick every unused
+    // candidate holds its true running max — SET on first update, max
+    // after (dots can be negative, so a 0 default would overstate)
+    val maxSim = scala.collection.mutable.Map.empty[Long, Long]
     var step = 0
     while (step < k && used.size < cands.length) {
-      var best: (Long, Long, Long, Long) = null // (mmr2x, -, id, maxSim)
+      var best: (Long, Long, Long, Array[Long]) = null // (mmr2x,rel,id,v)
       cands.foreach { case (id, r, v) =>
         if (!used(id)) {
-          val maxSim =
-            if (selected.isEmpty) 0L else selected.map(dot(v, _)).max
-          val score = r - maxSim
+          val score = r - maxSim.getOrElse(id, 0L)
           if (best == null || score > best._1 ||
               (score == best._1 && id < best._3))
-            best = (score, r, id, maxSim)
+            best = (score, r, id, v)
         }
       }
-      val (score, r, id, maxSim) = (best._1, best._2, best._3, best._4)
-      picked += ((step, id, r, maxSim, score))
+      val (score, r, id, v) = (best._1, best._2, best._3, best._4)
+      picked += ((step, id, r, maxSim.getOrElse(id, 0L), score))
       used += id
-      selected += cands.find(_._1 == id).get._3
+      cands.foreach { case (cid, _, cv) =>
+        if (!used(cid)) {
+          val s = dot(cv, v)
+          maxSim(cid) = maxSim.get(cid).fold(s)(math.max(_, s))
+        }
+      }
       step += 1
     }
     picked.toSeq.toDF("step", "vec_id", "rel", "max_sim", "mmr2x")

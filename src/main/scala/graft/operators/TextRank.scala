@@ -63,11 +63,16 @@ object TextRank {
     * token count rides the same 1-row rider as every corpus constant. */
   def unigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // persisted: the token frame feeds the vocab aggregate, the corpus
+    // total, AND the broadcast-joined scoring probe — the broadcast
+    // join gives ReuseExchange nothing to dedup, so an unpersisted
+    // frame re-tokenizes the corpus three times (the bigram/KN
+    // siblings cache for the same reason)
     val toks = docs.select(col(idCol).as("doc"),
-      explode(terms(col(textCol))).as("term"))
+      explode(terms(col(textCol))).as("term")).persist()
     val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(broadcast(freq), "term")
+    val out = toks.join(broadcast(freq), "term")
       .crossJoin(broadcast(total))
       // DECIMAL sum for shuffle-order-independent totals (see bm25TopK)
       .groupBy("doc")
@@ -75,6 +80,9 @@ object TextRank {
         ((-sum(log(col("cnt") / col("total")).cast("decimal(28,14)"))
           .cast("double")) / count(lit(1)))
           .as("surprisal"))
+      .localCheckpoint() // doc-sized; frees the cache below
+    toks.unpersist()
+    out
   }
 
   /** Bigram surprisal — the next step up from [[unigramSurprisal]]:
@@ -183,6 +191,10 @@ object TextRank {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, "k must be positive")
+    // document tokens are lowercased by terms(); match query terms in
+    // the same case-space — an uppercase query term would otherwise
+    // silently contribute 0 to every score
+    val qTerms = queryTerms.map(_.toLowerCase)
     val toks = docs.select(col(idCol).as("doc"),
       terms(col(textCol)).as("tk"))
     // N and avgdl come from the WHOLE corpus (before the query-term
@@ -192,7 +204,7 @@ object TextRank {
     val tf = toks
       .select(col("doc"), size(col("tk")).as("dl"),
         explode(col("tk")).as("term"))
-      .filter(col("term").isInCollection(queryTerms))
+      .filter(col("term").isInCollection(qTerms))
       .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +

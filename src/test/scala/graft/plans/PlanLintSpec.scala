@@ -118,7 +118,10 @@ class PlanLintSpec extends SparkSpec {
         // length(coalesce(text,'')) > 0 empty-doc guard (the r7
         // phantom-tile fix): computed over the NULL-normalized column —
         // parquet pushdown has no expression language for it
-        "t23_boilerplate"),
+        "t23_boilerplate",
+        // adc IS NOT NULL undecodable-row guard (r7): the predicate is
+        // over the ADC lookup-sum the projection just computed
+        "s07_pq_topk"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
