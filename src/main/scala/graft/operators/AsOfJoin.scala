@@ -38,24 +38,32 @@ object AsOfJoin {
       prefix: String = "asof_"): DataFrame = {
     val lCols = left.columns.toSeq
     val outRight = s"${prefix}ts" +: rightVals.map(c => s"$prefix$c")
-    require(lCols.intersect(outRight).isEmpty,
-      s"left columns collide with output columns $outRight")
+    require(
+      lCols.intersect(outRight ++ Seq("_ts", "_side", "_asof")).isEmpty,
+      s"left columns collide with output/internal columns " +
+        s"$outRight, _ts, _side, _asof")
+
+    // ALL matched columns travel in ONE struct, so last(..., ignoreNulls)
+    // is row-atomic: per-column lasts would skip a legitimate NULL in
+    // one right value column and resurrect the value from an OLDER
+    // right row — a frankenstein match mixing two rows (and silently
+    // substituting stale feature values for real NULLs)
+    val asofType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types
+        .StructField(s"${prefix}ts", right.schema(rightTs).dataType) +:
+        rightVals.map(c => org.apache.spark.sql.types
+          .StructField(s"$prefix$c", right.schema(c).dataType)))
 
     val lTagged = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
-      .withColumn(s"${prefix}ts",
-        lit(null).cast(right.schema(rightTs).dataType))
-      .select((lCols.map(col) ++
-        Seq(col("_ts"), col("_side"), col(s"${prefix}ts")) ++
-        rightVals.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"$prefix$c"))): _*)
+      .withColumn("_asof", lit(null).cast(asofType))
 
     val rTagged = right
       .select((keys.map(col) ++
         Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
-          col(rightTs).as(s"${prefix}ts")) ++
-        rightVals.map(c => col(c).as(s"$prefix$c")) ++
+          struct(col(rightTs).as(s"${prefix}ts") +:
+            rightVals.map(c => col(c).as(s"$prefix$c")): _*).as("_asof")) ++
         lCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .select(lTagged.columns.map(col): _*)
@@ -64,9 +72,10 @@ object AsOfJoin {
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matched = last(col("_asof"), ignoreNulls = true).over(w)
     lTagged.unionByName(rTagged)
       .select((lCols.map(col) :+ col("_side")) ++
-        outRight.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        outRight.map(c => matched.getField(c).as(c)): _*)
       .filter(col("_side") === 1)
       .drop("_side")
   }

@@ -33,7 +33,11 @@ object CountMin {
       width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2")
     require(width <= 65536, "width above 16 bits needs a longer md5 prefix")
+    // NULL keys excluded: concat/md5 null-propagate to a NULL bucket —
+    // junk sketch state that estimate() can never match (null != null
+    // in the join), silently breaking the est >= truth guarantee
     df.select(keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("k"))
       .select(col("row"), bucketOf(col("row"), col("k"), width).as("bucket"))
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
@@ -52,6 +56,7 @@ object CountMin {
   def estimate(sk: DataFrame, keys: DataFrame, keyName: String,
       depth: Int = 4, width: Int = 1024): DataFrame =
     keys.select(col(keyName).cast("string").as("k"))
+      .filter(col("k").isNotNull) // the sketch() NULL discipline
       .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .withColumn("bucket", bucketOf(col("row"), col("k"), width))
       .join(broadcast(sk), Seq("row", "bucket"), "left")

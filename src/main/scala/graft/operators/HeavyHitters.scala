@@ -65,7 +65,12 @@ object HeavyHitters {
     require(support > 0 && support <= 1, "support must be in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("long")).as[Long]
+    // NULL keys (or values the long cast nulls) are excluded BEFORE the
+    // Dataset[Long] encoder — a null primitive would otherwise throw an
+    // opaque deserialization error mid-job; full-group-by semantics
+    // would likewise skip them
+    val keys = df.select(col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull).as[Long]
     val m = math.ceil(2.0 / support).toInt
     // one pass: candidate rows (is_count=false) + one count row per
     // partition. misraGries fully consumes the iterator before
@@ -78,6 +83,12 @@ object HeavyHitters {
     val n = summary.collect { case (true, _, c) => c }.sum
     val candidates: Array[Long] =
       summary.collect { case (false, k, _) => k }.distinct
+    // NOTE the threshold is ceil of the DOUBLE product support·n —
+    // IEEE drift can round a boundary product up (0.07·100 =
+    // 7.000000000000001 → 8), excluding a key at exactly support·N.
+    // The q37 oracle derives its cut from the SAME double product, so
+    // the two engines agree; callers needing exact rational boundary
+    // semantics should pass support as a pre-computed count threshold.
     val threshold = math.ceil(support * n).toLong
     keys.toDF("k")
       .join(broadcast(spark.createDataset(candidates.toSeq).toDF("k")),

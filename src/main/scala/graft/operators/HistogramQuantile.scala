@@ -34,11 +34,25 @@ object HistogramQuantile {
       "percentiles must be integers in [0, 100]")
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(col(value).cast("long").as("v"))
+    // NULLs excluded up front: count(lit(1)) would count them into n
+    // (skewing every threshold) and their NULL bin sorts FIRST in the
+    // cumulative window, inflating every real bin's cum. The filter is
+    // on the RAW column (parquet-pushable IsNotNull); the long cast of
+    // a non-null numeric never nulls, per the operator's numeric
+    // contract above.
+    val v = df.filter(col(value).isNotNull)
+      .select(col(value).cast("long").as("v"))
     val mm = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
       count(lit(1)).as("n")).head()
+    require(!mm.isNullAt(0),
+      "cannot sketch quantiles of an empty (or all-NULL) column")
     val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
     val span = hi - lo + 1
+    // span > 0 also catches Long wraparound (a huge positive hi with a
+    // huge negative lo overflows negative — which would sail through
+    // the double comparison below and bin garbage silently)
+    require(span > 0,
+      s"value span [$lo, $hi] overflows the binning arithmetic")
     require(span.toDouble * bins <= Long.MaxValue.toDouble,
       s"span $span x $bins bins overflows the binning arithmetic")
     val hist = v

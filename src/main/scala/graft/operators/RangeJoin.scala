@@ -24,6 +24,9 @@ object RangeJoin {
   def binned(left: DataFrame, leftTs: String, right: DataFrame,
       startCol: String, endCol: String, keys: Seq[String],
       binSeconds: Long): DataFrame = {
+    // a zero/negative width divides to NULL bins under non-ANSI SQL and
+    // the equi-join silently returns 0 rows — fail loudly instead
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
     val bin = lit(binSeconds)
     val l = left.withColumn("_bin",
       floor(unix_timestamp(col(leftTs)) / bin))

@@ -121,7 +121,10 @@ class PlanLintSpec extends SparkSpec {
         "t23_boilerplate",
         // adc IS NOT NULL undecodable-row guard (r7): the predicate is
         // over the ADC lookup-sum the projection just computed
-        "s07_pq_topk"),
+        "s07_pq_topk",
+        // HistogramQuantile's NULL guard over the gate's computed
+        // cents column (round(price*100) cast long): same class
+        "q43_histo_quantile"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
