@@ -265,16 +265,24 @@ object Clustering {
     // of the k smallest md5(id) rows (k bounded by the caller) gives
     // the same seeds scale-safely. Deeper levels have many groups, so
     // the group-parallel window is the right shape there.
+    // Seed order: md5(id) primary, the vector's string form secondary.
+    // md5(id) alone is a total order only when ids are unique; on a
+    // corpus with duplicate ids the tie would make the seed pick (and
+    // thus the whole split path) nondeterministic. With the vector
+    // tie-break, remaining ties are identical (id, v) rows — whichever
+    // wins, the seed VALUE is the same, so the clustering is too.
+    val seedOrd = Seq(md5(col("id").cast("string")),
+      col("v").cast("string"))
     var cents =
       if (rootSeeds)
-        rows.orderBy(md5(col("id").cast("string"))).limit(k)
+        rows.orderBy(seedOrd: _*).limit(k)
           .withColumn("_rn", row_number().over(org.apache.spark.sql
-            .expressions.Window.orderBy(md5(col("id").cast("string")))))
+            .expressions.Window.orderBy(seedOrd: _*)))
           .select(col("cluster"), (col("_rn") - 1).as("c"),
             col("v").as("cent"))
       else {
         val seedW = Window.partitionBy("cluster")
-          .orderBy(md5(col("id").cast("string")))
+          .orderBy(seedOrd: _*)
         rows
           .withColumn("_rn", row_number().over(seedW))
           .filter(col("_rn") <= k)

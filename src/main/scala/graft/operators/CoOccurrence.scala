@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: pair generation is a per-group self-join, quadratic in
   * GROUP size, not corpus size — order line counts are small and
-  * bounded, and `maxGroupRows` ENFORCES the bound on inputs where they
-  * aren't (see [[topK]]). Counts are one shuffle
+  * bounded, and `maxGroupRows` (opt-in) enforces the bound on inputs
+  * where they aren't (see [[topK]]). Counts are one shuffle
   * keyed (a,b); the top-k window partitions by item a — a bounded
   * WindowGroupLimit, no global sort. Item base counts are a vocab-sized
   * frame joined by key.
@@ -31,11 +31,14 @@ object CoOccurrence {
     * Returns (item, rec, pair_cnt, rec_cnt, score_ppm, rank); pairs
     * below `minPairs` co-occurrences are dropped (noise floor).
     * Groups carrying more than `maxGroupRows` incidence rows are
-    * dropped entirely (0 = no cap). */
+    * dropped entirely. The cap defaults OFF (0) — dropping groups is a
+    * RESULT change, so callers opt in explicitly (production pipelines
+    * over unbounded incidence should pass a cap; the OOM rationale is
+    * in the body comment). */
   def topK(incidence: DataFrame, group: String, item: String, k: Int,
-      minPairs: Long, maxGroupRows: Long = 100000L): DataFrame = {
+      minPairs: Long, maxGroupRows: Long = 0L): DataFrame = {
     val inc0 = incidence.select(col(group).as("_g"), col(item).as("_i"))
-    // ENFORCED hot-group guard (not just a documented caller contract):
+    // Hot-group guard (opt-in via maxGroupRows):
     // collect_set's aggregation buffer holds a group's whole distinct
     // item set and does not spill, so a mega-group (a crawler "order"
     // with millions of items) would OOM an executor. The windowed row

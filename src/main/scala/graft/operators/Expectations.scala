@@ -86,6 +86,19 @@ object Expectations {
       fks: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
     require(checks.nonEmpty && keyCols.nonEmpty,
       "need at least one row check and a uniqueness key")
+    // Check names become aggregate aliases in ONE projection, so any
+    // collision — two checks sharing a name, a check named like a key
+    // column, or like the internal "_c" row counter — would produce
+    // duplicate/shadowed columns and a silently wrong (or failing)
+    // report. Fail loudly at construction instead.
+    val allNames =
+      checks.map(_.name) ++ fks.map(_._1) :+ uniqueName
+    require(allNames.distinct.size == allNames.size,
+      s"duplicate check names: ${allNames.diff(allNames.distinct).distinct.mkString(", ")}")
+    val reserved = keyCols.toSet + "_c"
+    val clash = allNames.filter(reserved)
+    require(clash.isEmpty,
+      s"check names colliding with key columns or '_c': ${clash.mkString(", ")}")
     val withParents = fks.foldLeft(df) {
       case (acc, (name, childCol, parent, parentCol)) =>
         acc.join(

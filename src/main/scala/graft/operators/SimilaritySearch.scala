@@ -78,9 +78,19 @@ object SimilaritySearch {
       .write.mode("overwrite")
       .partitionBy("table", "bucket")
       .parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_ivf_params"),
-      s"dim=$dim planes=$planes tables=$tables seed=$seed\n")
+    // Sidecar goes through the Hadoop FileSystem resolved from the
+    // session, not java.nio — on a cluster whose default FS isn't the
+    // driver's local disk (HDFS/S3A), nio would either throw or write a
+    // driver-local file the probe-side exists() never sees, silently
+    // disabling the param-drift check.
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_params")
+    val fs = sidecar.getFileSystem(
+      emb.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, true)
+    try out.write(
+      s"dim=$dim planes=$planes tables=$tables seed=$seed\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** ANN top-k against a [[writeIndex]]-persisted index: the bucket
@@ -96,10 +106,15 @@ object SimilaritySearch {
     // param-drift guard: query signatures computed with different
     // hyperplanes than the stored buckets probe random partitions and
     // return silently-wrong neighbors — refuse the mismatch
-    val sidecar = java.nio.file.Paths.get(path, "_ivf_params")
-    if (java.nio.file.Files.exists(sidecar)) {
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_params")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sidecar)) {
       val want = s"dim=$dim planes=$planes tables=$tables seed=$seed"
-      val have = java.nio.file.Files.readString(sidecar).trim
+      val in = fs.open(sidecar)
+      val have =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
       require(have == want,
         s"IVF probe params ($want) != index build params ($have)")
     }

@@ -44,8 +44,11 @@ object JoinQueries {
   // item-item CF: top-5 "also bought" per part, exact-integer ppm
   // scores, pair blowup bounded by order line counts
   private def a03(s: SparkSession, dir: String): DataFrame =
+    // maxGroupRows opt-in: orders are bounded (7 lines max in TPC-H)
+    // but the cap path stays exercised by the gate + its oracle
     CoOccurrence.topK(Tables(s, dir, "lineitem"),
-      "l_orderkey", "l_partkey", k = 5, minPairs = 3)
+      "l_orderkey", "l_partkey", k = 5, minPairs = 3,
+      maxGroupRows = 100000L)
       .orderBy("item", "rank")
 
   // co-located join through bucketed tables: both sides pre-bucketed

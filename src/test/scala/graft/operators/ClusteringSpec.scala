@@ -132,6 +132,24 @@ class ClusteringSpec extends SparkSpec {
       s"missing: ${(planted -- pairs).take(5)}")
   }
 
+  test("capAssign is deterministic under duplicate ids (vector tie-break)") {
+    // two distinct vectors sharing id 7 — md5(id) alone would tie and
+    // make the seed pick (hence the split path) run-dependent; the
+    // vector-string secondary key restores a total seed order
+    val dup = Seq(
+      (7L, Seq(1.0f, 0.0f)), (7L, Seq(0.0f, 1.0f)),
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)),
+      (3L, Seq(0.1f, 0.9f)), (4L, Seq(0.2f, 0.8f)),
+      (5L, Seq(0.7f, 0.3f)), (6L, Seq(0.3f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    def run() = Clustering.capAssign(dup, "vec_id", "embedding",
+        maxClusterSize = 4, k = 2, iters = 2)
+      .select(col("id"), col("v").cast("string").as("vs"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(run() === run())
+  }
+
   test("assignment plan stays codegen (native cosine, no shuffle)") {
     // parquet-backed input: a purely-local relation would be constant-
     // folded away and show nothing of the real scan-side plan

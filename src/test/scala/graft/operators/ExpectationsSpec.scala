@@ -74,6 +74,33 @@ class ExpectationsSpec extends SparkSpec {
     assert(fused === composed)
   }
 
+  test("tableReport rejects colliding check names loudly") {
+    val df = Seq((1L, 5.0)).toDF("k", "v")
+    // duplicate row-check / unique names
+    intercept[IllegalArgumentException] {
+      Expectations.tableReport(df, "t",
+        Seq(RowCheck("dup", $"v" <= 0), RowCheck("dup", $"v" > 9)),
+        uniqueName = "k_unique", keyCols = Seq("k"))
+    }
+    // uniqueName colliding with a row check
+    intercept[IllegalArgumentException] {
+      Expectations.tableReport(df, "t",
+        Seq(RowCheck("k_unique", $"v" <= 0)),
+        uniqueName = "k_unique", keyCols = Seq("k"))
+    }
+    // check named like a key column or the internal counter
+    intercept[IllegalArgumentException] {
+      Expectations.tableReport(df, "t",
+        Seq(RowCheck("k", $"v" <= 0)),
+        uniqueName = "k_unique", keyCols = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.tableReport(df, "t",
+        Seq(RowCheck("_c", $"v" <= 0)),
+        uniqueName = "k_unique", keyCols = Seq("k"))
+    }
+  }
+
   test("tableReport on an empty table reports zero violations") {
     val empty = Seq.empty[(Long, Double)].toDF("k", "v")
     val out = Expectations.tableReport(empty, "t",
