@@ -99,7 +99,7 @@ object ScalingProbe {
         Multimodal.nearestByHamming(
           Multimodal.videoAHash(
             spread(Multimodal.videoPayloads(docs, limit = n))).toDF(),
-          bandBits = 8, numBands = 4, maxBucket = 1000)
+          bandBits = 16, numBands = 4, maxBucket = 1000)
       }))
   }
 

@@ -625,21 +625,34 @@ object Multimodal {
 
   case class VideoHash(doc_id: Long, n_frames: Int, phash: Long)
 
-  /** 31-bit video fingerprint: per decoded frame, a 4x4 average-hash of
+  /** 63-bit video fingerprint: per decoded frame, a 4x4 average-pool of
     * the grayscale (pixel->cell via `x*4/w`, `y*4/h` — non-empty for
     * w,h >= 4; the GIF corpus's dims go down to 6x5, too small for the
-    * image path's 8x4 grid) in bits 0..15 plus the chain-adjacent
-    * cell-gradient dHash in bits 16..30, then a strict MAJORITY VOTE
-    * across frames per bit (the SimHash discipline over time): bit i
-    * set iff more than half the frames set it. All-integer; band with
-    * [[nearestByHamming]](bandBits = 8) for 8-bit bands.
+    * image path's 8x4 grid), then 63 integer comparisons over the 16
+    * cell means:
+    *   - bits 0..15   aHash — cell mean vs grid total (`avg*16 > total`)
+    *   - bits 16..30  row-major chain gradient (`avg(i+1) > avg(i)`)
+    *   - bits 31..45  column-major chain gradient (same chain walked
+    *                  down columns — catches transposed/rotated content
+    *                  the row chain is blind to)
+    *   - bits 46..59  second-order row gradient (`avg(i+2) > avg(i)`)
+    *   - bits 60..62  quadrant energy: q0>q3, q1>q2, q0+q3 > q1+q2
+    * and a strict MAJORITY VOTE across frames per bit (the SimHash
+    * discipline over time): bit i set iff more than half the frames set
+    * it. Bit 63 stays clear (signed-safe on both engines). All-integer;
+    * band with [[nearestByHamming]](bandBits = 16, numBands = 4) — the
+    * SAME 65k-values-per-band geometry as the image/audio paths. (The
+    * r7 layout emitted 31 bits banded at 8 = 1,024 possible buckets;
+    * at corpus scale every bucket saturates the frequency cap and
+    * near-dup recall collapses silently — the exact ceiling the image
+    * path escaped in r7. 63/16 restores cardinality that grows with
+    * the hash space, not the cap.)
     *
-    * Precondition: frames must be FULL-FRAME rasters. The synthetic GIF
-    * corpus encodes every frame whole; real-world GIFs with delta/
-    * disposal encoding hand `reader.read(f)` partial-frame rasters, so
-    * their hashes would be computed over deltas (or rejected by the
-    * w,h >= 4 guard). A production decode composites each frame onto
-    * the logical screen first — out of scope for the in-JDK codec. */
+    * Delta-frame GIFs: frames whose raster is SMALLER than the logical
+    * screen (delta/disposal encoding) are composited onto the running
+    * screen canvas before pooling, so the hash always sees full frames
+    * (spec: a delta-encoded GIF hashes equal to its full-frame
+    * re-encode). */
   def videoAHash(media: DataFrame): Dataset[VideoHash] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -654,22 +667,43 @@ object Multimodal {
           val reader = readers.next()
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          val votes = new Array[Int](31)
+          // logical screen: delta frames composite onto THIS canvas —
+          // hashing a partial raster would fingerprint the delta, not
+          // the frame the viewer sees. Fall back to frame-0 dims when
+          // the container has no screen descriptor (non-GIF readers).
+          val (sw, sh) = gifLogicalScreen(reader)
+            .getOrElse((reader.getWidth(0), reader.getHeight(0)))
+          require(sw >= 4 && sh >= 4,
+            s"video $id logical screen too small for the 4x4 grid (${sw}x$sh)")
+          val canvas = new Array[Int](sw * sh)
+          var prev: Array[Int] = null // restoreToPrevious snapshot
+          val votes = new Array[Int](63)
           for (f <- 0 until n) {
             val img = reader.read(f)
-            val (w, h) = (img.getWidth, img.getHeight)
-            // every 4x4 cell must be non-empty or the mean divides by 0
-            require(w >= 4 && h >= 4,
-              s"video $id frame $f too small for the 4x4 grid (${w}x$h)")
+            val (fw, fh) = (img.getWidth, img.getHeight)
+            val (left, top, disposal) = gifFramePlacement(reader, f)
+            require(left + fw <= sw && top + fh <= sh,
+              s"video $id frame $f (${fw}x$fh at $left,$top) exceeds " +
+                s"the ${sw}x$sh logical screen")
+            if (disposal == "restoreToPrevious") prev = canvas.clone()
+            var y = 0
+            while (y < fh) {
+              var x = 0
+              while (x < fw) {
+                canvas((top + y) * sw + (left + x)) = img.getRGB(x, y) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            // pool the COMPOSITED screen, not the frame raster
             val sum = new Array[Long](16)
             val cnt = new Array[Long](16)
-            var y = 0
-            while (y < h) {
+            y = 0
+            while (y < sh) {
               var x = 0
-              while (x < w) {
-                val g = img.getRGB(x, y) & 0xFF
-                val idx = (y * 4 / h) * 4 + (x * 4 / w)
-                sum(idx) += g
+              while (x < sw) {
+                val idx = (y * 4 / sh) * 4 + (x * 4 / sw)
+                sum(idx) += canvas(y * sw + x)
                 cnt(idx) += 1
                 x += 1
               }
@@ -684,26 +718,101 @@ object Multimodal {
               if (avg(i) * 16L > total) votes(i) += 1
               i += 1
             }
-            // bits 16..30: per-frame chain-adjacent gradient bits over
-            // the cell means (the imageAHash dHash extension), majority-
-            // voted across frames like the aHash bits
+            // bits 16..30: row-major chain gradient (the imageAHash
+            // dHash extension), majority-voted like the aHash bits
             i = 0
             while (i < 15) {
               if (avg(i + 1) > avg(i)) votes(16 + i) += 1
               i += 1
+            }
+            // bits 31..45: the same chain walked in COLUMN-major order —
+            // col-major position p maps to cell (p%4)*4 + p/4
+            var p = 0
+            while (p < 15) {
+              val ca = (p % 4) * 4 + p / 4
+              val cb = ((p + 1) % 4) * 4 + (p + 1) / 4
+              if (avg(cb) > avg(ca)) votes(31 + p) += 1
+              p += 1
+            }
+            // bits 46..59: second-order row gradient (skip-one slope)
+            i = 0
+            while (i < 14) {
+              if (avg(i + 2) > avg(i)) votes(46 + i) += 1
+              i += 1
+            }
+            // bits 60..62: 2x2-cell quadrant energy comparisons
+            val qs = new Array[Long](4)
+            i = 0
+            while (i < 16) { qs((i / 8) * 2 + (i % 4) / 2) += avg(i); i += 1 }
+            if (qs(0) > qs(3)) votes(60) += 1
+            if (qs(1) > qs(2)) votes(61) += 1
+            if (qs(0) + qs(3) > qs(1) + qs(2)) votes(62) += 1
+            // dispose AFTER hashing: background-restore clears the
+            // frame rect; previous-restore reverts the whole canvas
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                y = 0
+                while (y < fh) {
+                  var x = 0
+                  while (x < fw) {
+                    canvas((top + y) * sw + (left + x)) = 0
+                    x += 1
+                  }
+                  y += 1
+                }
+              case "restoreToPrevious" if prev != null =>
+                System.arraycopy(prev, 0, canvas, 0, canvas.length)
+              case _ => () // none / doNotDispose: canvas persists
             }
           }
           reader.dispose()
           iis.close()
           var hash = 0L
           var i = 0
-          while (i < 31) {
+          while (i < 63) {
             if (votes(i) * 2 > n) hash |= 1L << i
             i += 1
           }
           VideoHash(id, n, hash)
         }
       }
+  }
+
+  /** (logicalScreenWidth, logicalScreenHeight) from the GIF stream
+    * metadata, or None when the reader exposes no GIF descriptor. */
+  private def gifLogicalScreen(
+      reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    for {
+      meta <- Option(reader.getStreamMetadata)
+      tree <- scala.util.Try(meta.getAsTree("javax_imageio_gif_stream_1.0"))
+        .toOption.map(_.asInstanceOf[org.w3c.dom.Element])
+      lsd <- firstChild(tree, "LogicalScreenDescriptor")
+    } yield (lsd.getAttribute("logicalScreenWidth").toInt,
+      lsd.getAttribute("logicalScreenHeight").toInt)
+
+  /** Per-frame (leftPosition, topPosition, disposalMethod) from the GIF
+    * image metadata; (0, 0, "none") when the container carries none. */
+  private def gifFramePlacement(reader: javax.imageio.ImageReader,
+      frame: Int): (Int, Int, String) = {
+    val placed = for {
+      meta <- Option(reader.getImageMetadata(frame))
+      tree <- scala.util.Try(meta.getAsTree("javax_imageio_gif_image_1.0"))
+        .toOption.map(_.asInstanceOf[org.w3c.dom.Element])
+      desc <- firstChild(tree, "ImageDescriptor")
+    } yield {
+      val disposal = firstChild(tree, "GraphicControlExtension")
+        .map(_.getAttribute("disposalMethod")).getOrElse("none")
+      (desc.getAttribute("imageLeftPosition").toInt,
+        desc.getAttribute("imageTopPosition").toInt, disposal)
+    }
+    placed.getOrElse((0, 0, "none"))
+  }
+
+  private def firstChild(e: org.w3c.dom.Element,
+      name: String): Option[org.w3c.dom.Element] = {
+    val kids = e.getElementsByTagName(name)
+    if (kids.getLength > 0) Some(kids.item(0).asInstanceOf[org.w3c.dom.Element])
+    else None
   }
 
   /** Frame sampling plan for video rows: every `stride`-th fake frame. */

@@ -102,16 +102,20 @@ object MultimodalQueries {
       bandBits = 16, numBands = 4, maxBucket = 1000)
       .orderBy("doc_id")
 
-  // video NEAR-DUP: per-frame 4x4 aHash + chain-gradient bits of the
-  // really-decoded GIF frames (31 bits), strict majority vote across
-  // frames per bit (SimHash over time), 8-bit-banded capped Hamming NN
-  // via the same generic operator. Completes near-dup across every
-  // payload modality the engine ships.
+  // video NEAR-DUP: per-frame 4x4 pooling of the really-decoded
+  // (delta-composited) GIF frames expanded to a 63-bit fingerprint
+  // (aHash + row/column chain gradients + second-order slopes +
+  // quadrant bits), strict majority vote across frames per bit
+  // (SimHash over time), then the SAME 16-bit-band capped Hamming NN
+  // as the image/audio paths — 65k values per band, so bucket
+  // cardinality grows with the corpus instead of saturating the r7
+  // 1,024-bucket ceiling. Completes near-dup across every payload
+  // modality the engine ships.
   private def mm10(s: SparkSession, dir: String): DataFrame =
     Multimodal.nearestByHamming(
       Multimodal.videoAHash(
         Multimodal.videoPayloads(Tables(s, dir, "documents"))).toDF(),
-      bandBits = 8, numBands = 4, maxBucket = 1000)
+      bandBits = 16, numBands = 4, maxBucket = 1000)
       .orderBy("doc_id")
 
   // hot-bucket cap observability for the Hamming near-dup family (the
@@ -130,8 +134,26 @@ object MultimodalQueries {
       .orderBy("cap")
   }
 
+  // saturation audit for the WIDENED video layout (the r7 verdict's
+  // one open scale defect): the 63-bit/16-bit-band geometry must show
+  // dropped_rows = 0 at the production cap on the gate corpus — the r7
+  // 31-bit/8-bit layout saturated its 1,024 buckets and silently shed
+  // candidates. cap=2 rides along as the what-would-a-tiny-cap-drop
+  // observability row (the mm11 pattern). MultimodalSpec asserts the
+  // zero-drop invariant; this gate hash-pins the numbers.
+  private def mm12(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.videoAHash(
+      Multimodal.videoPayloads(Tables(s, dir, "documents"))).toDF()
+    def at(cap: Int) = Multimodal.hammingCapAudit(hashes, bandBits = 16,
+      numBands = 4, maxBucket = cap).withColumn("cap", lit(cap))
+    at(2).unionByName(at(1000))
+      .select("cap", "hot_buckets", "dropped_rows", "max_df")
+      .orderBy("cap")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm11_cap_audit" -> (mm11 _),
+    "mm12_video_cap_audit" -> (mm12 _),
     "mm08_image_neardup" -> (mm08 _),
     "mm09_audio_neardup" -> (mm09 _),
     "mm10_video_neardup" -> (mm10 _),
@@ -185,10 +207,80 @@ object MultimodalQueries {
         "CAST(max(df) AS BIGINT) FROM df) " +
         "SELECT cap, hot_buckets, dropped_rows, max_df FROM a " +
         "ORDER BY cap"),
+    // the mm10 63-bit hash replay (same CTE chain) stopped at the
+    // banded (band, value) frequency audit — 16-bit bands, caps 2 and
+    // 1000, the mm11 aggregate shape
+    "mm12_video_cap_audit" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 " +
+        "ORDER BY doc_id LIMIT 30), " +
+        "dim AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS n, " +
+        "doc_id % 20 + 6 AS w, doc_id % 12 + 5 AS h FROM d), " +
+        "fr AS (SELECT doc_id, n, w, h, unnest(range(0, n)) AS f FROM dim), " +
+        "xs AS (SELECT doc_id, n, w, h, f, unnest(range(0, w)) AS x FROM fr), " +
+        "px AS (SELECT doc_id, n, w, h, f, x, unnest(range(0, h)) AS y " +
+        "FROM xs), " +
+        "g AS (SELECT doc_id, n, f, " +
+        "(x*7 + y*13 + doc_id + f*29) % 256 AS g, " +
+        "(y*4 // h)*4 + (x*4 // w) AS idx FROM px), " +
+        "blk AS MATERIALIZED (SELECT doc_id, n, f, idx, " +
+        "sum(g) // count(*) AS avg " +
+        "FROM g GROUP BY doc_id, n, f, idx), " +
+        "tot AS (SELECT doc_id, f, sum(avg) AS total FROM blk " +
+        "GROUP BY doc_id, f), " +
+        "qs AS (SELECT doc_id, n, f, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 0 THEN avg ELSE 0 END) AS s0, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 1 THEN avg ELSE 0 END) AS s1, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 2 THEN avg ELSE 0 END) AS s2, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 3 THEN avg ELSE 0 END) AS s3 " +
+        "FROM blk GROUP BY doc_id, n, f), " +
+        "fb AS (SELECT blk.doc_id, blk.n, blk.f, idx, " +
+        "CASE WHEN avg*16 > total THEN 1 ELSE 0 END AS bit FROM blk " +
+        "JOIN tot ON tot.doc_id = blk.doc_id AND tot.f = blk.f " +
+        "UNION ALL SELECT a.doc_id, a.n, a.f, 16 + a.idx AS idx, " +
+        "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
+        "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
+        "AND b.idx = a.idx + 1 WHERE a.idx <= 14 " +
+        "UNION ALL SELECT a.doc_id, a.n, a.f, " +
+        "31 + (a.idx%4)*4 + a.idx//4 AS idx, " +
+        "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
+        "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
+        "AND (b.idx%4)*4 + b.idx//4 = (a.idx%4)*4 + a.idx//4 + 1 " +
+        "WHERE (a.idx%4)*4 + a.idx//4 <= 14 " +
+        "UNION ALL SELECT a.doc_id, a.n, a.f, 46 + a.idx AS idx, " +
+        "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
+        "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
+        "AND b.idx = a.idx + 2 WHERE a.idx <= 13 " +
+        "UNION ALL SELECT doc_id, n, f, 60 AS idx, " +
+        "CASE WHEN s0 > s3 THEN 1 ELSE 0 END AS bit FROM qs " +
+        "UNION ALL SELECT doc_id, n, f, 61 AS idx, " +
+        "CASE WHEN s1 > s2 THEN 1 ELSE 0 END AS bit FROM qs " +
+        "UNION ALL SELECT doc_id, n, f, 62 AS idx, " +
+        "CASE WHEN s0 + s3 > s1 + s2 THEN 1 ELSE 0 END AS bit FROM qs), " +
+        "votes AS (SELECT doc_id, n, idx, sum(bit) AS v FROM fb " +
+        "GROUP BY doc_id, n, idx), " +
+        "hsh AS (SELECT doc_id, CAST(sum(CASE WHEN v*2 > n THEN " +
+        "CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) AS BIGINT) " +
+        "AS phash FROM votes GROUP BY doc_id), " +
+        "bv0 AS (SELECT doc_id, band, (phash >> (16*band)) & 65535 AS v " +
+        "FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band FROM hsh)), " +
+        "df AS (SELECT band, v, count(*) AS df FROM bv0 " +
+        "GROUP BY band, v), " +
+        "a AS (SELECT 2 AS cap, " +
+        "CAST(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS hot_buckets, " +
+        "CAST(sum(CASE WHEN df > 2 THEN df ELSE 0 END) AS BIGINT) " +
+        "AS dropped_rows, CAST(max(df) AS BIGINT) AS max_df FROM df " +
+        "UNION ALL SELECT 1000, " +
+        "CAST(sum(CASE WHEN df > 1000 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(CASE WHEN df > 1000 THEN df ELSE 0 END) AS BIGINT), " +
+        "CAST(max(df) AS BIGINT) FROM df) " +
+        "SELECT cap, hot_buckets, dropped_rows, max_df FROM a " +
+        "ORDER BY cap"),
     // per-frame 4x4 cell means from the closed-form frame pixels,
-    // avg*16 > total aHash bits 0..15 + chain dHash bits 16..30,
-    // strict cross-frame majority per bit, 8-bit bands capped at
-    // 1000, min-(hamming, id) nearest
+    // 63 bits (aHash 0..15, row chain 16..30, col chain 31..45,
+    // second-order 46..59, quadrants 60..62), strict cross-frame
+    // majority per bit, 16-bit bands capped at 1000, min-(hamming, id)
+    // nearest
     "mm10_video_neardup" ->
       ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2 " +
         "ORDER BY doc_id LIMIT 30), " +
@@ -201,23 +293,50 @@ object MultimodalQueries {
         "g AS (SELECT doc_id, n, f, " +
         "(x*7 + y*13 + doc_id + f*29) % 256 AS g, " +
         "(y*4 // h)*4 + (x*4 // w) AS idx FROM px), " +
-        "blk AS (SELECT doc_id, n, f, idx, sum(g) // count(*) AS avg " +
+        "blk AS MATERIALIZED (SELECT doc_id, n, f, idx, " +
+        "sum(g) // count(*) AS avg " +
         "FROM g GROUP BY doc_id, n, f, idx), " +
         "tot AS (SELECT doc_id, f, sum(avg) AS total FROM blk " +
         "GROUP BY doc_id, f), " +
+        "qs AS (SELECT doc_id, n, f, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 0 THEN avg ELSE 0 END) AS s0, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 1 THEN avg ELSE 0 END) AS s1, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 2 THEN avg ELSE 0 END) AS s2, " +
+        "sum(CASE WHEN (idx//8)*2 + (idx%4)//2 = 3 THEN avg ELSE 0 END) AS s3 " +
+        "FROM blk GROUP BY doc_id, n, f), " +
+        // 63 per-frame bits: aHash 0..15, row chain 16..30, col-major
+        // chain 31..45 (col-major position of cell idx is
+        // (idx%4)*4 + idx//4), second-order row slope 46..59,
+        // quadrant energy 60..62 — mirror of videoAHash bit for bit
         "fb AS (SELECT blk.doc_id, blk.n, blk.f, idx, " +
         "CASE WHEN avg*16 > total THEN 1 ELSE 0 END AS bit FROM blk " +
         "JOIN tot ON tot.doc_id = blk.doc_id AND tot.f = blk.f " +
         "UNION ALL SELECT a.doc_id, a.n, a.f, 16 + a.idx AS idx, " +
         "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
         "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
-        "AND b.idx = a.idx + 1 WHERE a.idx <= 14), " +
+        "AND b.idx = a.idx + 1 WHERE a.idx <= 14 " +
+        "UNION ALL SELECT a.doc_id, a.n, a.f, " +
+        "31 + (a.idx%4)*4 + a.idx//4 AS idx, " +
+        "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
+        "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
+        "AND (b.idx%4)*4 + b.idx//4 = (a.idx%4)*4 + a.idx//4 + 1 " +
+        "WHERE (a.idx%4)*4 + a.idx//4 <= 14 " +
+        "UNION ALL SELECT a.doc_id, a.n, a.f, 46 + a.idx AS idx, " +
+        "CASE WHEN b.avg > a.avg THEN 1 ELSE 0 END AS bit FROM blk a " +
+        "JOIN blk b ON b.doc_id = a.doc_id AND b.f = a.f " +
+        "AND b.idx = a.idx + 2 WHERE a.idx <= 13 " +
+        "UNION ALL SELECT doc_id, n, f, 60 AS idx, " +
+        "CASE WHEN s0 > s3 THEN 1 ELSE 0 END AS bit FROM qs " +
+        "UNION ALL SELECT doc_id, n, f, 61 AS idx, " +
+        "CASE WHEN s1 > s2 THEN 1 ELSE 0 END AS bit FROM qs " +
+        "UNION ALL SELECT doc_id, n, f, 62 AS idx, " +
+        "CASE WHEN s0 + s3 > s1 + s2 THEN 1 ELSE 0 END AS bit FROM qs), " +
         "votes AS (SELECT doc_id, n, idx, sum(bit) AS v FROM fb " +
         "GROUP BY doc_id, n, idx), " +
         "hsh AS (SELECT doc_id, CAST(sum(CASE WHEN v*2 > n THEN " +
         "CAST(1 AS BIGINT) << CAST(idx AS INT) ELSE 0 END) AS BIGINT) " +
         "AS phash FROM votes GROUP BY doc_id), " +
-        "bv0 AS (SELECT doc_id, phash, band, (phash >> (8*band)) & 255 " +
+        "bv0 AS (SELECT doc_id, phash, band, (phash >> (16*band)) & 65535 " +
         "AS v FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS band " +
         "FROM hsh)), " +
         "bc AS (SELECT band, v FROM bv0 GROUP BY band, v " +

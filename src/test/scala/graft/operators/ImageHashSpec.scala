@@ -78,12 +78,99 @@ class ImageHashSpec extends SparkSpec {
     writer.endWriteSequence(); ios.close(); writer.dispose()
     val media = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
     val Array(h) = Multimodal.videoAHash(media).collect()
-    // cells: idx = row*4 + colcell; right half = colcell 2,3. The two
-    // right-bright frames carry the majority for both the aHash bits
-    // and the dark→bright chain-step dHash bits (i % 4 == 1).
+    // cells: idx = row*4 + colcell; right half = colcell 2,3 (avg 200
+    // vs 10). Two right-bright frames carry the majority on every bit,
+    // so expected = the right-bright frame's 63-bit layout:
+    //  0..15 aHash: bright cells (i % 4 >= 2)
+    // 16..30 row chain: dark→bright step at i % 4 == 1
+    // 31..45 col chain: one rise at col-major position 7→8 (bit 38)
+    // 46..59 second-order: idx+2 jumps dark→bright for i % 4 <= 1
+    // 60..62 quadrants: (40, 800, 40, 800) → only q1 > q2 (bit 61)
     val expected = (0 until 16).filter(i => i % 4 >= 2).map(1L << _).sum +
-      Seq(1, 5, 9, 13).map(i => 1L << (16 + i)).sum
+      Seq(1, 5, 9, 13).map(i => 1L << (16 + i)).sum +
+      (1L << 38) +
+      Seq(0, 1, 4, 5, 8, 9, 12, 13).map(i => 1L << (46 + i)).sum +
+      (1L << 61)
     assert(h.n_frames === 3 && h.phash === expected)
+  }
+
+  test("videoAHash composites delta frames onto the logical screen") {
+    import spark.implicits._
+    // explicit 256-gray indexed palette (the corpus builder's trick) —
+    // TYPE_BYTE_GRAY would get palette-quantized by the GIF writer,
+    // and the two encodes could quantize differently
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    def gray(w: Int, h: Int)(v: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, v(x, y))
+      img
+    }
+    def writeGif(frames: Seq[(java.awt.image.BufferedImage, Int, Int)])
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, left, top) =>
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        // the default metadata fabricates a generic web-safe
+        // LocalColorTable that would clobber the gray palette — strip
+        // it so the writer derives the table from the image itself
+        val lct = tree.getElementsByTagName("LocalColorTable")
+        if (lct.getLength > 0) tree.removeChild(lct.item(0))
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // base 8x8 gradient; delta GIF patches a 4x4 block at (2,2) in
+    // frame 1 while the full-frame GIF re-encodes the composited result
+    val base = gray(8, 8)((x, y) => (x * 20 + y * 7) % 256)
+    val patch = gray(4, 4)((x, y) => 250 - x * 30 - y * 11)
+    val composited = gray(8, 8)((x, y) =>
+      if (x >= 2 && x < 6 && y >= 2 && y < 6)
+        250 - (x - 2) * 30 - (y - 2) * 11
+      else (x * 20 + y * 7) % 256)
+    val delta = writeGif(Seq((base, 0, 0), (patch, 2, 2)))
+    val full = writeGif(Seq((base, 0, 0), (composited, 0, 0)))
+    val media = Seq((1L, delta), (2L, full)).toDF("doc_id", "payload")
+    val out = Multimodal.videoAHash(media).collect()
+      .map(v => v.doc_id -> (v.n_frames, v.phash)).toMap
+    assert(out(1L)._1 === 2)
+    assert(out(1L) === out(2L),
+      "delta-encoded GIF must hash equal to its full-frame re-encode")
+  }
+
+  test("video 63-bit/16-bit-band layout does not saturate the cap " +
+    "(mm12 invariant: zero dropped rows at the production cap)") {
+    // the r7 31-bit/8-bit layout had 1,024 possible (band, value)
+    // buckets — at corpus scale every bucket exceeds the frequency cap
+    // and near-dup recall silently collapses. The widened layout must
+    // show zero drops on the gate corpus.
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val hashes = Multimodal.videoAHash(
+      Multimodal.videoPayloads(docs)).toDF()
+    val audit = Multimodal.hammingCapAudit(hashes, bandBits = 16,
+      numBands = 4, maxBucket = 1000).head()
+    assert(audit.getAs[Long]("dropped_rows") === 0L,
+      s"video near-dup cap saturated: $audit")
   }
 
   test("nearestByHamming: band-mates ranked by bit_count, ties to smallest id; loners get -1") {
