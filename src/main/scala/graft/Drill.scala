@@ -122,6 +122,69 @@ object Drill {
     }
   }
 
+  private def f07Variants(s: SparkSession, dir: String): Unit = {
+    import operators.{Segmentation, SequentialIds}
+    val ord = Tables(s, dir, "orders")
+    time("orders scan+count") { ord.count() }
+    val base = ord.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("_lastd"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice")).cast("decimal(18,2)").cast("string")
+          .as("monetary"))
+    time("per-customer agg only") { base.count() }
+    time("agg + stack + SequentialIds (no pivot)") {
+      SequentialIds.assign(
+        base.select(col("custkey"), explode(array(
+          struct(lit(0).as("m"), col("frequency").cast("decimal(28,6)").as("k")),
+          struct(lit(1).as("m"), col("frequency").cast("decimal(28,6)").as("k")),
+          struct(lit(2).as("m"), col("frequency").cast("decimal(28,6)").as("k"))))
+          .as("e"))
+          .select(col("custkey"), col("e.m").as("m"), col("e.k").as("k")),
+        Seq(col("m"), col("k"), col("custkey")), "_gid").count()
+    }
+    time("full gate (rfm)") {
+      Segmentation.rfm(ord, "o_custkey", "o_orderdate", "o_totalprice")
+        .count()
+    }
+  }
+
+  private def s01t28q32Variants(s: SparkSession, dir: String): Unit = {
+    import operators.{Rake, SimilaritySearch}
+    val emb = Tables(s, dir, "embeddings")
+    time("embeddings scan+count") { emb.count() }
+    val qv = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    time("brute top-5") {
+      SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding",
+        array(qv.map(lit): _*), 5).count()
+    }
+    time("scan-side ANN top-5 (one job)") {
+      SimilaritySearch.annTopKScan(emb, "vec_id", "embedding", qv,
+        dim = 64, k = 5, planes = 12, tables = 6).count()
+    }
+    val docs = Tables(s, dir, "documents")
+    time("docs scan+count") { docs.count() }
+    time("rake full") {
+      Rake.keywords(docs, "doc_id", "text").count()
+    }
+    val li = Tables(s, dir, "lineitem")
+    val or = Tables(s, dir, "orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    time("q32 stored join only (base x base)") {
+      li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
+        .join(or.filter(pmod(col("l_orderkey"), lit(5)) =!= 0),
+          Seq("l_orderkey")).count()
+    }
+    time("q32 delta terms only") {
+      operators.IncrementalJoin.deltaJoin(
+        li.filter(pmod(col("l_orderkey"), lit(3)) =!= 0),
+        li.filter(pmod(col("l_orderkey"), lit(3)) === 0),
+        or.filter(pmod(col("l_orderkey"), lit(5)) =!= 0),
+        or.filter(pmod(col("l_orderkey"), lit(5)) === 0),
+        Seq("l_orderkey")).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -130,6 +193,8 @@ object Drill {
       case "q23" => q23Variants(spark, sfDir)
       case "s04" => s04Variants(spark, sfDir)
       case "g04" => g04Variants(spark, sfDir)
+      case "f07" => f07Variants(spark, sfDir)
+      case "tail" => s01t28q32Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

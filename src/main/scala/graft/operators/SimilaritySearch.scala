@@ -64,6 +64,36 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Scan-side ANN top-k — the one-job probe: the query's LSH signature
+    * is computed DRIVER-side (pure arithmetic on the seeded planes —
+    * [[VectorOps.signatureOf]], bit-identical to the scan expression),
+    * and candidacy is a scan-side comparison of each row's bucket array
+    * against those literals, so the whole probe is scan → filter →
+    * TakeOrderedAndProject. No index materialization, no id↔vector
+    * join, no query-signature job — same candidate set as
+    * [[annTopK]] over [[ivfIndex]] by construction (spec-pinned).
+    * Use THIS for ad-hoc in-memory probes; build [[writeIndex]] when
+    * probing many queries against a persisted corpus. */
+  def annTopKScan(emb: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], dim: Int, k: Int, planes: Int = 6,
+      tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val qb = VectorOps.signatureOf(queryVec, dim, planes, tables, seed)
+    val buckets = VectorOps.bucketColumn(col(vecCol), dim, planes,
+      tables, seed)
+    val anyBand = (0 until tables)
+      .map(t => element_at(buckets, t + 1) === qb(t))
+      .reduce(_ || _)
+    // rows are unique here (no per-(table, bucket) expansion), so the
+    // rerank's candidate dedup shuffle is skipped
+    emb.filter(anyBand)
+      .select(col(idCol).as("id"),
+        VectorOps.cosine(col(vecCol),
+          array(queryVec.map(lit): _*)).as("score"))
+      .filter(!isnan(col("score")))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Persist the IVF index partitioned by (table, bucket) — the 100 TB
     * layout: each LSH bucket is its own partition directory, so a probe
     * reads ONLY the query's buckets (partition pruning at the file

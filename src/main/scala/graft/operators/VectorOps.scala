@@ -55,14 +55,46 @@ object VectorOps {
     * tables×planes interpreted-lambda passes per row. */
   def hyperplaneSignatures(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, tables: Int, seed: Long): DataFrame = {
+    val buckets = bucketColumn(col(vecCol), dim, planes, tables, seed)
+    emb.select(col(idCol).as("id"), posexplode(buckets))
+      .toDF("id", "table", "bucket")
+  }
+
+  /** The per-row LSH bucket array (one long per table) as a COLUMN —
+    * the scan-side building block [[hyperplaneSignatures]] explodes.
+    * Exposed so probe paths can compare buckets in a filter without
+    * materializing the exploded index frame. */
+  private[graft] def bucketColumn(vec: Column, dim: Int, planes: Int,
+      tables: Int, seed: Long): Column = {
     val ps = planeLiteral(dim, planes, tables, seed)
     val flat = new Array[Double](tables * planes * dim)
     for (t <- 0 until tables; p <- 0 until planes; j <- 0 until dim)
       flat((t * planes + p) * dim + j) = ps(t)(p)(j)
-    val buckets = GraftColumnBridge.column(HyperplaneBuckets(
-      GraftColumnBridge.expression(col(vecCol)), flat, tables, planes, dim))
-    emb.select(col(idCol).as("id"), posexplode(buckets))
-      .toDF("id", "table", "bucket")
+    GraftColumnBridge.column(HyperplaneBuckets(
+      GraftColumnBridge.expression(vec), flat, tables, planes, dim))
+  }
+
+  /** One vector's LSH signature computed DRIVER-side — pure arithmetic
+    * on the seeded planes, no Spark job. Mirrors
+    * [[graft.plans.HyperplaneBuckets]] loop for loop (same Double
+    * accumulation order), so query-side buckets are bit-identical to
+    * scan-side ones. */
+  private[graft] def signatureOf(vec: Seq[Float], dim: Int, planes: Int,
+      tables: Int, seed: Long): Array[Long] = {
+    require(vec.length == dim, s"vector dim ${vec.length} != $dim")
+    val ps = planeLiteral(dim, planes, tables, seed)
+    Array.tabulate(tables) { t =>
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += vec(j).toDouble * ps(t)(p)(j); j += 1 }
+        if (s >= 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    }
   }
 
   /** Symmetric per-vector int8 quantization: scale = 127 / max|x_i|

@@ -182,10 +182,14 @@ object DedupQueries {
     val exact = SimilaritySearch
       .bruteForceTopK(corpus, "vec_id", "embedding", q, 5)
       .localCheckpoint(true) // 5 rows; feeds the emit AND the recall join
-    val index = SimilaritySearch.ivfIndex(corpus, "vec_id", "embedding",
-      dim = 64, planes = 12, tables = 6)
-    val ann = SimilaritySearch.annTopK(index, queryVec, dim = 64, k = 5,
-      planes = 12, tables = 6)
+    // r8 drill: the scan-side probe replaces ivfIndex+annTopK here —
+    // the index path joined signatures back to vectors (a corpus-wide
+    // shuffle) and ran a separate query-signature job; the scan path
+    // is one job (filter on driver-computed bucket literals + top-k),
+    // same candidates by construction (SimilaritySearchSpec pins
+    // scan == index-path results)
+    val ann = SimilaritySearch.annTopKScan(corpus, "vec_id", "embedding",
+      queryVec, dim = 64, k = 5, planes = 12, tables = 6)
     val recall = ann.select(col("id"))
       .join(exact.select(col("vec_id").as("id")), Seq("id"), "left_semi")
       .agg((count(lit(1)) / lit(5.0)).as("ann_recall"))

@@ -39,6 +39,31 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@10 was $recall")
   }
 
+  test("scan-side ANN == index-path ANN, row for row") {
+    // the one-job probe must be a pure re-expression: same driver-side
+    // signature (bit-identical plane arithmetic), same candidates,
+    // same exact-cosine rerank and ordering
+    val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
+      dim = 64, planes = 4, tables = 8)
+    val viaIndex = SimilaritySearch.annTopK(index, queryVec, dim = 64,
+      k = 10, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScan = SimilaritySearch.annTopKScan(emb, "vec_id", "embedding",
+      queryVec, dim = 64, k = 10, planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaScan === viaIndex)
+  }
+
+  test("driver-side signature == scan-side buckets for the query row") {
+    val scanSide = VectorOps.hyperplaneSignatures(
+      emb.filter(col("vec_id") === 1), "vec_id", "embedding",
+      dim = 64, planes = 12, tables = 6, seed = 42L)
+      .orderBy("table").collect().map(_.getLong(2)).toSeq
+    val driverSide = VectorOps.signatureOf(queryVec, dim = 64,
+      planes = 12, tables = 6, seed = 42L).toSeq
+    assert(driverSide === scanSide)
+  }
+
   test("native hyperplane buckets == HOF reference form, bit-identical") {
     val native = VectorOps.hyperplaneSignatures(
       emb, "vec_id", "embedding", dim = 64, planes = 12, tables = 6, seed = 42L)
