@@ -26,7 +26,8 @@ import graft.operators.{Clustering, ConnectedComponents, DataSplit, Dedup}
   * Usage: runMain graft.CorpusCurate --docs <parquet> --out <dir>
   *   [--min-quality 0.25] [--langs en,es,...] [--jaccard 0.8]
   *   [--collapse cc|greedy] [--max-repetition 1.0]
-  *   [--max-bucket 0|N|auto]  (auto = Dedup.autoMaxBucket(corpus size))
+  *   [--max-bucket 0|N|auto]  (DEFAULT auto = Dedup.autoMaxBucket(n),
+  *     the n-scaled production cap; 0 disables; N pins a constant)
   *   [--embeddings <parquet>] [--semantic-threshold 0.95] [--semantic-k 8]
   *   [--semantic-max-cluster 100]  (capAssign leaf-size cap)
   *   [--max-per-domain 0] [--domain-col source]
@@ -273,6 +274,19 @@ object CorpusCurate {
     (curated, stats)
   }
 
+  /** Production default for the LSH hot-bucket cap: the N-SCALED
+    * [[Dedup.autoMaxBucket]] (cap meaning — ppm of docs colliding on
+    * one band key — stays fixed as the corpus grows). `--max-bucket 0`
+    * disables, an integer pins it, "auto" is the explicit spelling of
+    * the default. GATES deliberately do NOT use this: they pin fixed
+    * constants so their DuckDB oracles replay bit-for-bit — the
+    * production-vs-gate split lives here, in code, not in lore. */
+  private[graft] def resolveMaxBucket(opt: Option[String],
+      corpusSize: => Long): Int = opt match {
+    case None | Some("auto") => Dedup.autoMaxBucket(corpusSize)
+    case Some(v) => v.toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -285,13 +299,7 @@ object CorpusCurate {
       opts.get("jaccard").map(_.toDouble).getOrElse(0.8),
       greedyCollapse = opts.get("collapse").contains("greedy"),
       maxRepetition = opts.get("max-repetition").map(_.toDouble).getOrElse(1.0),
-      maxBucket = opts.get("max-bucket") match {
-        // the AutoScale default: cap scaled to the corpus so its
-        // MEANING (ppm of docs colliding on one key) stays fixed
-        case Some("auto") => Dedup.autoMaxBucket(docs.count())
-        case Some(v) => v.toInt
-        case None => 0
-      },
+      maxBucket = resolveMaxBucket(opts.get("max-bucket"), docs.count()),
       embeddings = opts.get("embeddings").map(spark.read.parquet(_)),
       semanticThreshold =
         opts.get("semantic-threshold").map(_.toDouble).getOrElse(0.95),

@@ -107,10 +107,16 @@ object SalesSink {
   def writeJdbc(sales: DataFrame, url: String, table: String,
       props: java.util.Properties, batchSize: Int = 100,
       attempts: Int = 3, baseDelayMs: Long = 2000,
+      isolationLevel: String = "READ_UNCOMMITTED",
       sleep: Long => Unit = Thread.sleep): Unit =
     withRetry(attempts, baseDelayMs, sleep = sleep) {
+      // isolationLevel default mirrors Spark's own (READ_UNCOMMITTED):
+      // per-partition insert transactions; raise to READ_COMMITTED /
+      // SERIALIZABLE when the target's concurrent readers demand it
+      // (JdbcDialectSpec pins the string -> java.sql constant mapping)
       sales.write.mode(SaveMode.Append)
         .option("batchsize", batchSize.toString)
+        .option("isolationLevel", isolationLevel)
         .jdbc(url, table, props)
     }
 }

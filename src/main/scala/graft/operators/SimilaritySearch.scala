@@ -80,9 +80,14 @@ object SimilaritySearch {
     val qb = VectorOps.signatureOf(queryVec, dim, planes, tables, seed)
     val buckets = VectorOps.bucketColumn(col(vecCol), dim, planes,
       tables, seed)
-    val anyBand = (0 until tables)
-      .map(t => element_at(buckets, t + 1) === qb(t))
-      .reduce(_ || _)
+    // ONE reference to the bucket expression: a per-table OR chain
+    // (element_at(buckets, 1) === .. || ..) would inline the
+    // non-codegen bucket computation `tables` times per row after
+    // predicate pushdown — zip_with against the query's literal
+    // signature keeps it a single evaluation
+    val anyBand = exists(
+      zip_with(buckets, array(qb.map(lit(_)): _*), (b, q) => b === q),
+      x => x)
     // rows are unique here (no per-(table, bucket) expansion), so the
     // rerank's candidate dedup shuffle is skipped
     emb.filter(anyBand)

@@ -136,6 +136,31 @@ class CorpusCurateSpec extends SparkSpec {
     assert(!c2.columns.contains("source"))
   }
 
+  test("CLI default wires the N-SCALED hot-bucket cap (auto), not a " +
+    "fixed gate constant") {
+    import graft.operators.Dedup
+    // no flag and the explicit "auto" spelling both resolve to
+    // autoMaxBucket(n) — the production default scales with the corpus
+    assert(CorpusCurate.resolveMaxBucket(None, 1000000000L) ===
+      Dedup.autoMaxBucket(1000000000L))
+    assert(CorpusCurate.resolveMaxBucket(Some("auto"), 1000000000L) ===
+      Dedup.autoMaxBucket(1000000000L))
+    // and it really is n-scaled (1B docs != the 2000 floor)
+    assert(CorpusCurate.resolveMaxBucket(None, 1000000000L) ===
+      400000)
+    assert(CorpusCurate.resolveMaxBucket(None, 1000L) ===
+      Dedup.autoMaxBucket(1000L)) // small corpus hits the floor
+    // explicit opt-outs stay available: 0 disables, N pins
+    assert(CorpusCurate.resolveMaxBucket(Some("0"), 1000000000L) === 0)
+    assert(CorpusCurate.resolveMaxBucket(Some("777"), 1000000000L) === 777)
+    // corpus size must be evaluated lazily — a pinned value must not
+    // trigger the count() job
+    var counted = false
+    assert(CorpusCurate.resolveMaxBucket(Some("5"),
+      { counted = true; 1L }) === 5)
+    assert(!counted, "pinned cap must not force a corpus count")
+  }
+
   test("decontamination drops docs sharing n-grams with the bench set") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     // bench set = verbatim copies of two corpus docs (worst-case leak)

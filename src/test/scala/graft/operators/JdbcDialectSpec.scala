@@ -67,6 +67,38 @@ class JdbcDialectSpec extends SparkSpec {
     assert(pgType(IntegerType) === "INTEGER")
   }
 
+  test("batchsize and isolationLevel options resolve as documented " +
+      "(the remaining writeJdbc knobs a live Postgres would exercise)") {
+    import org.apache.spark.sql.execution.datasources.jdbc.JDBCOptions
+    // option PARSING is URL-agnostic; the Derby driver is the one on
+    // this classpath (JDBCOptions resolves a driver at construction,
+    // and no Postgres jar ships in the sandbox)
+    def opts(extra: (String, String)*) = new JDBCOptions(Map(
+      "url" -> "jdbc:derby:memory:optcheck;create=true",
+      "driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "dbtable" -> "sales") ++ extra)
+    // batchsize: parsed, positive-validated — the value writeJdbc
+    // forwards is what the executor-side insert loop batches on
+    assert(opts("batchsize" -> "100").batchSize === 100)
+    intercept[IllegalArgumentException] { opts("batchsize" -> "0").batchSize }
+    // isolationLevel strings map to the java.sql.Connection constants —
+    // a Spark upgrade silently changing this mapping would change the
+    // sink's transactional behavior against the real target
+    assert(opts().isolationLevel ===
+      java.sql.Connection.TRANSACTION_READ_UNCOMMITTED) // Spark default
+    assert(opts("isolationLevel" -> "NONE").isolationLevel ===
+      java.sql.Connection.TRANSACTION_NONE)
+    assert(opts("isolationLevel" -> "READ_COMMITTED").isolationLevel ===
+      java.sql.Connection.TRANSACTION_READ_COMMITTED)
+    assert(opts("isolationLevel" -> "REPEATABLE_READ").isolationLevel ===
+      java.sql.Connection.TRANSACTION_REPEATABLE_READ)
+    assert(opts("isolationLevel" -> "SERIALIZABLE").isolationLevel ===
+      java.sql.Connection.TRANSACTION_SERIALIZABLE)
+    intercept[IllegalArgumentException] {
+      opts("isolationLevel" -> "SNAPSHOT").isolationLevel
+    }
+  }
+
   test("full generated DDL column list is pinned against the reference " +
       "schema") {
     val ddl = salesSchema.fields.map(f =>

@@ -136,4 +136,23 @@ class SalesSinkSpec extends SparkSpec {
     assert(back.columns.sorted.toSeq ===
       Seq("item_name", "location_id", "month", "qty"))
   }
+
+  test("writeJdbc honors a raised isolationLevel and odd batchsize " +
+    "end-to-end (embedded Derby wire)") {
+    // the two options JdbcDialectSpec pins by mapping only — here the
+    // full write path runs them against a real JDBC engine (Derby
+    // supports all four java.sql isolation levels)
+    val url = "jdbc:derby:memory:graftjdbciso;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    SalesSink.writeJdbc(sampleSales, url, "sales_iso", props,
+      batchSize = 3, isolationLevel = "SERIALIZABLE", sleep = _ => ())
+    val back = spark.read.jdbc(url, "sales_iso", props)
+    assert(back.count() === 4)
+    // and an unknown level fails loudly instead of writing untransacted
+    intercept[IllegalArgumentException] {
+      SalesSink.writeJdbc(sampleSales, url, "sales_iso2", props,
+        isolationLevel = "SNAPSHOT", sleep = _ => ())
+    }
+  }
 }
