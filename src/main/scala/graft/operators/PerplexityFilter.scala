@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** CCNet-style perplexity quality bucketing (Wenzek et al. 2019,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data"): train a language model on a CURATED reference slice, score
+  * every document's per-token cross-entropy under it, and cut the
+  * corpus into equal-count quality tiers — head (reads most like the
+  * reference), middle, tail. The selection step most large pretraining
+  * pipelines run between dedup and mixing; DSIR ([[Dsir]]) is the
+  * importance-weight cousin, this is the original perplexity form.
+  *
+  * Model: add-one-smoothed bigram LM (the in-scope analog of CCNet's
+  * KenLM 5-gram; the [[graft.operators.TextRank.kneserNeyBigram]]
+  * machinery scores with KN smoothing if a caller wants it) —
+  * `P(b|a) = (cnt(a,b) + 1) / (ctx(a) + V)` with cnt/ctx from the
+  * reference slice's bigrams and V its distinct-token count, so unseen
+  * bigrams and unseen contexts degrade smoothly to ~1/V instead of
+  * -inf. Cross-entropy per doc = -mean ln P over its bigrams; docs
+  * with fewer than 2 tokens are excluded (no bigram evidence — the
+  * t16 convention).
+  *
+  * Exactness (the t12 recipe): each ln term is the double ratio of
+  * exact integers, quantized DECIMAL(28,14) before the per-doc sum;
+  * tiers come from a [[SequentialIds]] rank on (round(ce, 6), doc) —
+  * a total order both engines reproduce — so bucket membership, and
+  * the gate hash, replay bit-for-bit.
+  *
+  * Scale shape: one token explode; reference counts are vocab-sized
+  * aggregates broadcast to the scoring join (never a corpus-keyed
+  * round trip); the rank is the one range exchange any global tiering
+  * costs; the result is `nBuckets` rows. Nothing driver-side beyond
+  * V (one long) and the SequentialIds partition counts.
+  */
+object PerplexityFilter {
+
+  /** (bucket, n_docs, ce_min, ce_max) per quality tier, bucket 0 =
+    * lowest cross-entropy (most reference-like). `refPred` marks the
+    * curated training slice. */
+  def buckets(docs: DataFrame, idCol: String, textCol: String,
+      refPred: Column, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 quality tiers")
+    val toks = docs.select(col(idCol).as("doc"), refPred.as("_ref"),
+      T.tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .persist() // feeds the model aggregates AND the scoring explode
+    val bi = toks.select(col("doc"), col("_ref"),
+      explode(expr("transform(sequence(0, size(tk) - 2), " +
+        "i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("doc"), col("_ref"), col("p.a").as("a"),
+        col("p.b").as("b"))
+    val refBi = bi.filter(col("_ref"))
+    val cnt = refBi.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    val ctx = cnt.groupBy("a").agg(sum(col("cnt")).as("ctx"))
+    // V collects as ONE long (the model's smoothing denominator is a
+    // plan literal) — and a degenerate empty reference fails loudly
+    // here instead of scoring every doc against a vacuous model
+    val v = toks.filter(col("_ref"))
+      .select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    require(v > 0, "reference slice has no >=2-token documents")
+    val perDoc = bi
+      .join(broadcast(cnt), Seq("a", "b"), "left")
+      .join(broadcast(ctx), Seq("a"), "left")
+      .groupBy("doc")
+      .agg(((-sum(expr(("ln((coalesce(cnt, 0) + 1) / " +
+        s"CAST(coalesce(ctx, 0) + $v AS DOUBLE))"))
+        .cast("decimal(28,14)")).cast("double")) / count(lit(1)))
+        .as("ce"))
+      .localCheckpoint(true) // the rank pass and n = count() share it
+    toks.unpersist()
+    val n = perDoc.count()
+    val ranked = SequentialIds.assign(perDoc,
+      Seq(round(col("ce"), 6), col("doc")), "_gid")
+    ranked
+      .withColumn("bucket", expr(s"_gid * $nBuckets div $n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(round(col("ce"), 4)).as("ce_min"),
+        max(round(col("ce"), 4)).as("ce_max"))
+      .orderBy("bucket")
+  }
+}

@@ -130,10 +130,9 @@ object ProductQuantization {
       cb: Codebooks, queryVec: Seq[Float], k: Int): DataFrame =
     adcTopKCodes(encode(emb, idCol, vecCol, cb), cb, queryVec, k)
 
-  /** ADC over a codes frame (id, codes): the persisted-index path —
-    * reads m ints per row, never the vectors. */
-  def adcTopKCodes(codes: DataFrame, cb: Codebooks, queryVec: Seq[Float],
-      k: Int): DataFrame = {
+  /** The m×ksub query→centroid distance table (the ADC lookup) as a
+    * plan literal. */
+  private def distanceLut(cb: Codebooks, queryVec: Seq[Float]): Column = {
     require(queryVec.size == cb.dim, "query dim mismatch")
     val tbl: Seq[Seq[Double]] = (0 until cb.m).map { j =>
       val q = queryVec.slice(j * cb.dsub, (j + 1) * cb.dsub)
@@ -142,13 +141,35 @@ object ProductQuantization {
           (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble)
         }.sum)
     }
-    val lut = typedlit(tbl)
+    typedlit(tbl)
+  }
+
+  /** ADC lookup-sum over a CODES column. */
+  private def adcOfCodes(codes: Column, cb: Codebooks,
+      queryVec: Seq[Float]): Column = {
+    val lut = distanceLut(cb, queryVec)
+    aggregate(
+      zip_with(codes, sequence(lit(1), lit(cb.m)), (c, j) =>
+        element_at(element_at(lut, j), c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+  }
+
+  /** ADC distance of a raw VECTOR column against `queryVec` — encode +
+    * lookup-sum fused into one expression, for composes that carry the
+    * vector through the shortlist (IVF-PQ: see
+    * [[SimilaritySearch.ivfPqTopK]]). NULL for undecodable vectors
+    * (short / null-element) — callers filter like [[adcTopKCodes]]. */
+  def adcColumn(vec: Column, cb: Codebooks,
+      queryVec: Seq[Float]): Column =
+    adcOfCodes(codesCol(vec, cb), cb, queryVec)
+
+  /** ADC over a codes frame (id, codes): the persisted-index path —
+    * reads m ints per row, never the vectors. */
+  def adcTopKCodes(codes: DataFrame, cb: Codebooks, queryVec: Seq[Float],
+      k: Int): DataFrame = {
     codes
       .select(col("id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(1), lit(cb.m)), (c, j) =>
-            element_at(element_at(lut, j), c + 1)),
-          lit(0.0d), (acc, x) => acc + x).as("adc"))
+        adcOfCodes(col("codes"), cb, queryVec).as("adc"))
       // undecodable rows (short/null-element vectors → null codes →
       // null adc) are EXCLUDED: ASC default is NULLS FIRST, so an
       // unfiltered corrupt row would otherwise claim rank 1

@@ -76,24 +76,66 @@ object SimilaritySearch {
     * probing many queries against a persisted corpus. */
   def annTopKScan(emb: DataFrame, idCol: String, vecCol: String,
       queryVec: Seq[Float], dim: Int, k: Int, planes: Int = 6,
-      tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val qb = VectorOps.signatureOf(queryVec, dim, planes, tables, seed)
-    val buckets = VectorOps.bucketColumn(col(vecCol), dim, planes,
-      tables, seed)
-    // ONE reference to the bucket expression: a per-table OR chain
-    // (element_at(buckets, 1) === .. || ..) would inline the
-    // non-codegen bucket computation `tables` times per row after
-    // predicate pushdown — zip_with against the query's literal
-    // signature keeps it a single evaluation
-    val anyBand = exists(
-      zip_with(buckets, array(qb.map(lit(_)): _*), (b, q) => b === q),
-      x => x)
+      tables: Int = 8, seed: Long = 42L): DataFrame =
     // rows are unique here (no per-(table, bucket) expansion), so the
     // rerank's candidate dedup shuffle is skipped
-    emb.filter(anyBand)
+    lshCandidates(emb, vecCol, queryVec, dim, planes, tables, seed)
       .select(col(idCol).as("id"),
         VectorOps.cosine(col(vecCol),
           array(queryVec.map(lit): _*)).as("score"))
+      .filter(!isnan(col("score")))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+
+  /** The scan-side coarse candidate filter shared by [[annTopKScan]]
+    * and [[ivfPqTopK]]: rows sharing at least one LSH bucket with the
+    * query, whose signature is computed DRIVER-side. ONE reference to
+    * the bucket expression — a per-table OR chain would inline the
+    * non-codegen bucket computation `tables` times per row after
+    * predicate pushdown; zip_with against the query's literal
+    * signature keeps it a single evaluation. */
+  def lshCandidates(emb: DataFrame, vecCol: String, queryVec: Seq[Float],
+      dim: Int, planes: Int, tables: Int, seed: Long): DataFrame = {
+    val qb = VectorOps.signatureOf(queryVec, dim, planes, tables, seed)
+    val buckets = VectorOps.bucketColumn(col(vecCol), dim, planes,
+      tables, seed)
+    emb.filter(exists(
+      zip_with(buckets, array(qb.map(lit(_)): _*), (b, q) => b === q),
+      x => x))
+  }
+
+  /** IVF-PQ top-k (Jégou et al. 2011, the composition every
+    * billion-scale ANN system runs): LSH coarse pruning picks the
+    * candidate lists (the [[annTopKScan]] scan-side filter — at 100 TB
+    * the same predicate prunes a (table, bucket)-partitioned codes
+    * table), PQ asymmetric distance ranks candidates from `m` small
+    * codes per row (never the raw floats — a 32× I/O cut on a
+    * persisted index), and only the `rerank`-sized shortlist pays for
+    * exact cosine. Three fidelity tiers, each touching ~10–100× less
+    * data than the one below it.
+    *
+    * Determinism: the shortlist cut ranks on round(adc, 4) with the id
+    * tie-break (raw-double ADC order can flip on engine ulp drift —
+    * the t12 recipe), and the final rank does the same on the exact
+    * cosine. Returns (id, score) with score the EXACT cosine rounded
+    * to 4. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      cb: ProductQuantization.Codebooks, queryVec: Seq[Float], dim: Int,
+      k: Int, rerank: Int, planes: Int = 6, tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must be >= k $k")
+    val shortlist = lshCandidates(emb, vecCol, queryVec, dim, planes,
+      tables, seed)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        round(ProductQuantization.adcColumn(col(vecCol), cb, queryVec), 4)
+          .as("_adc"))
+      .filter(col("_adc").isNotNull) // undecodable rows sort NULLS FIRST
+      .orderBy(col("_adc"), col("id"))
+      .limit(rerank)
+    shortlist
+      .select(col("id"),
+        round(VectorOps.cosine(col("vec"), array(queryVec.map(lit): _*)), 4)
+          .as("score"))
       .filter(!isnan(col("score")))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

@@ -414,6 +414,23 @@ object DedupQueries {
       .select(col("id").as("vec_id"), round(col("adc"), 4).as("adc"))
   }
 
+  // IVF-PQ composed search (the billion-scale ANN shape): LSH coarse
+  // candidates → PQ/ADC shortlist (rerank=25 on the rounded lookup-sum)
+  // → exact cosine top-5. Reuses the s07 codebook fixture; the LSH
+  // candidate set (Spark-seeded planes, not SQL-reproducible) goes to
+  // aux s15_candidates, and DuckDB replays encode → ADC → shortlist →
+  // exact-cosine rerank from the two fixtures — every tier of the
+  // composition is cross-engine checked.
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cb = s07Codebooks(s, dir)
+    val q = e.filter(col("vec_id") === 1L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    SimilaritySearch.ivfPqTopK(e, "vec_id", "embedding", cb, q,
+      dim = 64, k = 5, rerank = 25, planes = 4, tables = 8)
+      .select(col("id").as("vec_id"), col("score"))
+  }
+
   // Maximal duplicated token spans per doc (the strippable ranges of
   // exact substring dedup). md5-hashed positional 8-grams so the oracle
   // replays the hash; the oracle rebuilds windows, corpus counts, and
@@ -586,6 +603,7 @@ object DedupQueries {
     "d13_fuzzy_join" -> (d13 _),
     "d14_dup_spans" -> (d14 _),
     "s07_pq_topk" -> (s07 _),
+    "s15_ivfpq_topk" -> (s15 _),
     "s09_pca_project" -> (s09 _),
     "s10_binary_hamming" -> (s10 _),
     "s11_binary_rerank" -> (s11 _),
@@ -988,6 +1006,16 @@ object DedupQueries {
         .select(col("id").as("vec_id"), col("cluster"))),
     "s07_codebooks" -> ((s, dir) =>
       ProductQuantization.codebookTable(s, s07Codebooks(s, dir))),
+    // the s15 coarse tier: LSH candidacy is seeded-random-plane
+    // arithmetic (not SQL-reproducible), so the candidate id set is the
+    // fixture and DuckDB replays everything downstream of it
+    "s15_candidates" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 1L)
+        .select(col("embedding")).collect().head.getSeq[Float](0)
+      SimilaritySearch.lshCandidates(e, "embedding", q, dim = 64,
+        planes = 4, tables = 8, seed = 42L).select(col("vec_id"))
+    }),
     "s09_components" -> ((s, dir) =>
       Pca.fixtureTable(s,
         Pca.fit(emb(s, dir), "embedding", d = 64, nComp = 2))),
@@ -1347,6 +1375,52 @@ object DedupQueries {
         "GROUP BY c.vec_id) " +
         "SELECT vec_id, round(adc, 4) AS adc FROM adc " +
         "ORDER BY adc, vec_id LIMIT 10"),
+    // full IVF-PQ replay from the two fixtures: candidates (coarse
+    // tier), per-subspace argmin encode + query distance table + ADC
+    // (PQ tier, the s07 recipe), shortlist cut on round(adc, 4) with
+    // id tie-break, exact-cosine rerank (the s01 recipe) on the
+    // shortlist only
+    "s15_ivfpq_topk" ->
+      ("WITH cbt AS MATERIALIZED (SELECT subspace, code, pos, " +
+        "CAST(val AS DOUBLE) AS v " +
+        "FROM read_parquet('{OUT}/aux/s07_codebooks/*.parquet')), " +
+        "cand AS (SELECT vec_id FROM " +
+        "read_parquet('{OUT}/aux/s15_candidates/*.parquet')), " +
+        "e AS MATERIALIZED (SELECT embeddings.vec_id, " +
+        "generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x " +
+        "FROM embeddings JOIN cand USING (vec_id)), " +
+        "q0 AS MATERIALIZED (SELECT generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+        "WHERE vec_id = 1), " +
+        "es AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS subspace, " +
+        "((i - 1) % 8) + 1 AS pos, x FROM e), " +
+        "d AS (SELECT es.vec_id, es.subspace, cbt.code, " +
+        "sum((es.x - cbt.v) * (es.x - cbt.v)) AS dist " +
+        "FROM es JOIN cbt ON es.subspace = cbt.subspace " +
+        "AND es.pos = cbt.pos GROUP BY es.vec_id, es.subspace, cbt.code), " +
+        "codes AS (SELECT vec_id, subspace, code FROM (" +
+        "SELECT vec_id, subspace, code, row_number() OVER (" +
+        "PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn FROM d) " +
+        "WHERE rn = 1), " +
+        "qs AS (SELECT CAST((i - 1) // 8 AS INT) AS subspace, " +
+        "((i - 1) % 8) + 1 AS pos, x FROM q0), " +
+        "qd AS (SELECT qs.subspace, cbt.code, " +
+        "sum((qs.x - cbt.v) * (qs.x - cbt.v)) AS dist " +
+        "FROM qs JOIN cbt ON qs.subspace = cbt.subspace " +
+        "AND qs.pos = cbt.pos GROUP BY qs.subspace, cbt.code), " +
+        "adc AS (SELECT c.vec_id, sum(qd.dist) AS adc FROM codes c " +
+        "JOIN qd ON c.subspace = qd.subspace AND c.code = qd.code " +
+        "GROUP BY c.vec_id), " +
+        "short AS (SELECT vec_id FROM adc " +
+        "ORDER BY round(adc, 4), vec_id LIMIT 25), " +
+        "sv AS (SELECT e.vec_id, e.i, e.x FROM e JOIN short USING (vec_id)), " +
+        "cos AS (SELECT sv.vec_id, sum(sv.x * q0.x) AS dot, " +
+        "sum(sv.x * sv.x) AS nv, sum(q0.x * q0.x) AS nq " +
+        "FROM sv JOIN q0 ON sv.i = q0.i GROUP BY sv.vec_id) " +
+        "SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nq)), 4) AS score " +
+        "FROM cos WHERE nv > 0 " +
+        "ORDER BY score DESC, vec_id LIMIT 5"),
     // same split / hash / count / island-merge pipeline in SQL; the
     // running-max-end window is the interval-union merge
     "d14_dup_spans" ->

@@ -349,7 +349,18 @@ object TextQueries {
     graft.operators.Rake.keywords(docs(s, dir), "doc_id", "text",
       topK = 100)
 
+  // CCNet-style perplexity bucketing (Wenzek et al. 2019): add-one
+  // bigram LM trained on the doc_id % 10 == 0 slice (the curated-set
+  // proxy), per-doc cross-entropy under it, three equal-count quality
+  // tiers cut by a SequentialIds rank on (round(ce, 6), doc) — the
+  // selection step between dedup and mixing; p14's DSIR is the
+  // importance-weight cousin.
+  private def t29(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PerplexityFilter.buckets(docs(s, dir), "doc_id",
+      "text", pmod(col("doc_id"), lit(10)) === 0, nBuckets = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_ppl_filter" -> (t29 _),
     "t22_feature_hash" -> (t22 _),
     "t23_boilerplate" -> (t23 _),
     "t24_char_entropy" -> (t24 _),
@@ -406,6 +417,36 @@ object TextQueries {
   private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
 
   val oracleSql: Map[String, String] = Map(
+    // identical add-one bigram model from the % 10 reference slice
+    // (counts, context totals, distinct-token V), identical
+    // DECIMAL(28,14)-quantized ln terms, identical rank-based tercile
+    // cut on (round(ce, 6), doc_id)
+    "t29_ppl_filter" ->
+      ("WITH tk0 AS (SELECT doc_id, list_filter(string_split_regex(" +
+        "trim(lower(text)), '\\s+'), t -> t <> '') AS tk FROM documents), " +
+        "t2 AS MATERIALIZED (SELECT doc_id, tk, doc_id % 10 = 0 AS ref " +
+        "FROM tk0 WHERE len(tk) >= 2), " +
+        "pairs AS MATERIALIZED (SELECT doc_id, ref, p[1] AS a, p[2] AS b " +
+        "FROM (SELECT doc_id, ref, unnest(list_transform(" +
+        "range(1, len(tk)), i -> [tk[i], tk[i + 1]])) AS p FROM t2)), " +
+        "c AS (SELECT a, b, count(*) AS cnt FROM pairs WHERE ref " +
+        "GROUP BY a, b), " +
+        "cx AS (SELECT a, sum(cnt) AS ctx FROM c GROUP BY a), " +
+        "v AS (SELECT count(DISTINCT w) AS v FROM " +
+        "(SELECT unnest(tk) AS w FROM t2 WHERE ref)), " +
+        "j AS (SELECT pairs.doc_id, coalesce(c.cnt, 0) + 1 AS num, " +
+        "coalesce(cx.ctx, 0) + v.v AS den FROM pairs " +
+        "LEFT JOIN c USING (a, b) LEFT JOIN cx USING (a) CROSS JOIN v), " +
+        "ce AS (SELECT doc_id, -CAST(sum(CAST(ln(num / " +
+        "CAST(den AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) / count(*) " +
+        "AS ce FROM j GROUP BY doc_id), " +
+        "rk AS (SELECT doc_id, ce, row_number() OVER (" +
+        "ORDER BY round(ce, 6), doc_id) - 1 AS gid, " +
+        "count(*) OVER () AS n FROM ce) " +
+        "SELECT CAST(gid * 3 // n AS BIGINT) AS bucket, " +
+        "count(*) AS n_docs, min(round(ce, 4)) AS ce_min, " +
+        "max(round(ce, 4)) AS ce_max FROM rk " +
+        "GROUP BY 1 ORDER BY bucket"),
     // identical islands chain key (pos - row_number), identical integer
     // word stats, degree/freq terms quantized DECIMAL(28,14) before the
     // exact per-phrase sum, rank on the rounding with text tie-break

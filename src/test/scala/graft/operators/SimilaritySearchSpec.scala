@@ -54,6 +54,41 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(viaScan === viaIndex)
   }
 
+  test("IVF-PQ with a full-width shortlist degenerates to scan-ANN " +
+    "(the rerank tier is exact, so PQ error cannot leak into the result)") {
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    val full = SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding",
+      cb, queryVec, dim = 64, k = 10, rerank = 100000,
+      planes = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val scan = SimilaritySearch.annTopKScan(emb, "vec_id", "embedding",
+      queryVec, dim = 64, k = 10, planes = 4, tables = 8)
+      .collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(full === scan)
+  }
+
+  test("IVF-PQ with a tight shortlist: k rows, all from the candidate " +
+    "set, query vector found") {
+    val cb = ProductQuantization.train(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, iters = 2)
+    val out = SimilaritySearch.ivfPqTopK(emb, "vec_id", "embedding",
+      cb, queryVec, dim = 64, k = 5, rerank = 25,
+      planes = 4, tables = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.length === 5)
+    val cand = SimilaritySearch.lshCandidates(emb, "embedding", queryVec,
+      dim = 64, planes = 4, tables = 8, seed = 42L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.toSet.subsetOf(cand))
+    // PQ at m=8/ksub=16 ranks the exact-match query vector into any
+    // sane 25-wide shortlist; the exact rerank then scores it 1.0
+    assert(out.head === 1L)
+  }
+
   test("driver-side signature == scan-side buckets for the query row") {
     val scanSide = VectorOps.hyperplaneSignatures(
       emb.filter(col("vec_id") === 1), "vec_id", "embedding",
