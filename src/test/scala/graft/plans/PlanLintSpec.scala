@@ -124,7 +124,11 @@ class PlanLintSpec extends SparkSpec {
         "s07_pq_topk",
         // HistogramQuantile's NULL guard over the gate's computed
         // cents column (round(price*100) cast long): same class
-        "q43_histo_quantile"),
+        "q43_histo_quantile",
+        // LSH candidacy (exists over the per-row bucket array vs the
+        // query's signature literals) + the adc NOT NULL guard: both
+        // computed predicates — the s01/s07 classes composed
+        "s15_ivfpq_topk"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
