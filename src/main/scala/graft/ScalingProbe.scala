@@ -139,10 +139,10 @@ object ScalingProbe {
       .withColumn("l_partkey", col("l_partkey") + col("_c") * maxP)
       .drop("_c")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    ord.crossJoin(spark.range(copies).toDF("_c"))
-      .withColumn("o_orderkey", col("o_orderkey") + col("_c") * maxO)
-      .drop("_c")
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // orders is written by ensureScaledDims (o_orderkey AND o_custkey
+    // shifted) — its maxO derives from the same base table, so the
+    // lineitem shift above stays correlated; writing a v1 orders here
+    // would be immediately overwritten
     val docs = Tables(spark, baseDir, "documents")
     val maxD = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L
     docs.crossJoin(spark.range(copies).toDF("_c"))

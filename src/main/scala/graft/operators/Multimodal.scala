@@ -675,6 +675,14 @@ object Multimodal {
             .getOrElse((reader.getWidth(0), reader.getHeight(0)))
           require(sw >= 4 && sh >= 4,
             s"video $id logical screen too small for the 4x4 grid (${sw}x$sh)")
+          // the canvas is sized from the HEADER's screen descriptor —
+          // bound it before allocating, or one crafted few-hundred-byte
+          // GIF declaring a 40000x40000 screen (or an Int-overflowing
+          // one) OOMs the executor before any frame is even decoded
+          require(sw.toLong * sh <= 16777216L,
+            s"video $id logical screen ${sw}x$sh exceeds the 16M-pixel " +
+              "decode bound")
+          val bg = gifBackgroundGray(reader) // restore-to-background fill
           val canvas = new Array[Int](sw * sh)
           var prev: Array[Int] = null // restoreToPrevious snapshot
           val votes = new Array[Int](63)
@@ -690,7 +698,13 @@ object Multimodal {
             while (y < fh) {
               var x = 0
               while (x < fw) {
-                canvas((top + y) * sw + (left + x)) = img.getRGB(x, y) & 0xFF
+                val argb = img.getRGB(x, y)
+                // transparent pixels (optimized deltas mark unchanged
+                // pixels with the transparent index) PRESERVE the
+                // canvas — writing them would smear the transparent
+                // entry's color over the composited region
+                if ((argb >>> 24) != 0)
+                  canvas((top + y) * sw + (left + x)) = argb & 0xFF
                 x += 1
               }
               y += 1
@@ -751,11 +765,16 @@ object Multimodal {
             // frame rect; previous-restore reverts the whole canvas
             disposal match {
               case "restoreToBackgroundColor" =>
+                // fill with the container's DECLARED background gray
+                // (LSD backgroundColorIndex into the global table) —
+                // hardcoding black diverges from what a viewer (and a
+                // full-frame re-encode of it) shows for light-background
+                // GIFs
                 y = 0
                 while (y < fh) {
                   var x = 0
                   while (x < fw) {
-                    canvas((top + y) * sw + (left + x)) = 0
+                    canvas((top + y) * sw + (left + x)) = bg
                     x += 1
                   }
                   y += 1
@@ -789,6 +808,36 @@ object Multimodal {
       lsd <- firstChild(tree, "LogicalScreenDescriptor")
     } yield (lsd.getAttribute("logicalScreenWidth").toInt,
       lsd.getAttribute("logicalScreenHeight").toInt)
+
+  /** The gray value of the GIF's declared background color — the LSD's
+    * backgroundColorIndex looked up in the global color table (blue
+    * channel; the corpus palettes are gray, r=g=b). 0 when the
+    * container declares neither (the pre-GIF89a default). */
+  private def gifBackgroundGray(
+      reader: javax.imageio.ImageReader): Int = {
+    val bg = for {
+      meta <- Option(reader.getStreamMetadata)
+      tree <- scala.util.Try(meta.getAsTree("javax_imageio_gif_stream_1.0"))
+        .toOption.map(_.asInstanceOf[org.w3c.dom.Element])
+      lsd <- firstChild(tree, "LogicalScreenDescriptor")
+      idxStr = lsd.getAttribute("backgroundColorIndex")
+      if idxStr.nonEmpty
+      gct <- firstChild(tree, "GlobalColorTable")
+    } yield {
+      val idx = idxStr.toInt
+      val entries = gct.getElementsByTagName("ColorTableEntry")
+      var g = 0
+      var i = 0
+      while (i < entries.getLength) {
+        val e = entries.item(i).asInstanceOf[org.w3c.dom.Element]
+        if (e.getAttribute("index").toInt == idx)
+          g = e.getAttribute("blue").toInt
+        i += 1
+      }
+      g
+    }
+    bg.getOrElse(0)
+  }
 
   /** Per-frame (leftPosition, topPosition, disposalMethod) from the GIF
     * image metadata; (0, 0, "none") when the container carries none. */

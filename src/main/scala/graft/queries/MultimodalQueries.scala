@@ -125,8 +125,11 @@ object MultimodalQueries {
   // buckets, audited on the COARSE 4×8-bit layout where collisions
   // concentrate (the aHash half of the 63-bit hash).
   private def mm11(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: both cap branches of the union read the hash frame,
+    // and its derivation (decode + pool every payload) dominates
     val hashes = Multimodal.imageAHash(
       Multimodal.imagePayloads(Tables(s, dir, "documents"))).toDF()
+      .localCheckpoint(true)
     def at(cap: Int) = Multimodal.hammingCapAudit(hashes, bandBits = 8,
       numBands = 4, maxBucket = cap).withColumn("cap", lit(cap))
     at(2).unionByName(at(1000))
@@ -142,8 +145,11 @@ object MultimodalQueries {
   // observability row (the mm11 pattern). MultimodalSpec asserts the
   // zero-drop invariant; this gate hash-pins the numbers.
   private def mm12(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: both cap branches read it, and the full GIF decode
+    // + composite + 63-bit hash of every payload dominates the gate
     val hashes = Multimodal.videoAHash(
       Multimodal.videoPayloads(Tables(s, dir, "documents"))).toDF()
+      .localCheckpoint(true)
     def at(cap: Int) = Multimodal.hammingCapAudit(hashes, bandBits = 16,
       numBands = 4, maxBucket = cap).withColumn("cap", lit(cap))
     at(2).unionByName(at(1000))

@@ -158,6 +158,69 @@ class ImageHashSpec extends SparkSpec {
       "delta-encoded GIF must hash equal to its full-frame re-encode")
   }
 
+  test("videoAHash: transparent delta pixels preserve the canvas " +
+    "(optimized-GIF transparency compositing)") {
+    import spark.implicits._
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays,
+      grays, 255) // index 255 = transparent (the optimizer's marker)
+    def gray(w: Int, h: Int)(v: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, v(x, y))
+      img
+    }
+    def writeGif(frames: Seq[(java.awt.image.BufferedImage, Int, Int)])
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, left, top) =>
+        val meta = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+          writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gce = tree.getElementsByTagName("GraphicControlExtension")
+          .item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        gce.setAttribute("transparentColorFlag", "TRUE")
+        gce.setAttribute("transparentColorIndex", "255")
+        val lct = tree.getElementsByTagName("LocalColorTable")
+        if (lct.getLength > 0) tree.removeChild(lct.item(0))
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val base = gray(8, 8)((x, y) => (x * 20 + y * 7) % 200)
+    // delta frame: a full-screen raster that changes ONLY a 2x2 block;
+    // everything else is the transparent index (the optimizer's shape)
+    val delta = gray(8, 8)((x, y) =>
+      if (x >= 3 && x < 5 && y >= 3 && y < 5) 180 else 255)
+    val composited = gray(8, 8)((x, y) =>
+      if (x >= 3 && x < 5 && y >= 3 && y < 5) 180
+      else (x * 20 + y * 7) % 200)
+    val optimized = writeGif(Seq((base, 0, 0), (delta, 0, 0)))
+    val full = writeGif(Seq((base, 0, 0), (composited, 0, 0)))
+    val media = Seq((1L, optimized), (2L, full)).toDF("doc_id", "payload")
+    val out = Multimodal.videoAHash(media).collect()
+      .map(v => v.doc_id -> (v.n_frames, v.phash)).toMap
+    assert(out(1L) === out(2L),
+      "transparent pixels must composite as 'preserve', not as color 255")
+  }
+
   test("video 63-bit/16-bit-band layout does not saturate the cap " +
     "(mm12 invariant: zero dropped rows at the production cap)") {
     // the r7 31-bit/8-bit layout had 1,024 possible (band, value)

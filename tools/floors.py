@@ -27,7 +27,14 @@ def run_group(gates, sf_dir):
     for line in out.stdout.splitlines():
         line = line.replace("[info] ", "", 1).strip()
         if line.startswith('{"metric"'):
-            return json.loads(line)["queries"]
+            rec = json.loads(line)
+            # a gate that errored lands in "failed" and is absent from
+            # "queries" — surface it loudly instead of silently leaving
+            # a missing/stale floor (the ScalingProbe SKIPPED discipline)
+            if rec.get("failed"):
+                raise RuntimeError(
+                    f"gates failed in group {gates}: {rec['failed']}")
+            return rec["queries"]
     sys.stderr.write(out.stdout[-2000:] + "\n")
     raise RuntimeError(f"no bench JSON for group {gates}")
 
@@ -55,8 +62,10 @@ def main():
         for k, v in run_group(group, sf_dir).items():
             floors[k] = round(v, 3)
             print(f"[floors]   {k}: {v:.2f} s", flush=True)
-    json.dump({"iters": 4, "sf": sf_dir, "floors": floors},
-              open("bench_floors.json", "w"), indent=0, sort_keys=True)
+        # durable per group: a failure in a later group (each costs
+        # minutes of sbt+Spark) must not discard completed measurements
+        json.dump({"iters": 4, "sf": sf_dir, "floors": floors},
+                  open("bench_floors.json", "w"), indent=0, sort_keys=True)
     print("[floors] wrote bench_floors.json")
     budgets = json.load(open("bench_budgets.json"))
     proposal = {k: max(round(1.5 * v, 2), 0.35) for k, v in floors.items()}
