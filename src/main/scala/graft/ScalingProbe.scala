@@ -49,7 +49,9 @@ object ScalingProbe {
     "d11_shared_runs", "d13_fuzzy_join", "d14_dup_spans", "f07_rfm",
     "p14_dsir_select", "q16_fact_join", "q32_delta_join", "q41_skyline",
     "q42_robust_outliers", "s01_ann_topk", "t10_tfidf_topk",
-    "t12_surprisal", "t20_collocations", "t28_rake_keywords")
+    "t12_surprisal", "t20_collocations", "t28_rake_keywords",
+    // r8 late additions: the round's own new >= 1 s gates
+    "s15_ivfpq_topk", "t29_ppl_filter")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
@@ -72,7 +74,8 @@ object ScalingProbe {
     "d14_dup_spans" -> "documents", "p14_dsir_select" -> "documents",
     "s01_ann_topk" -> "embeddings", "t10_tfidf_topk" -> "documents",
     "t12_surprisal" -> "documents", "t20_collocations" -> "documents",
-    "t28_rake_keywords" -> "documents")
+    "t28_rake_keywords" -> "documents",
+    "s15_ivfpq_topk" -> "embeddings", "t29_ppl_filter" -> "documents")
 
   /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
     * pin their payload count (LIMIT 40/30) for oracle determinism, so
