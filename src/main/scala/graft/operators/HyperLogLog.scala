@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet &
+  * Meunier 2007), ENGINE-PORTABLE: the hash is the first 15 hex chars
+  * of md5 (a 60-bit integer both engines derive identically), so
+  * registers — and the estimate — replay bit-for-bit in SQL. The
+  * mergeable cardinality path next to q34's exact distinct: at 100 TB
+  * the register frame is `m` rows per shard, merged by MAX — the
+  * classic "count distinct users across a year of daily partitions
+  * without re-scanning" sketch (CountMin/q37 is the frequency cousin,
+  * q43's histogram the quantile one).
+  *
+  * Exactness discipline: register index and rank are integer bit
+  * arithmetic (bit-length via base-2 string length — no float log2,
+  * whose boundary rounding flips floor(log2(2^k − 1)) at large k);
+  * ranks cap at 48 so the harmonic-mean denominator is the EXACT
+  * integer `Σ 2^(48 − r)` (every term a power of two ≤ 2^47, sum well
+  * under 2^63 at m ≤ 4096 — no float-order drift); the final estimate
+  * is one fixed-shape double expression (mirrored textually in the
+  * oracle) rounded to 2.
+  */
+object HyperLogLog {
+
+  /** Per-register max rank: (j, r) — at most `2^b` rows. Mergeable
+    * across shards/batches by `groupBy(j).agg(max(r))` (spec-pinned).
+    * Rank: W − bitlen(w) + 1 for the (W = 60−b)-bit suffix w, W+1 when
+    * w = 0, capped at 48 (cap keeps the estimator's denominator an
+    * exact integer; ranks ≥ 48 need ~2^47 distinct values to matter). */
+  def registers(df: DataFrame, value: Column, b: Int): DataFrame = {
+    require(b >= 4 && b <= 12, "need 4 <= b <= 12 (16..4096 registers)")
+    val m = 1 << b
+    val w = 60 - b
+    df.select(
+        conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+          .cast("long").as("_h"))
+      // integer div, NOT `/`: Column./ is double division, and a 60-bit
+      // hash exceeds double's 53-bit exact range — the truncated quotient
+      // would corrupt low bits of w (and the ranks) silently
+      .select(pmod(col("_h"), lit(m)).cast("int").as("j"),
+        expr(s"_h div $m").as("_w"))
+      .select(col("j"),
+        least(lit(48), when(col("_w") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) -
+            length(conv(col("_w").cast("string"), 10, 2)))).as("r"))
+      .groupBy("j").agg(max(col("r")).as("r"))
+  }
+
+  /** One-row estimate from a register frame: (m, occupied, est).
+    * Standard small-range correction (est0 ≤ 2.5m with empty
+    * registers → linear counting `m·ln(m/V)`). */
+  def estimate(reg: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    reg.agg(count(lit(1)).as("occupied"),
+        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(48 - r AS INT))")), lit(0L)).as("_socc"))
+      // empty registers contribute 2^-0 = 1 → 2^48 in the scaled sum
+      .select(lit(m.toLong).as("m"), col("occupied"),
+        (col("_socc") +
+          (lit(m.toLong) - col("occupied")) * lit(1L << 48)).as("_s"),
+        (lit(m.toLong) - col("occupied")).as("_v"))
+      .select(col("m"), col("occupied"),
+        round(expr(s"CASE WHEN (0.7213 / (1 + 1.079 / $m)) * $m * $m * " +
+          s"pow(2, 48) / _s <= 2.5 * $m AND _v > 0 " +
+          s"THEN $m * ln(CAST($m AS DOUBLE) / _v) " +
+          s"ELSE (0.7213 / (1 + 1.079 / $m)) * $m * $m * " +
+          "pow(2, 48) / _s END"), 2).as("est"))
+  }
+
+  /** registers + estimate in one call. */
+  def distinctEstimate(df: DataFrame, value: Column, b: Int): DataFrame =
+    estimate(registers(df, value, b), b)
+}

@@ -560,6 +560,19 @@ object CoreQueries {
       "flag", "l_extendedprice", "l_quantity")
       .orderBy("flag")
 
+  // HyperLogLog distinct-count sketch next to the exact distinct —
+  // the MERGEABLE cardinality path (registers merge by max across
+  // shards; at 100 TB the only shuffled state is m=1024 rows). The
+  // md5-derived 60-bit hash and integer rank arithmetic replay
+  // bit-for-bit in DuckDB, so the gate pins registers AND estimate.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    graft.operators.HyperLogLog
+      .distinctEstimate(li, col("l_partkey"), b = 10)
+      .crossJoin(broadcast(li.agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"))))
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -587,6 +600,7 @@ object CoreQueries {
     "src01_square_source" -> (src01 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
+    "q45_hll_distinct" -> (q45 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -846,6 +860,32 @@ object CoreQueries {
         "SELECT pct, CAST(bin AS BIGINT) AS bin, " +
         "CAST(lo + (bin * (hi - lo + 1)) // 256 AS BIGINT) AS est " +
         "FROM sel CROSS JOIN mm ORDER BY pct"),
+    // identical 60-bit md5 hash ('0x' cast, the t13 trick), identical
+    // integer register index / bit-length rank / capped-power-of-two
+    // denominator, identical fixed-shape double estimate expression
+    "q45_hll_distinct" ->
+      ("WITH h AS (SELECT CAST(('0x' || substr(md5(" +
+        "CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+        "FROM lineitem), " +
+        "reg0 AS (SELECT CAST(h % 1024 AS INT) AS j, h // 1024 AS w " +
+        "FROM h), " +
+        "r0 AS (SELECT j, least(48, CASE WHEN w = 0 THEN 51 " +
+        "ELSE 51 - length(bin(w)) END) AS r FROM reg0), " +
+        "reg AS (SELECT j, max(r) AS r FROM r0 GROUP BY j), " +
+        "a AS (SELECT count(*) AS occupied, CAST(coalesce(sum(" +
+        "CAST(1 AS BIGINT) << CAST(48 - r AS INT)), 0) AS BIGINT) " +
+        "AS socc FROM reg), " +
+        "st AS (SELECT occupied, socc + (1024 - occupied) * " +
+        "(CAST(1 AS BIGINT) << 48) AS s, 1024 - occupied AS v FROM a), " +
+        "e AS (SELECT CAST(1024 AS BIGINT) AS m, occupied, " +
+        "round(CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s <= 2.5 * 1024 AND v > 0 " +
+        "THEN 1024 * ln(CAST(1024 AS DOUBLE) / v) " +
+        "ELSE (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s END, 2) AS est FROM st), " +
+        "x AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) " +
+        "AS exact_distinct FROM lineitem) " +
+        "SELECT m, occupied, est, exact_distinct FROM e CROSS JOIN x"),
     // identical floor-weight + RANGE-framed cumulative threshold
     "q44_weighted_median" ->
       ("WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +
