@@ -46,9 +46,16 @@ class SquareOrdersHttpClient(
     maxAttempts: Int = 3,
     initialBackoffMs: Long = 2000L,
     backoffFactor: Double = 2.0,
-    sleepMs: Long => Unit = Thread.sleep) {
+    sleepMs: Long => Unit = Thread.sleep,
+    requestTimeoutMs: Long = 30000L) {
 
-  private val http = HttpClient.newHttpClient()
+  // bounded connect + request timeouts: a black-holed connection (LB
+  // stall, dropped packets) must surface as an IOException the retry
+  // schedule handles — an untimed send() would hang the driver-side
+  // fetch forever and the 3-attempt policy would never engage
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(requestTimeoutMs))
+    .build()
   private val mapper = new ObjectMapper()
 
   /** Location-specific token with default fallback
@@ -128,6 +135,7 @@ class SquareOrdersHttpClient(
       val outcome: Either[SquareApiError, String] =
         try {
           val req = HttpRequest.newBuilder(URI.create(url))
+            .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
             .header("Authorization", s"Bearer $token")
             .header("Content-Type", "application/json")
             .header("Accept", "application/json")

@@ -67,6 +67,23 @@ object GraftLog {
 
   private[v2] def segName(base: Long): String = f"$base%020d.jsonl"
 
+  /** Sink-committed segment name: base offset + the epoch that wrote
+    * it. The epoch tag is what makes the sink's commit IDEMPOTENT — a
+    * retry of a crashed epoch first deletes every segment tagged with
+    * its own epoch (partial leftovers of the dead attempt), so the
+    * re-renames can never duplicate records (see
+    * [[GraftLogStreamingWrite.commit]]). */
+  private[v2] def epochSegName(base: Long, epoch: Long): String =
+    f"$base%020d.e$epoch%d.jsonl"
+
+  private val segRe = """(\d{20})(\.e(\d+))?\.jsonl""".r
+
+  /** Epoch tag of a segment file name (None for producer segments). */
+  private[v2] def segEpoch(name: String): Option[Long] = name match {
+    case segRe(_, _, e) if e != null => Some(e.toLong)
+    case _ => None
+  }
+
   private[v2] def partitionDirs(dir: String,
       conf: SerializableHadoopConf): Seq[(Int, Path)] = {
     val p = new Path(dir)
@@ -83,8 +100,12 @@ object GraftLog {
       conf: SerializableHadoopConf): Seq[(Long, FileStatus)] = {
     val fs = partDir.getFileSystem(conf.value)
     fs.listStatus(partDir).toSeq
-      .filter(_.getPath.getName.matches("\\d{20}\\.jsonl"))
-      .map(s => s.getPath.getName.stripSuffix(".jsonl").toLong -> s)
+      .flatMap { s =>
+        s.getPath.getName match {
+          case segRe(base, _, _) => Some(base.toLong -> s)
+          case _ => None
+        }
+      }
       .sortBy(_._1)
   }
 
@@ -341,6 +362,19 @@ class GraftLogStreamingWrite(path: String, inputSchema: StructType,
       staged.foreach(m => fs.delete(new Path(m.tmpPath), false))
       return
     }
+    // CRASH-ATOMICITY: a driver death between the renames below and the
+    // marker write would otherwise duplicate records on replay (the
+    // replay re-stages the same rows and commit, finding no marker,
+    // would rename them AFTER the partially-committed segments). The
+    // epoch tag on every sink segment makes the whole commit
+    // idempotent instead: wipe anything THIS epoch renamed in a dead
+    // attempt, then redo all renames from the re-staged files.
+    GraftLog.partitionDirs(path, conf).foreach { case (_, dir) =>
+      GraftLog.segments(dir, conf).foreach { case (_, s) =>
+        if (GraftLog.segEpoch(s.getPath.getName).contains(epochId))
+          fs.delete(s.getPath, false)
+      }
+    }
     // deterministic order: by (partition, temp name); each staged file
     // becomes one segment via RENAME (metadata-only). The partition's
     // current end is read ONCE per epoch (the active-segment read
@@ -352,7 +386,7 @@ class GraftLogStreamingWrite(path: String, inputSchema: StructType,
         var base = GraftLog.endOffset(partDir, conf)
         files.sortBy(_.tmpPath).foreach { m =>
           val ok = fs.rename(new Path(m.tmpPath),
-            new Path(partDir, GraftLog.segName(base)))
+            new Path(partDir, GraftLog.epochSegName(base, epochId)))
           require(ok, s"rename failed for ${m.tmpPath} at base $base")
           base += m.lines
         }
@@ -409,7 +443,19 @@ class GraftLogDataWriter(path: String, inputSchema: StructType,
     val key = if (kIdx >= 0 && !row.isNullAt(kIdx))
       row.getUTF8String(kIdx).toString else null
     val p =
-      if (pIdx >= 0 && !row.isNullAt(pIdx)) row.getInt(pIdx)
+      if (pIdx >= 0 && !row.isNullAt(pIdx)) {
+        val explicit = row.getInt(pIdx)
+        // a negative value would route to a directory ("p-1") the p\d+
+        // partition listing never reads — records would commit and then
+        // silently never be readable. Fail loudly. (Values >= the
+        // configured count mint a NEW partition directory — legal here:
+        // the log's partition set is directory-defined and readers list
+        // it, unlike Kafka's fixed topic width.)
+        require(explicit >= 0,
+          s"negative partition $explicit is unreadable (p$explicit " +
+            "never matches the partition listing)")
+        explicit
+      }
       else if (key != null) math.floorMod(key.hashCode, partitions)
       else 0
     val (out, pp, n) = open.getOrElseUpdate(p, {

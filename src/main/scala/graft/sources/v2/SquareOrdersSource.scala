@@ -146,14 +146,19 @@ class SquareScan(path: String, filters: Array[Filter], limit: Int,
   private def locationFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
-    val locFilter: String => Boolean = filters.collectFirst {
+    // ALL accepted location predicates prune (intersection) — every
+    // accepted filter was removed from Spark's plan, so applying only
+    // the first (collectFirst) would silently drop the others (e.g.
+    // location_id IN ('a','b') AND location_id = 'a' must read only a)
+    val locFilters: Seq[String => Boolean] = filters.toSeq.collect {
       case EqualTo("location_id", v) => (loc: String) => loc == v.toString
       case In("location_id", vs) =>
         val set = vs.map(_.toString).toSet
         (loc: String) => set(loc)
-    }.getOrElse((_: String) => true)
+    }
     fs.listStatus(p).filter(_.getPath.getName.endsWith(".jsonl"))
-      .filter(f => locFilter(f.getPath.getName.stripSuffix(".jsonl")))
+      .filter(f => locFilters
+        .forall(_(f.getPath.getName.stripSuffix(".jsonl"))))
   }
 
   /** Planning-time size estimate from the location-PRUNED file listing
@@ -224,7 +229,24 @@ class SquarePartitionReader(file: String, filters: Array[Filter], limit: Int,
   private var emitted = 0
   var malformed = 0
 
+  private val locOrd = schema.fieldIndex("location_id")
+
+  // EVERY accepted filter must be enforced here (or by file pruning):
+  // accepted filters are removed from Spark's plan, so an accepted-but-
+  // unenforced predicate returns wrong rows, not just extra work.
+  // location predicates are enforced at row level too — file-name
+  // pruning assumes each document's embedded location_id matches its
+  // file, and a mismatched document must not leak through a filter.
   private val rowPredicates: Array[InternalRow => Boolean] = filters.collect {
+    case IsNotNull(c @ ("location_id" | "state" | "closed_at")) =>
+      val ord = schema.fieldIndex(c)
+      (r: InternalRow) => !r.isNullAt(ord)
+    case EqualTo("location_id", v) =>
+      val u = UTF8String.fromString(v.toString)
+      (r: InternalRow) => !r.isNullAt(locOrd) && r.getUTF8String(locOrd) == u
+    case In("location_id", vs) =>
+      val set = vs.map(v => UTF8String.fromString(v.toString)).toSet
+      (r: InternalRow) => !r.isNullAt(locOrd) && set(r.getUTF8String(locOrd))
     case EqualTo("state", v) =>
       val u = UTF8String.fromString(v.toString)
       (r: InternalRow) => !r.isNullAt(stateOrd) && r.getUTF8String(stateOrd) == u

@@ -141,17 +141,26 @@ object EventStreams {
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "inner")
 
   /** Streaming exact dedup: drop documents whose canonical fingerprint
-    * was already seen. On a stream, `dropDuplicates` keeps per-key state;
-    * the watermark bounds it — duplicates arriving later than `delay`
-    * after their original may pass (the standard correctness/state
-    * trade at 100 TB/day ingest). Batch: plain exact dedup. */
+    * was already seen within the watermark window. State is BOUNDED:
+    * `dropDuplicatesWithinWatermark` evicts a fingerprint's state once
+    * the watermark passes its event time plus `delay` (plain
+    * `dropDuplicates("fp")` would keep one state row per distinct
+    * fingerprint for the stream's LIFETIME — the watermark only evicts
+    * dropDuplicates state when the event-time column is itself a dedup
+    * key, so a 100 TB/day corpus would grow executor state without
+    * bound). The trade, by design: a duplicate arriving after its
+    * original's state expired is re-emitted — exact within the window,
+    * at-least-once beyond it (see [[dedupWithinWatermark]]).
+    * Batch: plain exact dedup on the fingerprint. */
   def streamingDedup(docs: DataFrame, tsCol: String,
-      delay: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-      .withWatermark(tsCol, delay)
-      .dropDuplicates("fp")
+      delay: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("fp",
+      graft.functions.TextFunctions.fingerprint(col("text")))
+    (if (fp.isStreaming)
+      fp.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp"))
       .drop("fp")
+  }
 
   /** Bounded-state streaming dedup on arbitrary key columns:
     * `dropDuplicatesWithinWatermark` GUARANTEES eviction — a key's state
@@ -278,6 +287,12 @@ object EventStreams {
     require(steps.nonEmpty, "at least one funnel step required")
     val stepIdx = steps.zipWithIndex.toMap
     events
+      // pre-shuffle filter: only funnel-step events reach the state
+      // machine — without it every event type ships through the
+      // exchange AND every non-participant user gets a permanent
+      // zero-progress state row under NoTimeout (state would grow with
+      // total distinct users, not funnel participants)
+      .filter(col("event_type").isin(steps: _*))
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
       .as[(Long, Timestamp, String, Long)]
       .groupByKey(_._1)
@@ -306,8 +321,17 @@ object EventStreams {
             }
           }
           val next = FunnelProgress(user, completed, lastTs)
-          state.update(next)
-          if (completed > 0) Iterator(next) else Iterator.empty
+          // no-change triggers neither rewrite state nor re-emit (a
+          // completed user would otherwise emit an identical row every
+          // trigger), and a user who made no progress gets no state row
+          // at all — both would grow state/output with traffic, not
+          // with funnel advancement
+          if (state.getOption.contains(next) ||
+              (state.getOption.isEmpty && completed == 0)) Iterator.empty
+          else {
+            state.update(next)
+            if (completed > 0) Iterator(next) else Iterator.empty
+          }
       }
   }
 

@@ -74,6 +74,11 @@ object StreamingEtl {
     * <checkpointDir> — processes all available order files then exits
     * (AvailableNow); re-running resumes from the checkpoint. */
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: StreamingEtl <ordersDir> <outDir> <checkpointDir>")
+      sys.exit(2)
+    }
     val Array(ordersDir, outDir, ckpt) = args.take(3)
     val spark = graft.GraftSession.getOrCreate("graft-streaming-etl")
     val q = start(spark, ordersDir,

@@ -223,9 +223,18 @@ class GraftLogSourceSpec extends SparkSpec {
     assert(GraftLog.append(dst, 0, Seq.empty) === 4L) // end offset 4
     // epoch 7 replays after a failure: re-staged file must be dropped
     w.commit(7L, Array(stage(".tmp-7-00000-1.jsonl", 4)))
-    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dst/p0"))
-      .map(_.getPath.getName).filter(_.matches("\\d{20}\\.jsonl")).sorted
-    assert(segs.toSeq === Seq(GraftLog.segName(0L))) // exactly one segment
+    def segs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dst/p0"))
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{20}(\\.e\\d+)?\\.jsonl")).sorted
+    assert(segs().toSeq === Seq(GraftLog.epochSegName(0L, 7L)))
+    assert(spark.read.format("graft-log").load(dst).count() === 4)
+    // CRASH WINDOW: driver died after the renames but before the epoch
+    // marker — replay must WIPE this epoch's partial segments and redo,
+    // not append duplicates after them (the r8 idempotent-commit fix)
+    val marker = new org.apache.hadoop.fs.Path(s"$dst/_epochs/7")
+    fs.delete(marker, false)
+    w.commit(7L, Array(stage(".tmp-7-00000-1.jsonl", 4)))
+    assert(segs().toSeq === Seq(GraftLog.epochSegName(0L, 7L)))
     assert(spark.read.format("graft-log").load(dst).count() === 4)
   }
 
