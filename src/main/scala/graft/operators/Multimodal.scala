@@ -349,38 +349,113 @@ object Multimodal {
   }
 
   /** REAL video decode via javax.imageio's GIF reader: opens the
-    * multi-frame container, iterates frames, returns per-frame
-    * (width, height, graySum, posSum) where posSum = Σ (x+1)(y+1)·gray
-    * catches transposed/shifted pixels. The frame loop is the shape a
-    * real codec binding (frame-seek + decode) plugs into. */
-  def decodeVideo(bytes: Array[Byte]): Seq[(Int, Int, Int, Long, Long)] = {
+    * multi-frame container, COMPOSITES each frame onto the logical
+    * screen ([[foldCompositedFrames]] — delta/disposal/transparency
+    * handled like [[videoAHash]]), returns per-frame (screenW, screenH,
+    * graySum, posSum) where posSum = Σ (x+1)(y+1)·gray catches
+    * transposed/shifted pixels. The frame loop is the shape a real
+    * codec binding (frame-seek + decode) plugs into. */
+  def decodeVideo(bytes: Array[Byte]): Seq[(Int, Int, Int, Long, Long)] =
+    foldCompositedFrames(bytes, s"${bytes.length} bytes") {
+      (canvas, sw, sh, f) =>
+        var (gs, ps) = (0L, 0L)
+        var y = 0
+        while (y < sh) {
+          var x = 0
+          while (x < sw) {
+            val g = canvas(y * sw + x) // gray palette: b == g == r
+            gs += g
+            ps += (x + 1L) * (y + 1L) * g
+            x += 1
+          }
+          y += 1
+        }
+        (f, sw, sh, gs, ps)
+    }
+
+  /** Decode every frame of a GIF container COMPOSITED onto its logical
+    * screen — left/top placement, none/background/previous disposal,
+    * transparency-preserving writes, a 16M-pixel header bound — and
+    * fold `f` over each composited screen. The SHARED decode spine of
+    * [[videoAHash]] and [[decodeVideo]]: one implementation, so the
+    * fingerprint path and the frame-features path cannot drift on
+    * delta-encoded inputs. `f` receives (canvas row-major, screenW,
+    * screenH, frameIdx); width/height in downstream outputs are the
+    * LOGICAL SCREEN's (== the frame's for full-frame encodes like the
+    * synthetic corpus). */
+  private def foldCompositedFrames[T](bytes: Array[Byte], label: => String)(
+      f: (Array[Int], Int, Int, Int) => T): IndexedSeq[T] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext, s"undecodable video payload (${bytes.length} bytes)")
+    require(readers.hasNext, s"undecodable video payload ($label)")
     val reader = readers.next()
     reader.setInput(iis)
     val n = reader.getNumImages(true)
-    val frames = (0 until n).map { f =>
-      val img = reader.read(f)
-      val (w, h) = (img.getWidth, img.getHeight)
-      var (gs, ps) = (0L, 0L)
+    // logical screen: delta frames composite onto THIS canvas —
+    // pooling a partial raster would fingerprint the delta, not the
+    // frame the viewer sees. Fall back to frame-0 dims when the
+    // container has no screen descriptor (non-GIF readers).
+    val (sw, sh) = gifLogicalScreen(reader)
+      .getOrElse((reader.getWidth(0), reader.getHeight(0)))
+    require(sw >= 1 && sh >= 1, s"video $label empty logical screen")
+    // the canvas is sized from the HEADER's screen descriptor — bound
+    // it before allocating, or one crafted few-hundred-byte GIF
+    // declaring a 40000x40000 screen (or an Int-overflowing one) OOMs
+    // the executor before any frame is even decoded
+    require(sw.toLong * sh <= 16777216L,
+      s"video $label logical screen ${sw}x$sh exceeds the 16M-pixel " +
+        "decode bound")
+    val bg = gifBackgroundGray(reader) // restore-to-background fill
+    val canvas = new Array[Int](sw * sh)
+    var prev: Array[Int] = null // restoreToPrevious snapshot
+    val out = (0 until n).map { fi =>
+      val img = reader.read(fi)
+      val (fw, fh) = (img.getWidth, img.getHeight)
+      val (left, top, disposal) = gifFramePlacement(reader, fi)
+      require(left + fw <= sw && top + fh <= sh,
+        s"video $label frame $fi (${fw}x$fh at $left,$top) exceeds " +
+          s"the ${sw}x$sh logical screen")
+      if (disposal == "restoreToPrevious") prev = canvas.clone()
       var y = 0
-      while (y < h) {
+      while (y < fh) {
         var x = 0
-        while (x < w) {
-          val g = img.getRGB(x, y) & 0xFF // gray palette: b == g == r
-          gs += g
-          ps += (x + 1L) * (y + 1L) * g
+        while (x < fw) {
+          val argb = img.getRGB(x, y)
+          // transparent pixels (optimized deltas mark unchanged pixels
+          // with the transparent index) PRESERVE the canvas — writing
+          // them would smear the transparent entry's color over the
+          // composited region
+          if ((argb >>> 24) != 0)
+            canvas((top + y) * sw + (left + x)) = argb & 0xFF
           x += 1
         }
         y += 1
       }
-      (f, w, h, gs, ps)
+      val r = f(canvas, sw, sh, fi)
+      // dispose AFTER the fold: background-restore clears the frame
+      // rect to the DECLARED background gray; previous-restore reverts
+      // the whole canvas
+      disposal match {
+        case "restoreToBackgroundColor" =>
+          y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              canvas((top + y) * sw + (left + x)) = bg
+              x += 1
+            }
+            y += 1
+          }
+        case "restoreToPrevious" if prev != null =>
+          System.arraycopy(prev, 0, canvas, 0, canvas.length)
+        case _ => () // none / doNotDispose: canvas persists
+      }
+      r
     }
     reader.dispose()
     iis.close()
-    frames
+    out
   }
 
   /** Distributed frame-level decode of real GIF payloads: one output row
@@ -660,59 +735,17 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, s"undecodable video payload ($id)")
-          val reader = readers.next()
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          // logical screen: delta frames composite onto THIS canvas —
-          // hashing a partial raster would fingerprint the delta, not
-          // the frame the viewer sees. Fall back to frame-0 dims when
-          // the container has no screen descriptor (non-GIF readers).
-          val (sw, sh) = gifLogicalScreen(reader)
-            .getOrElse((reader.getWidth(0), reader.getHeight(0)))
-          require(sw >= 4 && sh >= 4,
-            s"video $id logical screen too small for the 4x4 grid (${sw}x$sh)")
-          // the canvas is sized from the HEADER's screen descriptor —
-          // bound it before allocating, or one crafted few-hundred-byte
-          // GIF declaring a 40000x40000 screen (or an Int-overflowing
-          // one) OOMs the executor before any frame is even decoded
-          require(sw.toLong * sh <= 16777216L,
-            s"video $id logical screen ${sw}x$sh exceeds the 16M-pixel " +
-              "decode bound")
-          val bg = gifBackgroundGray(reader) // restore-to-background fill
-          val canvas = new Array[Int](sw * sh)
-          var prev: Array[Int] = null // restoreToPrevious snapshot
           val votes = new Array[Int](63)
-          for (f <- 0 until n) {
-            val img = reader.read(f)
-            val (fw, fh) = (img.getWidth, img.getHeight)
-            val (left, top, disposal) = gifFramePlacement(reader, f)
-            require(left + fw <= sw && top + fh <= sh,
-              s"video $id frame $f (${fw}x$fh at $left,$top) exceeds " +
-                s"the ${sw}x$sh logical screen")
-            if (disposal == "restoreToPrevious") prev = canvas.clone()
-            var y = 0
-            while (y < fh) {
-              var x = 0
-              while (x < fw) {
-                val argb = img.getRGB(x, y)
-                // transparent pixels (optimized deltas mark unchanged
-                // pixels with the transparent index) PRESERVE the
-                // canvas — writing them would smear the transparent
-                // entry's color over the composited region
-                if ((argb >>> 24) != 0)
-                  canvas((top + y) * sw + (left + x)) = argb & 0xFF
-                x += 1
-              }
-              y += 1
-            }
+          var n = 0
+          foldCompositedFrames(bytes, id.toString) { (canvas, sw, sh, _) =>
+            // every 4x4 cell must be non-empty or the mean divides by 0
+            require(sw >= 4 && sh >= 4,
+              s"video $id logical screen too small for the 4x4 grid " +
+                s"(${sw}x$sh)")
             // pool the COMPOSITED screen, not the frame raster
             val sum = new Array[Long](16)
             val cnt = new Array[Long](16)
-            y = 0
+            var y = 0
             while (y < sh) {
               var x = 0
               while (x < sw) {
@@ -761,31 +794,8 @@ object Multimodal {
             if (qs(0) > qs(3)) votes(60) += 1
             if (qs(1) > qs(2)) votes(61) += 1
             if (qs(0) + qs(3) > qs(1) + qs(2)) votes(62) += 1
-            // dispose AFTER hashing: background-restore clears the
-            // frame rect; previous-restore reverts the whole canvas
-            disposal match {
-              case "restoreToBackgroundColor" =>
-                // fill with the container's DECLARED background gray
-                // (LSD backgroundColorIndex into the global table) —
-                // hardcoding black diverges from what a viewer (and a
-                // full-frame re-encode of it) shows for light-background
-                // GIFs
-                y = 0
-                while (y < fh) {
-                  var x = 0
-                  while (x < fw) {
-                    canvas((top + y) * sw + (left + x)) = bg
-                    x += 1
-                  }
-                  y += 1
-                }
-              case "restoreToPrevious" if prev != null =>
-                System.arraycopy(prev, 0, canvas, 0, canvas.length)
-              case _ => () // none / doNotDispose: canvas persists
-            }
+            n += 1
           }
-          reader.dispose()
-          iis.close()
           var hash = 0L
           var i = 0
           while (i < 63) {
