@@ -33,7 +33,12 @@ object HyperLogLog {
     require(b >= 4 && b <= 12, "need 4 <= b <= 12 (16..4096 registers)")
     val m = 1 << b
     val w = 60 - b
-    df.select(
+    // NULLs are excluded up front (COUNT DISTINCT semantics): md5(NULL)
+    // would propagate NULL into (j, r) — and least(48, NULL) SKIPS the
+    // null, manufacturing a phantom (NULL, 48) register that inflates
+    // `occupied` and the estimate
+    df.filter(value.isNotNull)
+      .select(
         conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
           .cast("long").as("_h"))
       // integer div, NOT `/`: Column./ is double division, and a 60-bit
@@ -53,6 +58,14 @@ object HyperLogLog {
     * registers → linear counting `m·ln(m/V)`). */
   def estimate(reg: DataFrame, b: Int): DataFrame = {
     val m = 1 << b
+    // FFGM'07 pins alpha for the small register counts; the closed form
+    // 0.7213/(1 + 1.079/m) is the asymptotic constant, valid m >= 128
+    val alpha = m match {
+      case 16 => "0.673"
+      case 32 => "0.697"
+      case 64 => "0.709"
+      case _ => s"(0.7213 / (1 + 1.079 / $m))"
+    }
     reg.agg(count(lit(1)).as("occupied"),
         coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
           "CAST(48 - r AS INT))")), lit(0L)).as("_socc"))
@@ -62,10 +75,10 @@ object HyperLogLog {
           (lit(m.toLong) - col("occupied")) * lit(1L << 48)).as("_s"),
         (lit(m.toLong) - col("occupied")).as("_v"))
       .select(col("m"), col("occupied"),
-        round(expr(s"CASE WHEN (0.7213 / (1 + 1.079 / $m)) * $m * $m * " +
+        round(expr(s"CASE WHEN $alpha * $m * $m * " +
           s"pow(2, 48) / _s <= 2.5 * $m AND _v > 0 " +
           s"THEN $m * ln(CAST($m AS DOUBLE) / _v) " +
-          s"ELSE (0.7213 / (1 + 1.079 / $m)) * $m * $m * " +
+          s"ELSE $alpha * $m * $m * " +
           "pow(2, 48) / _s END"), 2).as("est"))
   }
 

@@ -30,11 +30,13 @@ import graft.functions.{TextFunctions => T}
   * a total order both engines reproduce — so bucket membership, and
   * the gate hash, replay bit-for-bit.
   *
-  * Scale shape: one token explode; reference counts are vocab-sized
-  * aggregates broadcast to the scoring join (never a corpus-keyed
-  * round trip); the rank is the one range exchange any global tiering
-  * costs; the result is `nBuckets` rows. Nothing driver-side beyond
-  * V (one long) and the SequentialIds partition counts.
+  * Scale shape: one token explode; the context-total table (bounded by
+  * the reference vocabulary) broadcasts, the bigram-count table (vocab²
+  * worst case — corpus-sized, NOT vocab-sized) joins unhinted so Spark
+  * broadcasts it only while it fits; the rank is the one range exchange
+  * any global tiering costs; the result is `nBuckets` rows. Nothing
+  * driver-side beyond V (one long) and the SequentialIds partition
+  * counts.
   */
 object PerplexityFilter {
 
@@ -58,13 +60,24 @@ object PerplexityFilter {
     val ctx = cnt.groupBy("a").agg(sum(col("cnt")).as("ctx"))
     // V collects as ONE long (the model's smoothing denominator is a
     // plan literal) — and a degenerate empty reference fails loudly
-    // here instead of scoring every doc against a vacuous model
-    val v = toks.filter(col("_ref"))
-      .select(explode(col("tk")).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-    require(v > 0, "reference slice has no >=2-token documents")
+    // here instead of scoring every doc against a vacuous model; the
+    // try guard releases the cache on that failure path (a long-lived
+    // session issuing failing calls must not accumulate cached blocks)
+    val v =
+      try {
+        val n = toks.filter(col("_ref"))
+          .select(explode(col("tk")).as("w"))
+          .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+        require(n > 0, "reference slice has no >=2-token documents")
+        n
+      } catch { case e: Throwable => toks.unpersist(); throw e }
+    // ctx is CONTEXT-typed (bounded by the reference vocabulary) —
+    // broadcast is safe; cnt is BIGRAM-typed (vocab² worst case, grows
+    // with the reference corpus), so it takes no hint — Spark
+    // broadcasts it while it fits the threshold and falls back to a
+    // shuffled hash join when a 100 TB-scale reference outgrows it
     val perDoc = bi
-      .join(broadcast(cnt), Seq("a", "b"), "left")
+      .join(cnt, Seq("a", "b"), "left")
       .join(broadcast(ctx), Seq("a"), "left")
       .groupBy("doc")
       .agg(((-sum(expr(("ln((coalesce(cnt, 0) + 1) / " +

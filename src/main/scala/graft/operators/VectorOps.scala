@@ -70,8 +70,11 @@ object VectorOps {
     val flat = new Array[Double](tables * planes * dim)
     for (t <- 0 until tables; p <- 0 until planes; j <- 0 until dim)
       flat((t * planes + p) * dim + j) = ps(t)(p)(j)
+    // immutable Seq: the expression keeps structural equality (CSE /
+    // exchange reuse) — see HyperplaneBuckets' field comment
     GraftColumnBridge.column(HyperplaneBuckets(
-      GraftColumnBridge.expression(vec), flat, tables, planes, dim))
+      GraftColumnBridge.expression(vec), flat.toIndexedSeq, tables,
+      planes, dim))
   }
 
   /** One vector's LSH signature computed DRIVER-side — pure arithmetic
@@ -82,6 +85,9 @@ object VectorOps {
   private[graft] def signatureOf(vec: Seq[Float], dim: Int, planes: Int,
       tables: Int, seed: Long): Array[Long] = {
     require(vec.length == dim, s"vector dim ${vec.length} != $dim")
+    require(planes >= 1 && planes <= 63,
+      s"planes $planes outside [1, 63] — 1L << p wraps mod 64 " +
+        "(HyperplaneBuckets enforces the same bound scan-side)")
     val ps = planeLiteral(dim, planes, tables, seed)
     Array.tabulate(tables) { t =>
       var bucket = 0L
@@ -109,15 +115,23 @@ object VectorOps {
     * cliff as Dedup.bandedCandidates. */
   def quantizeInt8(v: Column): Column = {
     // empty vectors: array_max is NULL, which must hit the 1.0 guard
-    // like the all-zero vector (NULL === 0d is NULL, not true)
-    val mx = array_max(transform(v, e => abs(e.cast(DoubleType))))
+    // like the all-zero vector (NULL === 0d is NULL, not true).
+    // NaN elements are excluded from the max — array_max ranks NaN
+    // above every double, so one corrupt component would otherwise make
+    // scale = 127/NaN = NaN (which passes both guards) and zero the
+    // ENTIRE quantized vector; excluded, valid components keep their
+    // scale and the NaN slots quantize to 0 (explicit — ANSI mode
+    // rejects the NaN→byte cast)
+    val mx = array_max(filter(
+      transform(v, e => abs(e.cast(DoubleType))), e => !isnan(e)))
     val scale = when(mx.isNull || mx === 0d, lit(1.0))
       .otherwise(lit(127.0) / mx)
     graft.functions.TextFunctions.bind(struct(scale.as("s"), v.as("v"))) {
       r =>
         struct(r.getField("s").as("scale"),
           transform(r.getField("v"), e =>
-            round(e.cast(DoubleType) * r.getField("s")).cast(ByteType))
+            when(isnan(e), lit(0).cast(ByteType)).otherwise(
+              round(e.cast(DoubleType) * r.getField("s")).cast(ByteType)))
             .as("q"))
     }
   }
@@ -174,6 +188,8 @@ object VectorOps {
   private[graft] def hyperplaneSignaturesHof(emb: DataFrame, idCol: String,
       vecCol: String, dim: Int, planes: Int, tables: Int,
       seed: Long): DataFrame = {
+    require(planes >= 1 && planes <= 63,
+      s"planes $planes outside [1, 63] — 1L << p wraps mod 64")
     val ps = planeLiteral(dim, planes, tables, seed)
     val sigCols: Seq[Column] = (0 until tables).map { t =>
       val bucket = (0 until planes).map { p =>

@@ -52,7 +52,7 @@ case class CdcChunks(child: Expression, minSize: Int, maskBits: Int,
   override def prettyName: String = "cdc_chunks"
 
   private val mask = (1L << maskBits) - 1L
-  private val B = 1000003L // chunk-content hash base, as in WinnowFingerprint
+  private val B = RollingHash.B // SHARED base — cross-operator hash equality (see RollingHash)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

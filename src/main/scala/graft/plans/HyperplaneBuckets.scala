@@ -22,12 +22,23 @@ import org.apache.spark.sql.types._
   * driver-side from the seed and shipped as part of the expression
   * (tables×planes×dim doubles — tiny, identical on every executor).
   */
-case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+case class HyperplaneBuckets(child: Expression, planes: Seq[Double],
     tables: Int, planesPerTable: Int, dim: Int)
   extends UnaryExpression with CodegenFallback {
 
   require(planes.length == tables * planesPerTable * dim,
     s"planes length ${planes.length} != $tables*$planesPerTable*$dim")
+  // bucket bits pack into ONE long per table: 1L << p wraps mod 64, so
+  // planes 64+ would silently alias onto planes 0+ (bucket collisions,
+  // no error) — bound it here like the caller-facing knobs elsewhere
+  require(planesPerTable >= 1 && planesPerTable <= 63,
+    s"planesPerTable $planesPerTable outside [1, 63] (bits of one long)")
+
+  // Seq field keeps Catalyst STRUCTURAL equality (an Array field
+  // compares by reference, so two identical bucket expressions would
+  // never CSE/reuse — the PqEncode discipline); the eval loop reads
+  // the unboxed copy
+  @transient private lazy val flat: Array[Double] = planes.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -66,7 +77,7 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
         var s = 0.0
         var j = 0
         while (j < n) {
-          s += v.getFloat(j).toDouble * planes(base + j)
+          s += v.getFloat(j).toDouble * flat(base + j)
           j += 1
         }
         if (s >= 0) bucket |= 1L << p

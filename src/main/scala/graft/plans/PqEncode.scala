@@ -29,6 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 case class PqEncode(child: Expression,
     codebooks: Seq[Seq[Seq[Float]]]) extends UnaryExpression {
 
+  // shape validation up front: ksub/dsub derive from the FIRST
+  // subspace while `flat` concatenates everything — a ragged codebook
+  // would misindex centroid floats across subspaces (wrong codes, no
+  // error) and an empty one would NPE below with no context
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty &&
+    codebooks.head.head.nonEmpty, "codebooks must be non-empty")
+  require(codebooks.forall(_.size == codebooks.head.size),
+    "every subspace must have the same code count")
+  require(codebooks.forall(_.forall(_.size == codebooks.head.head.size)),
+    "every centroid must have the same sub-dimension")
+
   private val m: Int = codebooks.size
   private val ksub: Int = codebooks.head.size
   private val dsub: Int = codebooks.head.head.size

