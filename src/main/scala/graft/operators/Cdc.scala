@@ -43,9 +43,12 @@ object Cdc {
       .agg(min(col("len")).as("clen"))
       .agg(count(lit(1)).as("distinct_chunks"),
         sum(col("clen")).cast("long").as("bytes_dedup"))
+    // sum() over zero rows is NULL — an empty chunk table must report
+    // 0 bytes, not nulls that poison downstream ratios
     tot.crossJoin(dis).select(
       col("n_chunks"), col("distinct_chunks"),
       (col("n_chunks") - col("distinct_chunks")).as("dup_chunks"),
-      col("bytes_total"), col("bytes_dedup"))
+      coalesce(col("bytes_total"), lit(0L)).as("bytes_total"),
+      coalesce(col("bytes_dedup"), lit(0L)).as("bytes_dedup"))
   }
 }

@@ -27,9 +27,16 @@ object Dedup {
   /** Exact dedup on a canonical fingerprint: one row kept per duplicate
     * group (the smallest id — deterministic). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text fingerprints to NULL — groupBy groups it, but an
+    // equi-semi-join would null-reject the group and silently DELETE
+    // every null-text row (data loss, not dedup). Null-safe join keys
+    // keep one survivor per group, null group included.
     val withFp = docs.withColumn("fp", fingerprint(col(textCol)))
-    val keep = withFp.groupBy("fp").agg(min(col(idCol)).as(idCol))
-    withFp.join(keep, Seq("fp", idCol), "left_semi").drop("fp")
+    val keep = withFp.groupBy("fp").agg(min(col(idCol)).as("_kid"))
+    withFp.join(keep,
+        withFp("fp") <=> keep("fp") && withFp(idCol) <=> keep("_kid"),
+        "left_semi")
+      .drop("fp")
   }
 
   /** SCD-style upsert collapse: ONE surviving row per key — whichever
@@ -438,10 +445,18 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sig = docs.select(col(idCol).as("doc"),
+    // shingle-less docs (shorter than n tokens) all carry the identical
+    // all-MaxValue sentinel signature, so they co-bucket in EVERY band
+    // — on a crawl corpus with many empty/tiny docs that is a
+    // quadratic candidate explosion before verification even runs (the
+    // winnowOverlapPairs guard, applied here too; verification would
+    // drop the pairs anyway — 0/0 jaccard is null)
+    val eligible = docs.filter(
+      size(graft.functions.TextFunctions.tokens(lower(col(textCol)))) >= n)
+    val sig = eligible.select(col(idCol).as("doc"),
       minHashSignature(lower(col(textCol)), n, numHashes).as("sig"))
     val cand = bandedCandidates(sig, bands, numHashes / bands, maxBucket)
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = shingleSets(eligible, idCol, textCol, n)
     val inter = size(array_intersect(col("shs_a"), col("shs_b")))
     cand
       .join(sets.toDF("doc_a", "shs_a"), Seq("doc_a"))
@@ -473,9 +488,14 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // same shingle-less guard as minHashLshPairs: sentinel signatures
+    // co-bucket in every band — cross-corpus that is |empty_ex| ×
+    // |empty_in| candidates
     def banded(side: DataFrame) = bandedFrame(
-      side.select(col(idCol).as("doc"),
-        minHashSignature(lower(col(textCol)), n, numHashes).as("sig")),
+      side.filter(size(graft.functions.TextFunctions
+          .tokens(lower(col(textCol)))) >= n)
+        .select(col(idCol).as("doc"),
+          minHashSignature(lower(col(textCol)), n, numHashes).as("sig")),
       bands, r)
     val exBand = banded(existing)
     val inBand = banded(incoming)
@@ -550,8 +570,16 @@ object Dedup {
     * Hamming distance <= `maxHamming`. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4 chunks guarantee recall only for hamming <= 3 (pigeonhole: 4+
+    // differing bits can land one per chunk and the pair never becomes
+    // a candidate) — a larger bound would silently miss pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming > 3 breaks the 4-chunk recall guarantee")
+    // lower() first: every other dedup path in this file
+    // case-normalizes (the fingerprint() contract) — raw-case hashing
+    // would miss case-variant near-dups the other operators catch
     val sig = docs.select(col(idCol).as("doc"),
-      simHash64(col(textCol)).as("sig"))
+      simHash64(lower(col(textCol))).as("sig"))
     val chunked = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -94,12 +94,15 @@ object EventAnalytics {
     * shuffle. */
   def gapFillDailyCounts(events: DataFrame, typeCol: String,
       ts: String): DataFrame = {
-    // NULL types are excluded up front: a NULL would enter the types
-    // dim via distinct() but never match the equi-join below, so its
-    // real daily counts would silently render as a zero-filled series
+    // NULL types AND NULL/unparseable dates are excluded up front: a
+    // NULL on either key would enter its dim via distinct() but never
+    // match the equi-join below, so real daily counts would silently
+    // render as a zero-filled series (and an all-null-date input would
+    // return zero rows instead of failing visibly)
     val e = events.filter(col(typeCol).isNotNull)
       .select(col(typeCol).as("event_type"),
         to_date(col(ts)).as("d"))
+      .filter(col("d").isNotNull)
     val spine = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))
     val types = e.select("event_type").distinct()

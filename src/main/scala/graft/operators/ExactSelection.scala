@@ -34,8 +34,7 @@ object ExactSelection {
     val vals = longs(df, c)
     val (lo, hi, n) = stats(vals)
     require(k >= 1 && k <= n, s"k=$k outside [1, $n]")
-    refine(vals, lo, hi, k, buckets,
-      collection.mutable.Map.empty)
+    refine(vals, lo, hi, k, buckets)
   }
 
   /** Discrete quantiles: for each q, the smallest value whose
@@ -172,8 +171,7 @@ object ExactSelection {
 
   @annotation.tailrec
   private def refine(vals: Dataset[java.lang.Long], lo: Long, hi: Long,
-      k: Long, buckets: Int,
-      memo: collection.mutable.Map[(Long, Long), Seq[(Int, Long)]]): Long = {
+      k: Long, buckets: Int): Long = {
     if (hi - lo < buckets) {
       // terminal: ≤ `buckets` distinct values possible — exact walk
       // over (value, count), resolving duplicates precisely
@@ -192,8 +190,9 @@ object ExactSelection {
         s"selection invariant broke: k=$k left over in [$lo, $hi]"))
     } else {
       val width = ((BigInt(hi) - BigInt(lo) + buckets) / buckets).toLong
-      val counts = memo.getOrElseUpdate((lo, hi),
-        bucketCounts(vals, lo, hi, width))
+      // each recursion strictly narrows [lo, hi], so no range repeats —
+      // the former memo map never hit and was dead state
+      val counts = bucketCounts(vals, lo, hi, width)
       var kk = k
       var chosen = -1
       counts.foreach { case (b, cnt) =>
@@ -205,7 +204,7 @@ object ExactSelection {
         s"selection invariant broke: k=$k beyond counts in [$lo, $hi]")
       val newLo = lo + chosen * width
       val newHi = math.min(hi, newLo + width - 1)
-      refine(vals, newLo, newHi, kk, buckets, memo)
+      refine(vals, newLo, newHi, kk, buckets)
     }
   }
 }

@@ -36,8 +36,12 @@ object FuzzyJoin {
     val r = right.withColumn("__rb", rightBlock).withColumn("__rt", rightText)
     l.join(r, col("__lb") === col("__rb"), "inner")
       .filter(abs(length(col("__lt")) - length(col("__rt"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("__lt"), col("__rt")))
-      .filter(col("dist") <= maxDist)
+      // bounded 3-arg levenshtein: O(len·maxDist) with early exit, -1
+      // beyond the bound — same distances as the full O(len²) DP for
+      // every surviving pair, cheaper on long strings
+      .withColumn("dist",
+        levenshtein(col("__lt"), col("__rt"), maxDist))
+      .filter(col("dist") >= 0)
       .drop("__lb", "__rb", "__lt", "__rt")
   }
 
@@ -46,7 +50,9 @@ object FuzzyJoin {
     * head of the string; swap in a phonetic code or a rare-token pick
     * when errors are uniform. */
   def lastTokenBlock(text: Column): Column = {
-    val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
+    // the ONE tokenizer (a byte-identical local copy would silently
+    // diverge from the shingle paths on a future tokenizer fix)
+    val toks = graft.functions.TextFunctions.tokens(text)
     // guard: ANSI element_at throws on an empty array; token-less
     // strings block as NULL (= never match) instead
     when(size(toks) > 0, element_at(toks, -1))

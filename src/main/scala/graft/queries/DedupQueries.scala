@@ -976,9 +976,11 @@ object DedupQueries {
           .autoPlanes(emb(s, dir).count()),
         tables = 2, seed = 42L)
         .select(col("id"), col("table").as("tbl"), col("bucket"))),
+    // lower() matches simHashPairs' r8 case normalization — fixture
+    // and gate must hash the identical input
     "d04_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
-        T.simHash64(col("text")).as("sig"))),
+        T.simHash64(lower(col("text"))).as("sig"))),
     "d12_chunks" -> ((s, dir) =>
       Cdc.chunkTable(docs(s, dir), "doc_id", "text")),
     "d06_fingerprints" -> ((s, dir) =>

@@ -317,4 +317,40 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.autoMaxBucket(1000000000L, ppm = 10L) === 10000)
     assert(Dedup.autoMaxBucket(10L, floor = 7) === 7)
   }
+
+  test("exact dedup keeps one survivor per NULL-text group (null-safe " +
+    "join — a plain equi-semi-join would DELETE those rows)") {
+    val docs = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]), (3L, "a"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L))
+  }
+
+  test("minhash LSH excludes shingle-less docs from candidacy " +
+    "(sentinel signatures would co-bucket in every band)") {
+    // two tiny docs (< 3 tokens) share the all-MaxValue sentinel —
+    // they must not pair with each other or anything else
+    val docs = Seq((1L, "x"), (2L, "y"),
+      (3L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((3L, 4L)))
+  }
+
+  test("simhash normalizes case like every other dedup path") {
+    val docs = Seq((1L, "The Quick Brown Fox Jumps Over It"),
+      (2L, "the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0L)))
+    // and the recall guarantee bound is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
 }
