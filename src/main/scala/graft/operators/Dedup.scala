@@ -25,18 +25,25 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Exact dedup on a canonical fingerprint: one row kept per duplicate
-    * group (the smallest id — deterministic). */
+    * group — the smallest id, null ids losing to non-null, and a
+    * whole-row hash breaking id ties so even an all-NULL-id group keeps
+    * exactly one (value-deterministic) row. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // NULL text fingerprints to NULL — groupBy groups it, but an
-    // equi-semi-join would null-reject the group and silently DELETE
-    // every null-text row (data loss, not dedup). Null-safe join keys
-    // keep one survivor per group, null group included.
-    val withFp = docs.withColumn("fp", fingerprint(col(textCol)))
-    val keep = withFp.groupBy("fp").agg(min(col(idCol)).as("_kid"))
-    withFp.join(keep,
-        withFp("fp") <=> keep("fp") && withFp(idCol) <=> keep("_kid"),
-        "left_semi")
-      .drop("fp")
+    // NULL text fingerprints to NULL — the window PARTITION BY groups it
+    // like groupBy would, so null-text rows keep one survivor instead of
+    // being silently DELETED (the equi-semi-join failure mode). The
+    // rank-1 window replaces the earlier min(id)+null-safe-semi-join
+    // shape for two reasons: (a) a group whose ids are ALL null made
+    // min(id) null and `id <=> _kid` true for EVERY row — the whole
+    // group survived; the row-hash tie-break keeps exactly one. (b) one
+    // shuffle on fp + WindowGroupLimit (rank-1 retains only the current
+    // winner per partition) beats the agg + join pair.
+    docs.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")
+          .orderBy(col(idCol).asc_nulls_last,
+            xxhash64(struct(docs.columns.map(col): _*)))))
+      .filter(col("_rn") === 1).drop("fp", "_rn")
   }
 
   /** SCD-style upsert collapse: ONE surviving row per key — whichever

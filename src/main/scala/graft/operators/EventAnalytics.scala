@@ -98,10 +98,13 @@ object EventAnalytics {
     // NULL on either key would enter its dim via distinct() but never
     // match the equi-join below, so real daily counts would silently
     // render as a zero-filled series (and an all-null-date input would
-    // return zero rows instead of failing visibly)
+    // return zero rows instead of failing visibly). try_to_date (not
+    // to_date) because under Spark's default ANSI mode a plain to_date
+    // THROWS on a malformed string — the documented exclusion would
+    // otherwise only cover genuinely-NULL inputs
     val e = events.filter(col(typeCol).isNotNull)
       .select(col(typeCol).as("event_type"),
-        to_date(col(ts)).as("d"))
+        call_function("try_to_date", col(ts)).as("d"))
       .filter(col("d").isNotNull)
     val spine = e.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("d"))

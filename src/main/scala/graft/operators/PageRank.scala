@@ -34,7 +34,10 @@ object PageRank {
 
   /** `iters` rounds over a DIRECTED edge frame (src, dst) — pass both
     * directions for an undirected graph. Returns (node, rank) for every
-    * node with at least one outgoing edge. Initial rank = [[One]];
+    * node with at least one INCOMING edge (the first groupBy(dst) keeps
+    * exactly the rank-receiving nodes; for the symmetrized graphs every
+    * caller passes, that is the same set as the out-edge nodes).
+    * Initial rank = [[One]];
     * rank'(n) = 0.15·One + 0.85·Σ_{m→n} (rank(m) div deg(m)), all in
     * longs. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {

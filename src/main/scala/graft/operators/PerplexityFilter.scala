@@ -30,9 +30,11 @@ import graft.functions.{TextFunctions => T}
   * a total order both engines reproduce — so bucket membership, and
   * the gate hash, replay bit-for-bit.
   *
-  * Scale shape: one token explode; the context-total table (bounded by
-  * the reference vocabulary) broadcasts, the bigram-count table (vocab²
-  * worst case — corpus-sized, NOT vocab-sized) joins unhinted so Spark
+  * Scale shape: one token explode; the context-total table broadcasts
+  * only while its measured vocabulary bound `v` stays under
+  * [[CtxBroadcastMaxVocab]] (a web-scale reference's Heaps-law vocab
+  * would OOM a forced hint), the bigram-count table (vocab² worst
+  * case — corpus-sized, NOT vocab-sized) joins unhinted so Spark
   * broadcasts it only while it fits; the rank is the one range exchange
   * any global tiering costs; the result is `nBuckets` rows. Nothing
   * driver-side beyond V (one long) and the SequentialIds partition
@@ -40,11 +42,19 @@ import graft.functions.{TextFunctions => T}
   */
 object PerplexityFilter {
 
+  /** Broadcast the context-totals table only while the measured
+    * reference vocabulary stays under this many distinct tokens
+    * (~2M rows ≈ low-hundreds of MB hashed — comfortable on a driver;
+    * a Heaps-law web-scale reference slice runs 10⁸–10⁹ and would OOM
+    * a forced hint Spark cannot refuse). */
+  val CtxBroadcastMaxVocab: Long = 2000000L
+
   /** (bucket, n_docs, ce_min, ce_max) per quality tier, bucket 0 =
     * lowest cross-entropy (most reference-like). `refPred` marks the
     * curated training slice. */
   def buckets(docs: DataFrame, idCol: String, textCol: String,
-      refPred: Column, nBuckets: Int = 3): DataFrame = {
+      refPred: Column, nBuckets: Int = 3,
+      ctxBroadcastMaxVocab: Long = CtxBroadcastMaxVocab): DataFrame = {
     require(nBuckets >= 2, "need at least 2 quality tiers")
     val toks = docs.select(col(idCol).as("doc"), refPred.as("_ref"),
       T.tokens(lower(col(textCol))).as("tk"))
@@ -71,14 +81,19 @@ object PerplexityFilter {
         require(n > 0, "reference slice has no >=2-token documents")
         n
       } catch { case e: Throwable => toks.unpersist(); throw e }
-    // ctx is CONTEXT-typed (bounded by the reference vocabulary) —
-    // broadcast is safe; cnt is BIGRAM-typed (vocab² worst case, grows
-    // with the reference corpus), so it takes no hint — Spark
-    // broadcasts it while it fits the threshold and falls back to a
-    // shuffled hash join when a 100 TB-scale reference outgrows it
+    // ctx is CONTEXT-typed — at most one row per distinct reference
+    // token, and `v` IS that bound, already collected for the smoothing
+    // denominator. So the broadcast hint is gated on the measured count
+    // instead of forced: a curated CCNet-style slice (v ≪ 2M) skips the
+    // corpus-sided shuffle, while a Heaps-law web-scale reference
+    // (v ~ 10⁸–10⁹) falls through to the unhinted join, where AQE still
+    // runtime-converts if the ctx shuffle turns out small. cnt is
+    // BIGRAM-typed (vocab² worst case) and has no cheap bound, so it is
+    // always unhinted.
+    val ctxJ = if (v <= ctxBroadcastMaxVocab) broadcast(ctx) else ctx
     val perDoc = bi
       .join(cnt, Seq("a", "b"), "left")
-      .join(broadcast(ctx), Seq("a"), "left")
+      .join(ctxJ, Seq("a"), "left")
       .groupBy("doc")
       .agg(((-sum(expr(("ln((coalesce(cnt, 0) + 1) / " +
         s"CAST(coalesce(ctx, 0) + $v AS DOUBLE))"))

@@ -26,11 +26,12 @@ import graft.functions.TextFunctions
   * Scale shape: one token explode, ONE (doc, chain) aggregation whose
   * rows carry both the phrase text and its member-word array (phrase
   * membership re-derives by explode — no join back to the token
-  * frame), one vocab-sized stats aggregation broadcast to the scoring
-  * pass, one phrase-text aggregation, top-k via
-  * TakeOrderedAndProject. No self-joins, nothing driver-side. (If the
-  * distinct-word count ever outgrew broadcast range, drop the hint and
-  * the stats join reverts to a shuffled equi-join — same values.)
+  * frame), one vocab-sized stats aggregation joined unhinted into the
+  * scoring pass — AQE broadcast-converts it at runtime while the
+  * vocabulary is actually small, and a Heaps-law web-scale corpus
+  * falls back to a shuffled equi-join instead of OOMing a forced
+  * hint — one phrase-text aggregation, top-k via
+  * TakeOrderedAndProject. No self-joins, nothing driver-side.
   */
 object Rake {
 
@@ -64,9 +65,13 @@ object Rake {
       explode(col("words")).as("w"))
     val stats = members.groupBy("w")
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("degree"))
-    // vocab-sized — broadcast keeps the corpus-sized member frame on
-    // its (doc, chain) layout instead of a word-keyed round trip
-    val scored = members.join(broadcast(stats), "w")
+    // vocab-sized, which on a web-scale corpus is Heaps-law UNBOUNDED —
+    // a forced broadcast hint (Spark obeys it regardless of size) would
+    // OOM the driver there, so the join is unhinted: AQE observes the
+    // actual stats shuffle at runtime and converts to broadcast when it
+    // is genuinely small (the common case), falling back to a shuffled
+    // equi-join when the vocabulary outgrows it — same values either way
+    val scored = members.join(stats, "w")
       .withColumn("_t", (col("degree").cast("double") / col("freq"))
         .cast("decimal(28,14)"))
       .groupBy("doc", "_chain")

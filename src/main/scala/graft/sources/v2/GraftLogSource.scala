@@ -127,7 +127,16 @@ object GraftLog {
   /** Producer/ingest helper: append records to a partition as ONE new
     * segment based at the current end offset. Returns the new end.
     * (The writer a real pipeline would run; specs and fixtures use it
-    * so the layout contract lives in one place.) */
+    * so the layout contract lives in one place.)
+    *
+    * SINGLE-WRITER CONTRACT: a log that a streaming sink commits into
+    * must not receive concurrent external append()s. The sink's
+    * crash-retry wipes the dead attempt's epoch-tagged segments and
+    * re-renames from the then-current end offset; a producer segment
+    * that landed BETWEEN the crash and the retry would be based past
+    * the wiped range, leaving a permanent offset hole readers cannot
+    * resolve. One writer per log (the Kafka-partition ownership model);
+    * interleave producers and sinks only across different logs. */
   def append(dir: String, partition: Int,
       records: Seq[(Long, String, String)]): Long = {
     // session Hadoop conf when one exists (FS credentials), else plain
@@ -368,7 +377,14 @@ class GraftLogStreamingWrite(path: String, inputSchema: StructType,
     // would rename them AFTER the partially-committed segments). The
     // epoch tag on every sink segment makes the whole commit
     // idempotent instead: wipe anything THIS epoch renamed in a dead
-    // attempt, then redo all renames from the re-staged files.
+    // attempt, then redo all renames from the re-staged files. The
+    // wipe-and-redo re-derives its base from the CURRENT end offset,
+    // which is only sound under the single-writer contract documented
+    // on GraftLog.append: an external producer segment racing into the
+    // crash window would sit past the wiped range and the redo would
+    // leave an unreadable offset hole. (Reusing the wiped segments'
+    // original bases is no fix — a replay may re-stage the same rows in
+    // a different file layout, so per-file counts need not line up.)
     GraftLog.partitionDirs(path, conf).foreach { case (_, dir) =>
       GraftLog.segments(dir, conf).foreach { case (_, s) =>
         if (GraftLog.segEpoch(s.getPath.getName).contains(epochId))

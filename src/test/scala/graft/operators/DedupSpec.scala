@@ -328,6 +328,27 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 3L))
   }
 
+  test("exact dedup keeps exactly one row per ALL-null-id group " +
+    "(row-hash tie-break; min(id)+null-safe-join kept the whole group)") {
+    val nid = null.asInstanceOf[java.lang.Long]
+    val docs = Seq((nid, "same", "x"), (nid, "same", "y"),
+      (java.lang.Long.valueOf(7L), "same", "z"),
+      (nid, "other", "p"), (nid, "other", "q"))
+      .toDF("doc_id", "text", "tag")
+    val kept = Dedup.exact(docs, "doc_id", "text")
+    // group "same": the non-null id 7 wins; group "other" (ids all
+    // null): exactly ONE survivor, picked by the whole-row hash
+    assert(kept.count() === 2L)
+    assert(kept.filter($"text" === "same").select("doc_id")
+      .as[java.lang.Long].collect().toSeq === Seq(java.lang.Long.valueOf(7L)))
+    assert(kept.filter($"text" === "other").count() === 1L)
+    // value-deterministic: a rerun keeps the same row
+    val again = Dedup.exact(docs, "doc_id", "text")
+      .filter($"text" === "other").select("tag").as[String].collect()
+    assert(again.toSeq ===
+      kept.filter($"text" === "other").select("tag").as[String].collect().toSeq)
+  }
+
   test("minhash LSH excludes shingle-less docs from candidacy " +
     "(sentinel signatures would co-bucket in every band)") {
     // two tiny docs (< 3 tokens) share the all-MaxValue sentinel —

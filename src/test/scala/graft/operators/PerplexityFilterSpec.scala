@@ -37,6 +37,20 @@ class PerplexityFilterSpec extends SparkSpec {
     assert(out.toSeq === Seq((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("a vocab past the broadcast gate still executes (unhinted ctx " +
+    "join), with identical tiers") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "z z"))
+      .toDF("doc_id", "text")
+    def run(cap: Long) = PerplexityFilter.buckets(docs, "doc_id",
+      "text", col("doc_id") === 0, nBuckets = 3,
+      ctxBroadcastMaxVocab = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // cap=0 forces v(=2) past the gate — the ctx join runs unhinted,
+    // exactly what a 10⁹-token web-scale reference would get
+    assert(run(0L) === run(PerplexityFilter.CtxBroadcastMaxVocab))
+  }
+
   test("an empty (or bigram-free) reference slice fails loudly") {
     val docs = Seq((1L, "a b"), (2L, "z z")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
