@@ -185,6 +185,35 @@ object Drill {
     }
   }
 
+  /** d06 stage breakdown (the r8 verdict's α-conflict item): winnowing
+    * is fingerprint extraction → minhash signature → banded candidate
+    * join → array-intersect verify; each stage is timed cumulatively so
+    * a super-linear stage at sf1x shows up as the step that exploded. */
+  private def d06Variants(s: SparkSession, dir: String): Unit = {
+    import graft.functions.{TextFunctions => T}
+    import operators.Dedup
+    val docs = Tables(s, dir, "documents")
+    time("docs scan+count") { docs.count() }
+    val sets = docs.select(col("doc_id").as("doc"),
+      array_distinct(T.winnowFingerprint(col("text"), 8, 6)).as("fps"))
+      .filter(size(col("fps")) > 0)
+    time("winnow fingerprints (k=8,w=6)") { sets.count() }
+    time("fp volume (explode all fingerprints)") {
+      sets.select(explode(col("fps"))).count()
+    }
+    val sig = sets.select(col("doc"),
+      T.minHashSignatureOfHashes(col("fps"), 64).as("sig"))
+    time("+ minhash signatures (64 hashes)") { sig.count() }
+    time("+ banded candidates (16 bands, cap 500)") {
+      Dedup.bandedCandidates(sig, 16, 4, 500).count()
+    }
+    time("full gate (winnowOverlapPairs)") {
+      Dedup.winnowOverlapPairs(docs, "doc_id", "text", k = 8, w = 6,
+        threshold = 0.5, maxBucket = 500, numHashes = 64, bands = 16)
+        .count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -195,6 +224,7 @@ object Drill {
       case "g04" => g04Variants(spark, sfDir)
       case "f07" => f07Variants(spark, sfDir)
       case "tail" => s01t28q32Variants(spark, sfDir)
+      case "d06" => d06Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

@@ -51,7 +51,9 @@ object ScalingProbe {
     "q42_robust_outliers", "s01_ann_topk", "t10_tfidf_topk",
     "t12_surprisal", "t20_collocations", "t28_rake_keywords",
     // r8 late additions: the round's own new >= 1 s gates
-    "s15_ivfpq_topk", "t29_ppl_filter")
+    "s15_ivfpq_topk", "t29_ppl_filter",
+    // r9 additions: the last unprobed >= 1 s gates (r8 verdict item #5)
+    "s07_pq_topk", "p09_curate_e2e", "d07_contamination")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
@@ -75,7 +77,10 @@ object ScalingProbe {
     "s01_ann_topk" -> "embeddings", "t10_tfidf_topk" -> "documents",
     "t12_surprisal" -> "documents", "t20_collocations" -> "documents",
     "t28_rake_keywords" -> "documents",
-    "s15_ivfpq_topk" -> "embeddings", "t29_ppl_filter" -> "documents")
+    "s15_ivfpq_topk" -> "embeddings", "t29_ppl_filter" -> "documents",
+    "d06_winnow_disjoint" -> "documents",
+    "s07_pq_topk" -> "embeddings", "p09_curate_e2e" -> "documents",
+    "d07_contamination" -> "documents")
 
   /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
     * pin their payload count (LIMIT 40/30) for oracle determinism, so
@@ -108,6 +113,28 @@ object ScalingProbe {
           Multimodal.audioAHash(
             spread(Multimodal.audioPayloads(docs, limit = n))).toDF(),
           bandBits = 16, numBands = 4, maxBucket = 1000)
+      }),
+      // d06 α forensics (r8 verdict #1): the shared sf1x corpus suffixes
+      // each WORD with its copy index, which keeps word-shingle spaces
+      // disjoint but leaves within-word 8-CHAR grams shared across all
+      // 10 copies — every doc gains 9 borderline near-copies that pass
+      // minhash banding and fail the 0.5 verify, a candidate
+      // densification artifact, not operator scaling. This variant
+      // rewrites every word to hex(xxhash64(word, copy)) so char-gram
+      // spaces are disjoint across copies while per-copy near-dup
+      // structure (shared word runs → shared gram runs) is preserved;
+      // a near-1 α here isolates the operator's true volume scaling.
+      "d06_winnow_disjoint" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        val total = docs.count()
+        val base = if (d.contains("graft_sf1x")) total / copies else total
+        val cop = (col("doc_id") / lit(base)).cast("long")
+        val rewritten = docs.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => lower(hex(xxhash64(w, cop)))), " "))
+        graft.operators.Dedup.winnowOverlapPairs(rewritten, "doc_id",
+          "text", k = 8, w = 6, threshold = 0.5, maxBucket = 500,
+          numHashes = 64, bands = 16)
       }),
       "mm10_video_neardup_nx" -> ((s, d) => {
         val docs = Tables(s, d, "documents")
@@ -270,8 +297,12 @@ object ScalingProbe {
     val results = gates.flatMap { gate =>
       val fn = SparkEntry.queries.getOrElse(gate, probeOnly(gate))
       val timesOpt = try Some(dirs.map { case (label, d) =>
-        // min of 2: one-off GC/codegen noise must not set an exponent
-        val t = (1 to 2).map { _ =>
+        // min of 2 by default: one-off GC/codegen noise must not set an
+        // exponent. SPARK_GRAFT_PROBE_ITERS raises it for isolated
+        // single-gate evidence runs (the min-of-4 floors discipline).
+        val iters = sys.env.get("SPARK_GRAFT_PROBE_ITERS")
+          .map(_.toInt).getOrElse(2)
+        val t = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, d).count()
           val dt = (System.nanoTime() - t0) / 1e9
