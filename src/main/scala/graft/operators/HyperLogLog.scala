@@ -25,11 +25,28 @@ import org.apache.spark.sql.functions._
 object HyperLogLog {
 
   /** Per-register max rank: (j, r) — at most `2^b` rows. Mergeable
-    * across shards/batches by `groupBy(j).agg(max(r))` (spec-pinned).
+    * across shards/batches by `groupBy(j).agg(max(r))` (spec-pinned by
+    * HyperLogLogSpec, gate-pinned end-to-end by q46's shard-merge ==
+    * full-scan identity).
     * Rank: W − bitlen(w) + 1 for the (W = 60−b)-bit suffix w, W+1 when
     * w = 0, capped at 48 (cap keeps the estimator's denominator an
-    * exact integer; ranks ≥ 48 need ~2^47 distinct values to matter). */
-  def registers(df: DataFrame, value: Column, b: Int): DataFrame = {
+    * exact integer; ranks ≥ 48 need ~2^47 distinct values to matter).
+    * Delegates to [[registersBy]] with a constant shard so the two
+    * paths share ONE arithmetic spine — the full-scan and rollup
+    * registers cannot drift apart by construction. */
+  def registers(df: DataFrame, value: Column, b: Int): DataFrame =
+    registersBy(df, value, b, lit("_all")).drop("shard")
+
+  /** Per-(shard, register) max rank: (shard, j, r) — at most `2^b`
+    * rows PER SHARD. This is the sketch's production shape at 100 TB:
+    * compute registers once per partition (day/month/file batch), store
+    * m tiny rows per shard, and answer any cross-shard distinct count
+    * later by `groupBy(j).agg(max(r))` + [[estimate]] — no re-scan of
+    * the raw rows, and the merge is associative/idempotent so rollups
+    * compose (day → month → year). q46 pins the identity
+    * merged-shards == full-scan bit-for-bit against DuckDB. */
+  def registersBy(df: DataFrame, value: Column, b: Int,
+      shard: Column): DataFrame = {
     require(b >= 4 && b <= 12, "need 4 <= b <= 12 (16..4096 registers)")
     val m = 1 << b
     val w = 60 - b
@@ -38,19 +55,19 @@ object HyperLogLog {
     // null, manufacturing a phantom (NULL, 48) register that inflates
     // `occupied` and the estimate
     df.filter(value.isNotNull)
-      .select(
+      .select(shard.as("shard"),
         conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
           .cast("long").as("_h"))
       // integer div, NOT `/`: Column./ is double division, and a 60-bit
       // hash exceeds double's 53-bit exact range — the truncated quotient
       // would corrupt low bits of w (and the ranks) silently
-      .select(pmod(col("_h"), lit(m)).cast("int").as("j"),
+      .select(col("shard"), pmod(col("_h"), lit(m)).cast("int").as("j"),
         expr(s"_h div $m").as("_w"))
-      .select(col("j"),
+      .select(col("shard"), col("j"),
         least(lit(48), when(col("_w") === 0, lit(w + 1))
           .otherwise(lit(w + 1) -
             length(conv(col("_w").cast("string"), 10, 2)))).as("r"))
-      .groupBy("j").agg(max(col("r")).as("r"))
+      .groupBy("shard", "j").agg(max(col("r")).as("r"))
   }
 
   /** One-row estimate from a register frame: (m, occupied, est).

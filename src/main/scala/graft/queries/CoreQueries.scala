@@ -573,6 +573,36 @@ object CoreQueries {
         countDistinct(col("l_partkey")).as("exact_distinct"))))
   }
 
+  // q45's PRODUCTION story, gate-pinned (the r8 verdict's #2): monthly
+  // register shards (the rollup-over-LIST-partitions shape — compute m
+  // tiny rows per month at ingest, never re-scan) max-merged ==
+  // one full scan, register-for-register AND estimate-for-estimate.
+  // reg_mismatch pins the identity at the register level (full-outer
+  // diff must be empty); est/est_full pin it through the estimator.
+  // At 100 TB only the m·shards register rows ever move — the raw
+  // rows are read once, in their own partition, at ingest time.
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HyperLogLog
+    val o = t(s, dir, "orders")
+    val b = 10
+    val shardReg = HyperLogLog.registersBy(o, col("o_custkey"), b,
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val merged = shardReg.groupBy("j").agg(max(col("r")).as("r"))
+    val full = HyperLogLog.registers(o, col("o_custkey"), b)
+    val mism = merged.as("a")
+      .join(full.as("b"), col("a.j") === col("b.j"), "full_outer")
+      .filter(!(col("a.r") <=> col("b.r")))
+      .agg(count(lit(1)).as("reg_mismatch"))
+    HyperLogLog.estimate(merged, b) // (m, occupied, est), one row
+      .crossJoin(broadcast(HyperLogLog.estimate(full, b)
+        .select(col("est").as("est_full"))))
+      .crossJoin(broadcast(mism))
+      .crossJoin(broadcast(shardReg.agg(
+        countDistinct(col("shard")).as("n_shards"))))
+      .select(col("m"), col("occupied"), col("est"), col("est_full"),
+        col("reg_mismatch"), col("n_shards"))
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -601,6 +631,7 @@ object CoreQueries {
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
+    "q46_hll_merge" -> (q46 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -886,6 +917,47 @@ object CoreQueries {
         "x AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) " +
         "AS exact_distinct FROM lineitem) " +
         "SELECT m, occupied, est, exact_distinct FROM e CROSS JOIN x"),
+    // q45's register pipeline replayed per-MONTH shard, max-merged, and
+    // independently full-scanned; the full-outer register diff and the
+    // two estimates pin the merge identity end-to-end
+    "q46_hll_merge" ->
+      ("WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard, " +
+        "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h FROM orders), " +
+        "r0 AS (SELECT shard, CAST(h % 1024 AS INT) AS j, " +
+        "least(48, CASE WHEN h // 1024 = 0 THEN 51 " +
+        "ELSE 51 - length(bin(h // 1024)) END) AS r FROM h), " +
+        "sreg AS (SELECT shard, j, max(r) AS r FROM r0 " +
+        "GROUP BY shard, j), " +
+        "merged AS (SELECT j, max(r) AS r FROM sreg GROUP BY j), " +
+        "fullr AS (SELECT j, max(r) AS r FROM r0 GROUP BY j), " +
+        "mism AS (SELECT count(*) AS reg_mismatch FROM merged a " +
+        "FULL OUTER JOIN fullr b ON a.j = b.j " +
+        "WHERE NOT (a.r IS NOT DISTINCT FROM b.r)), " +
+        "am AS (SELECT count(*) AS occupied, CAST(coalesce(sum(" +
+        "CAST(1 AS BIGINT) << CAST(48 - r AS INT)), 0) AS BIGINT) " +
+        "AS socc FROM merged), " +
+        "stm AS (SELECT occupied, socc + (1024 - occupied) * " +
+        "(CAST(1 AS BIGINT) << 48) AS s, 1024 - occupied AS v FROM am), " +
+        "em AS (SELECT CAST(1024 AS BIGINT) AS m, occupied, " +
+        "round(CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s <= 2.5 * 1024 AND v > 0 " +
+        "THEN 1024 * ln(CAST(1024 AS DOUBLE) / v) " +
+        "ELSE (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s END, 2) AS est FROM stm), " +
+        "af AS (SELECT count(*) AS occupied, CAST(coalesce(sum(" +
+        "CAST(1 AS BIGINT) << CAST(48 - r AS INT)), 0) AS BIGINT) " +
+        "AS socc FROM fullr), " +
+        "stf AS (SELECT occupied, socc + (1024 - occupied) * " +
+        "(CAST(1 AS BIGINT) << 48) AS s, 1024 - occupied AS v FROM af), " +
+        "ef AS (SELECT round(CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * " +
+        "1024 * 1024 * pow(2, 48) / s <= 2.5 * 1024 AND v > 0 " +
+        "THEN 1024 * ln(CAST(1024 AS DOUBLE) / v) " +
+        "ELSE (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s END, 2) AS est_full FROM stf), " +
+        "ns AS (SELECT count(DISTINCT shard) AS n_shards FROM h) " +
+        "SELECT m, occupied, est, est_full, reg_mismatch, n_shards " +
+        "FROM em CROSS JOIN ef CROSS JOIN mism CROSS JOIN ns"),
     // identical floor-weight + RANGE-framed cumulative threshold
     "q44_weighted_median" ->
       ("WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +

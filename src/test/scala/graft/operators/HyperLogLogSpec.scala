@@ -37,6 +37,25 @@ class HyperLogLogSpec extends SparkSpec {
     assert(mergedEst === est(whole))
   }
 
+  test("registersBy shards then max-merge == one full scan, " +
+    "register-for-register") {
+    // the q46 contract: per-shard register frames (m rows per shard)
+    // merged by groupBy(j).max(r) are IDENTICAL to a full-scan sketch —
+    // rollups answer cross-shard distincts with no raw re-scan
+    val df = (1L to 2000L).map(v => (v, s"shard-${v % 7}"))
+      .toDF("v", "s")
+    val merged = HyperLogLog.registersBy(df, col("v"), 10, col("s"))
+      .groupBy("j").agg(max(col("r")).as("r"))
+    val full = HyperLogLog.registers(df, col("v"), 10)
+    val diff = merged.as("a")
+      .join(full.as("b"), col("a.j") === col("b.j"), "full_outer")
+      .filter(!(col("a.r") <=> col("b.r")))
+    assert(diff.count() === 0L)
+    val eM = HyperLogLog.estimate(merged, 10).head().getAs[Double]("est")
+    val eF = HyperLogLog.estimate(full, 10).head().getAs[Double]("est")
+    assert(eM === eF)
+  }
+
   test("NULL values are excluded (COUNT DISTINCT semantics, no " +
     "phantom register)") {
     // least(48, NULL) SKIPS the null in Spark — an unfiltered NULL

@@ -83,6 +83,7 @@ class PlanLintSpec extends SparkSpec {
         "t18_nb_confusion", // C-row class-stats broadcast rider
         "t20_collocations", // 1-row corpus-total riders (n_bg, n_ug)
         "q45_hll_distinct", // 1-row exact-distinct broadcast rider
+        "q46_hll_merge", // 1-row est_full/mismatch/n_shards riders
         // broadcast query set joined on label-INEQUALITY: O(n·|Q|) with
         // |Q| a curated sample by construction — the scale path swaps in
         // ANN-probe candidates, same rank contract
