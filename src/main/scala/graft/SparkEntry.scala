@@ -41,5 +41,6 @@ object SparkEntry {
     * {outDir}/aux/{name} so hash-seeded intermediates (e.g. SimHash
     * signatures) become DuckDB-readable inputs for the oracle SQL. */
   def auxOutputs: Map[String, (SparkSession, String) => DataFrame] =
-    DedupQueries.auxOutputs ++ TextQueries.auxOutputs
+    DedupQueries.auxOutputs ++ TextQueries.auxOutputs ++
+      MultimodalQueries.auxOutputs
 }

@@ -112,6 +112,72 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Smooth per-channel pattern for the JPEG fixtures: doc-keyed
+    * gradients + one low-frequency ramp. JPEG's DCT quantization is
+    * gentle on low-frequency content, so block means — and the aHash
+    * bits over them — survive the lossy round trip; the modular-noise
+    * PNG pattern would shift means enough to flip borderline bits. */
+  @inline private def pxSmooth(docId: Long, ch: Int, x: Int, y: Int,
+      w: Int, h: Int): Int = {
+    val gx = if (w > 1) x * 255 / (w - 1) else 0
+    val gy = if (h > 1) y * 255 / (h - 1) else 0
+    // per-(doc, channel) axis weights + flips steer the gradient's
+    // DIRECTION — structural variation that changes aHash bit patterns
+    // across docs (a constant brightness tilt would not: aHash
+    // normalizes by the grid total) yet stays low-frequency enough to
+    // survive JPEG quantization
+    val ca = ((docId + ch * 3) % 7 + 1).toInt
+    val cb = ((docId / 7 + ch * 5) % 7 + 1).toInt
+    val ux = if ((docId + ch) % 2 == 0) gx else 255 - gx
+    val uy = if ((docId / 2 + ch) % 2 == 0) gy else 255 - gy
+    (ca * ux + cb * uy) / (ca + cb)
+  }
+
+  /** JPEG-encode a smooth synthetic image — the LOSSY cousin of
+    * [[syntheticPng]], via the in-JDK `javax.imageio` JPEG writer at
+    * its default quality. Decoded pixels are NOT the closed form (DCT
+    * quantization), so JPEG gates pin the DECODED hash frame through an
+    * aux fixture (the d04/t15 two-stage recipe) rather than a
+    * closed-form pixel replay. */
+  def syntheticJpeg(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pxSmooth(docId, 0, x, y, w, h) << 16) |
+            (pxSmooth(docId, 1, x, y, w, h) << 8) |
+            pxSmooth(docId, 2, x, y, w, h))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Real-JPEG payload fixture: same image-kind subset and dims as
+    * [[imagePayloads]], JPEG-encoded. Same scan-side mapPartitions
+    * shape — payload bytes never cross a shuffle. */
+  def jpegPayloads(docs: DataFrame, limit: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).where(col("doc_id") % 3 === 0)
+      .orderBy("doc_id").limit(limit)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (id % 24 + 8).toInt
+          val h = (id % 16 + 6).toInt
+          (id, syntheticJpeg(id, w, h), "image")
+        }
+      }
+      .toDF("doc_id", "payload", "kind")
+  }
+
   /** Real-PNG payload fixture: the image-kind doc subset (doc_id % 3 == 0,
     * matching [[fakePayloads]]' kind assignment), each carrying an actual
     * PNG whose dims derive from doc_id. Encoding runs scan-side in

@@ -157,7 +157,31 @@ object MultimodalQueries {
       .orderBy("cap")
   }
 
+  // JPEG NEAR-DUP — the image family beyond PNG, at zero marginal
+  // design cost: javax.imageio's native JPEG reader feeds the SAME
+  // imageAHash -> nearestByHamming pipeline as mm08 (the operator never
+  // asked which codec produced the pixels). JPEG is lossy, so no
+  // closed-form pixel replay exists; the oracle is two-stage (the
+  // d04/t15 recipe): Verify writes the decoded hash frame to
+  // {OUT}/aux/mm13_hashes and DuckDB replays band split, hot-bucket
+  // cap, candidate join, and argmin from it — the pairing logic stays
+  // cross-engine-checked, the codec stays pinned by MultimodalSpec's
+  // PNG-vs-JPEG Hamming-bound test.
+  private def mm13(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearestByHamming(
+      Multimodal.imageAHash(
+        Multimodal.jpegPayloads(Tables(s, dir, "documents"))).toDF(),
+      bandBits = 16, numBands = 4, maxBucket = 1000)
+      .orderBy("doc_id")
+
+  /** Aux fixtures for two-stage oracles (see DedupQueries.auxOutputs). */
+  val auxOutputs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm13_hashes" -> ((s, dir) =>
+      Multimodal.imageAHash(
+        Multimodal.jpegPayloads(Tables(s, dir, "documents"))).toDF()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm13_jpeg_neardup" -> (mm13 _),
     "mm11_cap_audit" -> (mm11 _),
     "mm12_video_cap_audit" -> (mm12 _),
     "mm08_image_neardup" -> (mm08 _),
@@ -173,6 +197,31 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // two-stage: hashes from the Spark-decoded JPEG fixture (lossy
+    // codec — no closed form), band/cap/candidate/argmin replayed in
+    // plain bit arithmetic, the mm08 tail verbatim
+    "mm13_jpeg_neardup" ->
+      ("WITH hsh AS (SELECT doc_id, width, height, phash FROM " +
+        "read_parquet('{OUT}/aux/mm13_hashes/*.parquet')), " +
+        "bands AS (SELECT doc_id, phash, unnest([0,1,2,3]) AS band " +
+        "FROM hsh), " +
+        "bv0 AS (SELECT doc_id, phash, band, " +
+        "(phash >> (16*band)) & 65535 AS v FROM bands), " +
+        "bc AS (SELECT band, v FROM bv0 GROUP BY band, v " +
+        "HAVING count(*) <= 1000), " +
+        "bv AS (SELECT bv0.* FROM bv0 JOIN bc USING (band, v)), " +
+        "cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cand_id, " +
+        "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming " +
+        "FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v " +
+        "AND a.doc_id <> b.doc_id), " +
+        "nn AS (SELECT doc_id, cand_id AS nn_id, hamming AS nn_hamming " +
+        "FROM (SELECT doc_id, cand_id, hamming, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY hamming, cand_id) AS rn FROM cand) " +
+        "WHERE rn = 1) " +
+        "SELECT hsh.doc_id, width, height, phash, " +
+        "CAST(coalesce(nn.nn_id, -1) AS BIGINT) AS nn_id, " +
+        "CAST(coalesce(nn.nn_hamming, -1) AS BIGINT) AS nn_hamming " +
+        "FROM hsh LEFT JOIN nn USING (doc_id) ORDER BY hsh.doc_id"),
     // the mm08 hash replay down to the banding, then the d08-style
     // audit aggregate at both caps over the coarse 8-bit bands
     "mm11_cap_audit" ->
