@@ -214,6 +214,51 @@ object Drill {
     }
   }
 
+  /** g02/g03/g05 stage tables (the r8 verdict's remaining graph-tail
+    * ask): every gate shares the co-purchase edge build; the variants
+    * split edge derivation from the iterative machinery so the
+    * stage-constant claim is measured, not asserted. */
+  private def gtailVariants(s: SparkSession, dir: String): Unit = {
+    import operators.{Bfs, LabelPropagation, Triangles}
+    val li = Tables(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+    time("li scan+count") { li.count() }
+    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    time("edge build (coOccurrenceEdges)") { e0.count() }
+    val sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    val ck = sym.localCheckpoint(true)
+    // g02 stages (runs on the a<b frame, not the symmetrized one)
+    val eck = e0.localCheckpoint(true)
+    time("g02 full gate (build + count)") {
+      Triangles.perNodeCounts(e0).count()
+    }
+    time("g02 perNodeCounts on checkpointed edges") {
+      Triangles.perNodeCounts(eck).count()
+    }
+    // g03 stages
+    val seeds = li.filter(col("l_partkey") % 500 === 0)
+      .select(col("l_partkey").as("node")).distinct()
+    time("g03 bfs 1 hop (on checkpointed edges)") {
+      Bfs.layers(ck, seeds, maxHops = 1).count()
+    }
+    time("g03 bfs 3 hops (on checkpointed edges)") {
+      Bfs.layers(ck, seeds, maxHops = 3).count()
+    }
+    time("g03 full gate (build + 3 hops)") {
+      Bfs.layers(sym, seeds, maxHops = 3).count()
+    }
+    // g05 stages
+    time("g05 propagate r=1 (on checkpointed edges)") {
+      LabelPropagation.propagate(ck, rounds = 1).count()
+    }
+    time("g05 propagate r=3 (on checkpointed edges)") {
+      LabelPropagation.propagate(ck, rounds = 3).count()
+    }
+    time("g05 full gate (build + communities r=3)") {
+      LabelPropagation.communities(sym, rounds = 3).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -225,6 +270,7 @@ object Drill {
       case "f07" => f07Variants(spark, sfDir)
       case "tail" => s01t28q32Variants(spark, sfDir)
       case "d06" => d06Variants(spark, sfDir)
+      case "gtail" => gtailVariants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

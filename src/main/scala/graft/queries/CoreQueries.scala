@@ -603,6 +603,54 @@ object CoreQueries {
         col("reg_mismatch"), col("n_shards"))
   }
 
+  // KMV bottom-k sketch (q45/q46's set-algebra cousin): per-month
+  // k-minima of the o_custkey hash built in ONE corpus pass with
+  // k-bounded aggregation state (KmvAgg), then everything else derived
+  // from sketches alone — merged-shards == full-scan minima pinned
+  // bit-for-bit (minima_mismatch), and the pre/post-1998 customer
+  // OVERLAP estimated from the two half-range sketch merges with no
+  // re-scan (the set-operation answer HLL registers cannot give
+  // without inclusion-exclusion error stacking). Exact references ride
+  // along. DuckDB replays hash → per-shard k-minima → merge → the
+  // identical fixed-shape estimators.
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KmvSketch
+    val o = t(s, dir, "orders")
+    val k = 256
+    val shardSk = KmvSketch.sketchBy(o, col("o_custkey"), k,
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val merged = KmvSketch.merge(shardSk, k)
+    val full = KmvSketch.sketchBy(o, col("o_custkey"), k, lit("_all"))
+      .select("minima")
+    val mism = merged.select(col("minima").as("ma"))
+      .crossJoin(full.select(col("minima").as("mb")))
+      .select((size(array_except(col("ma"), col("mb"))) +
+        size(array_except(col("mb"), col("ma")))).cast("long")
+        .as("minima_mismatch"))
+    val inter = KmvSketch.estimateIntersection(
+      KmvSketch.merge(shardSk.filter(col("shard") < "1998-01"), k),
+      KmvSketch.merge(shardSk.filter(col("shard") >= "1998-01"), k), k)
+    val exact = o.agg(
+      countDistinct(col("o_custkey")).as("exact_distinct"))
+    val exactI = o.filter(col("o_orderdate") < "1998-01-01")
+      .select("o_custkey").distinct()
+      .join(o.filter(col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey").distinct(), Seq("o_custkey"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    KmvSketch.estimate(merged, k)
+      .select(col("n_min"), col("est").as("est_merged"))
+      .crossJoin(broadcast(KmvSketch.estimate(full, k)
+        .select(col("est").as("est_full"))))
+      .crossJoin(broadcast(mism))
+      .crossJoin(broadcast(inter))
+      .crossJoin(broadcast(exact))
+      .crossJoin(broadcast(exactI))
+      .select(lit(k.toLong).as("k"), col("n_min"), col("est_merged"),
+        col("est_full"), col("minima_mismatch"), col("n_union_min"),
+        col("rho_num"), col("est_union"), col("est_intersect"),
+        col("exact_distinct"), col("exact_intersect"))
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -632,6 +680,7 @@ object CoreQueries {
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
     "q46_hll_merge" -> (q46 _),
+    "q47_kmv_sketch" -> (q47 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -920,6 +969,65 @@ object CoreQueries {
     // q45's register pipeline replayed per-MONTH shard, max-merged, and
     // independently full-scanned; the full-outer register diff and the
     // two estimates pin the merge identity end-to-end
+    // the KMV pipeline replayed relationally: 60-bit md5 hash ->
+    // per-month distinct k-minima -> sketch-only merges (full range +
+    // both halves) -> the same fixed-shape estimators; minima sets are
+    // compared by full-outer join, exact references recomputed
+    "q47_kmv_sketch" ->
+      ("WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard, " +
+        "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h, o_orderdate AS d, o_custkey AS c FROM orders), " +
+        "dh AS (SELECT DISTINCT shard, h FROM h), " +
+        "sk AS (SELECT shard, h FROM (SELECT shard, h, row_number() " +
+        "OVER (PARTITION BY shard ORDER BY h) AS rn FROM dh) " +
+        "WHERE rn <= 256), " +
+        "mrg AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM sk)) " +
+        "WHERE rn <= 256), " +
+        "ful AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM h)) " +
+        "WHERE rn <= 256), " +
+        "mism AS (SELECT CAST(count(*) AS BIGINT) AS minima_mismatch " +
+        "FROM mrg a FULL OUTER JOIN ful b ON a.h = b.h " +
+        "WHERE a.h IS NULL OR b.h IS NULL), " +
+        "em AS (SELECT CAST(count(*) AS BIGINT) AS n_min, " +
+        "round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / max(h) END, 2) AS est_merged FROM mrg), " +
+        "ef AS (SELECT round(CASE WHEN count(*) < 256 " +
+        "THEN CAST(count(*) AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / max(h) END, 2) AS est_full FROM ful), " +
+        "ska AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM sk " +
+        "WHERE shard < '1998-01')) WHERE rn <= 256), " +
+        "skb AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM sk " +
+        "WHERE shard >= '1998-01')) WHERE rn <= 256), " +
+        "u AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM " +
+        "(SELECT h FROM ska UNION ALL SELECT h FROM skb))) " +
+        "WHERE rn <= 256), " +
+        "un AS (SELECT CAST(count(*) AS BIGINT) AS n_union_min, " +
+        "max(h) AS hku FROM u), " +
+        "rh AS (SELECT CAST(count(*) AS BIGINT) AS rho_num FROM u " +
+        "WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)), " +
+        "eu AS (SELECT n_union_min, rho_num, " +
+        "CASE WHEN n_union_min < 256 THEN CAST(n_union_min AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / hku END AS estu " +
+        "FROM un CROSS JOIN rh), " +
+        "ei AS (SELECT n_union_min, rho_num, round(estu, 2) AS " +
+        "est_union, round(rho_num * estu / n_union_min, 2) AS " +
+        "est_intersect FROM eu), " +
+        "x AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS " +
+        "exact_distinct FROM h), " +
+        "xi AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect " +
+        "FROM (SELECT DISTINCT c FROM h WHERE d < DATE '1998-01-01') a " +
+        "JOIN (SELECT DISTINCT c FROM h WHERE d >= DATE '1998-01-01') b " +
+        "USING (c)) " +
+        "SELECT CAST(256 AS BIGINT) AS k, n_min, est_merged, est_full, " +
+        "minima_mismatch, n_union_min, rho_num, est_union, " +
+        "est_intersect, exact_distinct, exact_intersect " +
+        "FROM em CROSS JOIN ef CROSS JOIN mism CROSS JOIN ei " +
+        "CROSS JOIN x CROSS JOIN xi"),
     "q46_hll_merge" ->
       ("WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard, " +
         "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) " +

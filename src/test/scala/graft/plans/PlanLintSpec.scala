@@ -84,6 +84,9 @@ class PlanLintSpec extends SparkSpec {
         "t20_collocations", // 1-row corpus-total riders (n_bg, n_ug)
         "q45_hll_distinct", // 1-row exact-distinct broadcast rider
         "q46_hll_merge", // 1-row est_full/mismatch/n_shards riders
+        // 1-row sketch/estimate/exact-reference riders (the q46
+        // shape): every crossJoined side is a one-row frame
+        "q47_kmv_sketch",
         // broadcast query set joined on label-INEQUALITY: O(n·|Q|) with
         // |Q| a curated sample by construction — the scale path swaps in
         // ANN-probe candidates, same rank contract
