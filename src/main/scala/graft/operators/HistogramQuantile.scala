@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,9 +55,48 @@ object HistogramQuantile {
       s"value span [$lo, $hi] overflows the binning arithmetic")
     require(span.toDouble * bins <= Long.MaxValue.toDouble,
       s"span $span x $bins bins overflows the binning arithmetic")
-    val hist = v
-      .select(expr(s"((v - $lo) * $bins) div $span").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val hist = binCountsBy(v.toDF(), "v", bins, lo, hi, lit("_all"))
+      .drop("shard")
+    quantilesFromCounts(hist, bins, lo, hi, n, pcts)
+  }
+
+  /** Per-shard equi-width bin counts over a FIXED [lo, hi] domain:
+    * (shard, bin, cnt). This is the sketch's production shape at
+    * 100 TB — the q46/q47 discipline: bin each partition (day/month/
+    * file batch) ONCE against shared edges, store ≤ `bins` rows per
+    * shard, and answer any cross-shard quantile later by summing
+    * counts ([[mergeCounts]]) — addition is associative/commutative,
+    * so rollups compose and arrive-order never matters. `value` rows
+    * outside [lo, hi] violate the fixed-domain contract (the caller
+    * derives edges from a global pass or a known domain); they would
+    * land in out-of-range bins rather than clamp. [[quantiles]]
+    * delegates here with a constant shard so the one-shot and rollup
+    * paths share ONE binning spine and cannot drift (q48 pins the
+    * identity end-to-end). */
+  def binCountsBy(df: DataFrame, value: String, bins: Int, lo: Long,
+      hi: Long, shard: Column): DataFrame = {
+    val span = hi - lo + 1
+    require(span > 0, s"value span [$lo, $hi] overflows")
+    df.filter(col(value).isNotNull)
+      .select(shard.as("shard"),
+        expr(s"(($value - $lo) * $bins) div $span").as("bin"))
+      .groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge shard histograms into one (bin, cnt) frame — plain
+    * addition, sketch-sized input (≤ bins·shards rows). */
+  def mergeCounts(hist: DataFrame): DataFrame =
+    hist.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile read-off from a (bin, cnt) histogram built against
+    * [lo, hi]: (pct, bin, est) per requested percentile. Runs entirely
+    * on the ≤ `bins`-row frame (the single-task cumulative window is
+    * bounded by design). */
+  def quantilesFromCounts(hist: DataFrame, bins: Int, lo: Long,
+      hi: Long, n: Long, pcts: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val span = hi - lo + 1
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

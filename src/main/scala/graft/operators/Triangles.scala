@@ -74,4 +74,25 @@ object Triangles {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Local clustering coefficient per node — the "how clique-like is
+    * this node's neighborhood" density signal (Watts & Strogatz 1998):
+    * cc = 2·triangles / (deg·(deg−1)), kept EXACT in ppm integers
+    * (`cc_ppm = (2_000_000·triangles) div (deg·(deg−1))`) so the gate
+    * hash-replays — no float division to drift. Returns (node, deg,
+    * triangles, cc_ppm) for every node with deg ≥ 2 (deg-1 nodes have
+    * no defined coefficient); triangle-free nodes report 0.
+    * Same inputs and scale shape as [[perNodeCounts]] — the degree
+    * frame is node-sized, the join hash-partitioned. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(perNodeCounts(e0), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("(2000000 * coalesce(triangles, CAST(0 AS BIGINT))) div " +
+          "(deg * (deg - 1))").as("cc_ppm"))
+  }
 }

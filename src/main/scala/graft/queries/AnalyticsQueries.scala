@@ -177,6 +177,18 @@ object AnalyticsQueries {
       .limit(100)
   }
 
+  // local clustering coefficient on the co-purchase graph — the
+  // clique-density signal over the same edges as g02, in exact ppm
+  // integers (no float division to drift); top 200 densest nodes
+  private def g06(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+    Triangles.clusteringCoefficient(
+      Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+      .orderBy(col("cc_ppm").desc, col("node"))
+      .limit(200)
+  }
+
   // smoothed target encoding of each document source by its English
   // rate (pseudo-count m=20) — the per-source language-purity prior a
   // curation pipeline feeds its quality model, exact in ppm integers
@@ -231,6 +243,7 @@ object AnalyticsQueries {
     "g01_pagerank" -> (g01 _),
     "g02_triangles" -> (g02 _),
     "g03_bfs_layers" -> (g03 _),
+    "g06_clustering_coeff" -> (g06 _),
   )
 
   // 5 PageRank iterations unrolled as CTE stages — exact integer
@@ -466,6 +479,33 @@ object AnalyticsQueries {
         "SELECT v FROM tri UNION ALL SELECT w FROM tri) " +
         "SELECT node, count(*) AS triangles FROM pn GROUP BY node " +
         "ORDER BY triangles DESC, node LIMIT 20"),
+    // g02's orientation replay + the degree/coefficient tail: exact
+    // ppm integer division in both engines, deg >= 2 contract
+    "g06_clustering_coeff" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "d AS (SELECT n, count(*) AS deg FROM " +
+        "(SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n), " +
+        "eo AS (SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) " +
+        "THEN e0.a ELSE e0.b END AS src, " +
+        "CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) " +
+        "THEN e0.b ELSE e0.a END AS dst " +
+        "FROM e0 JOIN d da ON da.n = e0.a JOIN d db ON db.n = e0.b), " +
+        "tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w " +
+        "FROM eo e1 JOIN eo e2 ON e1.dst = e2.src " +
+        "JOIN eo e3 ON e3.src = e1.src AND e3.dst = e2.dst), " +
+        "pn AS (SELECT u AS node FROM tri UNION ALL " +
+        "SELECT v FROM tri UNION ALL SELECT w FROM tri), " +
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles " +
+        "FROM pn GROUP BY node) " +
+        "SELECT d.n AS node, CAST(d.deg AS BIGINT) AS deg, " +
+        "CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles, " +
+        "CAST((2000000 * coalesce(tc.triangles, 0)) // " +
+        "(d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm " +
+        "FROM d LEFT JOIN tc ON tc.node = d.n WHERE d.deg >= 2 " +
+        "ORDER BY cc_ppm DESC, node LIMIT 200"),
     // exact-µs gap arithmetic; ties broken by event_id so the lag — and
     // therefore every session boundary — is a total order
     "f06_sessionize" ->

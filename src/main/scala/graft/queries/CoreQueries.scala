@@ -651,6 +651,41 @@ object CoreQueries {
         col("exact_distinct"), col("exact_intersect"))
   }
 
+  // Histogram shard-merge rollup (q43's production story, the
+  // q46/q47 discipline made the third mergeable sketch): per-month bin
+  // counts against FIXED global edges, sum-merged == independent
+  // full-scan counts pinned bin-for-bin (full-outer diff), quantiles
+  // read off the MERGED histogram — cross-shard percentiles with no
+  // raw re-scan. One binning spine for both paths (quantiles delegates
+  // to binCountsBy), so they cannot drift by construction.
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistogramQuantile
+    val v = t(s, dir, "orders").select(
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+    val mm = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val bins = 256
+    val shardHist = HistogramQuantile.binCountsBy(
+      v, "v", bins, lo, hi, col("m"))
+    val merged = HistogramQuantile.mergeCounts(shardHist)
+    val direct = HistogramQuantile.binCountsBy(
+      v, "v", bins, lo, hi, lit("_all")).drop("shard")
+    val mism = merged.as("a")
+      .join(direct.as("b"), col("a.bin") === col("b.bin"), "full_outer")
+      .filter(!(col("a.cnt") <=> col("b.cnt")))
+      .agg(count(lit(1)).as("bin_mismatch"))
+    val nsh = shardHist.agg(countDistinct(col("shard")).as("n_shards"))
+    HistogramQuantile.quantilesFromCounts(merged, bins, lo, hi, n,
+        Seq(1, 5, 25, 50, 75, 95, 99))
+      .crossJoin(broadcast(mism))
+      .crossJoin(broadcast(nsh))
+      .select(col("pct"), col("bin"), col("est"), col("bin_mismatch"),
+        col("n_shards"))
+      .orderBy("pct")
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -681,6 +716,7 @@ object CoreQueries {
     "q45_hll_distinct" -> (q45 _),
     "q46_hll_merge" -> (q46 _),
     "q47_kmv_sketch" -> (q47 _),
+    "q48_histo_merge" -> (q48 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -925,6 +961,35 @@ object CoreQueries {
         "ORDER BY l_partkey"),
     // identical 256-bin equi-width sketch: bin, cumulative count, and
     // lower-edge estimate all in floor-division integer arithmetic
+    // q43's binning replayed per-month against the same global edges,
+    // sum-merged vs independently re-binned; the full-outer count diff
+    // and the merged-histogram quantile read-off pin the rollup
+    "q48_histo_merge" ->
+      ("WITH val AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "AS v, strftime(o_orderdate, '%Y-%m') AS m FROM orders), " +
+        "mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n " +
+        "FROM val), " +
+        "vb AS (SELECT m, ((v - lo) * 256) // (hi - lo + 1) AS bin " +
+        "FROM val CROSS JOIN mm), " +
+        "sh AS (SELECT m, bin, count(*) AS cnt FROM vb GROUP BY m, bin), " +
+        "mrg AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM sh " +
+        "GROUP BY bin), " +
+        "dct AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM vb " +
+        "GROUP BY bin), " +
+        "mis AS (SELECT CAST(count(*) AS BIGINT) AS bin_mismatch " +
+        "FROM mrg a FULL OUTER JOIN dct b ON a.bin = b.bin " +
+        "WHERE NOT (a.cnt IS NOT DISTINCT FROM b.cnt)), " +
+        "ns AS (SELECT CAST(count(DISTINCT m) AS BIGINT) AS n_shards " +
+        "FROM val), " +
+        "cu AS (SELECT bin, sum(cnt) OVER (ORDER BY bin " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM mrg), " +
+        "p AS (SELECT unnest([1, 5, 25, 50, 75, 95, 99]) AS pct), " +
+        "sel AS (SELECT pct, min(bin) AS bin FROM p CROSS JOIN mm " +
+        "JOIN cu ON cum >= (pct * n + 99) // 100 GROUP BY pct) " +
+        "SELECT pct, CAST(bin AS BIGINT) AS bin, " +
+        "CAST(lo + (bin * (hi - lo + 1)) // 256 AS BIGINT) AS est, " +
+        "bin_mismatch, n_shards FROM sel CROSS JOIN mm " +
+        "CROSS JOIN mis CROSS JOIN ns ORDER BY pct"),
     "q43_histo_quantile" ->
       ("WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) " +
         "AS c FROM orders), " +

@@ -45,4 +45,27 @@ class HistogramQuantileSpec extends SparkSpec {
     val est = run(Seq(10L, 20L, 30L), bins = 1)
     pcts.foreach(p => assert(est(p) === 10L))
   }
+
+  test("shard-merged bin counts equal the full-scan histogram; " +
+    "quantiles from the merged histogram match quantiles()") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val vals = (1 to 5000).map(i => ((i.toLong * 37) % 4001L) + 3L)
+    val df = vals.toDF("v").withColumn("shard", pmod(col("v"), lit(7)))
+    val (lo, hi, n) = (vals.min, vals.max, vals.size.toLong)
+    val bins = 64
+    val merged = HistogramQuantile.mergeCounts(
+      HistogramQuantile.binCountsBy(df, "v", bins, lo, hi, col("shard")))
+    val direct = HistogramQuantile.binCountsBy(
+      df, "v", bins, lo, hi, lit("_all")).drop("shard")
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === d)
+    assert(m.values.sum === n)
+    val qm = HistogramQuantile.quantilesFromCounts(
+      merged, bins, lo, hi, n, pcts)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val q0 = HistogramQuantile.quantiles(df, "v", bins, pcts)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(qm === q0)
+  }
 }

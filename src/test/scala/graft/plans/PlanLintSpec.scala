@@ -87,6 +87,9 @@ class PlanLintSpec extends SparkSpec {
         // 1-row sketch/estimate/exact-reference riders (the q46
         // shape): every crossJoined side is a one-row frame
         "q47_kmv_sketch",
+        // q43's pct-threshold join (both sides sketch-bounded) plus
+        // the q46-shape 1-row mismatch/n_shards riders
+        "q48_histo_merge",
         // broadcast query set joined on label-INEQUALITY: O(n·|Q|) with
         // |Q| a curated sample by construction — the scale path swaps in
         // ANN-probe candidates, same rank contract
@@ -130,6 +133,9 @@ class PlanLintSpec extends SparkSpec {
         // HistogramQuantile's NULL guard over the gate's computed
         // cents column (round(price*100) cast long): same class
         "q43_histo_quantile",
+        // the same cents NULL guard (binCountsBy) + the full-outer
+        // bin-count diff — a post-join inequality by definition
+        "q48_histo_merge",
         // LSH candidacy (exists over the per-row bucket array vs the
         // query's signature literals) + the adc NOT NULL guard: both
         // computed predicates — the s01/s07 classes composed
