@@ -259,6 +259,34 @@ object Drill {
     }
   }
 
+  /** q47 stage table: where the KMV gate's wall-clock goes. */
+  private def q47Variants(s: SparkSession, dir: String): Unit = {
+    import operators.KmvSketch
+    val o = Tables(s, dir, "orders")
+    val k = 256
+    time("orders scan+count") { o.count() }
+    time("hash60 only (project + count)") {
+      o.select(KmvSketch.hash60(col("o_custkey")).as("h"))
+        .agg(count(col("h"))).count()
+    }
+    time("full sketch (KmvAgg, one group)") {
+      KmvSketch.sketchBy(o, col("o_custkey"), k, lit("_all")).count()
+    }
+    time("shard sketch (KmvAgg, ~80 groups)") {
+      KmvSketch.sketchBy(o, col("o_custkey"), k,
+        date_format(col("o_orderdate"), "yyyy-MM")).count()
+    }
+    time("exact refs (one groupBy pass)") {
+      o.groupBy("o_custkey").agg(
+          max(when(col("o_orderdate") < "1998-01-01", 1).otherwise(0))
+            .as("in_a"))
+        .agg(count(lit(1))).count()
+    }
+    time("full gate") {
+      graft.SparkEntry.queries("q47_kmv_sketch")(s, dir).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -271,6 +299,7 @@ object Drill {
       case "tail" => s01t28q32Variants(spark, sfDir)
       case "d06" => d06Variants(spark, sfDir)
       case "gtail" => gtailVariants(spark, sfDir)
+      case "q47" => q47Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

@@ -8,7 +8,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * KMV ("k minimum values") distinct-value sketch state (Bar-Yossef,
   * Jayram, Kumar, Sivakumar & Trevisan 2002; Beyer, Haas, Reinwald,
   * Sismanis & Gemulla 2007). The buffer is an ascending sorted
-  * duplicate-free Seq of at most k hashes.
+  * duplicate-free primitive Array of at most k hashes — primitive so
+  * the hot path is an O(1) unboxed compare against the current k-th
+  * minimum (a Seq buffer made `buf.last` an O(k) list walk PER ROW:
+  * measured ~0.4 s of pure traversal on a 150k-row corpus at k=256).
   *
   * Why an Aggregator and not `distinct + row_number window`: the
   * pre-distinct shuffles the corpus' per-task distinct hash SETS —
@@ -23,26 +26,37 @@ import org.apache.spark.sql.expressions.Aggregator
   * distinctness is what makes the k-th minimum an order statistic of
   * the VALUE SET, which is what the estimator needs.
   */
-class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k >= 2, "k must be >= 2 (the estimator uses k-1)")
 
-  override def zero: Seq[Long] = Seq.empty
+  override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
     // full buffer and h can't displace anything: O(1) reject — the hot
     // path once the sketch saturates (all but O(k log n) rows)
-    if (buf.length == k && h >= buf.last) buf
-    else if (buf.contains(h)) buf
-    else ((buf :+ h).sorted).take(k)
+    if (buf.length == k && h >= buf(k - 1)) buf
+    else {
+      val i = java.util.Arrays.binarySearch(buf, h)
+      if (i >= 0) buf // already present (sketch is a SET of hashes)
+      else {
+        val ins = -i - 1
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
 
-  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     (a ++ b).distinct.sorted.take(k)
 
-  override def finish(buf: Seq[Long]): Seq[Long] = buf
+  override def finish(buf: Array[Long]): Array[Long] = buf
 
-  override def bufferEncoder: Encoder[Seq[Long]] =
-    ExpressionEncoder[Seq[Long]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 
-  override def outputEncoder: Encoder[Seq[Long]] =
-    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
 }

@@ -617,11 +617,14 @@ object CoreQueries {
     import graft.operators.KmvSketch
     val o = t(s, dir, "orders")
     val k = 256
+    // the per-shard sketch frame is ~80 rows: materialize it ONCE so
+    // its four consumers (merge, both half-range merges, n_shards)
+    // read an 80-row RDD instead of re-scanning orders each
     val shardSk = KmvSketch.sketchBy(o, col("o_custkey"), k,
-      date_format(col("o_orderdate"), "yyyy-MM"))
-    val merged = KmvSketch.merge(shardSk, k)
+      date_format(col("o_orderdate"), "yyyy-MM")).localCheckpoint()
+    val merged = KmvSketch.merge(shardSk, k).localCheckpoint()
     val full = KmvSketch.sketchBy(o, col("o_custkey"), k, lit("_all"))
-      .select("minima")
+      .select("minima").localCheckpoint()
     val mism = merged.select(col("minima").as("ma"))
       .crossJoin(full.select(col("minima").as("mb")))
       .select((size(array_except(col("ma"), col("mb"))) +
@@ -630,13 +633,16 @@ object CoreQueries {
     val inter = KmvSketch.estimateIntersection(
       KmvSketch.merge(shardSk.filter(col("shard") < "1998-01"), k),
       KmvSketch.merge(shardSk.filter(col("shard") >= "1998-01"), k), k)
-    val exact = o.agg(
-      countDistinct(col("o_custkey")).as("exact_distinct"))
-    val exactI = o.filter(col("o_orderdate") < "1998-01-01")
-      .select("o_custkey").distinct()
-      .join(o.filter(col("o_orderdate") >= "1998-01-01")
-        .select("o_custkey").distinct(), Seq("o_custkey"))
-      .agg(count(lit(1)).as("exact_intersect"))
+    // both exact references in ONE pass: per-customer half-membership
+    // flags, then count + both-halves count
+    val exact = o.groupBy("o_custkey").agg(
+        max(when(col("o_orderdate") < "1998-01-01", 1).otherwise(0))
+          .as("in_a"),
+        max(when(col("o_orderdate") >= "1998-01-01", 1).otherwise(0))
+          .as("in_b"))
+      .agg(count(lit(1)).as("exact_distinct"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("exact_intersect"))
     KmvSketch.estimate(merged, k)
       .select(col("n_min"), col("est").as("est_merged"))
       .crossJoin(broadcast(KmvSketch.estimate(full, k)
@@ -644,7 +650,6 @@ object CoreQueries {
       .crossJoin(broadcast(mism))
       .crossJoin(broadcast(inter))
       .crossJoin(broadcast(exact))
-      .crossJoin(broadcast(exactI))
       .select(lit(k.toLong).as("k"), col("n_min"), col("est_merged"),
         col("est_full"), col("minima_mismatch"), col("n_union_min"),
         col("rho_num"), col("est_union"), col("est_intersect"),

@@ -12,14 +12,14 @@ class KmvSketchSpec extends SparkSpec {
     // duplicates never enter; saturation ejects the largest
     val buf = Seq(9L, 3L, 9L, 7L, 1L, 5L, 3L, 2L)
       .foldLeft(agg.zero)(agg.reduce)
-    assert(buf === Seq(1L, 2L, 3L, 5L))
+    assert(buf.toSeq === Seq(1L, 2L, 3L, 5L))
     // merge is the same bounded sorted-distinct union
-    assert(agg.merge(Seq(1L, 4L, 8L), Seq(2L, 4L, 6L)) ===
+    assert(agg.merge(Array(1L, 4L, 8L), Array(2L, 4L, 6L)).toSeq ===
       Seq(1L, 2L, 4L, 6L))
     // order-independence: reversed arrival, same sketch
     val rev = Seq(9L, 3L, 9L, 7L, 1L, 5L, 3L, 2L).reverse
       .foldLeft(agg.zero)(agg.reduce)
-    assert(rev === buf)
+    assert(rev.toSeq === buf.toSeq)
   }
 
   test("unsaturated sketch is the exact value set; estimate is exact") {
