@@ -53,7 +53,9 @@ object ScalingProbe {
     // r8 late additions: the round's own new >= 1 s gates
     "s15_ivfpq_topk", "t29_ppl_filter",
     // r9 additions: the last unprobed >= 1 s gates (r8 verdict item #5)
-    "s07_pq_topk", "p09_curate_e2e", "d07_contamination")
+    "s07_pq_topk", "p09_curate_e2e", "d07_contamination",
+    // r9 late additions: the round's own new >= 1 s gates
+    "q47_kmv_sketch", "q48_histo_merge", "g06_clustering_coeff")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
