@@ -714,8 +714,34 @@ object CoreQueries {
           lit(0L)).as("gross_amt"))
       .orderBy("id")
 
+  // CSV ingest with an EXPLICIT schema (no inferSchema — at 100 TB
+  // schema inference is a full extra pass over every file before the
+  // real one) and RFC4180 quoting: escape = '"' so doubled quotes
+  // parse, which is what spreadsheet/warehouse exports actually emit —
+  // Spark's default backslash escape silently mis-parses them. The
+  // fixture carries quoted commas, doubled quotes, empty-as-NULL cells
+  // (both string and numeric), and NO embedded newlines BY DESIGN:
+  // multiLine=true makes every CSV file non-splittable (one task per
+  // file), the classic CSV-at-scale trap — exports that need embedded
+  // newlines should quote-strip upstream or move to a framed format.
+  // body_len rides in the output so one mis-handled quote anywhere
+  // shifts a value the hash compare will catch.
+  private def src02(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("doc_id BIGINT, source STRING, lang STRING, " +
+        "published DATE, title STRING, body STRING, score DOUBLE")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(graft.GraftSession.fixture("docs_export.csv"))
+      .filter(col("lang") === "en" && col("score").isNotNull)
+      .select(col("doc_id"), col("source"), col("published"),
+        col("title"), length(col("body")).cast("long").as("body_len"),
+        col("score"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_square_source" -> (src01 _),
+    "src02_csv_source" -> (src02 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
@@ -769,6 +795,17 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
     // same fixture dir, typed read_json projection; ignore_errors skips
     // the malformed line exactly like the connector's skip counter;
+    // RFC4180 replay: same quote/escape, same explicit column types,
+    // same empty-as-NULL — body_len catches any quote-handling drift
+    "src02_csv_source" ->
+      ("SELECT doc_id, source, published, title, " +
+        "CAST(length(body) AS BIGINT) AS body_len, score " +
+        "FROM read_csv('" + graft.GraftSession.fixture("docs_export.csv") +
+        "', header=true, quote='\"', escape='\"', columns={" +
+        "'doc_id':'BIGINT','source':'VARCHAR','lang':'VARCHAR'," +
+        "'published':'DATE','title':'VARCHAR','body':'VARCHAR'," +
+        "'score':'DOUBLE'}) " +
+        "WHERE lang = 'en' AND score IS NOT NULL ORDER BY doc_id"),
     // sums/lengths cast to BIGINT (DuckDB sum = HUGEINT)
     "src01_square_source" ->
       ("SELECT id, location_id, closed_at, " +
