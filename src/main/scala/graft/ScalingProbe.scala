@@ -55,7 +55,8 @@ object ScalingProbe {
     // r9 additions: the last unprobed >= 1 s gates (r8 verdict item #5)
     "s07_pq_topk", "p09_curate_e2e", "d07_contamination",
     // r9 late additions: the round's own new >= 1 s gates
-    "q47_kmv_sketch", "q48_histo_merge", "g06_clustering_coeff")
+    "q47_kmv_sketch", "q48_histo_merge", "g06_clustering_coeff",
+    "q46_hll_merge")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
@@ -128,8 +129,14 @@ object ScalingProbe {
       // a near-1 α here isolates the operator's true volume scaling.
       "d06_winnow_disjoint" -> ((s, d) => {
         val docs = Tables(s, d, "documents")
-        val total = docs.count()
-        val base = if (d.contains("graft_sf1x")) total / copies else total
+        // copy stride = what the generator actually shifts by
+        // (max base doc_id + 1), NOT the row count — the two coincide
+        // only while base ids are dense and 0-based; a sparse or
+        // 1-based id space would salt boundary docs with the NEXT
+        // copy's hash and bias the very α this variant isolates
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val base =
+          if (d.contains("graft_sf1x")) (maxId + 1) / copies else maxId + 1
         val cop = (col("doc_id") / lit(base)).cast("long")
         val rewritten = docs.withColumn("text",
           array_join(transform(split(col("text"), " "),
@@ -302,8 +309,12 @@ object ScalingProbe {
         // min of 2 by default: one-off GC/codegen noise must not set an
         // exponent. SPARK_GRAFT_PROBE_ITERS raises it for isolated
         // single-gate evidence runs (the min-of-4 floors discipline).
+        // tolerant parse with a floor of 1: a typo'd or zero value must
+        // not crash a multi-hour sweep on its first gate (bare toInt
+        // threw; 0 made (1 to 0).min throw)
         val iters = sys.env.get("SPARK_GRAFT_PROBE_ITERS")
-          .map(_.toInt).getOrElse(2)
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .filter(_ >= 1).getOrElse(2)
         val t = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, d).count()

@@ -38,11 +38,21 @@ object Dedup {
     // group survived; the row-hash tie-break keeps exactly one. (b) one
     // shuffle on fp + WindowGroupLimit (rank-1 retains only the current
     // winner per partition) beats the agg + join pair.
+    // The tie-break hashes only the HASHABLE columns: xxhash64 rejects
+    // MapType (AnalysisException under the default
+    // spark.sql.legacy.allowHashOnMapType=false), and a map-carrying
+    // frame must still dedup. Among id-tied rows the survivor is then
+    // deterministic up to a 2^-64 xxhash64 collision between two
+    // DISTINCT rows — accepted odds for a tie-break (id ties are
+    // already the degenerate path).
+    val hashable = docs.schema.fields.filterNot(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
     docs.withColumn("fp", fingerprint(col(textCol)))
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")
           .orderBy(col(idCol).asc_nulls_last,
-            xxhash64(struct(docs.columns.map(col): _*)))))
+            xxhash64(struct(hashable.toSeq: _*)))))
       .filter(col("_rn") === 1).drop("fp", "_rn")
   }
 

@@ -46,8 +46,18 @@ object Triangles {
     // derivation (for co-purchase graphs, a self-join + distinct) runs
     // three times
     val e0 = edges.select(col("a"), col("b")).localCheckpoint()
-    val deg = e0.select(explode(array(col("a"), col("b"))).as("n"))
+    perNodeCountsOn(e0, degrees(e0))
+  }
+
+  /** Node degrees of an undirected-distinct (a, b) edge frame. */
+  private def degrees(e0: DataFrame): DataFrame =
+    e0.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+
+  /** [[perNodeCounts]] body over a pre-materialized edge frame and its
+    * degree frame — shared with [[clusteringCoefficient]] so callers
+    * that already paid for both don't checkpoint or aggregate twice. */
+  private def perNodeCountsOn(e0: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (deg, node); materialize ONCE — the triangle join reads
     // this frame three times and re-deriving the co-occurrence self-join
     // per read would triple the dominant cost
@@ -86,10 +96,10 @@ object Triangles {
     * frame is node-sized, the join hash-partitioned. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("a"), col("b")).localCheckpoint()
-    val deg = e0.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = degrees(e0)
     deg.filter(col("deg") >= 2)
-      .join(perNodeCounts(e0), Seq("node"), "left")
+      .withColumnRenamed("n", "node")
+      .join(perNodeCountsOn(e0, deg), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         expr("(2000000 * coalesce(triangles, CAST(0 AS BIGINT))) div " +

@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 4L, 6L))
   }
 
+  test("exact dedup tolerates map-typed columns (excluded from the " +
+    "row-hash tie-break)") {
+    import org.apache.spark.sql.functions.{col, map, lit}
+    // xxhash64 rejects MapType: the tie-break must skip it, not throw
+    val withMap = docs.withColumn("meta", map(lit("k"), col("text")))
+    val kept = Dedup.exact(withMap, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 6L))
+  }
+
   test("ngram jaccard: exact dups at 1.0, near dups in between") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
