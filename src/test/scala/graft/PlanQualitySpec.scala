@@ -33,6 +33,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(readSchema.contains("r_regionkey") && readSchema.contains("r_name"))
   }
 
+  test("q47: KmvAgg aggregates partially BEFORE the shuffle — the " +
+    "k-bounded-state claim is in the physical plan, not just prose") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sk = graft.operators.KmvSketch.sketchBy(
+      spark.range(1000).selectExpr("CAST(id % 7 AS STRING) AS shard",
+        "id AS v"),
+      col("v"), 16, col("shard"))
+    val p = sk.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // partial_kmvagg must run BEFORE the exchange: each map task ships
+    // at most k longs per group, never its raw rows. The formatted
+    // plan numbers operators bottom-up, so the partial aggregate's
+    // node id must be smaller than the shuffle's.
+    assert(p.contains("partial_kmvagg"), s"no partial kmvagg in plan:\n$p")
+    val lines = p.linesIterator.toSeq
+    val aggIds = lines.filter(_.contains("ObjectHashAggregate (")).map(
+      _.trim.replaceAll(".*\\((\\d+)\\).*", "$1").toInt)
+    val exIds = lines.filter(_.contains("Exchange (")).map(
+      _.trim.replaceAll(".*\\((\\d+)\\).*", "$1").toInt)
+    assert(aggIds.nonEmpty && exIds.nonEmpty, p)
+    assert(aggIds.min < exIds.min,
+      s"partial aggregate (${aggIds.min}) must precede the exchange " +
+        s"(${exIds.min}):\n$p")
+  }
+
   test("q04/q16: dimension joins are broadcast hash joins, not SMJ") {
     for (q <- Seq("q04_dim_join", "q16_fact_join")) {
       val p = plan(q)
