@@ -39,7 +39,12 @@ object Dsir {
     * ranked log_weight desc then doc. Docs with no tokens are absent
     * (they carry no evidence either way). */
   def importanceTopK(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, k: Int): DataFrame = {
+      isTarget: Column, k: Int,
+      broadcastVocab: Boolean = true): DataFrame = {
+    // the counts frame is vocab-sized: caller-owned hint (tfIdfTopK
+    // flag convention) instead of a forced broadcast the planner
+    // cannot refuse on a Heaps-law web vocabulary
+    def hint(df: DataFrame) = if (broadcastVocab) broadcast(df) else df
     val toks = docs.select(col(idCol).as("doc"), isTarget.as("is_t"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
     val counts = toks.groupBy("term").agg(
@@ -48,7 +53,7 @@ object Dsir {
     val tot = counts.agg(sum(col("ct")).as("nt"),
       sum(col("cs")).as("ns"), count(lit(1)).as("v"))
     toks.filter(!col("is_t"))
-      .join(broadcast(counts), "term")
+      .join(hint(counts), "term")
       .crossJoin(broadcast(tot))
       .withColumn("_term",
         (log((col("ct") + 1) / (col("nt") + col("v")).cast("double")) -

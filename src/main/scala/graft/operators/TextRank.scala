@@ -59,10 +59,14 @@ object TextRank {
     * no model, just one extra aggregation over the same token pass.
     * Returns (doc, n_tokens, surprisal); empty docs are absent.
     *
-    * Scale: the unigram table is vocabulary-sized (broadcast); the
-    * token count rides the same 1-row rider as every corpus constant. */
+    * Scale: the unigram table is vocabulary-sized — `broadcastVocab`
+    * hints its join (right for natural-language vocabularies; disable
+    * for web-scale corpora whose Heaps-law vocabulary would OOM a
+    * forced broadcast — the tfIdfTopK flag convention); the token
+    * count rides the same 1-row rider as every corpus constant. */
   def unigramSurprisal(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, broadcastVocab: Boolean = true): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastVocab) broadcast(df) else df
     // persisted: the token frame feeds the vocab aggregate, the corpus
     // total, AND the broadcast-joined scoring probe — the broadcast
     // join gives ReuseExchange nothing to dedup, so an unpersisted
@@ -72,7 +76,7 @@ object TextRank {
       explode(terms(col(textCol))).as("term")).persist()
     val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("total"))
-    val out = toks.join(broadcast(freq), "term")
+    val out = toks.join(hint(freq), "term")
       .crossJoin(broadcast(total))
       // DECIMAL sum for shuffle-order-independent totals (see bm25TopK)
       .groupBy("doc")
@@ -101,7 +105,12 @@ object TextRank {
     * context totals derive from the bigram table, not a second corpus
     * pass. */
   def bigramSurprisal(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, broadcastVocab: Boolean = true): DataFrame = {
+    // broadcastVocab: the cnt/ctx frames are bigram-TYPE-sized —
+    // Heaps-law unbounded on a web corpus; the flag is the caller's
+    // informed choice (tfIdfTopK convention), default right for
+    // natural-language gates
+    def hint(df: DataFrame) = if (broadcastVocab) broadcast(df) else df
     val toks = docs.select(col(idCol).as("doc"), terms(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 2)
     // persist: the count aggregate AND the scoring join both read the
@@ -115,8 +124,8 @@ object TextRank {
       .persist()
     val cnt = bi.groupBy("a", "b").agg(count(lit(1)).as("cnt"))
     val ctx = cnt.groupBy("a").agg(sum(col("cnt")).as("ctx"))
-    val out = bi.join(broadcast(cnt), Seq("a", "b"))
-      .join(broadcast(ctx), Seq("a"))
+    val out = bi.join(hint(cnt), Seq("a", "b"))
+      .join(hint(ctx), Seq("a"))
       // DECIMAL sum: shuffle-order-independent, like unigramSurprisal
       .groupBy("doc")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -148,7 +157,10 @@ object TextRank {
     * per-doc sums are decimal-quantized (t12 recipe). Output:
     * (doc, n_bigrams, kn_score) with kn_score = −mean ln P. */
   def kneserNeyBigram(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, broadcastVocab: Boolean = true): DataFrame = {
+    // cnt/ctx/cont are bigram-type/vocab-sized: same flag convention
+    // as bigramSurprisal (types stays broadcast — it is one row)
+    def hint(df: DataFrame) = if (broadcastVocab) broadcast(df) else df
     val toks = docs.select(col(idCol).as("doc"), terms(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= 2)
     val bi = toks.select(col("doc"),
@@ -168,9 +180,9 @@ object TextRank {
         "CAST(0 AS DOUBLE)) / ctot + " +
         "(CAST(0.75 AS DOUBLE) * CAST(fan AS DOUBLE) / ctot) * " +
         "(CAST(cont AS DOUBLE) / tt)")
-    val out = bi.join(broadcast(cnt), Seq("a", "b"))
-      .join(broadcast(ctx), Seq("a"))
-      .join(broadcast(cont), Seq("b"))
+    val out = bi.join(hint(cnt), Seq("a", "b"))
+      .join(hint(ctx), Seq("a"))
+      .join(hint(cont), Seq("b"))
       .crossJoin(broadcast(types))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_bigrams"),

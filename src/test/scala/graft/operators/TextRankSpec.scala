@@ -87,6 +87,22 @@ class TextRankSpec extends SparkSpec {
     assert(got(3L)._2 > got(1L)._2)
   }
 
+  test("broadcastVocab=false changes the plan, never the values") {
+    // the shuffled-equi-join fallback (web-scale vocabularies) must be
+    // value-identical to the broadcast default on every family member
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc").collect().map(_.toSeq).toSeq
+    assert(rows(TextRank.unigramSurprisal(corpus, "doc_id", "text",
+      broadcastVocab = false)) ===
+      rows(TextRank.unigramSurprisal(corpus, "doc_id", "text")))
+    assert(rows(TextRank.bigramSurprisal(corpus, "doc_id", "text",
+      broadcastVocab = false)) ===
+      rows(TextRank.bigramSurprisal(corpus, "doc_id", "text")))
+    assert(rows(TextRank.kneserNeyBigram(corpus, "doc_id", "text",
+      broadcastVocab = false)) ===
+      rows(TextRank.kneserNeyBigram(corpus, "doc_id", "text")))
+  }
+
   test("bigramSurprisal: hand-computed conditional probabilities; " +
       "sub-2-token docs absent") {
     val docs = Seq(
