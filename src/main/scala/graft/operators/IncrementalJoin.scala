@@ -25,15 +25,22 @@ import org.apache.spark.sql.functions.broadcast
 object IncrementalJoin {
 
   /** The three delta terms: every row the update adds to `A ⋈ B`.
-    * Callers union this with the stored join result. Deltas are
-    * broadcast-hinted; Spark demotes the hint if a delta outgrows the
-    * threshold. */
+    * Callers union this with the stored join result.
+    *
+    * `broadcastDeltas` hints the delta sides (the operator's whole
+    * premise: a daily batch vs a 100 TB base). Spark does NOT demote
+    * an explicit hint by size — a hint is a command, not a suggestion
+    * — so a caller whose "delta" can be backfill-sized must pass
+    * false and let AQE pick the strategy per batch instead of OOMing
+    * on a forced build side. */
   def deltaJoin(baseA: DataFrame, deltaA: DataFrame,
-      baseB: DataFrame, deltaB: DataFrame, keys: Seq[String]): DataFrame = {
+      baseB: DataFrame, deltaB: DataFrame, keys: Seq[String],
+      broadcastDeltas: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "join keys required")
-    broadcast(deltaA).join(baseB, keys)
-      .unionByName(baseA.join(broadcast(deltaB), keys))
-      .unionByName(broadcast(deltaA).join(broadcast(deltaB), keys))
+    def hint(df: DataFrame) = if (broadcastDeltas) broadcast(df) else df
+    hint(deltaA).join(baseB, keys)
+      .unionByName(baseA.join(hint(deltaB), keys))
+      .unionByName(hint(deltaA).join(hint(deltaB), keys))
   }
 
   /** Full maintained result: stored `A ⋈ B` plus the delta terms. */
