@@ -43,7 +43,7 @@ object ScalingProbe {
     "q44_weighted_median", "t25_kneser_ney", "t26_readability",
     "f13_kaplan_meier", "d17_incremental_ingest", "s13_mmr_diversify",
     "mm08_image_neardup_nx", "mm09_audio_neardup_nx",
-    "mm10_video_neardup_nx",
+    "mm10_video_neardup_nx", "mm13_jpeg_neardup_nx",
     // r8 additions: the remaining >= 1 s sweep tail (r7 verdict item
     // #3) — every committed-sweep gate >= 1 s is now probe-covered
     "d11_shared_runs", "d13_fuzzy_join", "d14_dup_spans", "f07_rfm",
@@ -73,6 +73,7 @@ object ScalingProbe {
     "mm08_image_neardup_nx" -> "documents",
     "mm09_audio_neardup_nx" -> "documents",
     "mm10_video_neardup_nx" -> "documents",
+    "mm13_jpeg_neardup_nx" -> "documents",
     // r8 tail: f07/q42 scan orders, which scales with lineitem (same
     // disjoint-copy factor), so lineitem's count is the size metric
     "d11_shared_runs" -> "documents", "d13_fuzzy_join" -> "documents",
@@ -107,6 +108,17 @@ object ScalingProbe {
         Multimodal.nearestByHamming(
           Multimodal.imageAHash(
             spread(Multimodal.imagePayloads(docs, limit = n))).toDF(),
+          bandBits = 16, numBands = 4, maxBucket = 1000)
+      }),
+      // r9: the lossy-codec cousin — JPEG encode AND decode both ride
+      // the probe (encode is scan-side in jpegPayloads, decode in
+      // imageAHash), so the α covers the full codec round trip
+      "mm13_jpeg_neardup_nx" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        val n = (docs.count() / 3).toInt + 1
+        Multimodal.nearestByHamming(
+          Multimodal.imageAHash(
+            spread(Multimodal.jpegPayloads(docs, limit = n))).toDF(),
           bandBits = 16, numBands = 4, maxBucket = 1000)
       }),
       "mm09_audio_neardup_nx" -> ((s, d) => {
