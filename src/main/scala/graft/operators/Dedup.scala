@@ -39,14 +39,20 @@ object Dedup {
     // shuffle on fp + WindowGroupLimit (rank-1 retains only the current
     // winner per partition) beats the agg + join pair.
     // The tie-break hashes only the HASHABLE columns: xxhash64 rejects
-    // MapType (AnalysisException under the default
-    // spark.sql.legacy.allowHashOnMapType=false), and a map-carrying
-    // frame must still dedup. Among id-tied rows the survivor is then
-    // deterministic up to a 2^-64 xxhash64 collision between two
-    // DISTINCT rows — accepted odds for a tie-break (id ties are
-    // already the degenerate path).
+    // MapType ANYWHERE in the type tree (the type-check recurses into
+    // array<map<...>> and struct fields; AnalysisException under the
+    // default spark.sql.legacy.allowHashOnMapType=false), and a
+    // map-carrying frame must still dedup — so the exclusion must
+    // recurse too, not just test the top level. Among id-tied rows the
+    // survivor is then deterministic up to (a) a 2^-64 xxhash64
+    // collision between two DISTINCT rows and (b) rows that differ ONLY
+    // in an excluded map-typed column, which hash identically and leave
+    // the survivor shuffle-order dependent — determinism holds up to
+    // the non-map column set (accepted: id ties are already the
+    // degenerate path, and sorting map entries for full determinism
+    // would cost a per-row O(entries log entries) projection).
     val hashable = docs.schema.fields.filterNot(
-      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      _.dataType.existsRecursively(_.isInstanceOf[MapType]))
       .map(f => col(f.name))
     docs.withColumn("fp", fingerprint(col(textCol)))
       .withColumn("_rn", row_number().over(

@@ -77,6 +77,11 @@ object HistogramQuantile {
       hi: Long, shard: Column): DataFrame = {
     val span = hi - lo + 1
     require(span > 0, s"value span [$lo, $hi] overflows")
+    // Same overflow guard as quantiles(): this is ALSO a public entry
+    // point (the documented 100 TB rollup path), and (v - lo) * bins
+    // with a wide [lo, hi] domain would wrap silently and bin garbage.
+    require(span.toDouble * bins <= Long.MaxValue.toDouble,
+      s"span $span x $bins bins overflows the binning arithmetic")
     df.filter(col(value).isNotNull)
       .select(shard.as("shard"),
         expr(s"(($value - $lo) * $bins) div $span").as("bin"))
