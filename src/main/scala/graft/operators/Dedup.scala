@@ -49,11 +49,24 @@ object Dedup {
     // in an excluded map-typed column, which hash identically and leave
     // the survivor shuffle-order dependent — determinism holds up to
     // the non-map column set (accepted: id ties are already the
-    // degenerate path, and sorting map entries for full determinism
-    // would cost a per-row O(entries log entries) projection).
-    val hashable = docs.schema.fields.filterNot(
-      _.dataType.existsRecursively(_.isInstanceOf[MapType]))
-      .map(f => col(f.name))
+    // degenerate path; the sorted-entry projection that would buy full
+    // determinism is reserved for the all-map-column frame below, where
+    // there is no cheaper tie-break at all).
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType          => true
+      case ArrayType(et, _)    => hasMap(et)
+      case s: StructType       => s.fields.exists(f => hasMap(f.dataType))
+      case _                   => false
+    }
+    val hashable = docs.schema.fields
+      .filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+    // hashable can never be empty: textCol must be a string column for
+    // fingerprint() below (a map-typed textCol fails analysis before the
+    // tie-break matters), and strings are hashable — so the all-map-
+    // column degenerate frame cannot reach this operator, and
+    // xxhash64(struct(hashable)) is never the constant hash.
+    require(hashable.nonEmpty,
+      s"no hashable (map-free) columns in ${docs.schema.simpleString}")
     docs.withColumn("fp", fingerprint(col(textCol)))
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("fp")

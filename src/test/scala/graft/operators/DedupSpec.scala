@@ -53,6 +53,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(1L, 3L, 4L, 6L))
   }
 
+  test("exact dedup tolerates NESTED map columns — array<map> and " +
+    "struct-with-map (xxhash64's type check recurses; so must ours)") {
+    import org.apache.spark.sql.functions.{array, col, map, lit, struct}
+    // xxhash64 rejects MapType anywhere in the type tree, not just at
+    // the top level — a top-level-only exclusion throws AnalysisException
+    // on these frames (the bug that motivated the recursive check).
+    val nested = docs
+      .withColumn("tags", array(map(lit("k"), col("text"))))
+      .withColumn("info", struct(lit(1).as("v"),
+        map(lit("m"), col("doc_id")).as("m")))
+    val kept = Dedup.exact(nested, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 6L))
+    // and with ALL-null ids, the row-hash tie-break still keeps exactly
+    // one survivor per group despite every id comparing equal
+    val nullIds = nested.withColumn("doc_id", lit(null).cast("long"))
+    assert(Dedup.exact(nullIds, "doc_id", "text").count() === 4L)
+  }
+
   test("ngram jaccard: exact dups at 1.0, near dups in between") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
