@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: refuse an end-of-round commit unless the tree compiles
+# (main + test). Run from the repo root before ANY snapshot commit:
+#
+#   tools/preflight.sh            # compile gate only (~60 s)
+#   tools/preflight.sh --full     # + full ScalaTest suite (~25 min)
+#
+# Motivation: round 10 committed a tree whose single compile error zeroed the
+# round's entire oracle evidence (CORRECTNESS_r10 = {}). The close discipline
+# ("full suite + Verify green at the final commit") is now mechanical, not a
+# convention: exit non-zero here means DO NOT COMMIT the snapshot.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "[preflight] sbt Test/compile (main + test sources)..."
+sbt -batch "Test/compile" >/tmp/preflight_compile.log 2>&1 || {
+  echo "[preflight] FAIL: tree does not compile — do not snapshot."
+  grep -E "^\[error\]" /tmp/preflight_compile.log | head -20
+  exit 1
+}
+echo "[preflight] compile OK"
+
+if [[ "${1:-}" == "--full" ]]; then
+  echo "[preflight] full ScalaTest suite..."
+  sbt -batch test >/tmp/preflight_test.log 2>&1 || {
+    echo "[preflight] FAIL: test suite red — do not snapshot."
+    grep -E "\*\*\* FAILED|^\[error\]" /tmp/preflight_test.log | head -20
+    exit 1
+  }
+  tail -5 /tmp/preflight_test.log
+  echo "[preflight] suite OK"
+fi
+echo "[preflight] PASS — safe to snapshot."
