@@ -88,6 +88,49 @@ object KmvSketch {
             element_at(col("minima"), -1)),
         2).as("est"))
 
+  /** Set-DIFFERENCE estimate panel between two one-row sketch frames
+    * with columns (minima): |A−B| = |A| − |A∩B| and |B−A| = |B| −
+    * |A∩B|, with |A∩B| from the same union-sketch ρ estimator as
+    * [[estimateIntersection]] — the subtraction identity is exact on
+    * sets, so the only error is the two sketch estimates'. Differences
+    * clamp at 0 (sketch noise can push the subtraction negative; a
+    * negative set size is never the better answer). Pure sketch
+    * arithmetic over three k-arrays — answers "how many of last
+    * month's values are GONE this month" from stored shard sketches
+    * with no corpus re-scan. Returns one row: (n_a_min, n_b_min,
+    * n_union_min, rho_num, est_a, est_b, est_intersect, est_diff_ab,
+    * est_diff_ba), all estimates rounded to 2. */
+  def estimateDifference(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    def est(m: Column): Column =
+      when(size(m) < k, size(m).cast("double"))
+        .otherwise(lit(k - 1) * pow(lit(2), lit(60)) / element_at(m, -1))
+    a.select(col("minima").as("ma"))
+      .crossJoin(b.select(col("minima").as("mb")))
+      .select(col("ma"), col("mb"),
+        slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+          .as("mu"))
+      .select(
+        size(col("ma")).cast("long").as("n_a_min"),
+        size(col("mb")).cast("long").as("n_b_min"),
+        size(col("mu")).cast("long").as("n_union_min"),
+        size(array_intersect(array_intersect(col("mu"), col("ma")),
+          col("mb"))).cast("long").as("rho_num"),
+        est(col("ma")).as("_ea"), est(col("mb")).as("_eb"),
+        est(col("mu")).as("_eu"))
+      .select(col("n_a_min"), col("n_b_min"), col("n_union_min"),
+        col("rho_num"),
+        round(col("_ea"), 2).as("est_a"),
+        round(col("_eb"), 2).as("est_b"),
+        round(col("rho_num") * col("_eu") / col("n_union_min"), 2)
+          .as("est_intersect"),
+        round(greatest(col("_ea") -
+          col("rho_num") * col("_eu") / col("n_union_min"), lit(0.0)), 2)
+          .as("est_diff_ab"),
+        round(greatest(col("_eb") -
+          col("rho_num") * col("_eu") / col("n_union_min"), lit(0.0)), 2)
+          .as("est_diff_ba"))
+  }
+
   /** Intersection-cardinality estimate between two one-row sketch
     * frames with columns (minima): ρ·|A ∪ B| where ρ is the fraction
     * of the UNION sketch's minima present in both input sketches

@@ -666,6 +666,47 @@ object CoreQueries {
         col("exact_distinct"), col("exact_intersect"))
   }
 
+  // KMV set-DIFFERENCE (q47's estimator answering the monthly-rollup
+  // CHURN question): from the SAME stored per-month o_custkey sketches,
+  // estimate how many 1997 customers did NOT order in 1998 (|A−B|) and
+  // how many 1998 customers are NEW (|B−A|) — |A−B| = |A| − |A∩B| on
+  // the union-sketch ρ estimator, pure sketch arithmetic over the
+  // year-half merges, no corpus re-scan. Exact references ride along in
+  // one membership-flag pass. DuckDB replays hash → per-shard k-minima
+  // → year merges → the identical fixed-shape difference estimators.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KmvSketch
+    val o = t(s, dir, "orders")
+    val k = 256
+    val shardSk = KmvSketch.sketchBy(o, col("o_custkey"), k,
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val diff = KmvSketch.estimateDifference(
+      KmvSketch.merge(
+        shardSk.filter(col("shard").between("1997-01", "1997-12")), k),
+      KmvSketch.merge(
+        shardSk.filter(col("shard").between("1998-01", "1998-12")), k), k)
+    // exact churn in ONE pass: per-customer year-membership flags, then
+    // the five set sizes as flag sums (same shape as q47's exact rider)
+    val exact = o.filter(year(col("o_orderdate")).isin(1997, 1998))
+      .groupBy("o_custkey").agg(
+        max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0))
+          .as("in_a"),
+        max(when(year(col("o_orderdate")) === 1998, 1).otherwise(0))
+          .as("in_b"))
+      .agg(sum(col("in_a").cast("long")).as("exact_a"),
+        sum(col("in_b").cast("long")).as("exact_b"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("exact_intersect"),
+        sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+          .otherwise(0L)).as("exact_diff_ab"),
+        sum(when(col("in_a") === 0 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("exact_diff_ba"))
+    diff.select(lit(k.toLong).as("k"), col("n_a_min"), col("n_b_min"),
+        col("n_union_min"), col("rho_num"), col("est_a"), col("est_b"),
+        col("est_intersect"), col("est_diff_ab"), col("est_diff_ba"))
+      .crossJoin(broadcast(exact))
+  }
+
   // Histogram shard-merge rollup (q43's production story, the
   // q46/q47 discipline made the third mergeable sketch): per-month bin
   // counts against FIXED global edges, sum-merged == independent
@@ -765,6 +806,7 @@ object CoreQueries {
     "q46_hll_merge" -> (q46 _),
     "q47_kmv_sketch" -> (q47 _),
     "q48_histo_merge" -> (q48 _),
+    "q49_kmv_difference" -> (q49 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1153,6 +1195,69 @@ object CoreQueries {
         "est_intersect, exact_distinct, exact_intersect " +
         "FROM em CROSS JOIN ef CROSS JOIN mism CROSS JOIN ei " +
         "CROSS JOIN x CROSS JOIN xi"),
+    // the KMV pipeline replayed for the CHURN question: same hash ->
+    // per-month k-minima spine as q47, year-half sketch merges, then
+    // the identical fixed-shape difference estimators (|A| and |B|
+    // from each half's k-th minimum, |A∩B| from the union-sketch rho,
+    // differences by subtraction clamped at 0); exact churn recomputed
+    // from per-customer year flags
+    "q49_kmv_difference" ->
+      ("WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard, " +
+        "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h, year(o_orderdate) AS y, o_custkey AS c " +
+        "FROM orders), " +
+        "dh AS (SELECT DISTINCT shard, h FROM h), " +
+        "sk AS (SELECT shard, h FROM (SELECT shard, h, row_number() " +
+        "OVER (PARTITION BY shard ORDER BY h) AS rn FROM dh) " +
+        "WHERE rn <= 256), " +
+        "ska AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM sk " +
+        "WHERE shard BETWEEN '1997-01' AND '1997-12')) WHERE rn <= 256), " +
+        "skb AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM sk " +
+        "WHERE shard BETWEEN '1998-01' AND '1998-12')) WHERE rn <= 256), " +
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_a_min, " +
+        "max(h) AS hka FROM ska), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b_min, " +
+        "max(h) AS hkb FROM skb), " +
+        "u AS (SELECT h FROM (SELECT h, row_number() OVER " +
+        "(ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM " +
+        "(SELECT h FROM ska UNION ALL SELECT h FROM skb))) " +
+        "WHERE rn <= 256), " +
+        "un AS (SELECT CAST(count(*) AS BIGINT) AS n_union_min, " +
+        "max(h) AS hku FROM u), " +
+        "rh AS (SELECT CAST(count(*) AS BIGINT) AS rho_num FROM u " +
+        "WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)), " +
+        "e AS (SELECT n_a_min, n_b_min, n_union_min, rho_num, " +
+        "CASE WHEN n_a_min < 256 THEN CAST(n_a_min AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / hka END AS ea, " +
+        "CASE WHEN n_b_min < 256 THEN CAST(n_b_min AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / hkb END AS eb, " +
+        "CASE WHEN n_union_min < 256 THEN CAST(n_union_min AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / hku END AS eu " +
+        "FROM na CROSS JOIN nb CROSS JOIN un CROSS JOIN rh), " +
+        "f AS (SELECT n_a_min, n_b_min, n_union_min, rho_num, " +
+        "round(ea, 2) AS est_a, round(eb, 2) AS est_b, " +
+        "round(rho_num * eu / n_union_min, 2) AS est_intersect, " +
+        "round(greatest(ea - rho_num * eu / n_union_min, 0.0), 2) " +
+        "AS est_diff_ab, " +
+        "round(greatest(eb - rho_num * eu / n_union_min, 0.0), 2) " +
+        "AS est_diff_ba FROM e), " +
+        "mx AS (SELECT c, max(CASE WHEN y = 1997 THEN 1 ELSE 0 END) " +
+        "AS in_a, max(CASE WHEN y = 1998 THEN 1 ELSE 0 END) AS in_b " +
+        "FROM h WHERE y IN (1997, 1998) GROUP BY c), " +
+        "x AS (SELECT CAST(sum(in_a) AS BIGINT) AS exact_a, " +
+        "CAST(sum(in_b) AS BIGINT) AS exact_b, " +
+        "CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS exact_intersect, " +
+        "CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS exact_diff_ab, " +
+        "CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS exact_diff_ba FROM mx) " +
+        "SELECT CAST(256 AS BIGINT) AS k, n_a_min, n_b_min, " +
+        "n_union_min, rho_num, est_a, est_b, est_intersect, " +
+        "est_diff_ab, est_diff_ba, exact_a, exact_b, exact_intersect, " +
+        "exact_diff_ab, exact_diff_ba FROM f CROSS JOIN x"),
     "q46_hll_merge" ->
       ("WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS shard, " +
         "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) " +

@@ -62,6 +62,56 @@ class KmvSketchSpec extends SparkSpec {
     assert(row.getDouble(3) === 20.0) // est_intersect exact
   }
 
+  test("difference estimate is exact when both sketches are unsaturated") {
+    import spark.implicits._
+    // A = 0..59, B = 40..99 -> |A−B| = 40, |B−A| = 40, |A∩B| = 20
+    val k = 256
+    val a = KmvSketch.sketchBy((0L to 59L).toDF("v"), col("v"), k,
+      lit("a")).select("minima")
+    val b = KmvSketch.sketchBy((40L to 99L).toDF("v"), col("v"), k,
+      lit("b")).select("minima")
+    val Array(row) = KmvSketch.estimateDifference(a, b, k).collect()
+    assert(row.getLong(0) === 60L) // n_a_min
+    assert(row.getLong(1) === 60L) // n_b_min
+    assert(row.getLong(2) === 100L) // n_union_min
+    assert(row.getLong(3) === 20L) // rho_num
+    assert(row.getDouble(4) === 60.0) // est_a exact
+    assert(row.getDouble(5) === 60.0) // est_b exact
+    assert(row.getDouble(6) === 20.0) // est_intersect exact
+    assert(row.getDouble(7) === 40.0) // est_diff_ab exact
+    assert(row.getDouble(8) === 40.0) // est_diff_ba exact
+  }
+
+  test("difference estimate: disjoint sets, subset sets, and the 0-clamp") {
+    import spark.implicits._
+    val k = 256
+    def sk(r: Range) = KmvSketch.sketchBy(
+      r.map(_.toLong).toDF("v"), col("v"), k, lit("s")).select("minima")
+    // disjoint: intersection 0, differences are the full sets
+    val Array(d) = KmvSketch.estimateDifference(sk(0 to 49), sk(50 to 99), k)
+      .collect()
+    assert(d.getDouble(6) === 0.0 && d.getDouble(7) === 50.0 &&
+      d.getDouble(8) === 50.0)
+    // A ⊂ B: |A−B| = 0 (the clamp floor is also the true answer)
+    val Array(s) = KmvSketch.estimateDifference(sk(0 to 19), sk(0 to 99), k)
+      .collect()
+    assert(s.getDouble(7) === 0.0 && s.getDouble(8) === 80.0)
+  }
+
+  test("saturated difference estimator lands near the true churn") {
+    import spark.implicits._
+    // |A| = |B| = 4000, overlap 2000: saturated sketches, error ~1/√k
+    val k = 256
+    val a = KmvSketch.sketchBy((1L to 4000L).toDF("v"), col("v"), k,
+      lit("a")).select("minima")
+    val b = KmvSketch.sketchBy((2001L to 6000L).toDF("v"), col("v"), k,
+      lit("b")).select("minima")
+    val Array(row) = KmvSketch.estimateDifference(a, b, k).collect()
+    val (da, db) = (row.getDouble(7), row.getDouble(8))
+    assert(da > 1200 && da < 2800, s"est_diff_ab $da too far from 2000")
+    assert(db > 1200 && db < 2800, s"est_diff_ba $db too far from 2000")
+  }
+
   test("saturated estimator lands near the true cardinality") {
     import spark.implicits._
     // 5000 distinct values, k=256: KMV relative error ~1/sqrt(k-2) ≈ 6%;
