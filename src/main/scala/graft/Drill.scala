@@ -287,6 +287,113 @@ object Drill {
     }
   }
 
+  /** Text-tail stage tables (the r10-carried drill list): t18 NB
+    * confusion, t16/t25 bigram LMs, a03 co-occurrence, t21 TextRank.
+    * Each gate's stages are timed cumulatively, then candidate rewrites
+    * (pre-aggregation before the label join; codegen'd arrays_zip
+    * bigram derivation replacing the interpreted transform-HOF) are
+    * A/B'd against the current shape. min-of-4 per the floors
+    * discipline. */
+  private def texttailVariants(s: SparkSession, dir: String): Unit = {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables(s, dir, "documents")
+    time("docs scan+count", 4) { docs.count() }
+
+    // ---- t18 NaiveBayes ----
+    def toks = docs.select(col("doc_id").as("doc"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    time("t18 tokenize+count", 4) { toks.count() }
+    time("t18 token-stream x label join (current train)", 4) {
+      toks.join(docs.select(col("doc_id").as("doc"),
+        col("lang").as("label")), "doc")
+        .groupBy("word", "label").agg(count(lit(1)).as("k")).count()
+    }
+    time("t18 dw-first: groupBy(doc,word) then label join", 4) {
+      toks.groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
+        .join(docs.select(col("doc_id").as("doc"),
+          col("lang").as("label")), "doc")
+        .groupBy("word", "label").agg(sum(col("cnt")).as("k")).count()
+    }
+    time("t18 full gate (current)", 4) {
+      graft.SparkEntry.queries("t18_nb_confusion")(s, dir).count()
+    }
+
+    // ---- t16 / t25 bigram derivation ----
+    def tkArr = docs.select(col("doc_id").as("doc"),
+      T.tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    time("t16 bigrams via interpreted transform-HOF", 4) {
+      tkArr.select(col("doc"),
+        explode(expr("transform(sequence(0, size(tk) - 2), " +
+          "i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+        .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+        .count()
+    }
+    time("t16 bigrams via arrays_zip(slice,slice) [codegen]", 4) {
+      tkArr.select(col("doc"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("p"))
+        .select(col("doc"), col("p.a").as("a"), col("p.b").as("b"))
+        .count()
+    }
+    time("t16 full gate (current)", 4) {
+      graft.SparkEntry.queries("t16_bigram_surprisal")(s, dir).count()
+    }
+    time("t25 full gate (current)", 4) {
+      graft.SparkEntry.queries("t25_kneser_ney")(s, dir).count()
+    }
+
+    // ---- a03 co-occurrence stages ----
+    val li = Tables(s, dir, "lineitem")
+    val inc = li.select(col("l_orderkey").as("_g"), col("l_partkey").as("_i"))
+    time("a03 scan+count lineitem", 4) { li.count() }
+    time("a03 window group-size guard only", 4) {
+      inc.withColumn("_gn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_g")))
+        .filter(col("_gn") <= 100000L).count()
+    }
+    time("a03 collect_set rollup (no guard)", 4) {
+      inc.groupBy("_g").agg(array_sort(collect_set(col("_i"))).as("items"))
+        .count()
+    }
+    time("a03 guard + collect_set + pair explode + pair count", 4) {
+      inc.withColumn("_gn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_g")))
+        .filter(col("_gn") <= 100000L).drop("_gn")
+        .groupBy("_g").agg(array_sort(collect_set(col("_i"))).as("items"))
+        .select(explode(flatten(transform(col("items"),
+          (a, i) => transform(
+            slice(col("items"), i + lit(2), size(col("items"))),
+            b => struct(a.as("a"), b.as("b")))))).as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("pair_cnt")).count()
+    }
+    time("a03 full gate (current)", 4) {
+      graft.SparkEntry.queries("a03_item_cooccur")(s, dir).count()
+    }
+
+    // ---- t21 edge build ----
+    def bgRaw = docs.select(explode(operators.Collocations
+      .bigramPairs(col("text"))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .filter(col("x") =!= col("y"))
+    time("t21 edges: distinct -> union -> distinct (current)", 4) {
+      val bg = bgRaw.distinct()
+      bg.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(bg.select(col("y").as("src"), col("x").as("dst")))
+        .distinct().count()
+    }
+    time("t21 edges: union raw -> ONE distinct", 4) {
+      bgRaw.select(col("x").as("src"), col("y").as("dst"))
+        .unionByName(bgRaw.select(col("y").as("src"), col("x").as("dst")))
+        .distinct().count()
+    }
+    time("t21 full gate (current)", 4) {
+      graft.SparkEntry.queries("t21_textrank")(s, dir).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -300,6 +407,7 @@ object Drill {
       case "d06" => d06Variants(spark, sfDir)
       case "gtail" => gtailVariants(spark, sfDir)
       case "q47" => q47Variants(spark, sfDir)
+      case "texttail" => texttailVariants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

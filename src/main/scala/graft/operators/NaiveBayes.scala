@@ -48,18 +48,29 @@ object NaiveBayes {
       explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
 
+  /** The shared pre-aggregation spine: (doc, word, cnt). EVERYTHING
+    * downstream — training counts, doc lengths, scoring hits — derives
+    * from this frame, so the raw token stream is consumed exactly once
+    * by one map-side-combining aggregate and never joins anything:
+    * at 100 TB the label join and all later shuffles move distinct
+    * (doc, word) pairs, not token instances (the texttail drill's
+    * dw-first shape). */
+  private def docWordCounts(tk: DataFrame): DataFrame =
+    tk.groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
+
   /** Train from labeled docs: two aggregates over one tokenization. */
   def train(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): Model =
-    trainToks(toks(docs, idCol, textCol), docs, idCol, labelCol)
+    trainDw(docWordCounts(toks(docs, idCol, textCol)), docs, idCol,
+      labelCol)
 
-  private def trainToks(tk: DataFrame, docs: DataFrame, idCol: String,
+  private def trainDw(dw: DataFrame, docs: DataFrame, idCol: String,
       labelCol: String): Model = {
-    val t = tk
+    val t = dw
       .join(docs.select(col(idCol).as("doc"), col(labelCol).as("label")),
         "doc")
-    val wc = t.groupBy("word", "label").agg(count(lit(1)).as("k"))
-    val cs = t.groupBy("label").agg(count(lit(1)).as("tokens_c"))
+    val wc = t.groupBy("word", "label").agg(sum(col("cnt")).as("k"))
+    val cs = t.groupBy("label").agg(sum(col("cnt")).as("tokens_c"))
       .join(docs.groupBy(col(labelCol).as("label"))
         .agg(count(lit(1)).as("docs_c")), "label")
     // 1-row (v, dn) frame instead of two eager count() actions — the
@@ -74,11 +85,9 @@ object NaiveBayes {
     * lexicographically smallest label on both engines. */
   def predict(model: Model, docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    predictToks(model, toks(docs, idCol, textCol))
+    predictDw(model, docWordCounts(toks(docs, idCol, textCol)))
 
-  private def predictToks(model: Model, tk: DataFrame): DataFrame = {
-    val dw = tk
-      .groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
+  private def predictDw(model: Model, dw: DataFrame): DataFrame = {
     val nd = dw.groupBy("doc").agg(sum("cnt").as("n_d"))
     val hits = dw.join(model.wordCounts, "word")
       .groupBy("doc", "label")
@@ -107,13 +116,14 @@ object NaiveBayes {
   def confusion(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame = {
     // resubstitution scores the SAME corpus it trained on: tokenize
-    // once and share the cached frame between train and predict —
-    // tokenization (split+explode over every document) was the
-    // dominant repeated cost of the naive train-then-predict chain
-    val tk = toks(docs, idCol, textCol).persist()
-    val preds = predictToks(trainToks(tk, docs, idCol, labelCol), tk)
-      .localCheckpoint() // doc-sized; frees the token cache below
-    tk.unpersist()
+    // and pre-aggregate ONCE, share the cached (doc, word, cnt) frame
+    // between train and predict — it is the raw token stream's
+    // distinct-pair compression, so the cache (and every downstream
+    // shuffle) is the smaller of the two representations
+    val dw = docWordCounts(toks(docs, idCol, textCol)).persist()
+    val preds = predictDw(trainDw(dw, docs, idCol, labelCol), dw)
+      .localCheckpoint() // doc-sized; frees the pair cache below
+    dw.unpersist()
     docs.select(col(idCol).as("doc"), col(labelCol).as("truth"))
       .join(preds, "doc")
       .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
