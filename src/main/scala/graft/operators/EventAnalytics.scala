@@ -73,9 +73,16 @@ object EventAnalytics {
   }
 
   /** Cohort retention matrix: users cohorted by first-activity date;
-    * one row per (cohort_date, day_offset) with distinct active users. */
+    * one row per (cohort_date, day_offset) with distinct active users.
+    * Rows whose timestamp is NULL or unparseable are EXCLUDED up
+    * front — try_to_date (not to_date) because under Spark's default
+    * ANSI mode a plain to_date THROWS on a malformed string input (the
+    * gapFillDailyCounts discipline); kept, such rows would surface as
+    * a phantom (NULL, NULL) cohort cell rather than fail visibly. */
   def cohortRetention(events: DataFrame, user: String, ts: String): DataFrame = {
-    val e = events.select(col(user), to_date(col(ts)).as("_d"))
+    val e = events.select(col(user),
+        call_function("try_to_date", col(ts)).as("_d"))
+      .filter(col("_d").isNotNull)
     val cohorts = e.groupBy(col(user)).agg(min(col("_d")).as("cohort_date"))
     e.join(cohorts, user)
       .groupBy(col("cohort_date"),

@@ -26,7 +26,19 @@ object HistogramQuantile {
   /** Approximate percentiles of a numeric column quantized to longs:
     * (pct, bin, est) per requested integer percentile. `value` is
     * cast to long before binning — pre-scale floats to fixed point
-    * (e.g. cents) in the caller's select. */
+    * (e.g. cents) in the caller's select.
+    *
+    * TWO-PASS COST, by design: this convenience entry point derives
+    * the bin edges from a min/max/count pre-pass, so the column is
+    * scanned twice — fine when the scan is cheap or cached, wasteful
+    * at 100 TB. The one-pass path already exists and IS the production
+    * shape: callers that know the domain (business bounds, partition
+    * metadata, parquet column stats — min/max come free from footers)
+    * call [[binCountsBy]] with those fixed edges directly and read
+    * quantiles off [[quantilesFromCounts]]; out-of-domain rows under
+    * supplied edges violate the fixed-domain contract documented
+    * there. q48 deliberately pays the pre-pass because its gate
+    * derives edges from data; its COVERAGE note records the choice. */
   def quantiles(df: DataFrame, value: String, bins: Int,
       pcts: Seq[Int]): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
