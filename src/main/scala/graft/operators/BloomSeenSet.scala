@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * (`pmod(xxhash64(key, i), m)`), distinct. That keeps every piece of
   * the machinery a relational operator — the bits table is bounded by m
   * regardless of how many billions of keys the seen-set holds (set bits
-  * ≤ min(m, k·n)), so it BROADCASTS even when the seen-set itself never
-  * could; membership is a broadcast anti-join on positions; and
+  * ≤ min(m, k·n)), so it broadcasts whenever that bound is actually
+  * small (the `broadcastBits` flag on [[markSeen]] owns the choice —
+  * a tens-of-billions-bit production filter anti-joins shuffled
+  * instead); membership is an anti-join on positions; and
   * incremental maintenance is a union. Classic guarantees hold: no
   * false negatives ever; false positives at the standard
   * (1 - e^(-kn/m))^k rate, deterministic here because the hashes are
@@ -51,13 +53,23 @@ object BloomSeenSet {
   /** Tag every batch row with `bloom_hit`: false means PROVABLY unseen
     * (some bit position is unset), true means seen-or-false-positive.
     * Exact-match semantics follow whatever `keyCol` holds (use a
-    * normalized fingerprint for content dedup). */
+    * normalized fingerprint for content dedup).
+    *
+    * `broadcastBits` follows the broadcastVocab convention: set bits
+    * are ≤ min(m, k·n), and at a REAL 100 TB seen-set (billions of
+    * keys, m sized in the tens of billions for a sane FP rate) that
+    * is billions of rows — a forced broadcast hint (Spark obeys it
+    * regardless of size) would OOM the driver there. The default is
+    * right for the snapshot-sized filters the gates exercise; pass
+    * false at scale and the anti-join becomes a plain shuffled
+    * equi-join on positions — same verdicts either way. */
   def markSeen(batch: DataFrame, keyCol: String, bits: DataFrame,
-      m: Long, numHashes: Int): DataFrame = {
+      m: Long, numHashes: Int, broadcastBits: Boolean = true): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastBits) broadcast(df) else df
     val pos = batch.select(col(keyCol).as("_k")).distinct()
       .select(col("_k"),
         explode(bitPositions(col("_k"), m, numHashes)).as("pos"))
-    val definiteMiss = pos.join(broadcast(bits), Seq("pos"), "left_anti")
+    val definiteMiss = pos.join(hint(bits), Seq("pos"), "left_anti")
       .select(col("_k")).distinct()
       .withColumn("_miss", lit(1))
     // null-SAFE equality: a null key hashes like any other value (the
@@ -73,7 +85,7 @@ object BloomSeenSet {
     * fast path (survivors are exact-new up to the FP rate; chase with an
     * exact anti-join against the hit keys only if FPs matter). */
   def filterUnseen(batch: DataFrame, keyCol: String, bits: DataFrame,
-      m: Long, numHashes: Int): DataFrame =
-    markSeen(batch, keyCol, bits, m, numHashes)
+      m: Long, numHashes: Int, broadcastBits: Boolean = true): DataFrame =
+    markSeen(batch, keyCol, bits, m, numHashes, broadcastBits)
       .filter(!col("bloom_hit")).drop("bloom_hit")
 }

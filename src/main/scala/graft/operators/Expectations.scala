@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
 object Expectations {
 
   /** One row-level expectation: `name` plus the VIOLATION predicate
-    * (true ⟹ the row fails the expectation). */
+    * (true ⟹ the row fails the expectation). A predicate that
+    * evaluates to NULL counts as a PASS (SQL three-valued logic:
+    * `when(violated, 1)` falls through) — write null-aware predicates
+    * (`col.isNull || col <= 0`, not `col <= 0`) when NULLs should
+    * violate; a plain not-null check catches them otherwise. */
   final case class RowCheck(name: String, violated: Column)
 
   /** Per-table report (check, violations) from declared row checks —
@@ -29,6 +33,11 @@ object Expectations {
   def rowChecks(df: DataFrame, table: String,
       checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
+    // same guard as tableReport: names become aggregate aliases in one
+    // projection, so a duplicate would make col(name) ambiguous
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)
+        .diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
     val sums = checks.map(c =>
       sum(when(c.violated, 1L).otherwise(0L)).as(c.name))
     val one = df.agg(sums.head, sums.tail: _*)
@@ -40,8 +49,10 @@ object Expectations {
         col("kv.violations"))
   }
 
-  /** Uniqueness: number of rows carrying a duplicated key (0 when the
-    * key is unique). */
+  /** Uniqueness: number of EXCESS rows beyond one per key —
+    * Σ(cnt − 1) over keys with cnt > 1, i.e. how many rows a dedup
+    * would remove (0 when the key is unique; a key seen 3× counts 2).
+    * Same definition as [[tableReport]]'s fused uniqueness fold. */
   def uniqueCheck(df: DataFrame, table: String, name: String,
       keyCols: Seq[String]): DataFrame = {
     val extra = df.groupBy(keyCols.map(col): _*)

@@ -31,7 +31,10 @@ object Profile {
   /** One row per profiled column: (col_name, n_nulls, n_distinct,
     * min_s, max_s). Distinct counts are exact (use HLL upstream when
     * approximate is enough — see q25); min/max are computed on the
-    * native type (parquet min/max semantics), rendered as strings. */
+    * native type (parquet min/max semantics), rendered as strings.
+    * Columns must be ORDERABLE (min/max exists: atomics, arrays,
+    * structs of orderables) — a MapType column fails analysis; profile
+    * such columns through a derived projection (e.g. map_keys). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val n = cols.size

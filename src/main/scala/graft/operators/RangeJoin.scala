@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Pick `binSeconds` near the typical interval length: too small
   * replicates intervals; too large fattens bins.
+  *
+  * NULL semantics (inner-join): rows with a NULL left timestamp, or
+  * intervals with a NULL start/end, produce a NULL bin and silently
+  * drop out — matching what the inequality predicates would do in a
+  * plain join. Inverted intervals (end < start) match nothing: the
+  * residual filter is unsatisfiable (though `sequence` still walks
+  * their bins descending — validate intervals upstream if inverted
+  * rows are common enough for that replication to matter).
   */
 object RangeJoin {
 

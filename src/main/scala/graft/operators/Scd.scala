@@ -33,6 +33,13 @@ object Scd {
     * one interval. */
   def type2(obs: DataFrame, entity: String, ts: String, value: String,
       tieCol: String): DataFrame = {
+    // the output projects `entity` alongside fixed aliases — an entity
+    // column named like one of them (or like the internal run columns)
+    // would emit duplicate/shadowed columns and a silently wrong frame
+    val reserved = Set("value", "version", "effective_from",
+      "effective_to", "is_current", "n_obs", "_chg", "_run")
+    require(!reserved(entity),
+      s"entity column '$entity' collides with an output/internal name")
     val ord = Window.partitionBy(entity).orderBy(col(ts), col(tieCol))
     // change flag: first observation of the entity (EXPLICIT row_number
     // check — an entity whose first value is NULL would otherwise match

@@ -45,8 +45,13 @@ object Segmentation {
     val base = orders.groupBy(col(custKey).as("custkey"))
       .agg(max(col(dateCol)).as("_lastd"),
         count(lit(1)).as("frequency"),
-        sum(col(amountCol)).cast("decimal(18,2)").cast("string")
-          .as("monetary"))
+        // quantize each amount BEFORE the sum (t12 recipe): a plain
+        // double sum is shuffle-order dependent in the last ulp, and a
+        // near-boundary 2-digit rounding flip would silently move a
+        // customer across a quintile edge — decimal addition is exact,
+        // so the sum (and every rank derived from it) is order-free
+        sum(col(amountCol).cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("string").as("monetary"))
       .crossJoin(broadcast(maxDate))
       .select(col("custkey"),
         datediff(col("_maxd"), col("_lastd")).cast("long")

@@ -529,7 +529,8 @@ object AnalyticsQueries {
         "CAST(date_diff('day', max(o_orderdate), " +
         "(SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days, " +
         "count(*) AS frequency, " +
-        "CAST(CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "AS DECIMAL(18,2)) AS VARCHAR) " +
         "AS monetary FROM orders GROUP BY 1), " +
         "n AS (SELECT count(*) AS c FROM b), " +
         "r AS (SELECT custkey, recency_days, frequency, monetary, " +

@@ -75,6 +75,18 @@ class BloomSeenSetSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
     assert(p.contains("BroadcastExchange"), p)
   }
+  test("broadcastBits=false (the 100 TB bits-table path) gives " +
+    "identical verdicts through the shuffled anti-join") {
+    val seen = Seq("a", "b", "c").toDF("fp")
+    val bits = BloomSeenSet.buildBits(seen, "fp", M, K)
+    val batch = Seq("a", "x", "c", "y").toDF("fp")
+    def verdicts(bc: Boolean) =
+      BloomSeenSet.markSeen(batch, "fp", bits, M, K, broadcastBits = bc)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(verdicts(true) === verdicts(false))
+    assert(verdicts(false)("a") && !verdicts(false)("x"))
+  }
+
   test("null keys resolve like a real value, never silently 'seen'") {
     val seen = Seq(Some("a"), Some("b")).toDF("fp")
     val bits = BloomSeenSet.buildBits(seen, "fp", M, K)

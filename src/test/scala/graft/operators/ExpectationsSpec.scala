@@ -20,6 +20,18 @@ class ExpectationsSpec extends SparkSpec {
       ("t", "v_positive", 2L)))
   }
 
+  test("rowChecks rejects duplicate check names loudly") {
+    // duplicate names become ambiguous aggregate aliases — the
+    // tableReport guard, applied to the standalone path too
+    val df = Seq(1L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Expectations.rowChecks(df, "t", Seq(
+        RowCheck("same", col("id").isNull),
+        RowCheck("same", col("id") < 0)))
+    }
+    assert(e.getMessage.contains("same"))
+  }
+
   test("rowChecks runs as a single aggregate job") {
     val df = (1L to 100L).toDF("id")
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length

@@ -56,6 +56,17 @@ class ScdSpec extends SparkSpec {
       (3L, Some("A"), 1L)))
   }
 
+  test("type2 rejects an entity column named like an output column") {
+    // the output projects `entity` next to fixed aliases — an entity
+    // literally named "value"/"version"/... would emit duplicates
+    val obs = Seq((1L, 1L, ts("2025-01-01 00:00:00"), "A"))
+      .toDF("value", "id", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Scd.type2(obs, "value", "t", "v", "id")
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("type2: a NULL FIRST value still numbers versions from 1") {
     // r7 review fix: lag() is NULL on the first row, and NULL <=> NULL
     // made the opening _chg 0 — a NULL-first entity numbered from 0

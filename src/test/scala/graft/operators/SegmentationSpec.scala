@@ -27,6 +27,24 @@ class SegmentationSpec extends SparkSpec {
     (10L, d("2024-01-08"), BigDecimal("80.00"))
   ).toDF("custkey", "odate", "price")
 
+  test("rfm: DOUBLE amounts sum exactly (per-value decimal quantize)") {
+    // amounts arrive as doubles in the gate (o_totalprice) — each is
+    // quantized to DECIMAL(18,2) BEFORE the sum, so the monetary string
+    // is exact regardless of summation order (0.1 + 0.2 would render
+    // 0.30000000000000004-ish through a double accumulator's last ulp;
+    // the decimal path renders 0.30 by construction)
+    val dd = Seq(
+      (1L, d("2024-01-01"), 0.1), (1L, d("2024-01-02"), 0.2),
+      (1L, d("2024-01-03"), 0.1), (2L, d("2024-01-04"), 5.0))
+      .toDF("custkey", "odate", "price")
+      .repartition(8) // spread the group across tasks
+    val m = Segmentation.rfm(dd, "custkey", "odate", "price")
+      .select("custkey", "monetary").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) === "0.40")
+    assert(m(2L) === "5.00")
+  }
+
   test("rfm: quintiles are rank*5 div n + 1 in each metric's total order") {
     val out = Segmentation.rfm(orders, "custkey", "odate", "price")
       .orderBy("custkey")
