@@ -797,9 +797,37 @@ object CoreQueries {
         col("score"))
       .orderBy("doc_id")
 
+  // Gzipped-JSONL ingest (the crawl-export format every corpus drop
+  // actually arrives in), src02's discipline: EXPLICIT schema (schema
+  // inference is a full extra pass over 100 TB and type-drifts on
+  // sparse fields), nested struct/array fields projected flat,
+  // DROPMALFORMED log-and-skip tolerance (the src01 counter semantics;
+  // DuckDB replays it as ignore_errors + a doc_id IS NOT NULL filter —
+  // its recovery NULLs the row instead of dropping it, and every valid
+  // row carries doc_id). GZIP IS NOT SPLITTABLE: one file = one task,
+  // whole-file decode — so parallelism at 100 TB comes from SHARDING
+  // UPSTREAM (the fixture ships 3 shards; a real drop ships thousands,
+  // sized ~100 MB-1 GB so a task is neither trivial nor an hour), or
+  // from re-containering to a splittable codec (zstd parquet) at the
+  // edge. Src03Spec pins the one-partition-per-shard plan fact.
+  private def src03(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema("doc_id BIGINT, source STRING, lang STRING, " +
+        "published DATE, title STRING, " +
+        "meta STRUCT<views: BIGINT, tags: ARRAY<STRING>>, score DOUBLE")
+      .option("mode", "DROPMALFORMED")
+      .json(graft.GraftSession.fixture("docs_export_jsonl"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("published"), col("title"),
+        col("meta.views").as("views"),
+        size(col("meta.tags")).cast("long").as("n_tags"),
+        col("score"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_square_source" -> (src01 _),
     "src02_csv_source" -> (src02 _),
+    "src03_jsonl_gz_source" -> (src03 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
@@ -856,6 +884,21 @@ object CoreQueries {
     // the malformed line exactly like the connector's skip counter;
     // RFC4180 replay: same quote/escape, same explicit column types,
     // same empty-as-NULL — body_len catches any quote-handling drift
+    // gzip-transparent newline-delimited read, same explicit column
+    // types; ignore_errors recovers the malformed line as an all-NULL
+    // row where Spark's DROPMALFORMED drops it — the doc_id filter
+    // makes the two tolerances identical (every valid row has doc_id)
+    "src03_jsonl_gz_source" ->
+      ("SELECT doc_id, source, lang, published, title, meta.views " +
+        "AS views, CAST(len(meta.tags) AS BIGINT) AS n_tags, score " +
+        "FROM read_json('" +
+        graft.GraftSession.fixture("docs_export_jsonl") +
+        "/*.jsonl.gz', format='newline_delimited', ignore_errors=true, " +
+        "columns={'doc_id':'BIGINT','source':'VARCHAR'," +
+        "'lang':'VARCHAR','published':'DATE','title':'VARCHAR'," +
+        "'meta':'STRUCT(views BIGINT, tags VARCHAR[])'," +
+        "'score':'DOUBLE'}) " +
+        "WHERE doc_id IS NOT NULL ORDER BY doc_id"),
     "src02_csv_source" ->
       ("SELECT doc_id, source, published, title, " +
         "CAST(length(body) AS BIGINT) AS body_len, score " +
