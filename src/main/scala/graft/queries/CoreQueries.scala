@@ -686,8 +686,12 @@ object CoreQueries {
       KmvSketch.merge(
         shardSk.filter(col("shard").between("1998-01", "1998-12")), k), k)
     // exact churn in ONE pass: per-customer year-membership flags, then
-    // the five set sizes as flag sums (same shape as q47's exact rider)
-    val exact = o.filter(year(col("o_orderdate")).isin(1997, 1998))
+    // the five set sizes as flag sums (same shape as q47's exact rider).
+    // The year restriction is a DATE RANGE, not year(d).isin(...) — the
+    // range is parquet-pushable (PushedFilters on o_orderdate); year()
+    // has no pushdown expression and would full-scan
+    val exact = o.filter(col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01")
       .groupBy("o_custkey").agg(
         max(when(year(col("o_orderdate")) === 1997, 1).otherwise(0))
           .as("in_a"),

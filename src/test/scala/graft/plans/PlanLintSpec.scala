@@ -87,6 +87,9 @@ class PlanLintSpec extends SparkSpec {
         // 1-row sketch/estimate/exact-reference riders (the q46
         // shape): every crossJoined side is a one-row frame
         "q47_kmv_sketch",
+        // same class: the difference panel crossJoins two one-row
+        // sketch frames and the one-row exact-churn rider
+        "q49_kmv_difference",
         // q43's pct-threshold join (both sides sketch-bounded) plus
         // the q46-shape 1-row mismatch/n_shards riders
         "q48_histo_merge",
