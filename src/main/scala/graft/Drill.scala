@@ -394,6 +394,25 @@ object Drill {
     }
   }
 
+  /** g07 HITS stage table: incidence distinct, edge-layout persists,
+    * one half-step, full rounds — where do the ~10 s go? */
+  private def g07Variants(s: SparkSession, dir: String): Unit = {
+    import operators.Hits
+    val inc = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    time("incidence distinct", 4) { inc.count() }
+    time("one half-step (join+agg, no normalize)", 4) {
+      val hub = inc.select(col("src").as("n")).distinct()
+        .withColumn("s", lit(Hits.One))
+      inc.join(hub, inc("src") === hub("n"))
+        .groupBy(col("dst")).agg(sum(col("s")).as("s")).count()
+    }
+    time("hits iters=1", 4) { Hits.scores(inc, 1).count() }
+    time("hits iters=2", 4) { Hits.scores(inc, 2).count() }
+    time("hits iters=3 (gate)", 4) { Hits.scores(inc, 3).count() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -408,6 +427,7 @@ object Drill {
       case "gtail" => gtailVariants(spark, sfDir)
       case "q47" => q47Variants(spark, sfDir)
       case "texttail" => texttailVariants(spark, sfDir)
+      case "g07" => g07Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

@@ -56,7 +56,10 @@ object ScalingProbe {
     "s07_pq_topk", "p09_curate_e2e", "d07_contamination",
     // r9 late additions: the round's own new >= 1 s gates
     "q47_kmv_sketch", "q48_histo_merge", "g06_clustering_coeff",
-    "q46_hll_merge")
+    "q46_hll_merge",
+    // r11 addition: the round's own new >= 1 s gate (q49/q50/src03 all
+    // run sub-second — under the probe bar)
+    "g07_hits")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Key-skew diagnostics — the pre-flight every 100 TB shuffle wants
+  * BEFORE it runs: will a `groupBy`/`join` on this key hot-spot one
+  * task? The report is the quantitative answer ([[Skew.saltedJoin]]
+  * and AQE skew-join are the mitigations it motivates):
+  *
+  *  - the top-k heavy keys with exact counts and ppm share of all
+  *    rows — the candidates for salting or special-casing;
+  *  - `max_avg_ppm`: the hottest key's count over the mean count, in
+  *    ppm (1 000 000 = perfectly uniform) — the direct "how much worse
+  *    than uniform is the worst task" number;
+  *  - Shannon entropy of the key distribution via the identity
+  *    `H = ln(n) − (Σ c·ln c)/n`, so it needs NO second pass with n in
+  *    hand: `Σ c·ln c` aggregates alongside the other stats, each term
+  *    DECIMAL(28,14)-quantized before the exact sum (the t12 recipe —
+  *    float sums don't commute, decimal sums do, so the report replays
+  *    bit-for-bit). `exp(H)` is the "effective number of keys".
+  *
+  * Scale shape: ONE count aggregate keyed on the column (map-side
+  * combined — the shuffle carries keys, not rows), one 4-column rollup
+  * of that key-sized frame riding as a 1-row broadcast cross join,
+  * top-k via TakeOrderedAndProject, and the rank window runs over ≤ k
+  * rows (bounded by construction, the q43 discipline). NULL keys form
+  * their own group — they hot-spot a shuffle exactly like any value.
+  *
+  * `max_avg_ppm`'s integer product `1e6 · max_cnt · n_keys` holds to
+  * ~9·10^18: fine through trillions of rows over millions of keys; a
+  * corpus past that bound should compute the ratio in DOUBLE (the
+  * exactness matters for the gate replay, not the diagnosis).
+  */
+object SkewReport {
+
+  /** Top-`k` heavy keys + distribution stats for `keyCol`. Output, one
+    * row per heavy key, rank 1 = hottest: (rank, key, cnt, share_ppm,
+    * n_rows, n_keys, max_avg_ppm, entropy). */
+  def report(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keyed = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = keyed.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      sum((col("cnt") * log(col("cnt"))).cast("decimal(28,14)"))
+        .as("_slnc"))
+    keyed.orderBy(col("cnt").desc, col("key")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("(1000000 * cnt) div n_rows").as("share_ppm"),
+        col("n_rows"), col("n_keys"),
+        expr("(1000000 * max_cnt * n_keys) div n_rows").as("max_avg_ppm"),
+        round(log(col("n_rows").cast("double")) -
+          col("_slnc").cast("double") / col("n_rows"), 4).as("entropy"))
+      .orderBy("rank")
+  }
+}

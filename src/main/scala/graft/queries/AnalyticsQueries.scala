@@ -93,6 +93,27 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // HITS hubs & authorities over the DIRECTED order→part incidence
+  // (the bipartite-centrality complement to g01's PageRank):
+  // authoritative parts are the ones well-represented baskets carry,
+  // representative baskets the ones carrying authoritative parts —
+  // 3 fixed rounds in exact ppm integers with max normalization, so
+  // the unrolled DuckDB CTE hash-matches score-for-score.
+  private def g07(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // every-4th-order subset (the g02 discipline) keeps the gate's
+    // edge mass bounded; the operator itself is subset-free
+    val inc = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    graft.operators.Hits.scores(inc, iters = 3)
+      .withColumn("rank", row_number().over(Window.partitionBy("side")
+        .orderBy(col("score").desc, col("node"))))
+      .filter(col("rank") <= 20)
+      .orderBy("side", "rank")
+  }
+
   // SCD Type-2 dimension: each order observes its customer's priority;
   // compress to validity intervals. The whole build shares ONE
   // PARTITION BY custkey layout (change flag, run id, rollup, close)
@@ -241,6 +262,7 @@ object AnalyticsQueries {
     "f07_rfm" -> (f07 _),
     "f08_scd2" -> (f08 _),
     "g01_pagerank" -> (g01 _),
+    "g07_hits" -> (g07 _),
     "g02_triangles" -> (g02 _),
     "g03_bfs_layers" -> (g03 _),
     "g06_clustering_coeff" -> (g06 _),
@@ -251,6 +273,40 @@ object AnalyticsQueries {
   // damping, +0.15 at scale 10^12). Reused by t21 (TextRank) with a
   // different edge head: the caller supplies CTEs ending in
   // `e(src, dst)`, this appends deg/init/iterations.
+  // fixed-round HITS unrolled as CTE stages (the PageRank-unroll
+  // discipline): per round, authority sum + 1-row max normalize, then
+  // hub sum + 1-row max normalize, all in ppm floor division
+  private[queries] def hitsUnrollSql(iters: Int): String = {
+    val init =
+      "inc AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "h0 AS (SELECT DISTINCT src AS n, CAST(1000000 AS BIGINT) AS s " +
+        "FROM inc), "
+    val its = (1 to iters).map { i =>
+      s"a${i}r AS (SELECT inc.dst AS n, CAST(sum(h${i - 1}.s) AS BIGINT) " +
+        s"AS s FROM inc JOIN h${i - 1} ON inc.src = h${i - 1}.n " +
+        "GROUP BY inc.dst), " +
+        s"a${i}m AS (SELECT max(s) AS m FROM a${i}r), " +
+        s"a$i AS (SELECT n, CAST((1000000 * s) // m AS BIGINT) AS s " +
+        s"FROM a${i}r CROSS JOIN a${i}m), " +
+        s"h${i}r AS (SELECT inc.src AS n, CAST(sum(a$i.s) AS BIGINT) " +
+        s"AS s FROM inc JOIN a$i ON inc.dst = a$i.n GROUP BY inc.src), " +
+        s"h${i}m AS (SELECT max(s) AS m FROM h${i}r), " +
+        s"h$i AS (SELECT n, CAST((1000000 * s) // m AS BIGINT) AS s " +
+        s"FROM h${i}r CROSS JOIN h${i}m)"
+    }.mkString(", ")
+    init + its
+  }
+
+  private val hitsSql: String =
+    "WITH " + hitsUnrollSql(3) +
+      ", t AS (SELECT 'auth' AS side, n AS node, s AS score, " +
+      "row_number() OVER (ORDER BY s DESC, n) AS rk FROM a3 " +
+      "UNION ALL SELECT 'hub', n, s, " +
+      "row_number() OVER (ORDER BY s DESC, n) FROM h3) " +
+      "SELECT side, node, score, CAST(rk AS INT) AS rank FROM t " +
+      "WHERE rk <= 20 ORDER BY side, rank"
+
   private[queries] def pagerankUnrollSql(iters: Int): String = {
     val init =
       "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
@@ -442,6 +498,8 @@ object AnalyticsQueries {
         "SELECT node, min(hop) AS hop FROM bfs GROUP BY node " +
         "ORDER BY node"),
     "g01_pagerank" -> pagerankSql,
+    // identical fixed-round ppm sums + 1-row max normalizations
+    "g07_hits" -> hitsSql,
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,

@@ -801,6 +801,16 @@ object CoreQueries {
         col("score"))
       .orderBy("doc_id")
 
+  // Key-skew pre-flight (q29's diagnosis half): the top-10 heavy
+  // l_partkey values with exact ppm shares, the max/avg ratio, and the
+  // decimal-quantized distribution entropy — one key-shuffle + a 1-row
+  // rider, the report a 100 TB pipeline reads before picking its join
+  // strategy. DuckDB replays counts, floor-division ppm, and the
+  // ln(n) − Σ c·ln(c)/n identity term-for-term.
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SkewReport.report(t(s, dir, "lineitem"),
+      "l_partkey", k = 10)
+
   // Gzipped-JSONL ingest (the crawl-export format every corpus drop
   // actually arrives in), src02's discipline: EXPLICIT schema (schema
   // inference is a full extra pass over 100 TB and type-drifts on
@@ -839,6 +849,7 @@ object CoreQueries {
     "q47_kmv_sketch" -> (q47 _),
     "q48_histo_merge" -> (q48 _),
     "q49_kmv_difference" -> (q49 _),
+    "q50_skew_report" -> (q50 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1242,6 +1253,26 @@ object CoreQueries {
         "est_intersect, exact_distinct, exact_intersect " +
         "FROM em CROSS JOIN ef CROSS JOIN mism CROSS JOIN ei " +
         "CROSS JOIN x CROSS JOIN xi"),
+    // identical count -> floor-division ppm -> entropy-identity chain:
+    // each c*ln(c) term DECIMAL(28,14)-quantized before the exact sum
+    // (t12 recipe), row_number cast INT to match Spark's rank type
+    "q50_skew_report" ->
+      ("WITH k AS (SELECT l_partkey AS key, count(*) AS cnt " +
+        "FROM lineitem GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+        "CAST(count(*) AS BIGINT) AS n_keys, " +
+        "CAST(max(cnt) AS BIGINT) AS max_cnt, " +
+        "sum(CAST(cnt * ln(cnt) AS DECIMAL(28,14))) AS slnc FROM k), " +
+        "t AS (SELECT key, CAST(cnt AS BIGINT) AS cnt, " +
+        "row_number() OVER (ORDER BY cnt DESC, key) AS rnk FROM k) " +
+        "SELECT CAST(rnk AS INT) AS rank, key, cnt, " +
+        "CAST((1000000 * cnt) // n_rows AS BIGINT) AS share_ppm, " +
+        "n_rows, n_keys, " +
+        "CAST((1000000 * max_cnt * n_keys) // n_rows AS BIGINT) " +
+        "AS max_avg_ppm, " +
+        "round(ln(n_rows) - CAST(slnc AS DOUBLE) / n_rows, 4) " +
+        "AS entropy " +
+        "FROM t CROSS JOIN s WHERE rnk <= 10 ORDER BY rank"),
     // the KMV pipeline replayed for the CHURN question: same hash ->
     // per-month k-minima spine as q47, year-half sketch merges, then
     // the identical fixed-shape difference estimators (|A| and |B|

@@ -90,6 +90,10 @@ class PlanLintSpec extends SparkSpec {
         // same class: the difference panel crossJoins two one-row
         // sketch frames and the one-row exact-churn rider
         "q49_kmv_difference",
+        // 1-row distribution-stats rider over the top-k heavy keys
+        "q50_skew_report",
+        // 1-row max-normalization riders on node-sized score frames
+        "g07_hits",
         // q43's pct-threshold join (both sides sketch-bounded) plus
         // the q46-shape 1-row mismatch/n_shards riders
         "q48_histo_merge",
