@@ -394,6 +394,50 @@ object Drill {
     }
   }
 
+  /** q51 correlation-matrix cost anatomy: where does a one-pass
+    * 15-moment aggregate spend 4 s? */
+  private def q51Variants(s: SparkSession, dir: String): Unit = {
+    val li = Tables(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val c = li.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    time("scan + count", 4) { c.count() }
+    time("4 double sums", 4) {
+      c.agg(sum(col(cols(0))), sum(col(cols(1))), sum(col(cols(2))),
+        sum(col(cols(3)))).count()
+    }
+    time("4 decimal(28,8) sums", 4) {
+      c.agg(cols.map(x => sum(col(x).cast("decimal(28,8)"))).head,
+        cols.map(x => sum(col(x).cast("decimal(28,8)"))).tail: _*).count()
+    }
+    time("15 decimal(28,8) moments (the q51 core)", 4) {
+      val ms = Seq(count(lit(1))) ++
+        cols.map(x => sum(col(x).cast("decimal(28,8)"))) ++
+        cols.map(x => sum((col(x) * col(x)).cast("decimal(28,8)"))) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((col(a) * col(b)).cast("decimal(28,8)")) }.toSeq
+      c.agg(ms.head, ms.tail: _*).count()
+    }
+    time("15 decimal(38,8) moments", 4) {
+      val ms = Seq(count(lit(1))) ++
+        cols.map(x => sum(col(x).cast("decimal(38,8)"))) ++
+        cols.map(x => sum((col(x) * col(x)).cast("decimal(38,8)"))) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((col(a) * col(b)).cast("decimal(38,8)")) }.toSeq
+      c.agg(ms.head, ms.tail: _*).count()
+    }
+    time("15 decimal(18,8) moments", 4) {
+      val ms = Seq(count(lit(1))) ++
+        cols.map(x => sum(col(x).cast("decimal(18,8)"))) ++
+        cols.map(x => sum((col(x) * col(x)).cast("decimal(18,8)"))) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((col(a) * col(b)).cast("decimal(18,8)")) }.toSeq
+      c.agg(ms.head, ms.tail: _*).count()
+    }
+    time("full gate", 4) {
+      graft.SparkEntry.queries("q51_corr_matrix")(s, dir).count()
+    }
+  }
+
   /** g07 HITS stage table: incidence distinct, edge-layout persists,
     * one half-step, full rounds — where do the ~10 s go? */
   private def g07Variants(s: SparkSession, dir: String): Unit = {
@@ -428,6 +472,7 @@ object Drill {
       case "q47" => q47Variants(spark, sfDir)
       case "texttail" => texttailVariants(spark, sfDir)
       case "g07" => g07Variants(spark, sfDir)
+      case "q51" => q51Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

@@ -93,6 +93,24 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // two-sample proportion z-test over the event log: users split by
+  // id parity (the deterministic assignment every replayable
+  // experiment uses), conversion = any purchase event — four integer
+  // counts from one user rollup, ppm rates, and the pooled-z in one
+  // fixed-shape double chain mirrored textually in DuckDB
+  private def f14(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AbTest
+    val users = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+    AbTest.proportionTest(
+      users.select(col("user_id"),
+        (pmod(col("user_id"), lit(2)) === 1).as("variant"),
+        (col("conv") === 1).as("converted")),
+      col("variant"), col("converted"))
+  }
+
   // HITS hubs & authorities over the DIRECTED order→part incidence
   // (the bipartite-centrality complement to g01's PageRank):
   // authoritative parts are the ones well-represented baskets carry,
@@ -263,6 +281,7 @@ object AnalyticsQueries {
     "f08_scd2" -> (f08 _),
     "g01_pagerank" -> (g01 _),
     "g07_hits" -> (g07 _),
+    "f14_ab_test" -> (f14 _),
     "g02_triangles" -> (g02 _),
     "g03_bfs_layers" -> (g03 _),
     "g06_clustering_coeff" -> (g06 _),
@@ -500,6 +519,36 @@ object AnalyticsQueries {
     "g01_pagerank" -> pagerankSql,
     // identical fixed-round ppm sums + 1-row max normalizations
     "g07_hits" -> hitsSql,
+    // identical integer counts -> ppm floor division -> pooled-z double
+    // chain with the same degenerate-case guard
+    "f14_ab_test" ->
+      ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = " +
+        "'purchase' THEN 1 ELSE 0 END) AS conv FROM events " +
+        "GROUP BY user_id), " +
+        "a AS (SELECT " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS conv_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS conv_b FROM u) " +
+        "SELECT n_a, conv_a, CASE WHEN n_a > 0 THEN " +
+        "(1000000 * conv_a) // n_a END AS rate_a_ppm, " +
+        "n_b, conv_b, CASE WHEN n_b > 0 THEN " +
+        "(1000000 * conv_b) // n_b END AS rate_b_ppm, " +
+        "CASE WHEN n_b > 0 THEN (1000000 * conv_b) // n_b END - " +
+        "CASE WHEN n_a > 0 THEN (1000000 * conv_a) // n_a END " +
+        "AS lift_ppm, " +
+        "round(CASE WHEN n_a > 0 AND n_b > 0 " +
+        "AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b " +
+        "THEN (CAST(conv_b AS DOUBLE) / n_b - " +
+        "CAST(conv_a AS DOUBLE) / n_a) / " +
+        "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0 / n_a + 1.0 / n_b)) " +
+        "ELSE NULL END, 4) AS z FROM a"),
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,

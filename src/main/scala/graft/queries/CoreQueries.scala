@@ -811,6 +811,58 @@ object CoreQueries {
     graft.operators.SkewReport.report(t(s, dir, "lineitem"),
       "l_partkey", k = 10)
 
+  // One-pass Pearson correlation MATRIX over lineitem's four numeric
+  // columns (q23 is the scalar-subquery gate; this is the pairwise
+  // feature audit): all moments from ONE aggregate scan as exact
+  // order-free LONG sums — cent-quantized values, products hi/lo-split
+  // so the sums never leave the codegen'd long fast path (Spark's own
+  // corr() is an unpinnable float sum; >18-digit decimal sums cost a
+  // measured 25×) — then the Pearson formula as one fixed-shape double
+  // chain over the exact sums. DuckDB replays moment-for-moment.
+  private val q51Cols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.corrMatrix(t(s, dir, "lineitem"), q51Cols)
+      .orderBy("col_x", "col_y")
+
+  private val q51OracleSql: String = {
+    val cols = q51Cols
+    val K = 1000000000L
+    def d(n: String) = s"CAST($n AS DOUBLE)"
+    // identical quantize -> hi/lo long-split sums -> double recombine:
+    // pmod replayed as ((p % K) + K) % K; `//` on a multiple of K is
+    // the exact quotient like Spark's `div`
+    def hiLo(p: String, name: String) = Seq(
+      s"CAST(sum((($p) - ((($p) % $K) + $K) % $K) // $K) AS BIGINT) " +
+        s"AS ${name}_hi",
+      s"CAST(sum(((($p) % $K) + $K) % $K) AS BIGINT) AS ${name}_lo")
+    def rec(name: String) =
+      s"(${d(s"${name}_hi")} * $K + ${d(s"${name}_lo")})"
+    val moments =
+      Seq("CAST(count(*) AS BIGINT) AS n") ++
+        cols.map(c => s"CAST(sum(q_$c) AS BIGINT) AS s_$c") ++
+        cols.flatMap(c => hiLo(s"q_$c * q_$c", s"ss_$c")) ++
+        cols.combinations(2).flatMap { case Seq(a, b) =>
+          hiLo(s"q_$a * q_$b", s"sp_${a}_$b")
+        }.toSeq
+    val pairSelects = cols.combinations(2).map { case Seq(a, b) =>
+      val vx = s"(${d("n")} * ${rec(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})"
+      val vy = s"(${d("n")} * ${rec(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+      s"SELECT '$a' AS col_x, '$b' AS col_y, n, " +
+        s"round(CASE WHEN $vx > 0 AND $vy > 0 " +
+        s"THEN (${d("n")} * ${rec(s"sp_${a}_$b")} - " +
+        s"${d(s"s_$a")} * ${d(s"s_$b")}) / sqrt($vx * $vy) " +
+        s"ELSE NULL END, 4) AS corr FROM m"
+    }.mkString(" UNION ALL ")
+    "WITH c AS (SELECT " +
+      cols.map(c => s"CAST(round($c * 100) AS BIGINT) AS q_$c")
+        .mkString(", ") +
+      " FROM lineitem WHERE " +
+      cols.map(c => s"$c IS NOT NULL").mkString(" AND ") +
+      "), m AS (SELECT " + moments.mkString(", ") + " FROM c) " +
+      pairSelects + " ORDER BY col_x, col_y"
+  }
+
   // Gzipped-JSONL ingest (the crawl-export format every corpus drop
   // actually arrives in), src02's discipline: EXPLICIT schema (schema
   // inference is a full extra pass over 100 TB and type-drifts on
@@ -850,6 +902,7 @@ object CoreQueries {
     "q48_histo_merge" -> (q48 _),
     "q49_kmv_difference" -> (q49 _),
     "q50_skew_report" -> (q50 _),
+    "q51_corr_matrix" -> (q51 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1253,6 +1306,9 @@ object CoreQueries {
         "est_intersect, exact_distinct, exact_intersect " +
         "FROM em CROSS JOIN ef CROSS JOIN mism CROSS JOIN ei " +
         "CROSS JOIN x CROSS JOIN xi"),
+    // identical moment sums (decimal-quantized terms) -> the Pearson
+    // double chain over exact sums, pair rows unioned in the same order
+    "q51_corr_matrix" -> q51OracleSql,
     // identical count -> floor-division ppm -> entropy-identity chain:
     // each c*ln(c) term DECIMAL(28,14)-quantized before the exact sum
     // (t12 recipe), row_number cast INT to match Spark's rank type
