@@ -47,33 +47,50 @@ object HyperLogLog {
     * merged-shards == full-scan bit-for-bit against DuckDB. */
   def registersBy(df: DataFrame, value: Column, b: Int,
       shard: Column): DataFrame = {
-    require(b >= 4 && b <= 12, "need 4 <= b <= 12 (16..4096 registers)")
-    val m = 1 << b
-    val w = 60 - b
     // NULLs are excluded up front (COUNT DISTINCT semantics): md5(NULL)
     // would propagate NULL into (j, r) — and least(48, NULL) SKIPS the
     // null, manufacturing a phantom (NULL, 48) register that inflates
     // `occupied` and the estimate
-    df.filter(value.isNotNull)
-      .select(shard.as("shard"),
-        conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
-          .cast("long").as("_h"))
-      // integer div, NOT `/`: Column./ is double division, and a 60-bit
-      // hash exceeds double's 53-bit exact range — the truncated quotient
-      // would corrupt low bits of w (and the ranks) silently
-      .select(col("shard"), pmod(col("_h"), lit(m)).cast("int").as("j"),
-        expr(s"_h div $m").as("_w"))
-      .select(col("shard"), col("j"),
-        least(lit(48), when(col("_w") === 0, lit(w + 1))
-          .otherwise(lit(w + 1) -
-            length(conv(col("_w").cast("string"), 10, 2)))).as("r"))
+    jrFrom(df.filter(value.isNotNull)
+        .select(shard.as("shard"),
+          conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+            .cast("long").as("_h")),
+        b, keep = Seq("shard"))
       .groupBy("shard", "j").agg(max(col("r")).as("r"))
   }
 
-  /** One-row estimate from a register frame: (m, occupied, est).
-    * Standard small-range correction (est0 ≤ 2.5m with empty
-    * registers → linear counting `m·ln(m/V)`). */
-  def estimate(reg: DataFrame, b: Int): DataFrame = {
+  /** The hash → (register index, rank) spine, shared by the batch
+    * rollup above and the streaming windowed sketch
+    * ([[graft.streaming.EventStreams.windowedUserRegisters]]): takes a
+    * frame carrying the 60-bit hash as `_h`, returns `keep` ++ (j, r).
+    * One arithmetic spine — the two paths cannot drift. */
+  private[graft] def jrFrom(df: DataFrame, b: Int,
+      keep: Seq[String]): DataFrame = {
+    require(b >= 4 && b <= 12, "need 4 <= b <= 12 (16..4096 registers)")
+    val m = 1 << b
+    val w = 60 - b
+    // integer div, NOT `/`: Column./ is double division, and a 60-bit
+    // hash exceeds double's 53-bit exact range — the truncated quotient
+    // would corrupt low bits of w (and the ranks) silently
+    df.select(keep.map(col) ++ Seq(
+        pmod(col("_h"), lit(m)).cast("int").as("j"),
+        expr(s"_h div $m").as("_w")): _*)
+      .select(keep.map(col) ++ Seq(col("j"),
+        least(lit(48), when(col("_w") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) -
+            length(conv(col("_w").cast("string"), 10, 2)))).as("r")): _*)
+  }
+
+  private def regAggs = Seq(
+    count(lit(1)).as("occupied"),
+    coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
+      "CAST(48 - r AS INT))")), lit(0L)).as("_socc"))
+
+  /** The shared estimate read-off over an aggregated
+    * (occupied, _socc) frame — one arithmetic spine for the one-sketch
+    * and per-shard paths. */
+  private def readOff(aggd: DataFrame, b: Int,
+      keep: Seq[String]): DataFrame = {
     val m = 1 << b
     // FFGM'07 pins alpha for the small register counts; the closed form
     // 0.7213/(1 + 1.079/m) is the asymptotic constant, valid m >= 128
@@ -83,21 +100,37 @@ object HyperLogLog {
       case 64 => "0.709"
       case _ => s"(0.7213 / (1 + 1.079 / $m))"
     }
-    reg.agg(count(lit(1)).as("occupied"),
-        coalesce(sum(expr("shiftleft(CAST(1 AS BIGINT), " +
-          "CAST(48 - r AS INT))")), lit(0L)).as("_socc"))
-      // empty registers contribute 2^-0 = 1 → 2^48 in the scaled sum
-      .select(lit(m.toLong).as("m"), col("occupied"),
+    // empty registers contribute 2^-0 = 1 → 2^48 in the scaled sum
+    aggd
+      .select(keep.map(col) ++ Seq(lit(m.toLong).as("m"), col("occupied"),
         (col("_socc") +
           (lit(m.toLong) - col("occupied")) * lit(1L << 48)).as("_s"),
-        (lit(m.toLong) - col("occupied")).as("_v"))
-      .select(col("m"), col("occupied"),
+        (lit(m.toLong) - col("occupied")).as("_v")): _*)
+      .select(keep.map(col) ++ Seq(col("m"), col("occupied"),
         round(expr(s"CASE WHEN $alpha * $m * $m * " +
           s"pow(2, 48) / _s <= 2.5 * $m AND _v > 0 " +
           s"THEN $m * ln(CAST($m AS DOUBLE) / _v) " +
           s"ELSE $alpha * $m * $m * " +
-          "pow(2, 48) / _s END"), 2).as("est"))
+          "pow(2, 48) / _s END"), 2).as("est")): _*)
   }
+
+  /** One-row estimate from a register frame: (m, occupied, est).
+    * Standard small-range correction (est0 ≤ 2.5m with empty
+    * registers → linear counting `m·ln(m/V)`). A GLOBAL aggregate by
+    * contract: an empty register frame still yields its one zero-
+    * estimate row (a grouped read-off would yield none). */
+  def estimate(reg: DataFrame, b: Int): DataFrame =
+    readOff(reg.agg(regAggs.head, regAggs.tail: _*), b, Nil)
+
+  /** Per-SHARD estimates from a (shard, j, r) register frame:
+    * (shard, m, occupied, est), one row per shard — "distinct per
+    * day/window/partition" read off stored registers with no re-scan
+    * (the sketch family's grouped read-off; the streaming windowed
+    * sketch reads its window state through this too). Shards with no
+    * registers are absent (there is nothing to read off). */
+  def estimateBy(reg: DataFrame, b: Int): DataFrame =
+    readOff(reg.groupBy("shard").agg(regAggs.head, regAggs.tail: _*),
+      b, Seq("shard"))
 
   /** registers + estimate in one call. */
   def distinctEstimate(df: DataFrame, value: Column, b: Int): DataFrame =

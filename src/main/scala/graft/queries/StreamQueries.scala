@@ -125,7 +125,26 @@ object StreamQueries {
     s.read.format("graft-log").load(graft.GraftSession.fixture("graftlog"))
       .orderBy("partition", "offset")
 
+  // tumbling-window distinct-user HLL sketch (the mergeable-sketch
+  // family's streaming face, run here in batch mode): per-hour
+  // registers -> per-window estimates via the SAME register arithmetic
+  // as q45/q46, with the exact per-window distinct riding along. The
+  // streaming spec drives the identical register function through a
+  // MemoryStream and pins stream == batch.
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val est = EventStreams.windowedDistinctUsers(events(s, dir))
+    val exact = events(s, dir).filter(col("user_id").isNotNull)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("w.start").as("ws"), col("exact_distinct"))
+    est.join(exact, "ws")
+      .select(col("ws"), col("m"), col("occupied"), col("est"),
+        col("exact_distinct"))
+      .orderBy("ws")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_windowed_distinct" -> (e13 _),
     "e01_windowed_counts" -> (e01 _),
     "e02_session_counts" -> (e02 _),
     "e03_lag_delta" -> (e03 _),
@@ -159,6 +178,35 @@ object StreamQueries {
       .orderBy("event_type")
 
   val oracleSql: Map[String, String] = Map(
+    // the q45 register pipeline replayed PER HOUR WINDOW: same 60-bit
+    // md5 hash, same b=10 index/rank bit arithmetic, same
+    // small-range-corrected estimate, exact distinct riding along
+    "e13_windowed_distinct" ->
+      ("WITH e AS (SELECT time_bucket(INTERVAL 1 HOUR, " +
+        "CAST(ts AS TIMESTAMP)) AS ws, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) " +
+        "AS BIGINT) AS h, user_id FROM events " +
+        "WHERE user_id IS NOT NULL), " +
+        "r0 AS (SELECT ws, CAST(h % 1024 AS INT) AS j, " +
+        "least(48, CASE WHEN h // 1024 = 0 THEN 51 " +
+        "ELSE 51 - length(bin(h // 1024)) END) AS r FROM e), " +
+        "reg AS (SELECT ws, j, max(r) AS r FROM r0 GROUP BY ws, j), " +
+        "a AS (SELECT ws, count(*) AS occupied, CAST(coalesce(sum(" +
+        "CAST(1 AS BIGINT) << CAST(48 - r AS INT)), 0) AS BIGINT) " +
+        "AS socc FROM reg GROUP BY ws), " +
+        "st AS (SELECT ws, occupied, socc + (1024 - occupied) * " +
+        "(CAST(1 AS BIGINT) << 48) AS s, 1024 - occupied AS v FROM a), " +
+        "est AS (SELECT ws, CAST(1024 AS BIGINT) AS m, " +
+        "CAST(occupied AS BIGINT) AS occupied, " +
+        "round(CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s <= 2.5 * 1024 AND v > 0 " +
+        "THEN 1024 * ln(CAST(1024 AS DOUBLE) / v) " +
+        "ELSE (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 * " +
+        "pow(2, 48) / s END, 2) AS est FROM st), " +
+        "x AS (SELECT ws, CAST(count(DISTINCT user_id) AS BIGINT) " +
+        "AS exact_distinct FROM e GROUP BY ws) " +
+        "SELECT est.ws, m, occupied, est, exact_distinct " +
+        "FROM est JOIN x USING (ws) ORDER BY ws"),
     "e12_trending_topk" ->
       ("WITH c AS (SELECT time_bucket(INTERVAL 1 HOUR, " +
         "CAST(ts AS TIMESTAMP)) AS ws, event_type, count(*) AS cnt " +

@@ -32,6 +32,44 @@ object EventStreams {
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
         col("total"))
 
+  /** Tumbling-window DISTINCT-USER sketch: per-window HyperLogLog
+    * registers (ws, j, r) — the mergeable-sketch family's streaming
+    * face. Exact windowed COUNT DISTINCT on a stream means holding
+    * every user id per open window; this holds ≤ 2^b six-bit ranks per
+    * window instead, evicted by the watermark like any windowed count.
+    * ONE stateful aggregation (append-safe); the estimate is a
+    * STATELESS read-off — [[graft.operators.HyperLogLog.estimateBy]]
+    * over the emitted registers, downstream or in batch — so no
+    * chained-stateful-aggregation shape is needed, and the registers
+    * stay mergeable across windows/streams/days by the same
+    * `groupBy(j).max(r)` as the batch rollup (q46's identity).
+    * Shares the hash → (j, r) spine with the batch sketch
+    * (HyperLogLog.jrFrom), so stream and batch registers are equal on
+    * equal input by construction — spec-pinned. */
+  def windowedUserRegisters(events: DataFrame,
+      windowLen: String = "1 hour", b: Int = 10,
+      delay: String = "10 minutes"): DataFrame =
+    graft.operators.HyperLogLog.jrFrom(
+        events.withWatermark("ts", delay)
+          .filter(col("user_id").isNotNull)
+          .select(col("ts"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 15),
+              16, 10).cast("long").as("_h")),
+        b, keep = Seq("ts"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("j"))
+      .agg(max(col("r")).as("r"))
+      .select(col("w.start").as("ws"), col("j"), col("r"))
+
+  /** Registers + per-window estimate in one call (batch composition;
+    * on a stream run [[windowedUserRegisters]] as the streaming half
+    * and this read-off downstream): (ws, m, occupied, est). */
+  def windowedDistinctUsers(events: DataFrame,
+      windowLen: String = "1 hour", b: Int = 10): DataFrame =
+    graft.operators.HyperLogLog.estimateBy(
+        windowedUserRegisters(events, windowLen, b)
+          .withColumnRenamed("ws", "shard"), b)
+      .withColumnRenamed("shard", "ws")
+
   /** Trending top-k: per tumbling window, the `k` event types with the
     * most events, ranked (ties broken by type — a total, replayable
     * order). A chained aggregation + rank is not one streaming query:

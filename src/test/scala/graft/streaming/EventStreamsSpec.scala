@@ -49,6 +49,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedUserRegisters: incremental stream registers == batch " +
+    "(the HLL sketch's streaming face), and the estimate reads off") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // complete mode so late-window state is still visible in the sink;
+    // production uses append + watermark eviction (same aggregation)
+    val q = EventStreams.windowedUserRegisters(streamDf, b = 6)
+      .writeStream.format("memory").queryName("wur")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows.take(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      val streamed = spark.table("wur")
+        .orderBy("ws", "j").collect().map(_.toSeq).toSeq
+      val batch = EventStreams.windowedUserRegisters(eventsDf, b = 6)
+        .orderBy("ws", "j").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      // the stateless read-off over the streamed registers matches the
+      // batch composition end-to-end — and in the exact-below-m regime
+      // the estimate IS the distinct count per window
+      val est = graft.operators.HyperLogLog.estimateBy(
+          spark.table("wur").withColumnRenamed("ws", "shard"), b = 6)
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+      val batchEst = EventStreams.windowedDistinctUsers(eventsDf, b = 6)
+        .orderBy("ws").collect().map(_.toSeq).toSeq
+      assert(est === batchEst)
+    } finally q.stop()
+  }
+
   test("trendingTopK: foreachBatch rank over upserted counts == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
