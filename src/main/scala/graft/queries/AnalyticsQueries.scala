@@ -263,8 +263,23 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  // Welch's t-test on MEANS (f14's continuous-metric sibling): did the
+  // odd-custkey arm spend more per order? Exact hi/lo-split long
+  // moments from ONE conditional-sum scan of orders (no join, no
+  // second variance pass), then the fixed-shape t/df double chain —
+  // DuckDB replays moment-for-moment
+  private def f15(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AbTest
+    AbTest.welchTTest(
+      Tables(s, dir, "orders").select(
+        (pmod(col("o_custkey"), lit(2)) === 1).as("variant"),
+        col("o_totalprice").as("v")),
+      col("variant"), col("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f11_markov" -> (f11 _),
+    "f15_welch_ttest" -> (f15 _),
     "f12_interval_union" -> (f12 _),
     "f10_target_encode" -> (f10 _),
     "g05_label_prop" -> (g05 _),
@@ -286,6 +301,35 @@ object AnalyticsQueries {
     "g03_bfs_layers" -> (g03 _),
     "g06_clustering_coeff" -> (g06 _),
   )
+
+  // f15's oracle: DuckDB-dialect integer stage (pmod -> ((p%K)+K)%K,
+  // div -> // on a multiple of K, sums cast from HUGEINT), then the
+  // double stage spliced VERBATIM from AbTest's shared builders — the
+  // IEEE chain cannot drift between engines by construction.
+  private val f15OracleSql: String = {
+    import graft.operators.AbTest
+    val k = AbTest.splitBase
+    def pm(p: String) = s"((($p) % $k) + $k) % $k"
+    def armSums(arm: String, pred: String) = Seq(
+      s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_$arm",
+      s"CAST(sum(CASE WHEN $pred THEN q ELSE 0 END) AS BIGINT) AS s_$arm",
+      s"CAST(sum(CASE WHEN $pred THEN ((q * q) - ${pm("q * q")}) // $k " +
+        s"ELSE 0 END) AS BIGINT) AS ss_${arm}_hi",
+      s"CAST(sum(CASE WHEN $pred THEN ${pm("q * q")} ELSE 0 END) " +
+        s"AS BIGINT) AS ss_${arm}_lo")
+    "WITH c AS (SELECT o_custkey % 2 = 1 AS v, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders " +
+      "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL), " +
+      "m AS (SELECT " +
+      (armSums("a", "NOT v") ++ armSums("b", "v")).mkString(", ") +
+      " FROM c), " +
+      "w AS (SELECT n_a, n_b, s_a, s_b, " +
+      s"${AbTest.welchVarSql("a")} AS va, " +
+      s"${AbTest.welchVarSql("b")} AS vb FROM m) " +
+      s"SELECT n_a, n_b, ${AbTest.welchMeanSql("a", 100L)} AS mean_a, " +
+      s"${AbTest.welchMeanSql("b", 100L)} AS mean_b, " +
+      s"${AbTest.welchTSql} AS t_stat, ${AbTest.welchDfSql} AS df FROM w"
+  }
 
   // 5 PageRank iterations unrolled as CTE stages — exact integer
   // replay of the fixed-point update (rank // deg contribs, 17x//20
@@ -549,6 +593,11 @@ object AnalyticsQueries {
         "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(1.0 / n_a + 1.0 / n_b)) " +
         "ELSE NULL END, 4) AS z FROM a"),
+    // identical quantize -> hi/lo long-split conditional sums ->
+    // the same fixed-shape Welch t / Satterthwaite df double chain
+    // (pmod replayed as ((p % K) + K) % K, div as // on a multiple
+    // of K — the q51 recipe)
+    "f15_welch_ttest" -> f15OracleSql,
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,

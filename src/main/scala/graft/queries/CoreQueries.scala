@@ -825,6 +825,39 @@ object CoreQueries {
     graft.operators.Stats.corrMatrix(t(s, dir, "lineitem"), q51Cols)
       .orderBy("col_x", "col_y")
 
+  // Sharded heavy-hitter rollup (the q46/q47/q48 discipline applied to
+  // TOP-K): per-year exact top-128 partkeys + the dropped cap, merged
+  // into candidate [lb, ub] bounds with the TPUT recall theorem — any
+  // key with global count > Σ caps is provably a candidate (`missed`
+  // pins it at 0), and exact global counts ride along so the hash also
+  // pins lb ≤ exact ≤ ub value-for-value. On this near-uniform synthetic
+  // key the Σ-caps bound sits above the max count (the audit is a
+  // theorem either way); ShardTopKSpec plants real skew and shows the
+  // bound biting. DuckDB replays counts → rank → caps → merge → bounds.
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ShardTopK
+    val li = t(s, dir, "lineitem")
+    // candidate-sized (shards·k rows max) — materialize once for the
+    // three consumers (top-10 join, candidate census, missed anti-join)
+    val bounds = ShardTopK.candidateBounds(
+      li, "l_partkey", year(col("l_shipdate")), k = 128).localCheckpoint()
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+    val ncand = bounds.agg(count(lit(1)).as("n_candidates"))
+    val missed = exact
+      .join(bounds.select("l_partkey"), Seq("l_partkey"), "left_anti")
+      .crossJoin(broadcast(bounds.select("total_caps").limit(1)))
+      .filter(col("exact") > col("total_caps"))
+      .agg(count(lit(1)).as("missed"))
+    bounds.join(exact, "l_partkey")
+      .crossJoin(broadcast(ncand))
+      .crossJoin(broadcast(missed))
+      .select(col("l_partkey"), col("lb"), col("ub"), col("exact"),
+        col("n_present"), col("n_candidates"), col("n_shards"),
+        col("total_caps"), col("missed"))
+      .orderBy(col("lb").desc, col("l_partkey"))
+      .limit(10)
+  }
+
   private val q51OracleSql: String = {
     val cols = q51Cols
     val K = 1000000000L
@@ -903,6 +936,7 @@ object CoreQueries {
     "q49_kmv_difference" -> (q49 _),
     "q50_skew_report" -> (q50 _),
     "q51_corr_matrix" -> (q51 _),
+    "q52_shard_topk" -> (q52 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1309,6 +1343,38 @@ object CoreQueries {
     // identical moment sums (decimal-quantized terms) -> the Pearson
     // double chain over exact sums, pair rows unioned in the same order
     "q51_corr_matrix" -> q51OracleSql,
+    // identical per-shard counts -> (cnt desc, key) rank -> rank-129
+    // caps -> candidate [lb, ub] merge -> exact riders; sums cast to
+    // BIGINT (DuckDB sum = HUGEINT). No NULL keys in l_partkey, so the
+    // tie-break needs no NULLS FIRST alignment (see ShardTopK scaladoc)
+    "q52_shard_topk" ->
+      ("WITH counts AS (SELECT year(l_shipdate) AS shard, l_partkey, " +
+        "count(*) AS cnt FROM lineitem GROUP BY 1, 2), " +
+        "ranked AS (SELECT shard, l_partkey, cnt, row_number() OVER " +
+        "(PARTITION BY shard ORDER BY cnt DESC, l_partkey) AS rn " +
+        "FROM counts), " +
+        "caps AS (SELECT s.shard, coalesce(cp.cap, 0) AS cap FROM " +
+        "(SELECT DISTINCT shard FROM counts) s LEFT JOIN " +
+        "(SELECT shard, cnt AS cap FROM ranked WHERE rn = 129) cp " +
+        "USING (shard)), " +
+        "tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total_caps, " +
+        "count(*) AS n_shards FROM caps), " +
+        "cand AS (SELECT l_partkey, CAST(sum(cnt) AS BIGINT) AS lb, " +
+        "CAST(sum(cap) AS BIGINT) AS cap_present, " +
+        "count(*) AS n_present FROM ranked JOIN caps USING (shard) " +
+        "WHERE rn <= 128 GROUP BY l_partkey), " +
+        "ex AS (SELECT l_partkey, count(*) AS exact FROM lineitem " +
+        "GROUP BY 1), " +
+        "nc AS (SELECT count(*) AS n_candidates FROM cand), " +
+        "miss AS (SELECT CAST(count(*) AS BIGINT) AS missed FROM ex " +
+        "CROSS JOIN tot WHERE exact > total_caps AND l_partkey NOT IN " +
+        "(SELECT l_partkey FROM cand)) " +
+        "SELECT cand.l_partkey, lb, " +
+        "lb + (total_caps - cap_present) AS ub, exact, n_present, " +
+        "n_candidates, n_shards, total_caps, missed " +
+        "FROM cand JOIN ex USING (l_partkey) " +
+        "CROSS JOIN tot CROSS JOIN nc CROSS JOIN miss " +
+        "ORDER BY lb DESC, cand.l_partkey LIMIT 10"),
     // identical count -> floor-division ppm -> entropy-identity chain:
     // each c*ln(c) term DECIMAL(28,14)-quantized before the exact sum
     // (t12 recipe), row_number cast INT to match Spark's rank type

@@ -40,4 +40,46 @@ class AbTestSpec extends SparkSpec {
     assert(r.getLong(0) === 1L && r.getLong(1) === 1L) // the null-v row gone
     assert(r.getLong(3) === 2L && r.getLong(4) === 1L) // null c = no conv
   }
+
+  test("Welch t and Satterthwaite df match the closed form") {
+    // A: 1,2,3 (var 1); B: 2,4,6 (var 4)
+    // t = (4-2)/sqrt(1/3 + 4/3) = 1.5492
+    // df = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 50/17 = 2.9412
+    val rows = Seq((false, 1.0), (false, 2.0), (false, 3.0),
+      (true, 2.0), (true, 4.0), (true, 6.0)).toDF("v", "x")
+    val r = AbTest.welchTTest(rows, col("v"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert((r.getDouble(2), r.getDouble(3)) === ((2.0, 4.0)))
+    assert(r.getDouble(4) === 1.5492)
+    assert(r.getDouble(5) === 2.9412)
+  }
+
+  test("Welch guards: tiny arms and zero variance yield NULLs, not errors") {
+    // one row in an arm: variance undefined -> t/df NULL, means still out
+    val tiny = Seq((false, 3.0), (true, 5.0), (true, 7.0)).toDF("v", "x")
+    val r1 = AbTest.welchTTest(tiny, col("v"), col("x")).head()
+    assert(r1.getDouble(2) === 3.0 && r1.isNullAt(4) && r1.isNullAt(5))
+    // both arms constant: se^2 = 0 -> no test
+    val const = Seq((false, 5.0), (false, 5.0), (true, 5.0), (true, 5.0))
+      .toDF("v", "x")
+    val r2 = AbTest.welchTTest(const, col("v"), col("x")).head()
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+    // NULL variant and NULL value rows are excluded listwise
+    val withNulls = Seq((Some(false), Some(1.0)), (Some(false), Some(2.0)),
+      (None, Some(9.0)), (Some(true), None),
+      (Some(true), Some(3.0)), (Some(true), Some(5.0))).toDF("v", "x")
+    val r3 = AbTest.welchTTest(withNulls, col("v"), col("x")).head()
+    assert((r3.getLong(0), r3.getLong(1)) === ((2L, 2L)))
+  }
+
+  test("Welch moment sums stay exact when squares exceed the long sum range") {
+    // values ~3e7 in quant units (3e5 * 100): q^2 ~ 9e14; 10.5k rows
+    // per arm sum to ~9.5e18, past a naive long sum-of-squares at
+    // 9.2e18 -- the hi/lo split keeps both partial sums small and exact
+    val big = (1 to 21000).map(i => (i % 2 == 1, 300000.0 + (i % 7)))
+    val r = AbTest.welchTTest(big.toDF("v", "x"), col("v"), col("x")).head()
+    assert(r.getLong(0) === 10500L && r.getLong(1) === 10500L)
+    assert(!r.isNullAt(4) && !r.isNullAt(5))
+    assert(math.abs(r.getDouble(2) - 300003.0) < 1.0)
+  }
 }
