@@ -132,6 +132,21 @@ object AnalyticsQueries {
       .orderBy("side", "rank")
   }
 
+  // Adamic-Adar link prediction over the co-purchase graph (the
+  // "should be connected" complement to a03's existing-link ranking):
+  // every-8th-order subset keeps the Σdeg² wedge mass bounded, hub cap
+  // 48 drops the noisiest witnesses (the documented scale lever —
+  // 1/ln(huge) terms cost quadratic pairs for the least score). Terms
+  // are per-node quantized longs, so the sums replay exactly
+  private def g08(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 8 === 0)
+    val edges = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    graft.operators.LinkPrediction.adamicAdar(edges, maxDegree = 48)
+      .orderBy(col("aa_e9").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   // SCD Type-2 dimension: each order observes its customer's priority;
   // compress to validity intervals. The whole build shares ONE
   // PARTITION BY custkey layout (change flag, run id, rollup, close)
@@ -300,6 +315,7 @@ object AnalyticsQueries {
     "g02_triangles" -> (g02 _),
     "g03_bfs_layers" -> (g03 _),
     "g06_clustering_coeff" -> (g06 _),
+    "g08_link_predict" -> (g08 _),
   )
 
   // f15's oracle: DuckDB-dialect integer stage (pmod -> ((p%K)+K)%K,
@@ -593,6 +609,28 @@ object AnalyticsQueries {
         "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(1.0 / n_a + 1.0 / n_b)) " +
         "ELSE NULL END, 4) AS z FROM a"),
+    // identical edge derivation -> degree cap -> per-witness
+    // round(1e9/ln(deg)) quantized terms -> exact integer pair sums ->
+    // non-edge anti-join; term sums cast to BIGINT (HUGEINT)
+    "g08_link_predict" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 8 = 0), " +
+        "e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "deg AS (SELECT n, count(*) AS d FROM " +
+        "(SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n), " +
+        "wt AS (SELECT n AS w, CAST(round(1000000000.0 / " +
+        "ln(CAST(d AS DOUBLE))) AS BIGINT) AS term FROM deg " +
+        "WHERE d >= 2 AND d <= 48), " +
+        "adj AS (SELECT a AS u, b AS w FROM e0 " +
+        "UNION ALL SELECT b, a FROM e0), " +
+        "cap AS (SELECT adj.u, adj.w, wt.term FROM adj JOIN wt USING (w)), " +
+        "cand AS (SELECT p.u AS a, q.u AS b, count(*) AS cn, " +
+        "CAST(sum(p.term) AS BIGINT) AS aa_e9 FROM cap p JOIN cap q " +
+        "ON p.w = q.w AND p.u < q.u GROUP BY p.u, q.u) " +
+        "SELECT cand.a, cand.b, cn, aa_e9 FROM cand LEFT JOIN e0 " +
+        "ON cand.a = e0.a AND cand.b = e0.b WHERE e0.a IS NULL " +
+        "ORDER BY aa_e9 DESC, cand.a, cand.b LIMIT 20"),
     // identical quantize -> hi/lo long-split conditional sums ->
     // the same fixed-shape Welch t / Satterthwaite df double chain
     // (pmod replayed as ((p % K) + K) % K, div as // on a multiple
