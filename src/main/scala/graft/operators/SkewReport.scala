@@ -40,8 +40,14 @@ object SkewReport {
     * n_rows, n_keys, max_avg_ppm, entropy). */
   def report(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    // materialize the key-sized count frame ONCE: the stats rollup
+    // (forced as its own broadcast job) and the top-k both read it,
+    // and lazily EACH re-runs the corpus scan + count shuffle — at
+    // 100 TB that's a second full pass to rebuild an n_keys-sized
+    // frame (grouped min-of-4 A/B at sf0.1: 0.26 s lazy vs 0.26 s
+    // checkpointed — a wash here, one full scan saved at scale)
     val keyed = df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
     val stats = keyed.agg(
       sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"),
