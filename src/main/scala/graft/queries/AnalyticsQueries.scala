@@ -292,9 +292,18 @@ object AnalyticsQueries {
       col("variant"), col("v"))
   }
 
+  // χ² independence of (source, lang) over documents — the corpus-mix
+  // audit before a rebalance: one (r, c) shuffle, cells-sized totals,
+  // decimal-quantized exact term sums, zero-cell correction via the
+  // Σe = n identity. DuckDB replays cell-for-cell
+  private def f16(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Contingency.chiSquare(
+      Tables(s, dir, "documents"), "source", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
+    "f16_chi_square" -> (f16 _),
     "f12_interval_union" -> (f12 _),
     "f10_target_encode" -> (f10 _),
     "g05_label_prop" -> (g05 _),
@@ -317,6 +326,34 @@ object AnalyticsQueries {
     "g06_clustering_coeff" -> (g06 _),
     "g08_link_predict" -> (g08 _),
   )
+
+  // f16's oracle: observed cells from the same GROUP BY; totals, the
+  // quantized term/expected sums, and the chi2 / Cramér's V chains are
+  // the operator's shared expression text over identically-named
+  // columns, so the decimal and IEEE arithmetic match by construction
+  private val f16OracleSql: String = {
+    import graft.operators.Contingency
+    "WITH cells AS (SELECT source AS r, lang AS c, count(*) AS o " +
+      "FROM documents GROUP BY 1, 2), " +
+      "rtot AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells " +
+      "GROUP BY r), " +
+      "ctot AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells " +
+      "GROUP BY c), " +
+      "st AS (SELECT CAST(sum(o) AS BIGINT) AS n, " +
+      "(SELECT count(*) FROM rtot) AS r_levels, " +
+      "(SELECT count(*) FROM ctot) AS c_levels FROM cells), " +
+      "sums AS (SELECT " +
+      s"sum(CAST(${Contingency.chiTermSql} AS DECIMAL(28,14))) AS t_sum, " +
+      s"sum(CAST(${Contingency.expectedSql} AS DECIMAL(28,14))) AS e_sum " +
+      "FROM cells JOIN rtot ON cells.r IS NOT DISTINCT FROM rtot.r " +
+      "JOIN ctot ON cells.c IS NOT DISTINCT FROM ctot.c " +
+      "CROSS JOIN st) " +
+      "SELECT n, r_levels, c_levels, " +
+      "(r_levels - 1) * (c_levels - 1) AS dof, " +
+      s"round(${Contingency.chi2Sql}, 4) AS chi2, " +
+      s"${Contingency.cramersVSql} AS cramers_v " +
+      "FROM sums CROSS JOIN st"
+  }
 
   // f15's oracle: DuckDB-dialect integer stage (pmod -> ((p%K)+K)%K,
   // div -> // on a multiple of K, sums cast from HUGEINT), then the
@@ -636,6 +673,10 @@ object AnalyticsQueries {
     // (pmod replayed as ((p % K) + K) % K, div as // on a multiple
     // of K — the q51 recipe)
     "f15_welch_ttest" -> f15OracleSql,
+    // identical cell counts -> decimal-quantized term sums -> the same
+    // chi2/V double chain (spliced verbatim from Contingency's shared
+    // builders); sums cast to BIGINT (HUGEINT)
+    "f16_chi_square" -> f16OracleSql,
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,
