@@ -152,4 +152,94 @@ object AbTest {
       s"($seb * $seb) / (${d("n_b")} - 1.0)), 4) END"
 
   private[graft] def splitBase: Long = K
+
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker 2013) — [[welchTTest]]'s power upgrade: regress the
+    * in-experiment metric y on a PRE-experiment covariate x (same
+    * user, before assignment — guaranteed independent of treatment),
+    * report the covariate-adjusted lift
+    *   liftₐ = Δȳ − θ·Δx̄,  θ = cov(x,y)/var(x)  (pooled)
+    * and the variance ratio 1 − ρ²(x,y) — how much narrower the
+    * confidence interval gets for free.
+    *
+    * Exactness: same contract as [[welchTTest]] — all moments
+    * (including the x·y cross term) are exact hi/lo-split long sums
+    * over `round(value·quantScale)` integers from ONE conditional
+    * aggregate; POOLED moments are integer SUMS of the two arms'
+    * sums, so pooling costs nothing and stays exact. θ, lifts, and
+    * the ratio are one fixed-shape double chain mirrored textually by
+    * the oracle. Callers aggregating y upstream (e.g. revenue per
+    * user) should sum pre-quantized longs and pass quantScale = 1 —
+    * an upstream DOUBLE sum would already be shuffle-order dependent
+    * before the operator sees it.
+    *
+    * Output: (n_a, n_b, lift, theta, adj_lift, var_ratio); lift and
+    * adj_lift in original units rounded to 4, theta rounded to 6,
+    * var_ratio rounded to 4. theta/adj_lift/var_ratio are NULL when
+    * the pooled covariate (resp. either moment) has zero variance.
+    * NULL variant/metric/covariate rows are excluded listwise. */
+  def cuped(df: DataFrame, variant: Column, metric: Column,
+      covariate: Column, quantScale: Long = 100L): DataFrame = {
+    require(quantScale > 0, "quantScale must be positive")
+    val base = df.filter(variant.isNotNull && metric.isNotNull &&
+        covariate.isNotNull)
+      .select(variant.as("_v"),
+        round(metric * quantScale).cast("long").as("qy"),
+        round(covariate * quantScale).cast("long").as("qx"))
+    def hiLo(pred: String, p: String, name: String) = Seq(
+      expr(s"sum(CASE WHEN $pred THEN (($p) - pmod($p, ${K}L)) " +
+        s"div ${K}L ELSE 0L END)").as(s"${name}_hi"),
+      expr(s"sum(CASE WHEN $pred THEN pmod($p, ${K}L) ELSE 0L END)")
+        .as(s"${name}_lo"))
+    def armSums(arm: String, pred: String) = Seq(
+      expr(s"sum(CASE WHEN $pred THEN 1L ELSE 0L END)").as(s"n_$arm"),
+      expr(s"sum(CASE WHEN $pred THEN qy ELSE 0L END)").as(s"sy_$arm"),
+      expr(s"sum(CASE WHEN $pred THEN qx ELSE 0L END)").as(s"sx_$arm")) ++
+      hiLo(pred, "qy * qy", s"yy_$arm") ++
+      hiLo(pred, "qx * qx", s"xx_$arm") ++
+      hiLo(pred, "qx * qy", s"xy_$arm")
+    val sums = armSums("a", "NOT _v") ++ armSums("b", "_v")
+    base.agg(sums.head, sums.tail: _*)
+      .select(col("n_a"), col("n_b"),
+        expr(cupedLiftSql(quantScale)).as("lift"),
+        expr(cupedThetaSql).as("theta"),
+        expr(cupedAdjLiftSql(quantScale)).as("adj_lift"),
+        expr(cupedVarRatioSql).as("var_ratio"))
+  }
+
+  // CUPED's shared expression text (over the 18 integer sum columns).
+  // Pooled moments are long ADDS of the per-arm sums; hi/lo halves add
+  // componentwise, so the recombine stays exact.
+  private def rec2(name: String) =
+    s"(${d(s"${name}_a_hi + ${name}_b_hi")} * $K + " +
+      s"${d(s"${name}_a_lo + ${name}_b_lo")})"
+  private def pooledN = d("n_a + n_b")
+  private def varxNum =
+    s"($pooledN * ${rec2("xx")} - ${d("sx_a + sx_b")} * ${d("sx_a + sx_b")})"
+  private def varyNum =
+    s"($pooledN * ${rec2("yy")} - ${d("sy_a + sy_b")} * ${d("sy_a + sy_b")})"
+  private def covNum =
+    s"($pooledN * ${rec2("xy")} - ${d("sx_a + sx_b")} * ${d("sy_a + sy_b")})"
+  private def dMeanY = s"(${d("sy_b")} / ${d("n_b")} - ${d("sy_a")} / ${d("n_a")})"
+  private def dMeanX = s"(${d("sx_b")} / ${d("n_b")} - ${d("sx_a")} / ${d("n_a")})"
+
+  /** Raw lift Δȳ in original units, rounded to 4. */
+  private[graft] def cupedLiftSql(quantScale: Long): String =
+    s"CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      s"round($dMeanY / $quantScale.0, 4) END"
+
+  /** θ = pooled cov(x,y)/var(x), rounded to 6. */
+  private[graft] def cupedThetaSql: String =
+    s"CASE WHEN $varxNum > 0.0 THEN round($covNum / $varxNum, 6) END"
+
+  /** Adjusted lift Δȳ − θ·Δx̄ in original units, rounded to 4. */
+  private[graft] def cupedAdjLiftSql(quantScale: Long): String =
+    s"CASE WHEN n_a > 0 AND n_b > 0 AND $varxNum > 0.0 THEN " +
+      s"round(($dMeanY - ($covNum / $varxNum) * $dMeanX) / " +
+      s"$quantScale.0, 4) END"
+
+  /** Variance ratio 1 − ρ²(x,y), rounded to 4. */
+  private[graft] def cupedVarRatioSql: String =
+    s"CASE WHEN $varxNum > 0.0 AND $varyNum > 0.0 THEN " +
+      s"round(1.0 - ($covNum * $covNum) / ($varxNum * $varyNum), 4) END"
 }

@@ -300,10 +300,31 @@ object AnalyticsQueries {
     graft.operators.Contingency.chiSquare(
       Tables(s, dir, "documents"), "source", "lang")
 
+  // CUPED variance-reduced readout (f14/f15's power upgrade): y =
+  // post-cutoff purchase cents, covariate x = PRE-cutoff activity
+  // count — both exact integers from ONE user rollup (y sums
+  // pre-quantized cents, never doubles), quantScale 1. The adjusted
+  // lift + 1−ρ² variance ratio replay moment-for-moment in DuckDB
+  private def f17(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AbTest
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val users = Tables(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(
+        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("qx"),
+        sum(when(col("ts") >= cutoff && col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("qy"))
+    AbTest.cuped(users.select(
+        (pmod(col("user_id"), lit(2)) === 1).as("variant"),
+        col("qy"), col("qx")),
+      col("variant"), col("qy"), col("qx"), quantScale = 1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
     "f16_chi_square" -> (f16 _),
+    "f17_cuped" -> (f17 _),
     "f12_interval_union" -> (f12 _),
     "f10_target_encode" -> (f10 _),
     "g05_label_prop" -> (g05 _),
@@ -353,6 +374,42 @@ object AnalyticsQueries {
       s"round(${Contingency.chi2Sql}, 4) AS chi2, " +
       s"${Contingency.cramersVSql} AS cramers_v " +
       "FROM sums CROSS JOIN st"
+  }
+
+  // f17's oracle: the same user rollup (cents quantized per event,
+  // exact integer sums), the f15-dialect hi/lo conditional sums, then
+  // CUPED's shared double-chain text verbatim
+  private val f17OracleSql: String = {
+    import graft.operators.AbTest
+    val k = AbTest.splitBase
+    def pm(p: String) = s"((($p) % $k) + $k) % $k"
+    def hiLo(pred: String, p: String, name: String) = Seq(
+      s"CAST(sum(CASE WHEN $pred THEN (($p) - ${pm(p)}) // $k " +
+        s"ELSE 0 END) AS BIGINT) AS ${name}_hi",
+      s"CAST(sum(CASE WHEN $pred THEN ${pm(p)} ELSE 0 END) " +
+        s"AS BIGINT) AS ${name}_lo")
+    def armSums(arm: String, pred: String) = Seq(
+      s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_$arm",
+      s"CAST(sum(CASE WHEN $pred THEN qy ELSE 0 END) AS BIGINT) AS sy_$arm",
+      s"CAST(sum(CASE WHEN $pred THEN qx ELSE 0 END) AS BIGINT) AS sx_$arm") ++
+      hiLo(pred, "qy * qy", s"yy_$arm") ++
+      hiLo(pred, "qx * qx", s"xx_$arm") ++
+      hiLo(pred, "qx * qy", s"xy_$arm")
+    "WITH u AS (SELECT user_id, " +
+      "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 " +
+      "END) AS BIGINT) AS qx, " +
+      "CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND " +
+      "event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) " +
+      "ELSE 0 END) AS BIGINT) AS qy " +
+      "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
+      "c AS (SELECT user_id % 2 = 1 AS v, qy, qx FROM u), " +
+      "m AS (SELECT " +
+      (armSums("a", "NOT v") ++ armSums("b", "v")).mkString(", ") +
+      " FROM c) " +
+      s"SELECT n_a, n_b, ${AbTest.cupedLiftSql(1L)} AS lift, " +
+      s"${AbTest.cupedThetaSql} AS theta, " +
+      s"${AbTest.cupedAdjLiftSql(1L)} AS adj_lift, " +
+      s"${AbTest.cupedVarRatioSql} AS var_ratio FROM m"
   }
 
   // f15's oracle: DuckDB-dialect integer stage (pmod -> ((p%K)+K)%K,
@@ -677,6 +734,9 @@ object AnalyticsQueries {
     // chi2/V double chain (spliced verbatim from Contingency's shared
     // builders); sums cast to BIGINT (HUGEINT)
     "f16_chi_square" -> f16OracleSql,
+    // identical user rollup -> hi/lo moment sums -> CUPED's shared
+    // theta / adjusted-lift / variance-ratio chain verbatim
+    "f17_cuped" -> f17OracleSql,
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,

@@ -72,6 +72,36 @@ class AbTestSpec extends SparkSpec {
     assert((r3.getLong(0), r3.getLong(1)) === ((2L, 2L)))
   }
 
+  test("CUPED: a lift fully explained by covariate imbalance adjusts to zero") {
+    // y = x/10 exactly in both arms: raw lift 1.0 is pure covariate
+    // imbalance. theta = cov/var = 330/3300 = 0.1; adj = 1 - 0.1*10 = 0;
+    // var_ratio = 1 - rho^2 = 0 (fully explained)
+    val rows = Seq((false, 1.0, 10.0), (false, 2.0, 20.0), (false, 3.0, 30.0),
+      (true, 2.0, 20.0), (true, 3.0, 30.0), (true, 4.0, 40.0))
+      .toDF("v", "y", "x")
+    val r = AbTest.cuped(rows, col("v"), col("y"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getDouble(2) === 1.0)    // raw lift
+    assert(r.getDouble(3) === 0.1)    // theta
+    assert(r.getDouble(4) === 0.0)    // adjusted lift
+    assert(r.getDouble(5) === 0.0)    // variance ratio
+  }
+
+  test("CUPED guards: constant covariate yields NULL theta/adj, raw lift stays") {
+    val rows = Seq((false, 1.0, 5.0), (false, 2.0, 5.0),
+      (true, 3.0, 5.0), (true, 4.0, 5.0)).toDF("v", "y", "x")
+    val r = AbTest.cuped(rows, col("v"), col("y"), col("x")).head()
+    assert(r.getDouble(2) === 2.0)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    // NULL metric/covariate rows are excluded listwise
+    val withNulls = Seq((Some(false), Some(1.0), Some(1.0)),
+      (Some(false), Some(2.0), Some(2.0)), (Some(false), None, Some(9.0)),
+      (Some(true), Some(3.0), None), (Some(true), Some(2.0), Some(1.0)),
+      (Some(true), Some(4.0), Some(2.0))).toDF("v", "y", "x")
+    val r2 = AbTest.cuped(withNulls, col("v"), col("y"), col("x")).head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((2L, 2L)))
+  }
+
   test("Welch moment sums stay exact when squares exceed the long sum range") {
     // values ~3e7 in quant units (3e5 * 100): q^2 ~ 9e14; 10.5k rows
     // per arm sum to ~9.5e18, past a naive long sum-of-squares at
