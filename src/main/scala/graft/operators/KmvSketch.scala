@@ -118,16 +118,22 @@ object KmvSketch {
         est(col("ma")).as("_ea"), est(col("mb")).as("_eb"),
         est(col("mu")).as("_eu"))
       .select(col("n_a_min"), col("n_b_min"), col("n_union_min"),
+        col("rho_num"), col("_ea"), col("_eb"),
+        // empty-union guard (both inputs empty): 0·0/0 is NaN in Spark
+        // but NULL in DuckDB — two empty sketches intersect in exactly
+        // 0.0 in BOTH engines (and greatest(_, NaN) would smear the
+        // NaN into both differences)
+        when(col("n_union_min") > 0,
+          col("rho_num") * col("_eu") / col("n_union_min"))
+          .otherwise(lit(0.0)).as("_ei"))
+      .select(col("n_a_min"), col("n_b_min"), col("n_union_min"),
         col("rho_num"),
         round(col("_ea"), 2).as("est_a"),
         round(col("_eb"), 2).as("est_b"),
-        round(col("rho_num") * col("_eu") / col("n_union_min"), 2)
-          .as("est_intersect"),
-        round(greatest(col("_ea") -
-          col("rho_num") * col("_eu") / col("n_union_min"), lit(0.0)), 2)
+        round(col("_ei"), 2).as("est_intersect"),
+        round(greatest(col("_ea") - col("_ei"), lit(0.0)), 2)
           .as("est_diff_ab"),
-        round(greatest(col("_eb") -
-          col("rho_num") * col("_eu") / col("n_union_min"), lit(0.0)), 2)
+        round(greatest(col("_eb") - col("_ei"), lit(0.0)), 2)
           .as("est_diff_ba"))
   }
 
@@ -152,7 +158,11 @@ object KmvSketch {
           element_at(col("mu"), -1)).as("_estu"))
       .select(col("n_union_min"), col("rho_num"),
         round(col("_estu"), 2).as("est_union"),
-        round(col("rho_num") * col("_estu") / col("n_union_min"), 2)
-          .as("est_intersect"))
+        // empty-union guard: 0·0/0 is NaN in Spark but NULL in DuckDB
+        // (its double division returns NULL on /0) — two empty
+        // sketches must estimate an exact 0.0 in BOTH engines
+        round(when(col("n_union_min") > 0,
+          col("rho_num") * col("_estu") / col("n_union_min"))
+          .otherwise(lit(0.0)), 2).as("est_intersect"))
   }
 }

@@ -1326,8 +1326,11 @@ object CoreQueries {
         "CASE WHEN n_union_min < 256 THEN CAST(n_union_min AS DOUBLE) " +
         "ELSE 255 * pow(2, 60) / hku END AS estu " +
         "FROM un CROSS JOIN rh), " +
+        // empty-union guard mirrors the operator (Spark NaN vs DuckDB
+        // NULL on 0/0; both must read 0.0)
         "ei AS (SELECT n_union_min, rho_num, round(estu, 2) AS " +
-        "est_union, round(rho_num * estu / n_union_min, 2) AS " +
+        "est_union, round(CASE WHEN n_union_min > 0 THEN " +
+        "rho_num * estu / n_union_min ELSE 0.0 END, 2) AS " +
         "est_intersect FROM eu), " +
         "x AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS " +
         "exact_distinct FROM h), " +
@@ -1436,12 +1439,17 @@ object CoreQueries {
         "CASE WHEN n_union_min < 256 THEN CAST(n_union_min AS DOUBLE) " +
         "ELSE 255 * pow(2, 60) / hku END AS eu " +
         "FROM na CROSS JOIN nb CROSS JOIN un CROSS JOIN rh), " +
+        // empty-union guard mirrors the operator: 0/0 would be NaN in
+        // Spark but NULL here — both must read an exact 0.0
         "f AS (SELECT n_a_min, n_b_min, n_union_min, rho_num, " +
         "round(ea, 2) AS est_a, round(eb, 2) AS est_b, " +
-        "round(rho_num * eu / n_union_min, 2) AS est_intersect, " +
-        "round(greatest(ea - rho_num * eu / n_union_min, 0.0), 2) " +
+        "round(CASE WHEN n_union_min > 0 THEN " +
+        "rho_num * eu / n_union_min ELSE 0.0 END, 2) AS est_intersect, " +
+        "round(greatest(ea - CASE WHEN n_union_min > 0 THEN " +
+        "rho_num * eu / n_union_min ELSE 0.0 END, 0.0), 2) " +
         "AS est_diff_ab, " +
-        "round(greatest(eb - rho_num * eu / n_union_min, 0.0), 2) " +
+        "round(greatest(eb - CASE WHEN n_union_min > 0 THEN " +
+        "rho_num * eu / n_union_min ELSE 0.0 END, 0.0), 2) " +
         "AS est_diff_ba FROM e), " +
         "mx AS (SELECT c, max(CASE WHEN y = 1997 THEN 1 ELSE 0 END) " +
         "AS in_a, max(CASE WHEN y = 1998 THEN 1 ELSE 0 END) AS in_b " +

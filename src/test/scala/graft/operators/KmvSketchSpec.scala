@@ -98,6 +98,28 @@ class KmvSketchSpec extends SparkSpec {
     assert(s.getDouble(7) === 0.0 && s.getDouble(8) === 80.0)
   }
 
+  test("two EMPTY sketches estimate 0.0 everywhere, never NaN") {
+    import spark.implicits._
+    // an empty month range reaches the estimators through merge()
+    // (sketchBy groups away to ZERO rows; merge's ungrouped agg always
+    // emits one row with an empty minima array — the q49 shape for a
+    // filter that matches no shard). The rho estimator's 0·0/0 was NaN
+    // in Spark (and NULL in DuckDB — a cross-engine drift) before the
+    // empty-union guard
+    val k = 16
+    def empty = KmvSketch.merge(KmvSketch.sketchBy(
+      Seq.empty[Long].toDF("v"), col("v"), k, lit("s")), k)
+    val Array(d) = KmvSketch.estimateDifference(empty, empty, k).collect()
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3)) ===
+      ((0L, 0L, 0L, 0L)))
+    (4 to 8).foreach { i =>
+      assert(d.getDouble(i) === 0.0, s"col $i should be 0.0, not NaN")
+    }
+    val Array(ix) = KmvSketch.estimateIntersection(empty, empty, k)
+      .collect()
+    assert(ix.getDouble(2) === 0.0 && ix.getDouble(3) === 0.0)
+  }
+
   test("saturated difference estimator lands near the true churn") {
     import spark.implicits._
     // |A| = |B| = 4000, overlap 2000: saturated sketches, error ~1/√k
