@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mann-Whitney U (Wilcoxon rank-sum) test — the NONPARAMETRIC
+  * two-sample test ([[AbTest.welchTTest]]'s robust sibling): does arm
+  * B stochastically dominate arm A? Immune to the heavy tails and
+  * outliers that wreck a means test on revenue/latency-shaped
+  * metrics, which is exactly why experiment platforms keep both.
+  *
+  * Exactness: the whole statistic reduces over the DISTINCT-VALUE
+  * frame — per quantized value, the two arm counts (ca, cb); then
+  *   2·U_B = Σ_v cb·(2·cumA_<(v) + ca)     (pairwise wins ×2, ties ½)
+  * is an exact integer (kept doubled so tie-halves stay integral),
+  * and the tie correction Σ(t³−t) is an exact DECIMAL(38,0) sum
+  * (t³ overflows a long past t ~ 2·10⁶ — a zero-inflated metric hits
+  * that instantly). The normal approximation
+  *   z = (2U_B − n_a·n_b) / (2·σ),
+  *   σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+  * is one fixed-shape double chain, mirrored textually by the oracle.
+  * No continuity correction (both engines would need the same branch;
+  * at experiment n it moves z in the 4th decimal).
+  *
+  * Scale shape: one shuffle to the distinct-value frame, then the
+  * cumulative arm counts come from a RANGE exchange + per-partition
+  * running sums + a partition-count-sized driver prefix (the
+  * SequentialIds/Skyline two-phase discipline) — no single-task
+  * global window anywhere — and a 1-row reduce. Bounds: per-term
+  * cb·2·cumA ≤ 2·maxTie·n must fit a long (~9·10¹⁸), i.e. fine to
+  * ~3·10⁹ rows per arm even when one value holds a whole arm.
+  */
+object RankTest {
+
+  /** One-row report: (n_a, n_b, u2_b, tie_cubed, z). `u2_b` = 2·U_B
+    * (B's pairwise wins doubled), `tie_cubed` = Σ(t³−t) as a long
+    * (exact to 9·10¹⁸). z is NULL when either arm is empty or every
+    * row carries one value (zero variance). NULL variant/value rows
+    * are excluded listwise. */
+  def mannWhitney(df: DataFrame, variant: Column, value: Column,
+      quantScale: Long = 100L): DataFrame = {
+    require(quantScale > 0, "quantScale must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(variant.isNotNull && value.isNotNull)
+      .select(variant.as("_v"),
+        round(value * quantScale).cast("long").as("q"))
+      .groupBy("q").agg(
+        sum(when(!col("_v"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_v"), 1L).otherwise(0L)).as("cb"))
+    // two-phase exclusive prefix of ca over ascending q: pin the range
+    // layout (the count pass and the numbering pass must see identical
+    // boundaries), per-partition running sums, driver-side P-long fold
+    val sorted = vals.repartitionByRange(col("q").asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = sorted.groupBy("_pid").agg(sum(col("ca")).as("pa"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = parts.map(_._1)
+      .zip(parts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+      .toDF("_pid", "_offa")
+    val w = Window.partitionBy("_pid").orderBy(col("q").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = sorted.join(broadcast(offsets), "_pid")
+      .withColumn("cuma",
+        col("_offa") + coalesce(sum(col("ca")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("ca")).cast("long").as("n_a"),
+        sum(col("cb")).cast("long").as("n_b"),
+        sum(col("cb") * (lit(2L) * col("cuma") + col("ca")))
+          .cast("long").as("u2_b"),
+        sum((col("ca") + col("cb")).cast("decimal(12,0)")
+          * (col("ca") + col("cb")).cast("decimal(12,0)")
+          * (col("ca") + col("cb")).cast("decimal(12,0)")
+          - (col("ca") + col("cb")).cast("decimal(12,0)"))
+          .cast("long").as("tie_cubed"))
+      .select(col("n_a"), col("n_b"), col("u2_b"), col("tie_cubed"),
+        expr(mannWhitneyZSql).as("z"))
+  }
+
+  // z's expression text, shared verbatim with the oracle (over the
+  // integer columns n_a, n_b, u2_b, tie_cubed)
+  private def d(x: String) = s"CAST($x AS DOUBLE)"
+  private def nD = d("n_a + n_b")
+  private def varU =
+    s"((${d("n_a")} * ${d("n_b")} / 12.0) * " +
+      s"(($nD + 1.0) - ${d("tie_cubed")} / ($nD * ($nD - 1.0))))"
+
+  /** Normal-approximation z over the report's integer columns. */
+  private[graft] def mannWhitneyZSql: String =
+    s"CASE WHEN n_a > 0 AND n_b > 0 AND $varU > 0.0 THEN " +
+      s"round((${d("u2_b")} - ${d("n_a")} * ${d("n_b")}) / " +
+      s"(2.0 * sqrt($varU)), 4) END"
+}

@@ -320,11 +320,23 @@ object AnalyticsQueries {
       col("variant"), col("qy"), col("qx"), quantScale = 1L)
   }
 
+  // Mann-Whitney U over the SAME arms/metric as f15 — the parametric/
+  // nonparametric pair reads side by side. Distinct-value frame, exact
+  // doubled-U and decimal tie-cubic sums, two-phase range prefix (no
+  // single-task global window); DuckDB replays value-for-value
+  private def f18(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankTest.mannWhitney(
+      Tables(s, dir, "orders").select(
+        (pmod(col("o_custkey"), lit(2)) === 1).as("variant"),
+        col("o_totalprice").as("v")),
+      col("variant"), col("v"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
     "f16_chi_square" -> (f16 _),
     "f17_cuped" -> (f17 _),
+    "f18_mann_whitney" -> (f18 _),
     "f12_interval_union" -> (f12 _),
     "f10_target_encode" -> (f10 _),
     "g05_label_prop" -> (g05 _),
@@ -737,6 +749,30 @@ object AnalyticsQueries {
     // identical user rollup -> hi/lo moment sums -> CUPED's shared
     // theta / adjusted-lift / variance-ratio chain verbatim
     "f17_cuped" -> f17OracleSql,
+    // identical distinct-value counts -> exclusive prefix -> exact
+    // doubled-U / decimal tie-cubic sums -> the shared z chain; sums
+    // cast to BIGINT (HUGEINT)
+    "f18_mann_whitney" ->
+      ("WITH c AS (SELECT o_custkey % 2 = 1 AS v, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders " +
+        "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL), " +
+        "vals AS (SELECT q, " +
+        "CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM c GROUP BY q), " +
+        "cum AS (SELECT q, ca, cb, coalesce(sum(ca) OVER (ORDER BY q " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cuma " +
+        "FROM vals), " +
+        "m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, " +
+        "CAST(sum(cb) AS BIGINT) AS n_b, " +
+        "CAST(sum(cb * (2 * cuma + ca)) AS BIGINT) AS u2_b, " +
+        "CAST(sum(CAST(ca + cb AS DECIMAL(12,0)) * " +
+        "CAST(ca + cb AS DECIMAL(12,0)) * " +
+        "CAST(ca + cb AS DECIMAL(12,0)) - " +
+        "CAST(ca + cb AS DECIMAL(12,0))) AS BIGINT) AS tie_cubed " +
+        "FROM cum) " +
+        "SELECT n_a, n_b, u2_b, tie_cubed, " +
+        s"${graft.operators.RankTest.mannWhitneyZSql} AS z FROM m"),
     // identical 3-round peel unrolled: each stage restricts edges to
     // the previous survivor set on BOTH endpoints, recounts degrees
     "g04_kcore" -> kcoreSql,

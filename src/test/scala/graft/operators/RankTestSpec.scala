@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("separated arms: U hits the maximum and z matches the closed form") {
+    // A = 1,2,3; B = 4,5,6: U_B = 9 (every pair a B win), mu = 4.5,
+    // var = 9*7/12 = 5.25, z = 4.5/sqrt(5.25) = 1.9640
+    val df = Seq((false, 1.0), (false, 2.0), (false, 3.0),
+      (true, 4.0), (true, 5.0), (true, 6.0)).toDF("v", "x")
+    val r = RankTest.mannWhitney(df, col("v"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getLong(2) === 18L)  // 2*U_B
+    assert(r.getLong(3) === 0L)   // no ties
+    assert(r.getDouble(4) === 1.964)
+  }
+
+  test("ties: half-wins and the cubic correction match the hand trace") {
+    // A = 1,1,2; B = 1,2,2: U_B = 1*(0+2)/... = 6 (hand-traced),
+    // T = 2*(27-3) = 48, var = 0.75*(7 - 48/30) = 4.05,
+    // z = 1.5/sqrt(4.05) = 0.7454
+    val df = Seq((false, 1.0), (false, 1.0), (false, 2.0),
+      (true, 1.0), (true, 2.0), (true, 2.0)).toDF("v", "x")
+    val r = RankTest.mannWhitney(df, col("v"), col("x")).head()
+    assert(r.getLong(2) === 12L && r.getLong(3) === 48L)
+    assert(r.getDouble(4) === 0.7454)
+  }
+
+  test("symmetry: swapping arms negates z; U2 sides sum to 2*nA*nB") {
+    val df = Seq((false, 1.0), (false, 3.0), (false, 3.0), (false, 7.0),
+      (true, 2.0), (true, 3.0), (true, 9.0)).toDF("v", "x")
+    val r = RankTest.mannWhitney(df, col("v"), col("x")).head()
+    val s = RankTest.mannWhitney(df, !col("v"), col("x")).head()
+    assert(r.getLong(2) + s.getLong(2) === 2L * r.getLong(0) * r.getLong(1))
+    assert(r.getDouble(4) === -s.getDouble(4))
+  }
+
+  test("degenerate inputs: one value only or an empty arm yield NULL z") {
+    val oneVal = Seq((false, 5.0), (false, 5.0), (true, 5.0))
+      .toDF("v", "x")
+    val r = RankTest.mannWhitney(oneVal, col("v"), col("x")).head()
+    assert(r.getLong(3) === 24L && r.isNullAt(4)) // 27-3, zero variance
+    val oneArm = Seq((true, 1.0), (true, 2.0)).toDF("v", "x")
+    assert(RankTest.mannWhitney(oneArm, col("v"), col("x"))
+      .head().isNullAt(4))
+    // NULL variant/value rows are excluded listwise
+    val withNulls = Seq((Some(false), Some(1.0)), (None, Some(2.0)),
+      (Some(true), None), (Some(true), Some(3.0))).toDF("v", "x")
+    val r2 = RankTest.mannWhitney(withNulls, col("v"), col("x")).head()
+    assert((r2.getLong(0), r2.getLong(1)) === ((1L, 1L)))
+  }
+}
