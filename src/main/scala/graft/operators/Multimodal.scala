@@ -349,6 +349,71 @@ object Multimodal {
       }
   }
 
+  /** Downsample a 16-bit LE mono WAV by integer `factor`: each output
+    * sample is the TRUNCATING-division mean of its input block (the
+    * last partial block averages its remainder), re-encoded at
+    * rate/factor through the same in-JDK codec. Truncating division
+    * (Java `/`) is deliberate — it matches both Spark SQL `div` and
+    * DuckDB `//`, so the oracle replays each output sample exactly.
+    * Decimation-by-averaging is the anti-aliasing-lite resample every
+    * ingest pipeline runs before a fixed-rate feature extractor. */
+  def downsampleWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, "factor must be >= 1")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expected 16-bit LE mono PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    ais.close()
+    val n = pcm.length / 2
+    val m = (n + factor - 1) / factor
+    val out = new Array[Byte](m * 2)
+    var j = 0
+    while (j < m) {
+      val lo = j * factor
+      val hi = math.min(lo + factor, n)
+      var s = 0L
+      var i = lo
+      while (i < hi) {
+        s += ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF))
+        i += 1
+      }
+      val v = (s / (hi - lo)).toInt // truncating, = SQL div / //
+      out(2 * j) = (v & 0xFF).toByte
+      out(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+      j += 1
+    }
+    val ofmt = new javax.sound.sampled.AudioFormat(
+      fmt.getSampleRate / factor, 16, 1, true, false)
+    val oais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(out), ofmt, m.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      oais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  /** Downsample-then-decode features: [[downsampleWav]] composed with
+    * [[decodeAudio]] scan-side in one mapPartitions pass — payload
+    * bytes never cross a shuffle, and the re-encoded WAV is itself
+    * decoded back (so the gate pins the WHOLE resample round-trip,
+    * not just the block arithmetic). */
+  def downsampleAudioFeatures(media: DataFrame,
+      factor: Int): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (n, rate, sum, absSum, mn, mx, posSum, zc) =
+            decodeAudio(downsampleWav(bytes, factor))
+          AudioFeatures(id, n, rate, sum, absSum, mn, mx, posSum, zc)
+        }
+      }
+  }
+
   case class VideoFrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
       height: Int, g_sum: Long, pos_sum: Long)
 

@@ -63,6 +63,16 @@ object MultimodalQueries {
       Multimodal.audioPayloads(Tables(s, dir, "documents")))
       .orderBy("doc_id").toDF()
 
+  // REAL audio resample (mm06's processing stage): decode the WAV,
+  // decimate 2:1 by truncating-mean blocks, RE-ENCODE as a 4 kHz WAV,
+  // decode that back, emit features — the gate pins the whole resample
+  // round-trip. The oracle replays every block mean from the closed
+  // form with the same truncating division (DuckDB // == Java /)
+  private def mm14(s: SparkSession, dir: String): DataFrame =
+    Multimodal.downsampleAudioFeatures(
+      Multimodal.audioPayloads(Tables(s, dir, "documents")), factor = 2)
+      .orderBy("doc_id").toDF()
+
   // REAL video decode: animated-GIF-encode a closed-form grayscale frame
   // sequence (lossless 256-gray palette), decode it back frame-by-frame
   // with javax.imageio's sequence reader, emit one row per (doc, frame).
@@ -194,6 +204,7 @@ object MultimodalQueries {
     "mm05_image_decode" -> (mm05 _),
     "mm06_audio_decode" -> (mm06 _),
     "mm07_video_frames" -> (mm07 _),
+    "mm14_audio_resample" -> (mm14 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -574,6 +585,33 @@ object MultimodalQueries {
         "CAST(sum((i+1)*smp) AS BIGINT) AS pos_sum, " +
         "CAST(sum(CASE WHEN prv IS NOT NULL AND " +
         "((smp < 0) <> (prv < 0)) THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS zero_cross " +
+        "FROM w GROUP BY doc_id ORDER BY doc_id"),
+    // the mm06 closed form pushed through the SAME 2:1 truncating-mean
+    // decimation: block j averages samples 2j..2j+1 (odd tails keep
+    // their single sample), then the mm06 feature tail over the
+    // downsampled series at rate 4000
+    "mm14_audio_resample" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1 " +
+        "ORDER BY doc_id LIMIT 40), " +
+        "n AS (SELECT doc_id, CAST(doc_id % 300 + 50 AS INT) AS n FROM d), " +
+        "s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM n), " +
+        "v AS (SELECT doc_id, n, i, " +
+        "(i*31 + doc_id*17) % 4096 - 2048 AS smp FROM s), " +
+        "b AS (SELECT doc_id, i // 2 AS j, " +
+        "CAST(sum(smp) AS BIGINT) // count(*) AS smp2 " +
+        "FROM v GROUP BY doc_id, i // 2), " +
+        "w AS (SELECT doc_id, j, smp2, " +
+        "lag(smp2) OVER (PARTITION BY doc_id ORDER BY j) AS prv FROM b) " +
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_samples, " +
+        "CAST(4000 AS INT) AS sample_rate, " +
+        "CAST(sum(smp2) AS BIGINT) AS s_sum, " +
+        "CAST(sum(abs(smp2)) AS BIGINT) AS abs_sum, " +
+        "CAST(min(smp2) AS INT) AS s_min, " +
+        "CAST(max(smp2) AS INT) AS s_max, " +
+        "CAST(sum((j+1)*smp2) AS BIGINT) AS pos_sum, " +
+        "CAST(sum(CASE WHEN prv IS NOT NULL AND " +
+        "((smp2 < 0) <> (prv < 0)) THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS zero_cross " +
         "FROM w GROUP BY doc_id ORDER BY doc_id"),
     // every pixel of every frame replayed from the closed form

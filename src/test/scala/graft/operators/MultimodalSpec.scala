@@ -117,6 +117,25 @@ class MultimodalSpec extends SparkSpec {
     assert(zc === samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
   }
 
+  test("downsampleWav halves the rate with truncating-mean blocks") {
+    val (docId, n) = (1L, 5)
+    def smp(i: Int) = (((i * 31L + docId * 17L) % 4096L) - 2048L).toInt
+    val out = Multimodal.downsampleWav(Multimodal.syntheticWav(docId, n), 2)
+    val (dn, rate, sum, _, mn, mx, _, _) = Multimodal.decodeAudio(out)
+    // blocks: (-2031,-2000) -> -4031/2 = -2015 (TRUNCATING, not floor
+    // -2016 — the semantics DuckDB's // shares), (-1969,-1938) ->
+    // -1953, odd tail (-1907) -> -1907
+    val expect = Seq((smp(0) + smp(1)) / 2, (smp(2) + smp(3)) / 2, smp(4))
+    assert(expect === Seq(-2015, -1953, -1907))
+    assert(dn === 3 && rate === 4000)
+    assert(sum === expect.map(_.toLong).sum)
+    assert(mn === expect.min && mx === expect.max)
+    // factor 1 is the identity resample
+    val id1 = Multimodal.decodeAudio(
+      Multimodal.downsampleWav(Multimodal.syntheticWav(docId, n), 1))
+    assert(id1 === Multimodal.decodeAudio(Multimodal.syntheticWav(docId, n)))
+  }
+
   test("GIF round-trip: decodeVideo recovers every frame's exact pixels") {
     val (docId, n, w, h) = (5L, 4, 7, 6)
     val gif = Multimodal.syntheticGif(docId, n, w, h)
