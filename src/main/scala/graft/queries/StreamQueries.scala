@@ -157,6 +157,7 @@ object StreamQueries {
     "e10_log_source" -> (e10 _),
     "e11_stream_dedup" -> (e11 _),
     "e12_trending_topk" -> (e12 _),
+    "e14_rate_anomaly" -> (e14 _),
   )
 
   // trending top-3 event types per tumbling hour — the windowed-count
@@ -165,6 +166,16 @@ object StreamQueries {
   private def e12(s: SparkSession, dir: String): DataFrame =
     EventStreams.trendingTopK(events(s, dir), k = 3)
       .orderBy("ws", "rank")
+
+  // rate-anomaly over the hourly count stream (e12's two-stage shape):
+  // trailing-median baseline per event type, spike = cnt > 2x median.
+  // Composed end-to-end in batch for the oracle; the streaming spec
+  // drives counts incrementally and applies the layer per microbatch
+  private def e14(s: SparkSession, dir: String): DataFrame =
+    EventStreams.anomalyWindows(
+      EventStreams.windowedCounts(events(s, dir))
+        .select("ws", "event_type", "cnt"))
+      .orderBy("event_type", "ws")
 
   // bounded-state streaming dedup (dropDuplicatesWithinWatermark) in
   // batch mode: one kept row per (user_id, event_type), rolled up per
@@ -221,6 +232,20 @@ object StreamQueries {
         "event_type, count(*) AS cnt, " +
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total " +
         "FROM events GROUP BY ws, event_type ORDER BY ws, event_type"),
+    // e01's hourly counts -> DuckDB median (same (n-1)q interpolation
+    // as Spark's percentile, probe-checked) over the same ROWS frame
+    // -> the shared spike predicate
+    "e14_rate_anomaly" ->
+      ("WITH e AS (SELECT time_bucket(INTERVAL 1 HOUR, " +
+        "CAST(ts AS TIMESTAMP)) AS ws, event_type FROM events), " +
+        "c AS (SELECT ws, event_type, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM e GROUP BY 1, 2), " +
+        "m AS (SELECT ws, event_type, cnt, median(cnt) OVER " +
+        "(PARTITION BY event_type ORDER BY ws " +
+        "ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS med FROM c) " +
+        "SELECT ws, event_type, cnt, med, " +
+        "coalesce(CAST(cnt AS DOUBLE) > 2 * med, false) AS spike " +
+        "FROM m ORDER BY event_type, ws"),
     "e02_session_counts" ->
       ("WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events), " +
         "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER " +

@@ -84,6 +84,41 @@ object EventStreams {
       delay: String = "10 minutes"): DataFrame =
     rankWindows(windowedCounts(events, windowLen, delay), k)
 
+  /** Rate-anomaly layer over a windowed count store: flag windows
+    * whose count exceeds `mult` × the trailing MEDIAN of the previous
+    * `lookback` windows of the same event type — the robust
+    * spike/outage detector a streaming ingest runs on its own volume
+    * (a mean/stddev baseline is exactly what a spike poisons; the
+    * median isn't). Same deployment shape as [[trendingTopK]]'s rank
+    * layer: the windowed counts are the streaming half (update-mode
+    * upserts into a keyed store), THIS runs per microbatch in
+    * `foreachBatch` over the store — per-type state is
+    * lookback-bounded. In batch the composition runs end-to-end,
+    * which is what the oracle replays.
+    *
+    * Exactness: counts are integers; the median of ≤ `lookback` longs
+    * interpolates halves at worst — exact in a double, and Spark's
+    * `percentile` and DuckDB's `median` share the (n−1)·q convention
+    * (probe-checked). The spike predicate is one shared-text compare.
+    * Missing windows are treated as ADJACENT (ROWS frame, not RANGE):
+    * gap-fill upstream (f04's machinery) if the baseline must be
+    * strictly time-based.
+    *
+    * Output: (ws, event_type, cnt, med, spike); med NULL (and spike
+    * false) for a type's first window. */
+  def anomalyWindows(counts: DataFrame, lookback: Int = 6,
+      mult: Long = 2L): DataFrame = {
+    require(lookback >= 1 && mult >= 1, "lookback and mult must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ws"))
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("med", expr("percentile(cnt, 0.5)").over(w))
+      .select(col("ws"), col("event_type"), col("cnt"), col("med"),
+        expr(s"coalesce(CAST(cnt AS DOUBLE) > $mult * med, false)")
+          .as("spike"))
+  }
+
   /** The rank layer of [[trendingTopK]] — applied per microbatch over
     * the upserted count store in streaming, or directly in batch. */
   def rankWindows(counts: DataFrame, k: Int): DataFrame = {

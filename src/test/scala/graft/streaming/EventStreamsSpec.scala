@@ -117,6 +117,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyWindows: foreachBatch layer over upserted counts == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val store = scala.collection.mutable.Map.empty[(Timestamp, String), Long]
+    val q = EventStreams.windowedCounts(streamDf)
+      .select("ws", "event_type", "cnt")
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          store((r.getTimestamp(0), r.getString(1))) = r.getLong(2)
+        }
+      }
+      .start()
+    try {
+      mem.addData(rows.take(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).map(r => (r._1, r._2, r._3, r._4, r._5)))
+      q.processAllAvailable()
+      val counts = store.toSeq
+        .map { case ((ws, et), c) => (ws, et, c) }
+        .toDF("ws", "event_type", "cnt")
+      val streamed = EventStreams.anomalyWindows(counts)
+        .orderBy("event_type", "ws").collect().map(_.toSeq).toSeq
+      val batch = EventStreams.anomalyWindows(
+          EventStreams.windowedCounts(eventsDf)
+            .select("ws", "event_type", "cnt"))
+        .orderBy("event_type", "ws").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("anomalyWindows: spike fires on >mult x trailing median, NULL-safe head") {
+    // one type, counts 10,10,12,10,30: medians null,10,10,10.5(?),11
+    // -- hand trace: window of previous up-to-6 rows
+    val base = Timestamp.valueOf("2025-01-01 00:00:00")
+    def hour(h: Int) = new Timestamp(base.getTime + h * 3600L * 1000)
+    val counts = Seq(
+      (hour(0), "click", 10L), (hour(1), "click", 10L),
+      (hour(2), "click", 12L), (hour(3), "click", 10L),
+      (hour(4), "click", 30L)).toDF("ws", "event_type", "cnt")
+    val got = EventStreams.anomalyWindows(counts)
+      .orderBy("ws").collect()
+      .map(r => (if (r.isNullAt(3)) -1.0 else r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    // medians of previous rows: [], [10], [10,10], [10,10,12],
+    // [10,10,12,10] -> -1(null), 10, 10, 10, 10; spike only at 30 > 20
+    assert(got === Seq((-1.0, false), (10.0, false), (10.0, false),
+      (10.0, false), (10.0, true)))
+  }
+
   test("enrichWithDim: stream-static broadcast join == batch join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
