@@ -457,6 +457,43 @@ object Drill {
     time("hits iters=3 (gate)", 4) { Hits.scores(inc, 3).count() }
   }
 
+  // g08 stage table: where do the ~2.8 s go? (edge derivation is the
+  // shared co-purchase build every g gate pays; the wedge join + pair
+  // aggregate is the operator's own cost, bounded by the hub cap)
+  private def g08Variants(s: SparkSession, dir: String): Unit = {
+    import operators.{LinkPrediction, Triangles}
+    val li = Tables(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+    def edges = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    time("edge derivation (distinct co-occurrence)", 4) { edges.count() }
+    val e0 = edges.localCheckpoint()
+    time("degrees", 4) {
+      e0.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1))).count()
+    }
+    time("wedge join + pair agg (cap 48, checkpointed edges)", 4) {
+      val deg = e0.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val wTerm = deg.filter(col("deg") >= 2 && col("deg") <= 48)
+        .select(col("n").as("w"),
+          round(lit(1.0e9) / log(col("deg").cast("double")))
+            .cast("long").as("term"))
+      val adj = e0.select(col("a").as("u"), col("b").as("w"))
+        .unionByName(e0.select(col("b").as("u"), col("a").as("w")))
+      val capped = adj.join(wTerm, "w")
+      capped.as("p").join(capped.as("q"),
+          col("p.w") === col("q.w") && col("p.u") < col("q.u"))
+        .groupBy(col("p.u"), col("q.u")).agg(count(lit(1))).count()
+    }
+    time("g08 end-to-end (gate, incl. anti-join + top-20)", 4) {
+      LinkPrediction.adamicAdar(edges, maxDegree = 48)
+        .orderBy(col("aa_e9").desc, col("a"), col("b")).limit(20).count()
+    }
+    time("g08 uncapped (maxDegree 0)", 4) {
+      LinkPrediction.adamicAdar(edges)
+        .orderBy(col("aa_e9").desc, col("a"), col("b")).limit(20).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -472,6 +509,7 @@ object Drill {
       case "q47" => q47Variants(spark, sfDir)
       case "texttail" => texttailVariants(spark, sfDir)
       case "g07" => g07Variants(spark, sfDir)
+      case "g08" => g08Variants(spark, sfDir)
       case "q51" => q51Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
