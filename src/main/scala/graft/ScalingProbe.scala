@@ -60,9 +60,9 @@ object ScalingProbe {
     // r11 addition: the round's own new >= 1 s gate (q49/q50/src03 all
     // run sub-second — under the probe bar)
     "g07_hits",
-    // r11 late additions: the round's own new >= 1 s gates (f15 runs
-    // sub-second — under the probe bar)
-    "q52_shard_topk", "g08_link_predict")
+    // r11 late additions: the round's own new >= 1 s gates (f15-f18,
+    // mm14, e14 all run sub-second — under the probe bar)
+    "q52_shard_topk", "g08_link_predict", "g09_personalized_pr")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */

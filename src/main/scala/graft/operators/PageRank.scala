@@ -79,4 +79,50 @@ object PageRank {
     eDeg.unpersist() // final rank is checkpointed — lineage-free
     rank
   }
+
+  /** PERSONALIZED PageRank (Jeh & Widom 2003): the teleport mass
+    * returns to a SEED set instead of every node — the propagate-
+    * quality-from-trusted-seeds primitive (TrustRank-style domain
+    * scoring, "expand this curated slice" corpus selection). Same
+    * exact fixed-point arithmetic as [[ranks]] (longs at 10¹²,
+    * `div`-floor contributions, 17·x div 20 damping), so the unrolled
+    * oracle hash-matches.
+    *
+    * The rank frame holds ONLY nodes with nonzero rank — absent means
+    * 0 by construction (the contribution join drops them) — so early
+    * iterations touch the seed neighborhood, not the graph: PPR's
+    * sparsity is a SCALE property here, not an approximation.
+    *
+    * rank₀ = [[One]] on seeds; rankᵢ(n) = (n ∈ seeds ? 0.15·One : 0)
+    * + (17·Σ_{m→n} rankᵢ₋₁(m) div deg(m)) div 20. Nodes neither
+    * seeded nor reached stay absent. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+    val eDeg = e
+      .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist()
+    eDeg.count()
+    // seeds are read every iteration (the reset join) — tiny, pin once
+    val s = seeds.select(col("node")).distinct().localCheckpoint()
+    var rank = s.withColumn("rank", lit(One))
+    for (i <- 1 to iters) {
+      val damped = eDeg.join(rank, eDeg("src") === rank("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy(col("dst").as("node_"))
+        .agg(expr("(17 * sum(contrib)) div 20").as("damped"))
+      rank = damped
+        .join(s.withColumn("reset", lit(3 * One / 20)),
+          col("node_") === col("node"), "full_outer")
+        .select(coalesce(col("node_"), col("node")).as("node"),
+          (coalesce(col("damped"), lit(0L)) +
+            coalesce(col("reset"), lit(0L))).as("rank"))
+      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
+    }
+    eDeg.unpersist()
+    rank
+  }
 }

@@ -147,6 +147,22 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  // personalized PageRank from the g03 seed set over the co-purchase
+  // graph — propagate-quality-from-trusted-seeds (TrustRank-shaped
+  // corpus selection). Rank frame holds only REACHED nodes (absent =
+  // 0), so early rounds touch the seed neighborhood, not the graph
+  private def g09(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 4 === 0)
+    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = li.filter(col("l_partkey") % 500 === 0)
+      .select(col("l_partkey").as("node")).distinct()
+    graft.operators.PageRank.personalizedRanks(edges, seeds, iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
   // SCD Type-2 dimension: each order observes its customer's priority;
   // compress to validity intervals. The whole build shares ONE
   // PARTITION BY custkey layout (change flag, run id, rollup, close)
@@ -358,6 +374,7 @@ object AnalyticsQueries {
     "g03_bfs_layers" -> (g03 _),
     "g06_clustering_coeff" -> (g06 _),
     "g08_link_predict" -> (g08 _),
+    "g09_personalized_pr" -> (g09 _),
   )
 
   // f16's oracle: observed cells from the same GROUP BY; totals, the
@@ -559,6 +576,35 @@ object AnalyticsQueries {
       "GROUP BY lbl ORDER BY size DESC, community LIMIT 100"
   }
 
+  // personalized-PageRank unroll (the g01 discipline + a seed reset):
+  // per round, damped contribution sums FULL OUTER joined with the
+  // seed set — absent rank is 0 on both sides by construction
+  private val pprSql: String = {
+    val iters = 3
+    val head =
+      "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "eu AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "e AS (SELECT a AS src, b AS dst FROM eu " +
+        "UNION ALL SELECT b, a FROM eu), " +
+        "s AS (SELECT DISTINCT p AS node FROM op WHERE p % 500 = 0), " +
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+        "r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM s)"
+    val its = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.dst AS node, " +
+        s"(17 * sum(r${i - 1}.pr // d.deg)) // 20 AS dmp " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
+        s"JOIN d ON e.src = d.src GROUP BY e.dst), " +
+        s"r$i AS (SELECT coalesce(c$i.node, s.node) AS node, " +
+        s"coalesce(dmp, 0) + CASE WHEN s.node IS NOT NULL " +
+        s"THEN 150000000000 ELSE 0 END AS pr " +
+        s"FROM c$i FULL OUTER JOIN s ON c$i.node = s.node)"
+    }.mkString(", ")
+    s"$head, $its SELECT node, CAST(pr AS BIGINT) AS rank FROM r$iters " +
+      "ORDER BY rank DESC, node LIMIT 20"
+  }
+
   private val pagerankSql: String =
     "WITH fwd AS (SELECT DISTINCT l_orderkey * 2 AS src, " +
       "l_partkey * 2 + 1 AS dst FROM lineitem), " +
@@ -683,6 +729,8 @@ object AnalyticsQueries {
         "SELECT node, min(hop) AS hop FROM bfs GROUP BY node " +
         "ORDER BY node"),
     "g01_pagerank" -> pagerankSql,
+    // identical fixed-round damped sums + seed-reset full outer
+    "g09_personalized_pr" -> pprSql,
     // identical fixed-round ppm sums + 1-row max normalizations
     "g07_hits" -> hitsSql,
     // identical integer counts -> ppm floor division -> pooled-z double

@@ -44,6 +44,28 @@ class PageRankSpec extends SparkSpec {
     assert(got("hub") > leaves.head)
   }
 
+  test("personalized: hand-traced path graph, sparse rank frame") {
+    // path 1-2-3 symmetrized, seed {1}, 2 rounds:
+    //   r1: 1 -> 0.15e12 (reset only), 2 -> 0.85e12
+    //   r2: 1 -> 17*(0.85e12 div 2) div 20 + 0.15e12 = 511250000000
+    //       2 -> 17*0.15e12 div 20 = 127500000000
+    //       3 -> 361250000000
+    val edges = sym(Seq(("1", "2"), ("2", "3")))
+      .toDF("src", "dst")
+    val seeds = Seq("1").toDF("node")
+    val got = PageRank.personalizedRanks(edges, seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1" -> 511250000000L, "2" -> 127500000000L,
+      "3" -> 361250000000L))
+  }
+
+  test("personalized: unreached components stay ABSENT, not zero rows") {
+    val edges = sym(Seq(("1", "2"), ("8", "9"))).toDF("src", "dst")
+    val got = PageRank.personalizedRanks(edges, Seq("1").toDF("node"), 3)
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("1", "2")) // 8/9 never materialize
+  }
+
   test("symmetric two-cliques rank identically across cliques") {
     def clique(tag: String) = for {
       a <- 1 to 4; b <- 1 to 4 if a != b
