@@ -753,6 +753,25 @@ object CoreQueries {
       .orderBy("pct")
   }
 
+  // PSI distribution drift, 1997 -> 1998 order values (q48's binning
+  // spine turned into the production drift metric): one pass over both
+  // snapshots, bins-sized everything after, Laplace-smoothed RATIONAL
+  // shares (a ppm floor would zero empty bins past 1e6 rows and feed
+  // ln(0)), decimal-quantized exact term sum. The gate derives the
+  // [lo, hi] domain with an extra min/max pass (the q48-documented
+  // cost of data-derived edges; production supplies a known domain)
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Drift
+    val o = t(s, dir, "orders").filter(col("o_totalprice").isNotNull)
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        year(col("o_orderdate")).as("y"))
+    val mm = o.agg(min(col("v")).as("lo"), max(col("v")).as("hi")).head()
+    Drift.psiReport(
+      o.filter(col("y") === 1997).select("v"),
+      o.filter(col("y") === 1998).select("v"),
+      "v", bins = 64, lo = mm.getLong(0), hi = mm.getLong(1))
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -896,6 +915,37 @@ object CoreQueries {
       pairSelects + " ORDER BY col_x, col_y"
   }
 
+  // q53's oracle: the PSI pipeline replayed with the operator's shared
+  // term text over identically-named columns
+  private val q53OracleSql: String = {
+    val bins = 64
+    "WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS v, year(o_orderdate) AS y FROM orders " +
+      "WHERE o_totalprice IS NOT NULL), " +
+      "mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base), " +
+      "h AS (SELECT y, ((v - lo) * " + bins + ") // (hi - lo + 1) AS " +
+      "bin, count(*) AS cnt FROM base CROSS JOIN mm " +
+      "WHERE y IN (1997, 1998) GROUP BY 1, 2), " +
+      "spine AS (SELECT unnest(range(0, " + bins + ")) AS bin), " +
+      "fb AS (SELECT spine.bin, " +
+      "CAST(coalesce(r.cnt, 0) AS BIGINT) AS ref_cnt, " +
+      "CAST(coalesce(c.cnt, 0) AS BIGINT) AS cur_cnt FROM spine " +
+      "LEFT JOIN (SELECT bin, cnt FROM h WHERE y = 1997) r " +
+      "ON spine.bin = r.bin " +
+      "LEFT JOIN (SELECT bin, cnt FROM h WHERE y = 1998) c " +
+      "ON spine.bin = c.bin), " +
+      "tot AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS n_ref, " +
+      "CAST(sum(cur_cnt) AS BIGINT) AS n_cur FROM fb), " +
+      "terms AS (SELECT bin, ref_cnt, cur_cnt, " +
+      s"${graft.operators.Drift.psiTermSql(bins)} AS t " +
+      "FROM fb CROSS JOIN tot), " +
+      "p AS (SELECT round(CAST(sum(CAST(t AS DECIMAL(28,14))) " +
+      "AS DOUBLE), 6) AS psi FROM terms) " +
+      "SELECT bin, ref_cnt, cur_cnt, round(t, 8) AS contrib, " +
+      "n_ref, n_cur, psi FROM terms CROSS JOIN tot CROSS JOIN p " +
+      "ORDER BY abs(round(t, 8)) DESC, bin LIMIT 10"
+  }
+
   // Gzipped-JSONL ingest (the crawl-export format every corpus drop
   // actually arrives in), src02's discipline: EXPLICIT schema (schema
   // inference is a full extra pass over 100 TB and type-drifts on
@@ -937,6 +987,7 @@ object CoreQueries {
     "q50_skew_report" -> (q50 _),
     "q51_corr_matrix" -> (q51 _),
     "q52_shard_topk" -> (q52 _),
+    "q53_psi_drift" -> (q53 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1346,6 +1397,10 @@ object CoreQueries {
     // identical moment sums (decimal-quantized terms) -> the Pearson
     // double chain over exact sums, pair rows unioned in the same order
     "q51_corr_matrix" -> q51OracleSql,
+    // identical quantize -> binCountsBy spine (div replayed as // on
+    // the non-negative (v-lo)*bins) -> full bin spine -> the shared
+    // smoothed-share term text -> decimal-quantized exact PSI sum
+    "q53_psi_drift" -> q53OracleSql,
     // identical per-shard counts -> (cnt desc, key) rank -> rank-129
     // caps -> candidate [lb, ub] merge -> exact riders; sums cast to
     // BIGINT (DuckDB sum = HUGEINT). No NULL keys in l_partkey, so the
