@@ -201,10 +201,19 @@ object PipelineQueries {
       .select(col("doc").as("doc_id"), col("n_tokens"), col("log_weight"))
       .orderBy(col("log_weight").desc, col("doc_id"))
 
+  // corpus arrival datasheet: per-lang + ALL rollup in ONE aggregate
+  // pass — volume, source breadth, token mass (t01's tokenizer), and
+  // exact-dup pressure (d01's fingerprint), the report that decides
+  // which pipeline pass runs first on a new drop
+  private def p15(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DatasetCard.report(docs(s, dir))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
+    "p15_dataset_card" -> (p15 _),
     "p01_split_counts" -> (p01 _),
     "p02_pack_bins" -> (p02 _),
     "p03_stratified_sample" -> (p03 _),
@@ -226,6 +235,21 @@ object PipelineQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
+    // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
+    "p15_dataset_card" ->
+      ("SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END " +
+        "AS lang, count(*) AS n_docs, " +
+        "count(DISTINCT source) AS n_sources, " +
+        "CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars, " +
+        "CAST(sum(coalesce(len(list_filter(string_split_regex(" +
+        "trim(text), '\\s+'), t -> t <> '')), 0)) AS BIGINT) " +
+        "AS total_tokens, " +
+        "count(DISTINCT coalesce(md5(trim(regexp_replace(lower(text), " +
+        "'\\s+', ' ', 'g'))), 'NULLTEXT')) AS n_unique_texts, " +
+        "count(*) - count(DISTINCT coalesce(md5(trim(regexp_replace(" +
+        "lower(text), '\\s+', ' ', 'g'))), 'NULLTEXT')) AS dup_rows " +
+        "FROM documents GROUP BY ROLLUP(lang) ORDER BY lang"),
     // identical tokenization (t12's), identical smoothed rational
     // operands, ln terms quantized DECIMAL(28,14) before the exact sum,
     // rank on the 4-digit rounding with doc_id tie-break
