@@ -92,6 +92,15 @@ class PlanLintSpec extends SparkSpec {
         "q49_kmv_difference",
         // 1-row distribution-stats rider over the top-k heavy keys
         "q50_skew_report",
+        // 1-row (n, r_levels, c_levels) stats rider crossJoined onto
+        // the cells-sized term aggregate and the final 1-row report
+        "f16_chi_square",
+        // 1-row total-caps/candidate-census/missed riders over the
+        // candidate-sized bounds frame (the q46 shape)
+        "q52_shard_topk",
+        // 1-row (n_ref, n_cur) totals + 1-row psi riders over the
+        // bins-sized term frame
+        "q53_psi_drift",
         // 1-row max-normalization riders on node-sized score frames
         "g07_hits",
         // q43's pct-threshold join (both sides sketch-bounded) plus
