@@ -62,7 +62,8 @@ object ScalingProbe {
     "g07_hits",
     // r11 late additions: the round's own new >= 1 s gates (f15-f18,
     // mm14, e14 all run sub-second — under the probe bar)
-    "q52_shard_topk", "g08_link_predict", "g09_personalized_pr")
+    "q52_shard_topk", "g08_link_predict", "g09_personalized_pr",
+    "d18_lsh_audit")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
@@ -90,7 +91,7 @@ object ScalingProbe {
     "s15_ivfpq_topk" -> "embeddings", "t29_ppl_filter" -> "documents",
     "d06_winnow_disjoint" -> "documents",
     "s07_pq_topk" -> "embeddings", "p09_curate_e2e" -> "documents",
-    "d07_contamination" -> "documents")
+    "d07_contamination" -> "documents", "d18_lsh_audit" -> "documents")
 
   /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
     * pin their payload count (LIMIT 40/30) for oracle determinism, so

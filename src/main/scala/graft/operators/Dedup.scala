@@ -478,6 +478,23 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** RAW banded candidate pairs (doc_a < doc_b), BEFORE verification —
+    * the d18 audit surface: what the banding geometry alone surfaces,
+    * measured against the exact pair set to validate a (bands, rows)
+    * choice on the actual corpus (the S-curve promises
+    * P(s) = 1 − (1 − s^r)^b; this is the empirical check). Same
+    * signature/banding machinery as [[minHashLshPairs]]. */
+  def minHashLshCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      maxBucket: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val eligible = docs.filter(
+      size(graft.functions.TextFunctions.tokens(lower(col(textCol)))) >= n)
+    val sig = eligible.select(col(idCol).as("doc"),
+      minHashSignature(lower(col(textCol)), n, numHashes).as("sig"))
+    bandedCandidates(sig, bands, numHashes / bands, maxBucket)
+  }
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {

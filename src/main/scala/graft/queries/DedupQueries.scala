@@ -54,6 +54,34 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  // LSH banding AUDIT: did the (bands, rows) choice catch what the
+  // S-curve promised, on THIS corpus? Exact pair set at tau=0.5 (the
+  // d02 prefix spine) vs the RAW banded candidates at bands=16/r=4 —
+  // a geometry whose theoretical catch rate at the threshold is
+  // 1-(1-0.5^4)^16 = 0.645, so the measured recall is genuinely sub-1
+  // and the audit has teeth. The closed-form curve rides along at
+  // s = 0.3/0.5/0.7 for the comparison the report exists to enable.
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val exact = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.5, maxBucket = 2000)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val cand = Dedup.minHashLshCandidates(d, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 16).localCheckpoint()
+    val hit = exact.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    def curve(sPt: String) =
+      expr(s"round(1.0 - pow(1.0 - pow($sPt, 4), 16), 6)")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_exact > 0 THEN (1000000 * n_hit) div n_exact " +
+          "END").as("recall_ppm"),
+        curve("0.3").as("p_at_30"), curve("0.5").as("p_at_50"),
+        curve("0.7").as("p_at_70"))
+  }
+
   private def d04(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy("doc_a", "doc_b")
@@ -584,6 +612,7 @@ object DedupQueries {
     "d01_exact_dedup_docs" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
+    "d18_lsh_audit" -> (d18 _),
     "d04_simhash_pairs" -> (d04 _),
     "d05_embed_cosine_pairs" -> (d05 _),
     "d06_winnow_pairs" -> (d06 _),
@@ -981,6 +1010,14 @@ object DedupQueries {
     "d04_signatures" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id").as("doc"),
         T.simHash64(lower(col("text"))).as("sig"))),
+    // the d18 gate's exact signature frame (same eligibility filter) —
+    // the oracle re-bands it on the RAW band slices, which equals the
+    // gate's xxhash64 band keys up to a 2^-64 collision
+    "d18_signatures" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(size(T.tokens(lower(col("text")))) >= 3)
+        .select(col("doc_id").as("doc"),
+          T.minHashSignature(lower(col("text")), 3, 64).as("sig"))),
     "d12_chunks" -> ((s, dir) =>
       Cdc.chunkTable(docs(s, dir), "doc_id", "text")),
     "d06_fingerprints" -> ((s, dir) =>
@@ -1173,6 +1210,31 @@ object DedupQueries {
         "FROM documents"),
     "d02_ngram_jaccard" -> jaccardPairsSql,
     "d03_minhash_lsh" -> jaccardPairsSql,
+    // exact pairs from the shared shingle CTE at tau=0.5; candidates
+    // re-banded from the signature fixture on RAW band slices (equal
+    // to the gate's hashed band keys up to 2^-64 collisions); the
+    // same div-ppm recall and closed-form S-curve constants
+    "d18_lsh_audit" -> (shingleCte +
+      ", ex AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5), " +
+      "sigs AS (SELECT doc, sig FROM " +
+      "read_parquet('{OUT}/aux/d18_signatures/*.parquet')), " +
+      "bx AS (SELECT doc, sig, unnest(range(0, 16)) AS b FROM sigs), " +
+      "bnd AS (SELECT doc, b, list_slice(sig, b*4+1, b*4+4) AS key " +
+      "FROM bx), " +
+      "cand AS (SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b " +
+      "FROM bnd x JOIN bnd y ON x.b = y.b AND x.key = y.key " +
+      "AND x.doc < y.doc), " +
+      "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex), " +
+      "nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand), " +
+      "nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM ex " +
+      "JOIN cand USING (doc_a, doc_b)) " +
+      "SELECT n_exact, n_cand, n_hit, " +
+      "CASE WHEN n_exact > 0 THEN (1000000 * n_hit) // n_exact END " +
+      "AS recall_ppm, " +
+      "round(1.0 - pow(1.0 - pow(0.3, 4), 16), 6) AS p_at_30, " +
+      "round(1.0 - pow(1.0 - pow(0.5, 4), 16), 6) AS p_at_50, " +
+      "round(1.0 - pow(1.0 - pow(0.7, 4), 16), 6) AS p_at_70 " +
+      "FROM ne CROSS JOIN nc CROSS JOIN nh"),
     "d04_simhash_pairs" -> simHashPairsSql,
     "d05_embed_cosine_pairs" -> cosinePairsSql,
     "d06_winnow_pairs" -> winnowPairsSql,

@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)) && lsh.contains((4L, 5L)))
   }
 
+  test("raw LSH candidates cover the verified pairs; tiny docs ineligible") {
+    // candidates (pre-verification) must be a superset of whatever the
+    // verified path emits at ANY threshold — banding is the only
+    // recall loss, and it happens before verification
+    val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand) && verified.nonEmpty)
+    // a sub-n-token doc carries the sentinel signature and must not
+    // co-bucket with everything (the quadratic-explosion guard)
+    import spark.implicits._
+    val withTiny = docs.unionByName(
+      Seq((99L, "hi")).toDF("doc_id", "text"))
+    val cand2 = Dedup.minHashLshCandidates(withTiny, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cand2.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("simhash pairs: identical docs at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
