@@ -48,7 +48,15 @@ object LinkPrediction {
           .cast("long").as("term"))
     val adj = e0.select(col("a").as("u"), col("b").as("w"))
       .unionByName(e0.select(col("b").as("u"), col("a").as("w")))
-    // inner join = hub-cap prune AND term attach in one pass
+    // inner join = hub-cap prune AND term attach in one pass.
+    // Deliberately LAZY into the self-join: Spark has no cross-branch
+    // CSE, so each side re-derives this join — but both derivations
+    // fuse into ONE job whose stages run concurrently, and the A/B
+    // (same-group min-of-4, sf0.1) read 1.69 s lazy vs 2.42 s with a
+    // localCheckpoint here — materializing the edge-sized frame costs
+    // more than the duplicate join (the q46 lazy-rider trade; contrast
+    // Hits, where the un-materialized frame was re-derived per RIDER
+    // and checkpointing won)
     val capped = adj.join(wTerm, "w")
     val cand = capped.as("p")
       .join(capped.as("q"),
