@@ -39,6 +39,28 @@ object TextQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang_pred")
 
+  // langid EVALUATED against the labeled lang column — the confusion
+  // matrix + accuracy every heuristic classifier owes its deployer
+  // (t03 reports predictions; this reports how often they're right,
+  // and WHERE they go wrong). One (true, pred) shuffle, cells-sized
+  // after; accuracy in div-ppm integers rides on every row
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .select(col("lang").as("lang_true"),
+        T.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_true", "lang_pred")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // cells-sized; read by the accuracy rider too
+    val acc = cells.agg(sum(col("cnt")).cast("long").as("n_docs"),
+        sum(when(col("lang_true") === col("lang_pred"), col("cnt"))
+          .otherwise(0L)).cast("long").as("n_correct"))
+      .select(col("n_docs"), col("n_correct"),
+        expr("CASE WHEN n_docs > 0 THEN (1000000 * n_correct) " +
+          "div n_docs END").as("accuracy_ppm"))
+    cells.crossJoin(broadcast(acc))
+      .orderBy("lang_true", "lang_pred")
+  }
+
   private def t04(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id").limit(100)
@@ -389,6 +411,7 @@ object TextQueries {
     "t19_gopher_rules" -> (t19 _),
     "t20_collocations" -> (t20 _),
     "t21_textrank" -> (t21 _),
+    "t30_langid_eval" -> (t30 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -651,6 +674,32 @@ object TextQueries {
         "WHEN de > 0 AND de >= fr THEN 'de' " +
         "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred, " +
         "count(*) AS cnt FROM hits GROUP BY lang_pred ORDER BY lang_pred"),
+    // t03's hit/CASE chain with the labeled lang carried through, then
+    // the confusion cells + div-ppm accuracy rider
+    "t30_langid_eval" ->
+      ("WITH toks AS (SELECT doc_id, lang, text, " +
+        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
+        "FROM documents), " +
+        s"hits AS (SELECT doc_id, lang, " +
+        "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        s"len(list_filter(tk, t -> list_contains($enM, t))) AS en, " +
+        s"len(list_filter(tk, t -> list_contains($esM, t))) AS es, " +
+        s"len(list_filter(tk, t -> list_contains($deM, t))) AS de, " +
+        s"len(list_filter(tk, t -> list_contains($frM, t))) AS fr FROM toks), " +
+        "p AS (SELECT lang AS lang_true, CASE WHEN cjk > 0 THEN 'zh' " +
+        "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' " +
+        "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' " +
+        "WHEN de > 0 AND de >= fr THEN 'de' " +
+        "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM hits), " +
+        "cells AS (SELECT lang_true, lang_pred, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2), " +
+        "a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN lang_true = lang_pred THEN cnt ELSE 0 END) " +
+        "AS BIGINT) AS n_correct FROM cells) " +
+        "SELECT lang_true, lang_pred, cnt, n_docs, n_correct, " +
+        "CASE WHEN n_docs > 0 THEN (1000000 * n_correct) // n_docs END " +
+        "AS accuracy_ppm FROM cells CROSS JOIN a " +
+        "ORDER BY lang_true, lang_pred"),
     "t04_fingerprint" ->
       ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents ORDER BY doc_id LIMIT 100"),

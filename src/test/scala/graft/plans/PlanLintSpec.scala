@@ -101,6 +101,10 @@ class PlanLintSpec extends SparkSpec {
         // 1-row (n_ref, n_cur) totals + 1-row psi riders over the
         // bins-sized term frame
         "q53_psi_drift",
+        // 1-row accuracy rider over the confusion-cells frame
+        "t30_langid_eval",
+        // 1-row exact/candidate/hit census riders (the audit row)
+        "d18_lsh_audit",
         // 1-row max-normalization riders on node-sized score frames
         "g07_hits",
         // q43's pct-threshold join (both sides sketch-bounded) plus
