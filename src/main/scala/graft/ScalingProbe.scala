@@ -63,7 +63,7 @@ object ScalingProbe {
     // r11 late additions: the round's own new >= 1 s gates (f15-f18,
     // mm14, e14 all run sub-second — under the probe bar)
     "q52_shard_topk", "g08_link_predict", "g09_personalized_pr",
-    "d18_lsh_audit")
+    "d18_lsh_audit", "q53_psi_drift", "f18_mann_whitney")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
