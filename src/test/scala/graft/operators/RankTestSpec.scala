@@ -39,6 +39,30 @@ class RankTestSpec extends SparkSpec {
     assert(r.getDouble(4) === -s.getDouble(4))
   }
 
+  test("randomized brute-force agreement: U, ties, and z on 200 rows") {
+    val rnd = new scala.util.Random(11)
+    // heavy ties on purpose: values drawn from 12 levels
+    val rows = Seq.fill(200)((rnd.nextBoolean(), (rnd.nextInt(12) + 1) / 4.0))
+    val a = rows.filter(!_._1).map(r => math.round(r._2 * 100))
+    val b = rows.filter(_._1).map(r => math.round(r._2 * 100))
+    // brute O(nA*nB) doubled pairwise wins for arm B
+    val u2Brute = b.map(x =>
+      2L * a.count(_ < x) + a.count(_ == x)).sum
+    val tBrute = rows.groupBy(r => math.round(r._2 * 100))
+      .values.map(_.size.toLong).map(t => t * t * t - t).sum
+    val r = RankTest.mannWhitney(rows.toDF("v", "x"), col("v"), col("x"))
+      .head()
+    assert((r.getLong(0), r.getLong(1)) === ((a.size.toLong, b.size.toLong)))
+    assert(r.getLong(2) === u2Brute)
+    assert(r.getLong(3) === tBrute)
+    // z recomputed locally from the same integers and formula
+    val (na, nb, n) = (a.size.toDouble, b.size.toDouble, rows.size.toDouble)
+    val varU = (na * nb / 12.0) * ((n + 1.0) - tBrute / (n * (n - 1.0)))
+    val zBrute = math.rint(
+      (u2Brute - na * nb) / (2.0 * math.sqrt(varU)) * 1e4) / 1e4
+    assert(r.getDouble(4) === zBrute)
+  }
+
   test("degenerate inputs: one value only or an empty arm yield NULL z") {
     val oneVal = Seq((false, 5.0), (false, 5.0), (true, 5.0))
       .toDF("v", "x")
