@@ -23,11 +23,13 @@ import graft.functions.{TextFunctions => T}
   */
 object DatasetCard {
 
-  /** One row per language + an 'ALL' rollup row: (lang, n_docs,
-    * n_sources, total_chars, total_tokens, n_unique_texts, dup_rows).
-    * NULL text fingerprints to a sentinel so null-text docs still
-    * count as (one) unique text; NULL langs form their own row,
-    * distinct from 'ALL'. */
+  /** One row per language + an 'ALL' rollup row: (lang, is_total,
+    * n_docs, n_sources, total_chars, total_tokens, n_unique_texts,
+    * dup_rows). `is_total` carries the grouping flag so the rollup row
+    * is structurally distinguishable even from a genuine lang value
+    * "ALL". NULL text fingerprints to a sentinel so null-text docs
+    * still count as (one) unique text; NULL langs form their own row,
+    * distinct from the total. */
   def report(docs: DataFrame): DataFrame =
     docs
       .select(col("lang"), col("source"),
@@ -45,6 +47,7 @@ object DatasetCard {
       .select(
         when(col("_g") === 1, lit("ALL")).otherwise(col("lang"))
           .as("lang"),
+        (col("_g") === 1).as("is_total"),
         col("n_docs"), col("n_sources"), col("total_chars"),
         col("total_tokens"), col("n_unique_texts"),
         (col("n_docs") - col("n_unique_texts")).as("dup_rows"))

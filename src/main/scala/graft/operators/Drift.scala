@@ -27,14 +27,21 @@ object Drift {
 
   /** Per-bin drift report between two LONG-valued snapshots: the
     * top-`k` bins by |contribution| (bin, ref_cnt, cur_cnt, contrib)
-    * with (psi, n_ref, n_cur) riding on every row. */
+    * with (psi, n_ref, n_cur) riding on every row.
+    *
+    * Values outside [lo, hi] are CLAMPED into the edge bins (bin 0 /
+    * bin bins-1), never dropped: in the stored-reference-histogram
+    * deployment, current data drifting past the reference domain is
+    * the strongest possible drift signal — excluded mass would make
+    * exactly that shift invisible to the PSI. */
   def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
       bins: Int, lo: Long, hi: Long, k: Int = 10): DataFrame = {
     require(bins > 0 && k > 0, "bins and k must be positive")
     val spark = ref.sparkSession
-    val both = ref.select(col(valueCol).as("v"), lit("ref").as("side"))
+    val clamped = least(greatest(col(valueCol), lit(lo)), lit(hi))
+    val both = ref.select(clamped.as("v"), lit("ref").as("side"))
       .unionByName(
-        cur.select(col(valueCol).as("v"), lit("cur").as("side")))
+        cur.select(clamped.as("v"), lit("cur").as("side")))
     val hist = HistogramQuantile
       .binCountsBy(both, "v", bins, lo, hi, col("side"))
       .localCheckpoint() // bins-sized; read by both side splits

@@ -39,7 +39,16 @@ object PageRank {
     * caller passes, that is the same set as the out-edge nodes).
     * Initial rank = [[One]];
     * rank'(n) = 0.15·One + 0.85·Σ_{m→n} (rank(m) div deg(m)), all in
-    * longs. */
+    * longs.
+    *
+    * Bounds (the AbTest discipline): the damped update computes
+    * `17 · Σ contrib` before the `div 20`, so a node's aggregate
+    * incoming contribution must stay ≤ Long.MaxValue/17 ≈ 5.4·10¹⁷
+    * ≈ 542k·[[One]]. Total rank mass is ~n·[[One]], so graphs past
+    * ~5·10⁵ nodes whose mass concentrates on one hub can overflow;
+    * ANSI mode fails loudly rather than wrapping. At that scale,
+    * lower the fixed-point scale (e.g. 10⁹) — the oracle replays
+    * whatever scale is chosen. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one iteration")
     // The edge list with its source degree riding along — every

@@ -37,7 +37,8 @@ object RankTest {
     * (B's pairwise wins doubled), `tie_cubed` = Σ(t³−t) as a long
     * (exact to 9·10¹⁸). z is NULL when either arm is empty or every
     * row carries one value (zero variance). NULL variant/value rows
-    * are excluded listwise. */
+    * are excluded listwise; a fully empty (or fully NULL-filtered)
+    * input returns one row of zero counts with z NULL. */
   def mannWhitney(df: DataFrame, variant: Column, value: Column,
       quantScale: Long = 100L): DataFrame = {
     require(quantScale > 0, "quantScale must be positive")
@@ -65,16 +66,20 @@ object RankTest {
     val cum = sorted.join(broadcast(offsets), "_pid")
       .withColumn("cuma",
         col("_offa") + coalesce(sum(col("ca")).over(w), lit(0L)))
+    // coalesce(..., 0): on a fully empty (or fully NULL-filtered)
+    // input the sums are NULL — the report contract is zero counts
+    // with z NULL (via the n_a > 0 guard), not NULL longs that throw
+    // on read
     cum.agg(
-        sum(col("ca")).cast("long").as("n_a"),
-        sum(col("cb")).cast("long").as("n_b"),
-        sum(col("cb") * (lit(2L) * col("cuma") + col("ca")))
-          .cast("long").as("u2_b"),
-        sum((col("ca") + col("cb")).cast("decimal(12,0)")
+        coalesce(sum(col("ca")), lit(0L)).cast("long").as("n_a"),
+        coalesce(sum(col("cb")), lit(0L)).cast("long").as("n_b"),
+        coalesce(sum(col("cb") * (lit(2L) * col("cuma") + col("ca"))),
+          lit(0L)).cast("long").as("u2_b"),
+        coalesce(sum((col("ca") + col("cb")).cast("decimal(12,0)")
           * (col("ca") + col("cb")).cast("decimal(12,0)")
           * (col("ca") + col("cb")).cast("decimal(12,0)")
-          - (col("ca") + col("cb")).cast("decimal(12,0)"))
-          .cast("long").as("tie_cubed"))
+          - (col("ca") + col("cb")).cast("decimal(12,0)")),
+          lit(java.math.BigDecimal.ZERO)).cast("long").as("tie_cubed"))
       .select(col("n_a"), col("n_b"), col("u2_b"), col("tie_cubed"),
         expr(mannWhitneyZSql).as("z"))
   }

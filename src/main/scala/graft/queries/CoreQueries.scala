@@ -923,7 +923,10 @@ object CoreQueries {
       "AS v, year(o_orderdate) AS y FROM orders " +
       "WHERE o_totalprice IS NOT NULL), " +
       "mm AS (SELECT min(v) AS lo, max(v) AS hi FROM base), " +
-      "h AS (SELECT y, ((v - lo) * " + bins + ") // (hi - lo + 1) AS " +
+      // least/greatest clamp mirrors psiReport's edge-bin contract
+      // (no-op here — the gate's [lo, hi] is the data min/max)
+      "h AS (SELECT y, ((least(greatest(v, lo), hi) - lo) * " + bins +
+      ") // (hi - lo + 1) AS " +
       "bin, count(*) AS cnt FROM base CROSS JOIN mm " +
       "WHERE y IN (1997, 1998) GROUP BY 1, 2), " +
       "spine AS (SELECT unnest(range(0, " + bins + ")) AS bin), " +

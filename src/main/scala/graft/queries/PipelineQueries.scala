@@ -239,7 +239,7 @@ object PipelineQueries {
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->
       ("SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END " +
-        "AS lang, count(*) AS n_docs, " +
+        "AS lang, GROUPING(lang) = 1 AS is_total, count(*) AS n_docs, " +
         "count(DISTINCT source) AS n_sources, " +
         "CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars, " +
         "CAST(sum(coalesce(len(list_filter(string_split_regex(" +

@@ -32,10 +32,18 @@ class SparkEntrySpec extends SparkSpec {
     // the doc synced the same way the lint list is: mechanically.
     val cov = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(GraftSession.repoRoot, "COVERAGE.md")))
-    // rows cite gates by full key (q52_shard_topk) or short id (q52) —
-    // accept either; a gate mentioned NOWHERE is the regression
+    // rows cite gates by full key (q52_shard_topk) or short id (q52);
+    // require a WORD-BOUNDED match inside a table row (a line starting
+    // with '|') — a bare substring would accept prose mentions or a
+    // prefix inside another token like 'q520'
+    val tableRows = cov.linesIterator.filter(_.startsWith("|")).toSeq
+    def cited(id: String): Boolean = {
+      val re = ("(^|[^A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(id) + "([^A-Za-z0-9_]|$)").r
+      tableRows.exists(l => re.findFirstIn(l).isDefined)
+    }
     val missing = SparkEntry.queries.keySet.filterNot { k =>
-      cov.contains(k) || cov.contains(k.takeWhile(_ != '_'))
+      cited(k) || cited(k.takeWhile(_ != '_'))
     }
     assert(missing.isEmpty,
       s"gates missing from COVERAGE.md: ${missing.toSeq.sorted}")

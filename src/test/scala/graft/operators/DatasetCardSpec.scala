@@ -13,8 +13,8 @@ class DatasetCardSpec extends SparkSpec {
       ("de", "s1", 4L, Option.empty[String]), // NULL text -> sentinel
       ("de", "s1", 0L, Some(""))).toDF("lang", "source", "n_chars", "text")
     val got = DatasetCard.report(docs).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
     assert(got("en") === ((3L, 2L, 13L, 5L, 2L, 1L)))
     assert(got("de") === ((2L, 1L, 4L, 0L, 2L, 0L)))
     assert(got("ALL") === ((5L, 2L, 17L, 5L, 4L, 1L)))
@@ -26,7 +26,17 @@ class DatasetCardSpec extends SparkSpec {
       (Some("en"), "s1", 2L, Some("y")))
       .toDF("lang", "source", "n_chars", "text")
     val got = DatasetCard.report(docs).collect()
-      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      .map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
     assert(got === Map(None -> 1L, Some("en") -> 1L, Some("ALL") -> 2L))
+  }
+
+  test("is_total distinguishes the rollup from a genuine 'ALL' lang") {
+    val docs = Seq(("ALL", "s1", 1L, Some("x")), ("en", "s1", 2L, Some("y")))
+      .toDF("lang", "source", "n_chars", "text")
+    val got = DatasetCard.report(docs).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // two lang='ALL' rows, structurally distinct via the grouping flag
+    assert(got === Map(("ALL", false) -> 1L, ("en", false) -> 1L,
+      ("ALL", true) -> 2L))
   }
 }

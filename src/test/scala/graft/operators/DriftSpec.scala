@@ -34,6 +34,20 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("out-of-domain values clamp into edge bins, never vanish") {
+    // cur drifts PAST the reference domain [1, 10] on both sides —
+    // the strongest drift signal must land in bins 0 / bins-1 and
+    // count toward n_cur, not fall off the spine
+    val ref = (1L to 10L).toDF("v")
+    val cur = (Seq.fill(20)(-500L) ++ Seq.fill(20)(999L)).toDF("v")
+    val rows = Drift.psiReport(ref, cur, "v", bins = 5, lo = 1L, hi = 10L)
+      .collect()
+    val byBin = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.head.getLong(5) === 40L) // all out-of-range mass kept
+    assert(byBin(0L).getLong(2) === 20L && byBin(4L).getLong(2) === 20L)
+    assert(rows.head.getDouble(6) > 0.25)
+  }
+
   test("one-sided mass lands in the right tail bin") {
     // cur gains a value in the top bin that ref never had
     val ref = (1L to 10L).toDF("v")

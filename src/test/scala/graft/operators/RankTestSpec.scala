@@ -77,4 +77,13 @@ class RankTestSpec extends SparkSpec {
     val r2 = RankTest.mannWhitney(withNulls, col("v"), col("x")).head()
     assert((r2.getLong(0), r2.getLong(1)) === ((1L, 1L)))
   }
+
+  test("all-empty input: one row of zero counts, z NULL (no NULL longs)") {
+    val allNull = Seq((Option.empty[Boolean], Option.empty[Double]))
+      .toDF("v", "x")
+    val r = RankTest.mannWhitney(allNull, col("v"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((0L, 0L, 0L, 0L)))
+    assert(r.isNullAt(4))
+  }
 }
