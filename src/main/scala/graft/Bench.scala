@@ -169,7 +169,6 @@ object Bench {
     val over = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$over,"sf":"$sfDir","iters":$iters}"""
-    println(line)
     // durable copy: the driver captures only the log tail, which truncated
     // the r3 artifact to 64 of 109 queries — a committed file survives.
     // A SPARK_GRAFT_ONLY subset run records to a sibling file so local
@@ -181,7 +180,12 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] $recordFile write failed: ${e.getMessage}")
     }
+    // print the result blob LAST — after spark.stop(), whose shutdown
+    // chatter otherwise interleaves past it and breaks tail-parsing
+    // (BENCH_r11.json carried "parsed": null for exactly this reason)
     spark.stop()
+    println(line)
+    System.out.flush()
     // fail loudly AFTER artifacts are written — a budget breach must not
     // cost the round its bench record. Subset runs stay exit-0 (local
     // iteration on one slow gate shouldn't scream).

@@ -318,6 +318,14 @@ object Drill {
     time("t18 full gate (current)", 4) {
       graft.SparkEntry.queries("t18_nb_confusion")(s, dir).count()
     }
+    time("t18 fused, persist+checkpoint spine", 4) {
+      graft.operators.NaiveBayes.confusionImpl(docs, "doc_id", "text",
+        "lang", materialize = true).count()
+    }
+    time("t18 fused, fully lazy spine", 4) {
+      graft.operators.NaiveBayes.confusionImpl(docs, "doc_id", "text",
+        "lang", materialize = false).count()
+    }
 
     // ---- t16 / t25 bigram derivation ----
     def tkArr = docs.select(col("doc_id").as("doc"),

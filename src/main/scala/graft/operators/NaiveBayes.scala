@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive Bayes text classifier — the classic
@@ -20,12 +20,21 @@ import org.apache.spark.sql.functions._
   * because log((k+1)/(tokens_c+V)) splits and k=0 terms contribute
   * log 1 = 0 — the inner join drops exactly them.
   *
-  * Scale shape: training is one token-count shuffle keyed (word, class)
-  * plus a class-row rollup; the model is a vocab×C frame (equi-joined,
-  * AQE-broadcast when small) and a C-row stats frame (always broadcast).
-  * Scoring is one join + one (doc, class) aggregate; the per-doc argmax
-  * is a C-row window. Nothing is ever quadratic and no weights live on
-  * the driver.
+  * Scale shape (the r12 fused design, each step A/B-measured):
+  *  - the label rides INSIDE the tokenize aggregate's key (it is
+  *    functionally dependent on doc, so the key widens at zero row
+  *    cost) — no token-stream × label join ever happens;
+  *  - per-doc length n_d and per-class token totals come from a PURE
+  *    PROJECTION on the docs frame (size of the filtered token split),
+  *    not from re-aggregating the pair frame — two shuffles gone;
+  *  - the confusion matrix carries truth through the scoring keys, so
+  *    no final predictions × labels join.
+  * Training is one (doc, label, word) token-count shuffle plus a
+  * C-row projection rollup; the model is a vocab×C frame (equi-joined,
+  * AQE-broadcast when small) and a C-row stats frame (always
+  * broadcast). Scoring is one join + one (doc, class) aggregate; the
+  * per-doc argmax is a hash min_by. Nothing is ever quadratic and no
+  * weights live on the driver.
   */
 object NaiveBayes {
 
@@ -43,59 +52,81 @@ object NaiveBayes {
     lazy val totalDocs: Long = statsRow.getLong(1)
   }
 
-  private def toks(docs: DataFrame, idCol: String, textCol: String) =
-    docs.select(col(idCol).as("doc"),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+  /** Exact token count of the filtered whitespace split — equals
+    * sum(cnt) over the doc's (word, cnt) rows, as a per-row projection
+    * (no aggregate, no shuffle). */
+  private def nD(textCol: String): Column =
+    size(filter(split(trim(lower(col(textCol))), "\\s+"), w => w =!= ""))
+
+  /** The shared pre-aggregation spine: (doc[, carry...], word, cnt) —
+    * one map-side-combining aggregate over the raw token stream, with
+    * any doc-functional carry columns (the label, the truth) widening
+    * the key for free: at 100 TB every later shuffle moves distinct
+    * (doc, word) pairs, never token instances, and no join re-attaches
+    * doc-level columns. */
+  private def docWordCounts(docs: DataFrame, idCol: String,
+      textCol: String, carry: Seq[(String, String)]): DataFrame = {
+    val keys = col(idCol).as("doc") +:
+      carry.map { case (c, as) => col(c).as(as) }
+    docs.select(keys :+
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("word"): _*)
       .filter(col("word") =!= "")
+      .groupBy((("doc" +: carry.map(_._2)) :+ "word").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
 
-  /** The shared pre-aggregation spine: (doc, word, cnt). EVERYTHING
-    * downstream — training counts, doc lengths, scoring hits — derives
-    * from this frame, so the raw token stream is consumed exactly once
-    * by one map-side-combining aggregate and never joins anything:
-    * at 100 TB the label join and all later shuffles move distinct
-    * (doc, word) pairs, not token instances (the texttail drill's
-    * dw-first shape). */
-  private def docWordCounts(tk: DataFrame): DataFrame =
-    tk.groupBy("doc", "word").agg(count(lit(1)).as("cnt"))
-
-  /** Train from labeled docs: two aggregates over one tokenization. */
+  /** Train from labeled docs: the labeled pair spine + a C-row
+    * projection rollup over one pass of the docs frame. */
   def train(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String): Model =
-    trainDw(docWordCounts(toks(docs, idCol, textCol)), docs, idCol,
-      labelCol)
+    trainFrom(
+      docWordCounts(docs, idCol, textCol, Seq(labelCol -> "label")),
+      "label", docs, textCol, labelCol)
 
-  private def trainDw(dw: DataFrame, docs: DataFrame, idCol: String,
-      labelCol: String): Model = {
-    val t = dw
-      .join(docs.select(col(idCol).as("doc"), col(labelCol).as("label")),
-        "doc")
-    val wc = t.groupBy("word", "label").agg(sum(col("cnt")).as("k"))
-    val cs = t.groupBy("label").agg(sum(col("cnt")).as("tokens_c"))
-      .join(docs.groupBy(col(labelCol).as("label"))
-        .agg(count(lit(1)).as("docs_c")), "label")
+  private def trainFrom(dwl: DataFrame, dwlLabel: String,
+      docs: DataFrame, textCol: String, labelCol: String): Model = {
+    val wc = dwl.groupBy(col("word"), col(dwlLabel).as("label"))
+      .agg(sum(col("cnt")).as("k"))
+    // tokens_c = Σ n_d over the class and docs_c = class size — BOTH
+    // from one projection-rollup over docs (n_d is a per-row size(),
+    // not a re-aggregation of the pair frame)
+    val cs = docs.groupBy(col(labelCol).as("label"))
+      .agg(sum(nD(textCol)).cast("long").as("tokens_c"),
+        count(lit(1)).as("docs_c"))
     // 1-row (v, dn) frame instead of two eager count() actions — the
     // score path broadcasts it, so the whole train+predict chain stays
-    // one lazy plan (two fewer jobs per confusion run)
+    // one lazy plan; dn sums docs_c so no extra docs scan
     val stats = wc.agg(countDistinct(col("word")).as("v"))
-      .crossJoin(docs.agg(count(lit(1)).as("dn")))
+      .crossJoin(cs.agg(sum(col("docs_c")).cast("long").as("dn")))
     Model(cs, wc.select("word", "label", "k"), stats)
   }
 
   /** Score + argmax: (doc, pred, score). Ties break toward the
-    * lexicographically smallest label on both engines. */
+    * lexicographically smallest label on both engines. Docs with no
+    * tokens produce no row (nothing to condition on), matching the
+    * pair-spine semantics. */
   def predict(model: Model, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    predictDw(model, docWordCounts(toks(docs, idCol, textCol)))
+      textCol: String): DataFrame = {
+    val docsP = docs
+      .select(col(idCol).as("doc"), nD(textCol).cast("long").as("n_d"))
+      .filter(col("n_d") > 0)
+    scoreArgmax(model, docsP,
+      docWordCounts(docs, idCol, textCol, Nil), carry = Nil)
+  }
 
-  private def predictDw(model: Model, dw: DataFrame): DataFrame = {
-    val nd = dw.groupBy("doc").agg(sum("cnt").as("n_d"))
-    val hits = dw.join(model.wordCounts, "word")
-      .groupBy("doc", "label")
+  /** Shared score+argmax over a (doc[, carry...], n_d) projection and
+    * the (doc[, carry...], word, cnt) spine. Carry columns are doc-
+    * functional and ride through every key. */
+  private def scoreArgmax(model: Model, docsP: DataFrame, dwl: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val docKeys = "doc" +: carry
+    val hits = dwl.join(model.wordCounts, "word")
+      .groupBy((docKeys :+ "label").map(col): _*)
       .agg(sum(col("cnt") * log(col("k") + 1)).as("hit"))
-    val scored = nd
+    val scored = docsP
       .crossJoin(broadcast(model.classStats))
       .crossJoin(broadcast(model.corpusStats))
-      .join(hits, Seq("doc", "label"), "left")
+      .join(hits, docKeys :+ "label", "left")
       .withColumn("score",
         log(col("docs_c") / col("dn").cast("double"))
           - col("n_d") * log(col("tokens_c") + col("v").cast("double"))
@@ -103,29 +134,56 @@ object NaiveBayes {
     // per-doc argmax as a hash agg (the LabelPropagation discipline):
     // min_by over (-score, label) = score desc, label asc — one partial+
     // final aggregate instead of a per-doc window sort
-    scored.groupBy("doc")
+    scored.groupBy(docKeys.map(col): _*)
       .agg(min_by(struct(col("label").as("pred"), col("score")),
         struct(-col("score"), col("label"))).as("best"))
-      .select(col("doc"), col("best.pred").as("pred"),
-        col("best.score").as("score"))
+      .select(docKeys.map(col) :+ col("best.pred").as("pred") :+
+        col("best.score").as("score"): _*)
   }
 
   /** Train-and-score confusion matrix — the gate shape: how the learned
     * classifier labels its own training corpus (resubstitution), counted
     * per (true, predicted) cell. */
   def confusion(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String): DataFrame =
+    confusionImpl(docs, idCol, textCol, labelCol, materialize = false)
+
+  /** A/B hook for the Drill harness: `materialize = true` persists the
+    * pair spine between its two consumers (train counts, scoring hits)
+    * and checkpoints the cells; false leaves the whole chain one lazy
+    * plan (the spine recomputes once per consumer). Lazy is the
+    * default — the r12 A/B read 1.30 s lazy vs 2.10 s materialized
+    * (min-of-4, sf0.1): both consumers' stages run inside ONE job, so
+    * laziness costs one extra pass over the token stream and saves two
+    * job boundaries plus a data-sized cache write — the same
+    * size-of-frame rule as g08's lazy edge frame. Materialize only
+    * when the spine is expensive relative to memory (rare: it is the
+    * corpus's distinct-pair compression). */
+  private[graft] def confusionImpl(docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String,
+      materialize: Boolean): DataFrame = {
     // resubstitution scores the SAME corpus it trained on: tokenize
-    // and pre-aggregate ONCE, share the cached (doc, word, cnt) frame
-    // between train and predict — it is the raw token stream's
-    // distinct-pair compression, so the cache (and every downstream
-    // shuffle) is the smaller of the two representations
-    val dw = docWordCounts(toks(docs, idCol, textCol)).persist()
-    val preds = predictDw(trainDw(dw, docs, idCol, labelCol), dw)
-      .localCheckpoint() // doc-sized; frees the pair cache below
-    dw.unpersist()
-    docs.select(col(idCol).as("doc"), col(labelCol).as("truth"))
-      .join(preds, "doc")
+    // and pre-aggregate ONCE with truth in the key, share the cached
+    // (doc, truth, word, cnt) frame between train and predict — it is
+    // the raw token stream's distinct-pair compression, so the cache
+    // (and every downstream shuffle) is the smaller representation.
+    // Truth rides the scoring keys, so the matrix needs no final join.
+    val dwl0 = docWordCounts(docs, idCol, textCol,
+      Seq(labelCol -> "truth"))
+    val dwl = if (materialize) dwl0.persist() else dwl0
+    val model = trainFrom(dwl, "truth", docs, textCol, labelCol)
+    val docsP = docs
+      .select(col(idCol).as("doc"), col(labelCol).as("truth"),
+        nD(textCol).cast("long").as("n_d"))
+      .filter(col("n_d") > 0)
+    val cells0 = scoreArgmax(model, docsP, dwl, carry = Seq("truth"))
       .groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+    if (!materialize) cells0
+    else {
+      val cells = cells0
+        .localCheckpoint() // cells-sized; frees the pair cache below
+      dwl.unpersist()
+      cells
+    }
   }
 }
