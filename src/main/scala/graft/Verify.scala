@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same shared fixtures as Bench: frame CONTENT is identical to the
+    // per-gate builds (localCheckpoint of the same plan), so the
+    // correctness surface is unchanged — only rebuild count drops
+    SweepCache.enable()
     new java.io.File(outDir).mkdirs()
     // local-iteration subset (mirrors Bench): SPARK_GRAFT_ONLY=f06,f07
     // runs and records only matching gates; unset = full contract (the
@@ -35,8 +39,10 @@ object Verify {
       // storage hygiene between gates (the Bench discipline): drop
       // leftover localCheckpoint blocks / persisted frames so 150+
       // gates of accumulation can't pressure later iterative gates
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // (SweepCache fixtures excepted — shared by design)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!SweepCache.isProtected(id)) rdd.unpersist(blocking = false)
+      }
       spark.sharedState.cacheManager.clearCache()
     }
     // aux fixtures for two-stage oracles (hash-seeded intermediates the

@@ -488,29 +488,54 @@ object Dedup {
       textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val eligible = docs.filter(
-      size(graft.functions.TextFunctions.tokens(lower(col(textCol)))) >= n)
-    val sig = eligible.select(col(idCol).as("doc"),
-      minHashSignature(lower(col(textCol)), n, numHashes).as("sig"))
-    bandedCandidates(sig, bands, numHashes / bands, maxBucket)
+    minHashLshCandidatesStaged(
+      eligibleSignatures(docs, idCol, textCol, n, numHashes),
+      bands, numHashes / bands, maxBucket)
   }
+
+  /** [[minHashLshCandidates]] over a staged signature frame. */
+  def minHashLshCandidatesStaged(sig: DataFrame, bands: Int, r: Int,
+      maxBucket: Int = 0): DataFrame =
+    bandedCandidates(sig, bands, r, maxBucket)
+
+  /** The (doc, sig) MinHash signature frame over ELIGIBLE docs (≥ n
+    * tokens — shingle-less docs all carry the identical all-MaxValue
+    * sentinel signature, so they co-bucket in EVERY band: on a crawl
+    * corpus with many empty/tiny docs that is a quadratic candidate
+    * explosion before verification even runs; the winnowOverlapPairs
+    * guard). Public so a sweep/deployment can stage it once — the
+    * persisted-LSH-index pattern — and feed the staged entry points. */
+  def eligibleSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame =
+    docs.filter(
+      size(graft.functions.TextFunctions.tokens(lower(col(textCol)))) >= n)
+      .select(col(idCol).as("doc"),
+        minHashSignature(lower(col(textCol)), n, numHashes).as("sig"))
+
+  /** The (doc, shs) distinct-shingle-hash set frame used by LSH
+    * verification — public for the same staging reason. Docs shorter
+    * than n tokens get a 1-element whole-doc set (never candidates, so
+    * extra rows are inert in staged use). */
+  def verificationSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
 
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // shingle-less docs (shorter than n tokens) all carry the identical
-    // all-MaxValue sentinel signature, so they co-bucket in EVERY band
-    // — on a crawl corpus with many empty/tiny docs that is a
-    // quadratic candidate explosion before verification even runs (the
-    // winnowOverlapPairs guard, applied here too; verification would
-    // drop the pairs anyway — 0/0 jaccard is null)
-    val eligible = docs.filter(
-      size(graft.functions.TextFunctions.tokens(lower(col(textCol)))) >= n)
-    val sig = eligible.select(col(idCol).as("doc"),
-      minHashSignature(lower(col(textCol)), n, numHashes).as("sig"))
-    val cand = bandedCandidates(sig, bands, numHashes / bands, maxBucket)
-    val sets = shingleSets(eligible, idCol, textCol, n)
+    minHashLshPairsStaged(
+      eligibleSignatures(docs, idCol, textCol, n, numHashes),
+      verificationSets(docs, idCol, textCol, n),
+      bands, numHashes / bands, threshold, maxBucket)
+  }
+
+  /** [[minHashLshPairs]] over already-staged signature + verification
+    * frames (e.g. the persisted LSH index / sweep-shared fixtures) —
+    * bit-identical to the text-side variant, which delegates here. */
+  def minHashLshPairsStaged(sig: DataFrame, sets: DataFrame, bands: Int,
+      r: Int, threshold: Double, maxBucket: Int = 0): DataFrame = {
+    val cand = bandedCandidates(sig, bands, r, maxBucket)
     val inter = size(array_intersect(col("shs_a"), col("shs_b")))
     cand
       .join(sets.toDF("doc_a", "shs_a"), Seq("doc_a"))

