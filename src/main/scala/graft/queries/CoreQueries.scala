@@ -753,6 +753,53 @@ object CoreQueries {
       .orderBy("pct")
   }
 
+  // Mergeable rank-error quantile sketch (q54): per-month sketches of
+  // order values (the stored shard summaries), year + overall
+  // percentiles answered by MERGING SKETCHES — no re-scan, no
+  // caller-supplied bin edges (the q48 histogram's drifting-domain
+  // complement). Exact rank teeth + the proven envelope
+  // (Sum_s ceil(n_s/k) + ceil(N/k)) ride on every row; ok must read
+  // true everywhere. One shuffle-by-month + per-month sort to build;
+  // everything after is sketch-sized (24 x 64 points).
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QuantileSketch
+    val k = 64
+    val o = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1997, 1998))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        year(col("o_orderdate")).cast("string").as("y"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    val sk = QuantileSketch.build(o, "v", col("m"), k)
+      .localCheckpoint() // the stored shard sketches; 3 groups read it
+    def grp(name: String, pred: org.apache.spark.sql.Column) =
+      QuantileSketch.quantiles(
+        QuantileSketch.mergeAll(sk.filter(pred), k), Seq(25, 50, 90, 99))
+        .withColumn("grp", lit(name))
+    val reads = grp("1997", col("shard").startsWith("1997"))
+      .unionByName(grp("1998", col("shard").startsWith("1998")))
+      .unionByName(grp("all", lit(true)))
+    val og = o.select(col("y").as("grp"), col("v"))
+      .unionByName(o.select(lit("all").as("grp"), col("v")))
+    val ranks = reads.join(og, Seq("grp"))
+      .groupBy("grp", "pct", "n", "target", "est")
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L))
+        .cast("long").as("rank_lo"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+          .cast("long").as("rank_hi"))
+    val shardsG = o.groupBy("y", "m").agg(count(lit(1)).as("ns"))
+    val shards = shardsG.select(col("y").as("grp"), col("ns"))
+      .unionByName(shardsG.select(lit("all").as("grp"), col("ns")))
+    val eps = shards.groupBy("grp")
+      .agg((sum(expr(s"(ns + ${k - 1}) div $k"))
+        + expr(s"(sum(ns) + ${k - 1}) div $k")).cast("long").as("eps"))
+    ranks.join(eps, "grp")
+      .select(col("grp"), col("pct"), col("n"), col("target"), col("est"),
+        col("rank_lo"), col("rank_hi"), col("eps"),
+        (col("rank_lo") < col("target") + col("eps") &&
+          col("rank_hi") >= col("target") - col("eps")).as("ok"))
+      .orderBy("grp", "pct")
+  }
+
   // PSI distribution drift, 1997 -> 1998 order values (q48's binning
   // spine turned into the production drift metric): one pass over both
   // snapshots, bins-sized everything after, Laplace-smoothed RATIONAL
@@ -915,6 +962,62 @@ object CoreQueries {
       pairSelects + " ORDER BY col_x, col_y"
   }
 
+  // q54's oracle: the full sketch pipeline replayed — per-month anchor
+  // ranks (the staircase jump predicate), gap weights via lag over the
+  // filtered anchors, per-group cumulate + re-anchor, readout, exact
+  // rank teeth, and the envelope — all integer arithmetic, so it
+  // hash-matches bit-for-bit
+  private val q54OracleSql: String = {
+    val k = 64
+    "WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, " +
+      "CAST(year(o_orderdate) AS VARCHAR) AS y, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders " +
+      "WHERE year(o_orderdate) IN (1997, 1998)), " +
+      "rk AS (SELECT m, v, CAST(row_number() OVER " +
+      "(PARTITION BY m ORDER BY v) AS BIGINT) AS r, " +
+      "CAST(count(*) OVER (PARTITION BY m) AS BIGINT) AS nsh FROM o), " +
+      s"sk AS (SELECT m, v, r - coalesce(lag(r) OVER " +
+      "(PARTITION BY m ORDER BY r), 0) AS w FROM " +
+      s"(SELECT * FROM rk WHERE (r * $k) // nsh > ((r - 1) * $k) // nsh)), " +
+      "skg AS (SELECT substr(m, 1, 4) AS grp, v, w FROM sk " +
+      "UNION ALL SELECT 'all', v, w FROM sk), " +
+      "cum AS (SELECT grp, v, w, CAST(sum(w) OVER (PARTITION BY grp " +
+      "ORDER BY v, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS BIGINT) AS cum FROM skg), " +
+      "tot AS (SELECT grp, max(cum) AS nn FROM cum GROUP BY grp), " +
+      s"anch AS (SELECT grp, i, (i * nn + ${k - 1}) // $k AS p FROM tot " +
+      s"CROSS JOIN (SELECT unnest(range(1, ${k + 1})) AS i) " +
+      s"WHERE (i * nn + ${k - 1}) // $k > 0), " +
+      "mp0 AS (SELECT a.grp, a.i, a.p, min(c.v) AS v FROM anch a " +
+      "JOIN cum c ON c.grp = a.grp AND c.cum >= a.p GROUP BY 1, 2, 3), " +
+      "mp AS (SELECT grp, v, p AS cum, p - coalesce(lag(p) OVER " +
+      "(PARTITION BY grp ORDER BY i), 0) AS w FROM mp0), " +
+      "mm AS (SELECT * FROM mp WHERE w > 0), " +
+      "qt AS (SELECT t.grp, q.pct, t.nn AS n, " +
+      "(q.pct * t.nn + 99) // 100 AS target FROM tot t CROSS JOIN " +
+      "(SELECT unnest([25, 50, 90, 99]) AS pct) q), " +
+      "est AS (SELECT q.grp, q.pct, q.n, q.target, min(m.v) AS est " +
+      "FROM qt q JOIN mm m ON m.grp = q.grp AND m.cum >= q.target " +
+      "GROUP BY 1, 2, 3, 4), " +
+      "og AS (SELECT y AS grp, v FROM o " +
+      "UNION ALL SELECT 'all', v FROM o), " +
+      "rks AS (SELECT e.grp, e.pct, e.n, e.target, e.est, " +
+      "CAST(sum(CASE WHEN og.v < e.est THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS rank_lo, " +
+      "CAST(sum(CASE WHEN og.v <= e.est THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS rank_hi FROM est e JOIN og ON og.grp = e.grp " +
+      "GROUP BY 1, 2, 3, 4, 5), " +
+      "sh AS (SELECT substr(m, 1, 4) AS grp, count(*) AS ns FROM o " +
+      "GROUP BY m UNION ALL SELECT 'all', count(*) FROM o GROUP BY m), " +
+      s"eps AS (SELECT grp, CAST(sum((ns + ${k - 1}) // $k) + " +
+      s"(sum(ns) + ${k - 1}) // $k AS BIGINT) AS eps FROM sh " +
+      "GROUP BY grp) " +
+      "SELECT r.grp, r.pct, r.n, r.target, r.est, r.rank_lo, " +
+      "r.rank_hi, e.eps, (r.rank_lo < r.target + e.eps AND " +
+      "r.rank_hi >= r.target - e.eps) AS ok " +
+      "FROM rks r JOIN eps e USING (grp) ORDER BY grp, pct"
+  }
+
   // q53's oracle: the PSI pipeline replayed with the operator's shared
   // term text over identically-named columns
   private val q53OracleSql: String = {
@@ -991,6 +1094,7 @@ object CoreQueries {
     "q51_corr_matrix" -> (q51 _),
     "q52_shard_topk" -> (q52 _),
     "q53_psi_drift" -> (q53 _),
+    "q54_quantile_sketch" -> (q54 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1404,6 +1508,7 @@ object CoreQueries {
     // the non-negative (v-lo)*bins) -> full bin spine -> the shared
     // smoothed-share term text -> decimal-quantized exact PSI sum
     "q53_psi_drift" -> q53OracleSql,
+    "q54_quantile_sketch" -> q54OracleSql,
     // identical per-shard counts -> (cnt desc, key) rank -> rank-129
     // caps -> candidate [lb, ub] merge -> exact riders; sums cast to
     // BIGINT (DuckDB sum = HUGEINT). No NULL keys in l_partkey, so the
