@@ -366,6 +366,16 @@ object Drill {
       inc.groupBy("_g").agg(array_sort(collect_set(col("_i"))).as("items"))
         .count()
     }
+    time("a03 full gate: persist+checkpoint sets", 4) {
+      operators.CoOccurrence.topKImpl(li, "l_orderkey", "l_partkey",
+        k = 5, minPairs = 3, maxGroupRows = 100000L,
+        materialize = true).count()
+    }
+    time("a03 full gate: fully lazy sets", 4) {
+      operators.CoOccurrence.topKImpl(li, "l_orderkey", "l_partkey",
+        k = 5, minPairs = 3, maxGroupRows = 100000L,
+        materialize = false).count()
+    }
     time("a03 guard + collect_set + pair explode + pair count", 4) {
       inc.withColumn("_gn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("_g")))
@@ -502,6 +512,77 @@ object Drill {
     }
   }
 
+  /** g08 maxDegree cap sweep (r11 verdict item #7): does the cap hold
+    * the wedge join sub-linear at the 10x corpus, and how should it be
+    * sized under REAL hub skew (which the disjoint-copy 10x corpus
+    * deliberately lacks)? Three measurements, written to
+    * scaling_g08_capsweep_r12.json:
+    *  - wedge mass Sum C(deg,2) and wall time per cap at sf0.1/sf1x;
+    *  - per-cap alpha between the two scales;
+    *  - a Zipf-skewed synthetic graph (1000 hub nodes of ~2k degree
+    *    over 200k uniform nodes): exact wedge-mass-vs-cap curve + the
+    *    operator timed at each cap (uncapped would be ~2e9 wedges).
+    */
+  private def g08CapSweep(s: SparkSession, dir: String): Unit = {
+    import operators.{LinkPrediction, Triangles}
+    val caps = Seq(24, 48, 96, 192)
+    val sf1x = ScalingProbe.ensureScaled(s, dir)
+    val out = new StringBuilder("{\n")
+
+    def wedgeMass(edges: org.apache.spark.sql.DataFrame, cap: Int): Long =
+      edges.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2 && (lit(cap) <= 0 || col("deg") <= cap))
+        .agg(sum(expr("deg * (deg - 1) div 2")).cast("long"))
+        .head().getLong(0)
+
+    def sweep(tag: String, edges: org.apache.spark.sql.DataFrame): Unit = {
+      val e0 = edges.localCheckpoint()
+      val times = caps.map { cap =>
+        val wm = wedgeMass(e0, cap)
+        var best = Double.MaxValue
+        (1 to 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          LinkPrediction.adamicAdar(e0, maxDegree = cap)
+            .orderBy(col("aa_e9").desc, col("a"), col("b")).limit(20)
+            .count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[drill] g08cap $tag cap=$cap%-4d wedges=$wm%12d  min=$best%6.2fs")
+        out.append(f"""  "${tag}_cap$cap": {"wedges": $wm, "sec": $best%.3f},%n""")
+        best
+      }
+      out.append(f"""  "${tag}_edges": ${e0.count()},%n""")
+      times
+    }
+
+    sweep("sf01", Triangles.coOccurrenceEdges(
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0),
+      "l_orderkey", "l_partkey"))
+    sweep("sf1x", Triangles.coOccurrenceEdges(
+      Tables(s, sf1x, "lineitem").filter(col("l_orderkey") % 8 === 0),
+      "l_orderkey", "l_partkey"))
+
+    // Zipf-skewed synthetic: a-side uniform over 200k nodes (mean deg
+    // ~10), b-side 1000 hub nodes at ~2k degree each — the skew regime
+    // the disjoint-copy corpus cannot produce
+    val zipf = s.range(2000000L).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(200000L)).as("x"),
+      (lit(200000L) / (pmod(xxhash64(col("id"), lit(2)), lit(1000L)) + 1))
+        .cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    sweep("zipf", zipf)
+
+    out.append("""  "note": "wedges = sum C(deg,2) over witnesses <= cap; sec = min-of-3 adamicAdar end-to-end"""")
+    out.append("\n}\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scaling_g08_capsweep_r12.json"),
+      out.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -518,6 +599,7 @@ object Drill {
       case "texttail" => texttailVariants(spark, sfDir)
       case "g07" => g07Variants(spark, sfDir)
       case "g08" => g08Variants(spark, sfDir)
+      case "g08cap" => g08CapSweep(spark, sfDir)
       case "q51" => q51Variants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }

@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   * blowup is the largest — the same cap family as Dedup.maxBucket),
   * bounding wedge volume by maxDegree·m. All joins are equi-joins on
   * node keys; the candidate aggregate runs on diverse (u, v) keys.
+  *
+  * Cap sizing (measured, `scaling_g08_capsweep_r12.json`): set
+  * `maxDegree` to a small multiple (2–5×) of the MEAN witness degree —
+  * on a Zipf-hub graph (1000 hubs of ~2k degree over 200k mean-degree-
+  * ~20 nodes) caps 24–192 all kept ≥ 99.99% of the non-hub wedge mass
+  * while excluding the hubs' ~2·10⁹ wedges (≈ 200× the kept mass, all
+  * carrying the minimum 1/ln score); on the 10×-volume corpus the
+  * capped gate's scale exponent read α ≈ 0.6 (cap 48) and ≈ 0.4
+  * (cap 96) — the cap, not the data, bounds the join.
   */
 object LinkPrediction {
 
