@@ -122,7 +122,10 @@ class PlanLintSpec extends SparkSpec {
         "p13_leakage_split", "s12_recall_curve",
         // percentile thresholds joined on cum>=thr: both sides bounded
         // by the sketch width (7 pcts x <=256 bins), never by n
-        "q43_histo_quantile"),
+        "q43_histo_quantile",
+        // the same bounded cum>=anchor range joins (k anchors x
+        // <=shards*k sketch points) + 1-row total riders — never n
+        "q54_quantile_sketch"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
@@ -159,7 +162,13 @@ class PlanLintSpec extends SparkSpec {
         // LSH candidacy (exists over the per-row bucket array vs the
         // query's signature literals) + the adc NOT NULL guard: both
         // computed predicates — the s01/s07 classes composed
-        "s15_ivfpq_topk"),
+        "s15_ivfpq_topk",
+        // n_d > 0 empty-doc guard over the computed token count
+        // (size of the filtered split): the t16/t26 class
+        "t18_nb_confusion",
+        // the sketch's own NULL guard over the computed cents column
+        // (round(price*100) cast long): the q43/q48 class
+        "q54_quantile_sketch"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
