@@ -50,6 +50,28 @@ object CountMin {
       .groupBy("row", "bucket").agg(sum("c").as("c"))
   }
 
+  /** Join-size (inner-product) estimate from two sketches built with
+    * identical (depth, width): |A ⋈_k B| = Σ_k fA(k)·fB(k), estimated
+    * as min over rows of Σ_bucket cA·cB (Cormode & Muthukrishnan 2005
+    * §4.2). Colliding keys only ADD phantom cross-products, so the
+    * estimate is one-sided like the point query: est ≥ truth always,
+    * est ≤ truth + εNᴀNᴃ with prob 1−δ. This is the 100 TB join
+    * PRE-FLIGHT: both sides' sketches are ≤ depth×width rows built
+    * with one counting shuffle each — the decision "will this join
+    * explode?" costs two scans and no shuffle of the key domain.
+    * Returns one row (est). Per-bucket products are DECIMAL(38,0) —
+    * two 10⁹-count buckets already overflow a long. */
+  def innerProduct(skA: DataFrame, skB: DataFrame): DataFrame = {
+    val a = skA.select(col("row"), col("bucket"),
+      col("c").cast("decimal(38,0)").as("ca"))
+    val b = skB.select(col("row"), col("bucket"),
+      col("c").cast("decimal(38,0)").as("cb"))
+    // inner join: a bucket absent from either side contributes 0
+    a.join(b, Seq("row", "bucket"))
+      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).cast("decimal(38,0)").as("est"))
+  }
+
   /** Point estimates for a keys frame: min over the depth probed
     * counters (0 for buckets never touched). The sketch side is tiny
     * (≤ depth×width) — broadcast it. */

@@ -84,6 +84,34 @@ object RankTest {
         expr(mannWhitneyZSql).as("z"))
   }
 
+  /** ROC-AUC as the rescaled rank-sum — AUC = U⁺/(n⁻·n⁺), the exact
+    * probability (ties ½) that a random positive outscores a random
+    * negative (Hanley & McNeil 1982; identical machinery to
+    * [[mannWhitney]], which is WHY it's here: one distinct-value
+    * reduce serves both the test and the classifier eval). One-row
+    * report (n_neg, n_pos, u2_pos, auc_ppm, gini_ppm), exact integer
+    * ppm: auc_ppm = 1e6·u2_pos div (2·n⁻·n⁺) in DECIMAL(38,0)
+    * (u2_pos ≈ 2n⁻n⁺ overflows a long×1e6 past ~10⁵ rows per class),
+    * gini = 2·AUC − 1 rescaled. NULL ppm when either class is empty.
+    * Same scale shape as [[mannWhitney]]: one shuffle to the
+    * distinct-score frame, a two-phase prefix, a 1-row reduce. */
+  def rocAuc(df: DataFrame, label: Column, score: Column,
+      quantScale: Long = 100L): DataFrame =
+    mannWhitney(df, label, score, quantScale)
+      .select(col("n_a").as("n_neg"), col("n_b").as("n_pos"),
+        col("u2_b").as("u2_pos"),
+        expr(aucPpmSql).as("auc_ppm"),
+        expr(s"CASE WHEN $aucPpmSql IS NOT NULL THEN " +
+          s"2 * ($aucPpmSql) - 1000000 END").as("gini_ppm"))
+
+  // auc's expression text over the mannWhitney report columns; the
+  // oracle replays the same floor-division with DuckDB's `//` (the
+  // f10/TargetEncode ppm discipline — exact integers either way)
+  private[graft] def aucPpmSql: String =
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "CAST(CAST(1000000 AS DECIMAL(38,0)) * u2_b div " +
+      "(CAST(n_a AS DECIMAL(38,0)) * n_b * 2) AS BIGINT) END"
+
   // z's expression text, shared verbatim with the oracle (over the
   // integer columns n_a, n_b, u2_b, tie_cubed)
   private def d(x: String) = s"CAST($x AS DOUBLE)"

@@ -340,7 +340,18 @@ object AnalyticsQueries {
         col("o_totalprice").as("v")),
       col("variant"), col("v"))
 
+  // ROC-AUC of the event value as a purchase-scorer — the classifier
+  // eval riding f18's rank-sum machinery (AUC = U⁺/(n⁻n⁺), exact
+  // tie-corrected integer ppm). One distinct-value reduce, no
+  // per-threshold scan of the corpus.
+  private def f19(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankTest.rocAuc(
+      events(s, dir).filter(
+        col("event_type").isNotNull && col("value").isNotNull),
+      col("event_type") === "purchase", col("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f19_roc_auc" -> (f19 _),
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
     "f16_chi_square" -> (f16 _),
@@ -793,6 +804,29 @@ object AnalyticsQueries {
     // identical distinct-value counts -> exclusive prefix -> exact
     // doubled-U / decimal tie-cubic sums -> the shared z chain; sums
     // cast to BIGINT (HUGEINT)
+    // f18's distinct-value rank-sum replay, then the ppm floor-division
+    // (DuckDB `//` on HUGEINT ≡ Spark `div` on DECIMAL(38,0) for the
+    // non-negative operands here)
+    "f19_roc_auc" ->
+      ("WITH c AS (SELECT event_type = 'purchase' AS v, " +
+        "CAST(round(value * 100) AS BIGINT) AS q FROM events " +
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+        "vals AS (SELECT q, " +
+        "CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM c GROUP BY q), " +
+        "cum AS (SELECT q, ca, cb, coalesce(sum(ca) OVER (ORDER BY q " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cuma " +
+        "FROM vals), " +
+        "m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, " +
+        "CAST(sum(cb) AS BIGINT) AS n_b, " +
+        "CAST(sum(cb * (2 * cuma + ca)) AS BIGINT) AS u2_b FROM cum), " +
+        "r AS (SELECT n_a, n_b, u2_b, CASE WHEN n_a > 0 AND n_b > 0 " +
+        "THEN CAST((CAST(1000000 AS HUGEINT) * u2_b) // " +
+        "(CAST(n_a AS HUGEINT) * n_b * 2) AS BIGINT) END AS auc FROM m) " +
+        "SELECT n_a AS n_neg, n_b AS n_pos, u2_b AS u2_pos, " +
+        "auc AS auc_ppm, CASE WHEN auc IS NOT NULL THEN " +
+        "2 * auc - 1000000 END AS gini_ppm FROM r"),
     "f18_mann_whitney" ->
       ("WITH c AS (SELECT o_custkey % 2 = 1 AS v, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders " +

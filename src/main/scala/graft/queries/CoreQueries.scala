@@ -819,6 +819,42 @@ object CoreQueries {
       "v", bins = 64, lo = mm.getLong(0), hi = mm.getLong(1))
   }
 
+  // Autocorrelation of the daily event-count series at lags 1..7 (the
+  // seasonality probe in front of e14's anomaly thresholds): the raw
+  // corpus collapses to the day-sized series with one count shuffle,
+  // then TimeSeries.acf's lag-explode + shifted-day self-join moves
+  // O(days·7) rows — exact DECIMAL(38,0) moments, one fixed-shape
+  // double chain for r (the q40/f18 discipline)
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    graft.operators.TimeSeries.acf(daily, "d", "c", maxLag = 7)
+  }
+
+  // CountMin inner-product join-size pre-flight (Cormode &
+  // Muthukrishnan §4.2): estimate |view ⋈ click| on user_id from two
+  // ≤4×1024-row sketches — the "will this join explode?" answer that
+  // costs two scans and never shuffles the key domain. est >= exact is
+  // the one-sided guarantee (collisions only add phantom products);
+  // the md5-parity hash lets DuckDB replay both sketches bit-for-bit.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val e = t(s, dir, "events")
+    val a = e.filter(col("event_type") === "view").select("user_id")
+    val b = e.filter(col("event_type") === "click").select("user_id")
+    val est = CountMin.innerProduct(
+      CountMin.sketch(a, col("user_id")), CountMin.sketch(b, col("user_id")))
+    val exact = a.groupBy("user_id").agg(count(lit(1)).as("ca"))
+      .join(b.groupBy("user_id").agg(count(lit(1)).as("cb")), "user_id")
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(java.math.BigDecimal.ZERO)).as("ex"))
+    est.crossJoin(broadcast(exact))
+      .select(col("ex").cast("long").as("exact"),
+        col("est").cast("long").as("est"),
+        (col("est") >= col("ex")).as("ok"))
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -1095,6 +1131,8 @@ object CoreQueries {
     "q52_shard_topk" -> (q52 _),
     "q53_psi_drift" -> (q53 _),
     "q54_quantile_sketch" -> (q54 _),
+    "q55_acf" -> (q55 _),
+    "q56_join_size" -> (q56 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1509,6 +1547,49 @@ object CoreQueries {
     // smoothed-share term text -> decimal-quantized exact PSI sum
     "q53_psi_drift" -> q53OracleSql,
     "q54_quantile_sketch" -> q54OracleSql,
+    // identical daily-count series -> lag-shifted self-join (DuckDB
+    // date + int = date) -> exact DECIMAL(38,0) moments -> the shared
+    // fixed-shape r chain
+    "q55_acf" ->
+      ("WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "p AS (SELECT l.lag AS lag, a.c AS x, b.c AS y " +
+        "FROM generate_series(1, 7) AS l(lag) " +
+        "CROSS JOIN daily a JOIN daily b " +
+        "ON b.d = a.d + CAST(l.lag AS INT)), " +
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS DECIMAL(38,0)) AS sx, " +
+        "CAST(sum(y) AS DECIMAL(38,0)) AS sy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx, " +
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy " +
+        "FROM p GROUP BY 1) " +
+        "SELECT lag, n, " +
+        s"${graft.operators.TimeSeries.acfRSql} AS r FROM m ORDER BY lag"),
+    // both sketches replayed with the q39 md5 pipeline, inner product
+    // per row, min over rows; exact side on the same string keys
+    "q56_join_size" ->
+      ("WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events " +
+        "WHERE event_type = 'view' AND user_id IS NOT NULL), " +
+        "b AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events " +
+        "WHERE event_type = 'click' AND user_id IS NOT NULL), " +
+        "ia AS (SELECT t.r, CAST(('0x' || substr(md5(" +
+        "CAST(t.r AS VARCHAR) || ':' || k), 1, 4)) AS INT) % 1024 " +
+        "AS bucket FROM a CROSS JOIN generate_series(0, 3) AS t(r)), " +
+        "ska AS (SELECT r, bucket, count(*) AS c FROM ia GROUP BY 1, 2), " +
+        "ib AS (SELECT t.r, CAST(('0x' || substr(md5(" +
+        "CAST(t.r AS VARCHAR) || ':' || k), 1, 4)) AS INT) % 1024 " +
+        "AS bucket FROM b CROSS JOIN generate_series(0, 3) AS t(r)), " +
+        "skb AS (SELECT r, bucket, count(*) AS c FROM ib GROUP BY 1, 2), " +
+        "ip AS (SELECT ska.r, sum(CAST(ska.c AS HUGEINT) * skb.c) AS v " +
+        "FROM ska JOIN skb USING (r, bucket) GROUP BY 1), " +
+        "est AS (SELECT CAST(min(v) AS BIGINT) AS est FROM ip), " +
+        "ex AS (SELECT CAST(coalesce(sum(CAST(ca AS HUGEINT) * cb), 0) " +
+        "AS BIGINT) AS exact FROM " +
+        "(SELECT k, count(*) AS ca FROM a GROUP BY 1) x JOIN " +
+        "(SELECT k, count(*) AS cb FROM b GROUP BY 1) y USING (k)) " +
+        "SELECT exact, est, est >= exact AS ok " +
+        "FROM ex CROSS JOIN est"),
     // identical per-shard counts -> (cnt desc, key) rank -> rank-129
     // caps -> candidate [lb, ub] merge -> exact riders; sums cast to
     // BIGINT (DuckDB sum = HUGEINT). No NULL keys in l_partkey, so the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, CoOccurrence, RangeJoin}
+import graft.operators.{AsOfJoin, AssocRules, CoOccurrence, RangeJoin}
 
 /** Specialized join queries. a01 checks the composed as-of join against
   * DuckDB's NATIVE `ASOF JOIN` — a strong cross-implementation oracle.
@@ -80,14 +80,54 @@ object JoinQueries {
       .orderBy("o_orderpriority")
   }
 
+  // global association rules over the same baskets a03 ranks
+  // per-item: top-100 pairings by lift (exact integer ppm — support,
+  // confidence, lift all floor-divisions over pair/item/basket counts)
+  private def a05(s: SparkSession, dir: String): DataFrame =
+    AssocRules.mine(Tables(s, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minPairs = 3, topN = 100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_join" -> (a01 _),
     "a02_range_join" -> (a02 _),
     "a03_item_cooccur" -> (a03 _),
     "a04_bucketed_join" -> (a04 _),
+    "a05_assoc_rules" -> (a05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical capped-basket distinct incidence -> directional pair
+    // counts -> exact ppm floor-divisions (`//` on HUGEINT ≡ Spark
+    // `div` on DECIMAL(38,0) for these non-negative operands) ->
+    // global lift ranking; row_number cast to INT (Spark rank type)
+    "a05_assoc_rules" ->
+      ("WITH okg AS (SELECT l_orderkey FROM lineitem " +
+        "GROUP BY l_orderkey HAVING count(*) <= 100000), " +
+        "inc AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i " +
+        "FROM lineitem JOIN okg USING (l_orderkey)), " +
+        "nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_baskets " +
+        "FROM inc), " +
+        "pc AS (SELECT x.i AS a, y.i AS b, " +
+        "CAST(count(*) AS BIGINT) AS pair_cnt FROM inc x JOIN inc y " +
+        "ON x.g = y.g AND x.i <> y.i GROUP BY 1, 2 " +
+        "HAVING count(*) >= 3), " +
+        "base AS (SELECT i, CAST(count(*) AS BIGINT) AS item_cnt " +
+        "FROM inc GROUP BY 1), " +
+        "scored AS (SELECT a AS antecedent, b AS consequent, pair_cnt, " +
+        "ba.item_cnt AS ante_cnt, bb.item_cnt AS cons_cnt, " +
+        "(1000000 * pair_cnt) // n_baskets AS support_ppm, " +
+        "(1000000 * pair_cnt) // ba.item_cnt AS confidence_ppm, " +
+        "CAST((CAST(1000000 AS HUGEINT) * pair_cnt * n_baskets) // " +
+        "(CAST(ba.item_cnt AS HUGEINT) * bb.item_cnt) AS BIGINT) " +
+        "AS lift_ppm FROM pc " +
+        "JOIN base ba ON ba.i = pc.a JOIN base bb ON bb.i = pc.b " +
+        "CROSS JOIN nb) " +
+        "SELECT antecedent, consequent, pair_cnt, ante_cnt, cons_cnt, " +
+        "support_ppm, confidence_ppm, lift_ppm, " +
+        "CAST(row_number() OVER (ORDER BY lift_ppm DESC, " +
+        "confidence_ppm DESC, antecedent, consequent) AS INT) AS rank " +
+        "FROM scored ORDER BY lift_ppm DESC, confidence_ppm DESC, " +
+        "antecedent, consequent LIMIT 100"),
     // exact-integer ppm scores -> ranks replay; row_number cast to INT
     // to match Spark's rank type. ok replicates topK's maxGroupRows
     // hot-group guard (never bites at fixture scale — max order line

@@ -40,6 +40,27 @@ class CountMinSpec extends SparkSpec {
     assert(sk.count() <= 12)
   }
 
+  test("innerProduct never undercounts the join size, exact when sparse") {
+    val a = (1 to 300).map(i => (i % 13).toLong).toDF("k")
+    val b = (1 to 200).map(i => (i % 7).toLong).toDF("k")
+    // exact |A join B| = sum over keys of cA(k)*cB(k)
+    val exact = (0L until 13L).map { k =>
+      (1 to 300).count(_ % 13 == k).toLong *
+        (1 to 200).count(i => (i % 7).toLong == k)
+    }.sum
+    val est = CountMin.innerProduct(
+      CountMin.sketch(a, col("k")), CountMin.sketch(b, col("k")))
+      .head().getDecimal(0).longValueExact()
+    // 13 + 7 keys in 4x1024 buckets: collision-free, exact
+    assert(est === exact)
+    // narrow sketch: collisions only ADD phantom products
+    val estNarrow = CountMin.innerProduct(
+      CountMin.sketch(a, col("k"), depth = 2, width = 4),
+      CountMin.sketch(b, col("k"), depth = 2, width = 4))
+      .head().getDecimal(0).longValueExact()
+    assert(estNarrow >= exact)
+  }
+
   test("merged shard sketches == sketch of the union") {
     val a = freqs(300)
     val b = (301 to 500).map(i => (i % 17).toLong).toDF("k")

@@ -86,4 +86,38 @@ class RankTestSpec extends SparkSpec {
       ((0L, 0L, 0L, 0L)))
     assert(r.isNullAt(4))
   }
+
+  test("rocAuc: separable scores read 1e6, anti-separable 0, ties half") {
+    def auc(rows: Seq[(Boolean, Double)]): Long =
+      RankTest.rocAuc(rows.toDF("y", "s"), col("y"), col("s"))
+        .head().getLong(3)
+    assert(auc(Seq((false, 1.0), (false, 2.0), (true, 3.0), (true, 4.0)))
+      === 1000000L)
+    assert(auc(Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0)))
+      === 0L)
+    // all-tied scores: every pair is a half-win, AUC = 0.5
+    assert(auc(Seq((false, 5.0), (true, 5.0), (false, 5.0), (true, 5.0)))
+      === 500000L)
+  }
+
+  test("rocAuc agrees with brute-force pairwise wins; gini = 2·auc − 1") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(150)((rnd.nextBoolean(), (rnd.nextInt(9) + 1) / 3.0))
+    val neg = rows.filter(!_._1).map(r => math.round(r._2 * 100))
+    val pos = rows.filter(_._1).map(r => math.round(r._2 * 100))
+    val u2 = pos.map(x => 2L * neg.count(_ < x) + neg.count(_ == x)).sum
+    val expect = BigInt(1000000) * u2 / (BigInt(neg.size) * pos.size * 2)
+    val r = RankTest.rocAuc(rows.toDF("y", "s"), col("y"), col("s")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((neg.size.toLong, pos.size.toLong, u2)))
+    assert(r.getLong(3) === expect.toLong)
+    assert(r.getLong(4) === 2 * expect.toLong - 1000000L)
+  }
+
+  test("rocAuc with an empty class: counts kept, ppm columns NULL") {
+    val onlyPos = Seq((true, 1.0), (true, 2.0)).toDF("y", "s")
+    val r = RankTest.rocAuc(onlyPos, col("y"), col("s")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((0L, 2L)))
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
 }

@@ -125,7 +125,11 @@ class PlanLintSpec extends SparkSpec {
         "q43_histo_quantile",
         // the same bounded cum>=anchor range joins (k anchors x
         // <=shards*k sketch points) + 1-row total riders — never n
-        "q54_quantile_sketch"),
+        "q54_quantile_sketch",
+        // 1-row basket-total broadcast rider (the f10 class)
+        "a05_assoc_rules",
+        // two 1-row frames crossJoined into the one-row report
+        "q56_join_size"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
@@ -146,6 +150,10 @@ class PlanLintSpec extends SparkSpec {
         // n_words > 0 guard over the computed readabilityStats struct:
         // same computed-predicate class as t16's size(tokens) >= 2
         "t26_readability",
+        // the lag self-join's isnotnull guard on date_add(to_date(ts))
+        // — computed over the nanos-converted timestamp, unpushable by
+        // nature (same class); the scan itself is a full-series read
+        "q55_acf",
         // length(coalesce(text,'')) > 0 empty-doc guard (the r7
         // phantom-tile fix): computed over the NULL-normalized column —
         // parquet pushdown has no expression language for it
