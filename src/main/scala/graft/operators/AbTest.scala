@@ -242,4 +242,83 @@ object AbTest {
   private[graft] def cupedVarRatioSql: String =
     s"CASE WHEN $varxNum > 0.0 AND $varyNum > 0.0 THEN " +
       s"round(1.0 - ($covNum * $covNum) / ($varxNum * $varyNum), 4) END"
+
+  /** Two-period difference-in-differences (Card & Krueger 1994 shape)
+    * — the quasi-experimental readout when assignment ISN'T random:
+    *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre),
+    * the treatment effect under parallel trends, with the unpooled SE
+    *   se = √(Σ_cells s²/n)  and  t = DiD/se
+    * (the four-cell Welch form — no equal-variance assumption, same
+    * safety rationale as [[welchTTest]]).
+    *
+    * Exactness: the [[welchTTest]] contract verbatim — all four cells'
+    * moments come from ONE conditional aggregate as exact hi/lo-split
+    * long sums over `round(value·quantScale)` integers (same bounds);
+    * DiD/se/t are one fixed-shape double chain mirrored by the oracle.
+    *
+    * Output: per-cell (n_c0, n_c1, n_t0, n_t1) and means (original
+    * units, round 4), then (did, se, t_stat) — did NULL when any cell
+    * is empty; se/t NULL when any cell has < 2 rows or all variance
+    * is zero. NULL group/period/value rows are excluded listwise. */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      value: Column, quantScale: Long = 100L): DataFrame = {
+    require(quantScale > 0, "quantScale must be positive")
+    val base = df.filter(treated.isNotNull && post.isNotNull &&
+        value.isNotNull)
+      .select(treated.as("_t"), post.as("_p"),
+        round(value * quantScale).cast("long").as("q"))
+    def cellSums(cell: String, pred: String) = Seq(
+      expr(s"sum(CASE WHEN $pred THEN 1L ELSE 0L END)").as(s"n_$cell"),
+      expr(s"sum(CASE WHEN $pred THEN q ELSE 0L END)").as(s"s_$cell"),
+      expr(s"sum(CASE WHEN $pred THEN ((q * q) - pmod(q * q, ${K}L)) " +
+        s"div ${K}L ELSE 0L END)").as(s"ss_${cell}_hi"),
+      expr(s"sum(CASE WHEN $pred THEN pmod(q * q, ${K}L) ELSE 0L END)")
+        .as(s"ss_${cell}_lo"))
+    val sums = cellSums("c0", "NOT _t AND NOT _p") ++
+      cellSums("c1", "NOT _t AND _p") ++
+      cellSums("t0", "_t AND NOT _p") ++
+      cellSums("t1", "_t AND _p")
+    val m = base.agg(sums.head, sums.tail: _*)
+    // stage the four unpooled variances once (welchVarSql's shape per
+    // cell), then the report chain reads only staged columns
+    val staged = m.select(
+      col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+      col("s_c0"), col("s_c1"), col("s_t0"), col("s_t1"),
+      expr(welchVarSql("c0")).as("v_c0"), expr(welchVarSql("c1")).as("v_c1"),
+      expr(welchVarSql("t0")).as("v_t0"), expr(welchVarSql("t1")).as("v_t1"))
+    staged.select(
+      col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+      expr(welchMeanSql("c0", quantScale)).as("mean_c0"),
+      expr(welchMeanSql("c1", quantScale)).as("mean_c1"),
+      expr(welchMeanSql("t0", quantScale)).as("mean_t0"),
+      expr(welchMeanSql("t1", quantScale)).as("mean_t1"),
+      expr(didSql(quantScale)).as("did"),
+      expr(didSeSql(quantScale)).as("se"),
+      expr(didTSql).as("t_stat"))
+  }
+
+  // DiD's shared expression text (over n_*/s_* and the staged v_*)
+  private def didCells = Seq("c0", "c1", "t0", "t1")
+  private def didAllCells = didCells.map(c => s"n_$c > 0").mkString(" AND ")
+  private def didNum =
+    s"((${d("s_t1")} / ${d("n_t1")} - ${d("s_t0")} / ${d("n_t0")}) - " +
+      s"(${d("s_c1")} / ${d("n_c1")} - ${d("s_c0")} / ${d("n_c0")}))"
+  private def didSe2 =
+    didCells.map(c => s"(v_$c / ${d(s"n_$c")})").mkString(" + ")
+  private def didTested =
+    didCells.map(c => s"v_$c IS NOT NULL").mkString(" AND ") +
+      s" AND ($didSe2) > 0.0"
+
+  /** DiD point estimate in original units, rounded to 4. */
+  private[graft] def didSql(quantScale: Long): String =
+    s"CASE WHEN $didAllCells THEN round($didNum / $quantScale.0, 4) END"
+
+  /** Unpooled four-cell standard error in original units, rounded 4. */
+  private[graft] def didSeSql(quantScale: Long): String =
+    s"CASE WHEN $didTested THEN " +
+      s"round(sqrt($didSe2) / $quantScale.0, 4) END"
+
+  /** t = DiD/se, rounded to 4 (unitless — quant scale cancels). */
+  private[graft] def didTSql: String =
+    s"CASE WHEN $didTested THEN round($didNum / sqrt($didSe2), 4) END"
 }

@@ -84,6 +84,79 @@ object RankTest {
         expr(mannWhitneyZSql).as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test — the DISTRIBUTION-shape
+    * sibling of [[mannWhitney]] (which only sees stochastic
+    * dominance): D = max_v |F_A(v) − F_B(v)| over the pooled support,
+    * sensitive to any difference (location, spread, shape). The exact
+    * drift test between two metric snapshots — q53's PSI needs binning
+    * choices; KS needs none.
+    *
+    * Exactness: D's numerator is the exact integer
+    *   d_num = max_v |cumA(v)·n_b − cumB(v)·n_a|
+    * (inclusive cumulative arm counts over the distinct-value frame,
+    * cross-multiplied to clear the denominators; DECIMAL(38,0) inside,
+    * long out — fine to n_a·n_b ≤ 9·10¹⁸, i.e. ~3·10⁹ rows per arm),
+    * and D = d_num/(n_a·n_b) exactly. d_ppm is its ppm floor-division;
+    * the asymptotic λ = D·√(n_a·n_b/(n_a+n_b)) is one fixed double
+    * chain (round 4). No p-value: it needs exp(), whose libm rounding
+    * is not pinned cross-engine — callers compare λ to the standard
+    * quantiles (1.358 at α=.05, 1.628 at α=.01).
+    *
+    * Scale shape: [[mannWhitney]]'s exactly — one shuffle to the
+    * distinct-value frame, a RANGE exchange + per-partition running
+    * sums + a partition-count driver prefix (both arms this time),
+    * and a 1-row max reduce. */
+  def ksTest(df: DataFrame, variant: Column, value: Column,
+      quantScale: Long = 100L): DataFrame = {
+    require(quantScale > 0, "quantScale must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.filter(variant.isNotNull && value.isNotNull)
+      .select(variant.as("_v"),
+        round(value * quantScale).cast("long").as("q"))
+      .groupBy("q").agg(
+        sum(when(!col("_v"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("_v"), 1L).otherwise(0L)).as("cb"))
+    val sorted = vals.repartitionByRange(col("q").asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val parts = sorted.groupBy("_pid")
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val na = parts.map(_._2).sum
+    val nb = parts.map(_._3).sum
+    val offsets = parts.map(_._1)
+      .lazyZip(parts.map(_._2).scanLeft(0L)(_ + _))
+      .lazyZip(parts.map(_._3).scanLeft(0L)(_ + _))
+      .toSeq.toDF("_pid", "_offa", "_offb")
+    // INCLUSIVE running sums this time: F(v) counts values <= v
+    val w = Window.partitionBy("_pid").orderBy(col("q").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = sorted.join(broadcast(offsets), "_pid")
+      .select(abs(dec(col("_offa") + sum(col("ca")).over(w)) * nb -
+        dec(col("_offb") + sum(col("cb")).over(w)) * na).as("term"))
+    cum.agg(coalesce(max(col("term")), lit(java.math.BigDecimal.ZERO))
+        .cast("long").as("d_num"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr(ksPpmSql).as("d_ppm"), expr(ksLambdaSql).as("lambda"))
+  }
+
+  // KS's shared expression text over (n_a, n_b, d_num); the oracle
+  // replays the ppm floor-division with `//` on HUGEINT (f10 class)
+  private[graft] def ksPpmSql: String =
+    "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "CAST(CAST(1000000 AS DECIMAL(38,0)) * d_num div " +
+      "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"
+
+  /** λ = D·√(n_a·n_b/(n_a+n_b)) over the exact integers, rounded 4. */
+  private[graft] def ksLambdaSql: String =
+    s"CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      s"round((${d("d_num")} / (${d("n_a")} * ${d("n_b")})) * " +
+      s"sqrt(${d("n_a")} * ${d("n_b")} / ($nD)), 4) END"
+
   /** ROC-AUC as the rescaled rank-sum — AUC = U⁺/(n⁻·n⁺), the exact
     * probability (ties ½) that a random positive outscores a random
     * negative (Hanley & McNeil 1982; identical machinery to

@@ -350,8 +350,40 @@ object AnalyticsQueries {
         col("event_type").isNotNull && col("value").isNotNull),
       col("event_type") === "purchase", col("value"))
 
+  // two-period diff-in-differences on event values: treated = odd
+  // users, post = the month's second half — the quasi-experimental
+  // readout (parallel-trends effect + unpooled four-cell SE) from ONE
+  // conditional aggregate of exact hi/lo-split moments
+  private def f20(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AbTest.diffInDiff(
+      events(s, dir),
+      treated = pmod(col("user_id"), lit(2)) === 1,
+      post = col("ts") >= lit("2024-01-16").cast("timestamp"),
+      value = col("value"))
+
+  // reliability diagram + ECE for the purchase-scorer (f19's AUC
+  // checks rank; this checks the probabilities): p = value/100 into 10
+  // fixed-width bins, exact ppm pred/obs/gap per bin, ECE rider
+  private def f21(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Calibration.report(
+      events(s, dir),
+      label = col("event_type") === "purchase",
+      p = col("value") / 100.0)
+
+  // two-sample Kolmogorov–Smirnov: do odd and even users draw event
+  // values from the same distribution? Exact integer D numerator over
+  // the distinct-value frame (f18's two-phase prefix, both arms)
+  private def f22(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankTest.ksTest(
+      events(s, dir).filter(
+        col("user_id").isNotNull && col("value").isNotNull),
+      pmod(col("user_id"), lit(2)) === 1, col("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f19_roc_auc" -> (f19 _),
+    "f20_diff_in_diff" -> (f20 _),
+    "f21_calibration" -> (f21 _),
+    "f22_ks_test" -> (f22 _),
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
     "f16_chi_square" -> (f16 _),
@@ -449,6 +481,88 @@ object AnalyticsQueries {
   // div -> // on a multiple of K, sums cast from HUGEINT), then the
   // double stage spliced VERBATIM from AbTest's shared builders — the
   // IEEE chain cannot drift between engines by construction.
+  // four-cell DiD: f15's conditional hi/lo sums per (group, period)
+  // cell, then AbTest's staged-variance + did/se/t chains verbatim
+  private val f20OracleSql: String = {
+    import graft.operators.AbTest
+    val k = AbTest.splitBase
+    def pm(p: String) = s"((($p) % $k) + $k) % $k"
+    def cellSums(cell: String, pred: String) = Seq(
+      s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_$cell",
+      s"CAST(sum(CASE WHEN $pred THEN q ELSE 0 END) AS BIGINT) AS s_$cell",
+      s"CAST(sum(CASE WHEN $pred THEN ((q * q) - ${pm("q * q")}) // $k " +
+        s"ELSE 0 END) AS BIGINT) AS ss_${cell}_hi",
+      s"CAST(sum(CASE WHEN $pred THEN ${pm("q * q")} ELSE 0 END) " +
+        s"AS BIGINT) AS ss_${cell}_lo")
+    val cells = cellSums("c0", "NOT t AND NOT p") ++
+      cellSums("c1", "NOT t AND p") ++
+      cellSums("t0", "t AND NOT p") ++
+      cellSums("t1", "t AND p")
+    "WITH c AS (SELECT user_id % 2 = 1 AS t, " +
+      "CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' AS p, " +
+      "CAST(round(value * 100) AS BIGINT) AS q FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+      "AND value IS NOT NULL), " +
+      "m AS (SELECT " + cells.mkString(", ") + " FROM c), " +
+      "w AS (SELECT n_c0, n_c1, n_t0, n_t1, s_c0, s_c1, s_t0, s_t1, " +
+      s"${AbTest.welchVarSql("c0")} AS v_c0, " +
+      s"${AbTest.welchVarSql("c1")} AS v_c1, " +
+      s"${AbTest.welchVarSql("t0")} AS v_t0, " +
+      s"${AbTest.welchVarSql("t1")} AS v_t1 FROM m) " +
+      "SELECT n_c0, n_c1, n_t0, n_t1, " +
+      s"${AbTest.welchMeanSql("c0", 100L)} AS mean_c0, " +
+      s"${AbTest.welchMeanSql("c1", 100L)} AS mean_c1, " +
+      s"${AbTest.welchMeanSql("t0", 100L)} AS mean_t0, " +
+      s"${AbTest.welchMeanSql("t1", 100L)} AS mean_t1, " +
+      s"${AbTest.didSql(100L)} AS did, " +
+      s"${AbTest.didSeSql(100L)} AS se, ${AbTest.didTSql} AS t_stat " +
+      "FROM w"
+  }
+
+  // identical ppm quantize -> fixed-width bin floor-divisions ->
+  // per-bin pred/obs/gap -> population-weighted ECE (all `//` on
+  // HUGEINT ≡ Spark `div` on DECIMAL(38,0))
+  private val f21OracleSql: String =
+    "WITH c AS (SELECT event_type = 'purchase' AS y, " +
+      "least(greatest(CAST(round(value / 100.0 * 1000000) AS BIGINT), " +
+      "0), 1000000) AS pq FROM events " +
+      "WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+      "b AS (SELECT least((pq * 10) // 1000000, 9) AS bin, y, pq FROM c), " +
+      "per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos, " +
+      "CAST(sum(CAST(pq AS HUGEINT)) // count(*) AS BIGINT) AS pred_ppm, " +
+      "(1000000 * CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)) " +
+      "// count(*) AS obs_ppm FROM b GROUP BY 1), " +
+      "g AS (SELECT bin, n, pos, pred_ppm, obs_ppm, " +
+      "abs(obs_ppm - pred_ppm) AS gap_ppm FROM per), " +
+      "e AS (SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n) " +
+      "AS BIGINT) AS ece_ppm FROM g) " +
+      "SELECT bin, n, pos, pred_ppm, obs_ppm, gap_ppm, ece_ppm " +
+      "FROM g CROSS JOIN e ORDER BY bin"
+
+  // f18's distinct-value spine, INCLUSIVE cumulatives for both arms,
+  // the exact cross-multiplied D numerator, then the shared λ chain
+  private val f22OracleSql: String =
+    "WITH c AS (SELECT user_id % 2 = 1 AS v, " +
+      "CAST(round(value * 100) AS BIGINT) AS q FROM events " +
+      "WHERE user_id IS NOT NULL AND value IS NOT NULL), " +
+      "vals AS (SELECT q, " +
+      "CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM c GROUP BY q), " +
+      "tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a, " +
+      "CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM vals), " +
+      "cum AS (SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb " +
+      "FROM vals WINDOW w AS (ORDER BY q " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "m AS (SELECT n_a, n_b, CAST(coalesce(max(abs(" +
+      "CAST(cuma AS HUGEINT) * n_b - CAST(cumb AS HUGEINT) * n_a)), 0) " +
+      "AS BIGINT) AS d_num FROM cum CROSS JOIN tot GROUP BY n_a, n_b) " +
+      "SELECT n_a, n_b, d_num, CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "CAST((CAST(1000000 AS HUGEINT) * d_num) // " +
+      "(CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS d_ppm, " +
+      s"${graft.operators.RankTest.ksLambdaSql} AS lambda FROM m"
+
   private val f15OracleSql: String = {
     import graft.operators.AbTest
     val k = AbTest.splitBase
@@ -794,6 +908,9 @@ object AnalyticsQueries {
     // (pmod replayed as ((p % K) + K) % K, div as // on a multiple
     // of K — the q51 recipe)
     "f15_welch_ttest" -> f15OracleSql,
+    "f20_diff_in_diff" -> f20OracleSql,
+    "f21_calibration" -> f21OracleSql,
+    "f22_ks_test" -> f22OracleSql,
     // identical cell counts -> decimal-quantized term sums -> the same
     // chi2/V double chain (spliced verbatim from Contingency's shared
     // builders); sums cast to BIGINT (HUGEINT)

@@ -1115,10 +1115,34 @@ object CoreQueries {
         col("score"))
       .orderBy("doc_id")
 
+  // Schema evolution across parquet generations (the years-of-data
+  // reality at 100 TB: v2 files grew a `channel` column v1 never had).
+  // `mergeSchema` unions the footers at planning time; v1 rows read
+  // the missing column as NULL — no rewrite of the old data, the
+  // contract a long-lived lake depends on. Deterministic generated
+  // fixture (self-written like a04's bucketed tables; sfDir unused);
+  // DuckDB replays via read_parquet(union_by_name := true).
+  private def src04(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_src04_evo"
+    if (!new java.io.File(s"$base/v2").exists()) {
+      s.range(0, 50).selectExpr("id", "id * 3 + 1 AS amount")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v1")
+      s.range(50, 100).selectExpr("id", "id * 2 AS amount",
+          "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'store' END AS channel")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/v1", s"$base/v2")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("cnt"), sum(col("amount")).as("total"))
+      .orderBy(col("channel").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src01_square_source" -> (src01 _),
     "src02_csv_source" -> (src02 _),
     "src03_jsonl_gz_source" -> (src03 _),
+    "src04_schema_evolution" -> (src04 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
@@ -1547,6 +1571,14 @@ object CoreQueries {
     // smoothed-share term text -> decimal-quantized exact PSI sum
     "q53_psi_drift" -> q53OracleSql,
     "q54_quantile_sketch" -> q54OracleSql,
+    // same two parquet generations unioned by NAME (v1's missing
+    // channel column reads NULL), same rollup; sum cast BIGINT
+    "src04_schema_evolution" ->
+      ("SELECT channel, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(amount) AS BIGINT) AS total " +
+        "FROM read_parquet('/tmp/graft_src04_evo/*/*.parquet', " +
+        "union_by_name=true) " +
+        "GROUP BY channel ORDER BY channel NULLS FIRST"),
     // identical daily-count series -> lag-shifted self-join (DuckDB
     // date + int = date) -> exact DECIMAL(38,0) moments -> the shared
     // fixed-shape r chain

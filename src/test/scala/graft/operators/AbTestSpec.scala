@@ -102,6 +102,45 @@ class AbTestSpec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(1)) === ((2L, 2L)))
   }
 
+  test("diffInDiff recovers a planted effect under parallel trends") {
+    // control: pre 10, post 12 (trend +2); treated: pre 20, post 25
+    // (trend +2 plus effect +3). Small within-cell noise for variance.
+    val rows = (0 until 40).flatMap { i =>
+      val eps = (i % 4) * 0.01 // same noise pattern in every cell
+      Seq((false, false, 10.0 + eps), (false, true, 12.0 + eps),
+        (true, false, 20.0 + eps), (true, true, 25.0 + eps))
+    }
+    val r = AbTest.diffInDiff(rows.toDF("t", "p", "y"),
+      col("t"), col("p"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((40L, 40L, 40L, 40L)))
+    assert(math.abs(r.getDouble(8) - 3.0) < 1e-9) // did
+    assert(!r.isNullAt(9) && r.getDouble(10) > 50.0) // tiny SE, huge t
+    // brute-force agreement on the point estimate
+    def m(t: Boolean, p: Boolean) = {
+      val c = rows.filter(x => x._1 == t && x._2 == p)
+        .map(x => math.round(x._3 * 100))
+      c.sum.toDouble / c.size / 100.0
+    }
+    val didBrute = (m(true, true) - m(true, false)) -
+      (m(false, true) - m(false, false))
+    assert(math.abs(r.getDouble(8) - math.rint(didBrute * 1e4) / 1e4) < 1e-12)
+  }
+
+  test("diffInDiff: empty cell nulls did; constant cells null se/t") {
+    val noPost = Seq((false, false, 1.0), (true, false, 2.0))
+    val r = AbTest.diffInDiff(noPost.toDF("t", "p", "y"),
+      col("t"), col("p"), col("y")).head()
+    assert(r.isNullAt(8) && r.isNullAt(9) && r.isNullAt(10))
+    // all four cells present but single-row: variance undefined
+    val ones = Seq((false, false, 1.0), (false, true, 2.0),
+      (true, false, 3.0), (true, true, 5.0))
+    val r2 = AbTest.diffInDiff(ones.toDF("t", "p", "y"),
+      col("t"), col("p"), col("y")).head()
+    assert(r2.getDouble(8) === 1.0) // (5-3)-(2-1)
+    assert(r2.isNullAt(9) && r2.isNullAt(10))
+  }
+
   test("Welch moment sums stay exact when squares exceed the long sum range") {
     // values ~3e7 in quant units (3e5 * 100): q^2 ~ 9e14; 10.5k rows
     // per arm sum to ~9.5e18, past a naive long sum-of-squares at

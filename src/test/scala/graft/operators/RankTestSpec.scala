@@ -114,6 +114,42 @@ class RankTestSpec extends SparkSpec {
     assert(r.getLong(4) === 2 * expect.toLong - 1000000L)
   }
 
+  test("ksTest: exact D numerator against brute-force CDF max") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(180)((rnd.nextBoolean(),
+      if (rnd.nextBoolean()) rnd.nextInt(20) / 2.0 else rnd.nextInt(40) / 4.0))
+    val a = rows.filter(!_._1).map(r => math.round(r._2 * 100))
+    val b = rows.filter(_._1).map(r => math.round(r._2 * 100))
+    val support = (a ++ b).distinct.sorted
+    val dBrute = support.map(v =>
+      math.abs(a.count(_ <= v).toLong * b.size -
+        b.count(_ <= v).toLong * a.size)).max
+    val r = RankTest.ksTest(rows.toDF("v", "x"), col("v"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((a.size.toLong, b.size.toLong)))
+    assert(r.getLong(2) === dBrute)
+    assert(r.getLong(3) ===
+      (BigInt(1000000) * dBrute / (BigInt(a.size) * b.size)).toLong)
+    val d = dBrute.toDouble / (a.size.toDouble * b.size)
+    val lam = math.rint(d * math.sqrt(
+      a.size.toDouble * b.size / (a.size + b.size)) * 1e4) / 1e4
+    assert(r.getDouble(4) === lam)
+  }
+
+  test("ksTest: identical distributions read D = 0; disjoint read 1e6") {
+    val same = Seq((false, 1.0), (true, 1.0), (false, 2.0), (true, 2.0))
+    val r0 = RankTest.ksTest(same.toDF("v", "x"), col("v"), col("x")).head()
+    assert(r0.getLong(2) === 0L && r0.getLong(3) === 0L)
+    val disj = Seq((false, 1.0), (false, 2.0), (true, 9.0), (true, 10.0))
+    val r1 = RankTest.ksTest(disj.toDF("v", "x"), col("v"), col("x")).head()
+    assert(r1.getLong(3) === 1000000L)
+    // empty input: zero counts, NULL d_ppm/lambda, no NULL longs
+    val empty = Seq((Option.empty[Boolean], Option.empty[Double]))
+      .toDF("v", "x")
+    val re = RankTest.ksTest(empty, col("v"), col("x")).head()
+    assert((re.getLong(0), re.getLong(1), re.getLong(2)) === ((0L, 0L, 0L)))
+    assert(re.isNullAt(3) && re.isNullAt(4))
+  }
+
   test("rocAuc with an empty class: counts kept, ppm columns NULL") {
     val onlyPos = Seq((true, 1.0), (true, 2.0)).toDF("y", "s")
     val r = RankTest.rocAuc(onlyPos, col("y"), col("s")).head()

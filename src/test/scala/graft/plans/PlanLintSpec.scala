@@ -128,6 +128,8 @@ class PlanLintSpec extends SparkSpec {
         "q54_quantile_sketch",
         // 1-row basket-total broadcast rider (the f10 class)
         "a05_assoc_rules",
+        // 1-row ECE rider over the bins-sized reliability frame
+        "f21_calibration",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size"),
       // filters whose predicates are INHERENTLY unpushable expressions
