@@ -95,6 +95,35 @@ object QuantileSketch {
       .select(col("v"), col("w"), col("p").as("cum"))
   }
 
+  /** Per-GROUP percentile readout directly from unioned shard
+    * sketches — the telemetry shape ("p99 per service" from stored
+    * per-(service, day) sketches, no re-scan). Input rows carry
+    * (grpCol, v, w) from [[build]] with shard = (group, sub-shard);
+    * output one row per (grp, pct): (grp, pct, n, target, est).
+    *
+    * No recompression: reading the raw union TIGHTENS the envelope to
+    * ε = Σ_s ⌈n_s/k⌉ (the [[mergeAll]] path adds a second ⌈N/k⌉ term
+    * — compress only when storing, not when reading). The cumulative
+    * window partitions by group, bounded by shards-per-group · k rows
+    * — never by n. */
+  def groupQuantiles(sketches: DataFrame, grpCol: Column,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "pcts must be non-empty")
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val cum = sketches.select(grpCol.as("grp"), col("v"), col("w"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("grp").orderBy("v", "w")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.groupBy("grp").agg(max(col("cum")).as("n"))
+    val anchors = tot.crossJoin(broadcast(pcts.toDF("pct")))
+      .select(col("grp"), col("pct"), col("n"),
+        expr("(pct * n + 99) div 100").as("target"))
+    anchors.join(cum.select(col("grp").as("_g"), col("v"), col("cum")),
+        col("grp") === col("_g") && col("cum") >= col("target"))
+      .groupBy("grp", "pct", "n", "target").agg(min(col("v")).as("est"))
+  }
+
   /** Percentile readout from a merged sketch ((v, w, cum) with total N
     * = max cum): one row per pct — (pct, n, target, est) with target =
     * ⌈pct·N/100⌉ (the HistogramQuantile rank pin) and est = min value

@@ -855,6 +855,40 @@ object CoreQueries {
         (col("est") >= col("ex")).as("ok"))
   }
 
+  // Per-group percentiles from stored shard sketches (q54's telemetry
+  // complement: q54 reads GLOBAL percentiles from month shards, this
+  // reads p50/p95/p99 PER EVENT TYPE from per-(type, day) sketches —
+  // the "p99 per service" readout, no corpus re-scan at answer time).
+  // Direct union readout (no recompression) tightens ε to Σ⌈n_s/k⌉;
+  // exact rank teeth + envelope ride every row like q54.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QuantileSketch
+    val k = 32
+    val e = t(s, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("g"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("v"))
+      .localCheckpoint() // sketch build + rank teeth + eps read one frame
+    val sk = QuantileSketch.build(e, "v", struct(col("g"), col("d")), k)
+    val reads = QuantileSketch.groupQuantiles(
+      sk, col("shard.g"), Seq(50, 95, 99))
+    val ranks = reads.join(e.select(col("g").as("grp"), col("v")), "grp")
+      .groupBy("grp", "pct", "n", "target", "est")
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L))
+          .cast("long").as("rank_lo"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L))
+          .cast("long").as("rank_hi"))
+    val eps = e.groupBy("g", "d").agg(count(lit(1)).as("ns"))
+      .groupBy(col("g").as("grp"))
+      .agg(sum(expr(s"(ns + ${k - 1}) div $k")).cast("long").as("eps"))
+    ranks.join(eps, "grp")
+      .select(col("grp"), col("pct"), col("n"), col("target"),
+        col("est"), col("rank_lo"), col("rank_hi"), col("eps"),
+        (col("rank_lo") < col("target") + col("eps") &&
+          col("rank_hi") >= col("target") - col("eps")).as("ok"))
+      .orderBy("grp", "pct")
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -1054,6 +1088,47 @@ object CoreQueries {
       "FROM rks r JOIN eps e USING (grp) ORDER BY grp, pct"
   }
 
+  // q57's oracle: q54's per-shard sketch build replayed on (type, day)
+  // shards, then the grouped direct-union readout + exact teeth
+  private val q57OracleSql: String = {
+    val k = 32
+    "WITH e AS (SELECT event_type AS g, " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+      "CAST(round(value * 100) AS BIGINT) AS v FROM events " +
+      "WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "rk AS (SELECT g, d, v, CAST(row_number() OVER " +
+      "(PARTITION BY g, d ORDER BY v) AS BIGINT) AS r, " +
+      "CAST(count(*) OVER (PARTITION BY g, d) AS BIGINT) AS nsh " +
+      "FROM e), " +
+      "sk AS (SELECT g, d, v, r - coalesce(lag(r) OVER " +
+      "(PARTITION BY g, d ORDER BY r), 0) AS w FROM " +
+      s"(SELECT * FROM rk WHERE (r * $k) // nsh > ((r - 1) * $k) // nsh)), " +
+      "cum AS (SELECT g AS grp, v, w, CAST(sum(w) OVER " +
+      "(PARTITION BY g ORDER BY v, w " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "AS cum FROM sk), " +
+      "tot AS (SELECT grp, max(cum) AS nn FROM cum GROUP BY grp), " +
+      "qt AS (SELECT t.grp, q.pct, t.nn AS n, " +
+      "(q.pct * t.nn + 99) // 100 AS target FROM tot t CROSS JOIN " +
+      "(SELECT unnest([50, 95, 99]) AS pct) q), " +
+      "est AS (SELECT q.grp, q.pct, q.n, q.target, min(c.v) AS est " +
+      "FROM qt q JOIN cum c ON c.grp = q.grp AND c.cum >= q.target " +
+      "GROUP BY 1, 2, 3, 4), " +
+      "rks AS (SELECT s.grp, s.pct, s.n, s.target, s.est, " +
+      "CAST(sum(CASE WHEN e.v < s.est THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS rank_lo, " +
+      "CAST(sum(CASE WHEN e.v <= s.est THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS rank_hi FROM est s JOIN e ON e.g = s.grp " +
+      "GROUP BY 1, 2, 3, 4, 5), " +
+      "sh AS (SELECT g AS grp, count(*) AS ns FROM e GROUP BY g, d), " +
+      s"eps AS (SELECT grp, CAST(sum((ns + ${k - 1}) // $k) AS BIGINT) " +
+      "AS eps FROM sh GROUP BY grp) " +
+      "SELECT r.grp, r.pct, r.n, r.target, r.est, r.rank_lo, " +
+      "r.rank_hi, e2.eps, (r.rank_lo < r.target + e2.eps AND " +
+      "r.rank_hi >= r.target - e2.eps) AS ok " +
+      "FROM rks r JOIN eps e2 USING (grp) ORDER BY grp, pct"
+  }
+
   // q53's oracle: the PSI pipeline replayed with the operator's shared
   // term text over identically-named columns
   private val q53OracleSql: String = {
@@ -1157,6 +1232,7 @@ object CoreQueries {
     "q54_quantile_sketch" -> (q54 _),
     "q55_acf" -> (q55 _),
     "q56_join_size" -> (q56 _),
+    "q57_group_percentiles" -> (q57 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1579,6 +1655,9 @@ object CoreQueries {
         "FROM read_parquet('/tmp/graft_src04_evo/*/*.parquet', " +
         "union_by_name=true) " +
         "GROUP BY channel ORDER BY channel NULLS FIRST"),
+    // q54's sketch-build replay per (type, day) shard, grouped union
+    // readout (no recompression), exact rank teeth + tightened eps
+    "q57_group_percentiles" -> q57OracleSql,
     // identical daily-count series -> lag-shifted self-join (DuckDB
     // date + int = date) -> exact DECIMAL(38,0) moments -> the shared
     // fixed-shape r chain

@@ -88,6 +88,43 @@ class QuantileSketchSpec extends SparkSpec {
       }
   }
 
+  test("groupQuantiles: per-group readout inside the tightened envelope," +
+      " exact when k >= shard sizes") {
+    val rnd = new scala.util.Random(31)
+    val rows = for {
+      g <- Seq("svc_a", "svc_b"); d <- 0 until 4; _ <- 0 until 50
+    } yield (g, s"$g:$d", rnd.nextInt(1000).toLong)
+    val df = rows.toDF("g", "shard", "v")
+    val k = 8
+    val sk = QuantileSketch.build(df, "v", col("shard"), k)
+      .join(df.select("g", "shard").distinct(), "shard")
+    val got = QuantileSketch.groupQuantiles(sk, col("g"), Seq(50, 95))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (g <- Seq("svc_a", "svc_b"); pct <- Seq(50, 95)) {
+      val vals = rows.filter(_._1 == g).map(_._3).sorted
+      val n = vals.size.toLong
+      val (gn, target, est) = got((g, pct))
+      assert(gn === n)
+      assert(target === (pct * n + 99) / 100)
+      // tightened envelope: eps = sum of per-shard ceil(n_s/k), no
+      // recompression term
+      val eps = (0 until 4).map(d => (50L + k - 1) / k).sum
+      val lo = vals.count(_ < est)
+      val hi = vals.count(_ <= est)
+      assert(lo < target + eps && hi >= target - eps,
+        s"$g p$pct est $est target $target ranks ($lo,$hi] eps $eps")
+    }
+    // k >= shard size: sketch is the full multiset, readout is EXACT
+    val kBig = QuantileSketch.build(df, "v", col("shard"), 64)
+      .join(df.select("g", "shard").distinct(), "shard")
+    QuantileSketch.groupQuantiles(kBig, col("g"), Seq(50)).collect()
+      .foreach { r =>
+        val vals = rows.filter(_._1 == r.getString(0)).map(_._3).sorted
+        assert(r.getLong(4) === vals((r.getLong(3) - 1).toInt))
+      }
+  }
+
   test("empty input and k > N degeneracies") {
     val empty = Seq.empty[(String, Long)].toDF("s", "v")
     assert(QuantileSketch.build(empty, "v", col("s"), 4).count() === 0)

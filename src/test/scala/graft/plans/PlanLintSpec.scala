@@ -131,7 +131,10 @@ class PlanLintSpec extends SparkSpec {
         // 1-row ECE rider over the bins-sized reliability frame
         "f21_calibration",
         // two 1-row frames crossJoined into the one-row report
-        "q56_join_size"),
+        "q56_join_size",
+        // pct-list rider crossJoined onto the groups-sized totals
+        // frame + the q54-class bounded cum>=target range joins
+        "q57_group_percentiles"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
