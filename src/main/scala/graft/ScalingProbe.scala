@@ -91,7 +91,12 @@ object ScalingProbe {
     "s15_ivfpq_topk" -> "embeddings", "t29_ppl_filter" -> "documents",
     "d06_winnow_disjoint" -> "documents",
     "s07_pq_topk" -> "embeddings", "p09_curate_e2e" -> "documents",
-    "d07_contamination" -> "documents", "d18_lsh_audit" -> "documents")
+    "d07_contamination" -> "documents", "d18_lsh_audit" -> "documents",
+    // r12 tail: the new event-table stats/sketch gates
+    "f19_roc_auc" -> "events", "f20_diff_in_diff" -> "events",
+    "f21_calibration" -> "events", "f22_ks_test" -> "events",
+    "q55_acf" -> "events", "q56_join_size" -> "events",
+    "q57_group_percentiles" -> "events")
 
   /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
     * pin their payload count (LIMIT 40/30) for oracle determinism, so

@@ -321,4 +321,66 @@ object AbTest {
   /** t = DiD/se, rounded to 4 (unitless — quant scale cancels). */
   private[graft] def didTSql: String =
     s"CASE WHEN $didTested THEN round($didNum / sqrt($didSe2), 4) END"
+
+  /** One-way ANOVA F-test across k groups (Fisher 1925) — does ANY
+    * group mean differ? The k-arm generalization the pairwise tests
+    * ([[welchTTest]], [[proportionTest]]) can't answer without
+    * multiple-comparison inflation; the experiment platform's first
+    * read on a k-variant test.
+    *
+    * Exactness: per-group moments (n, Σq, Σq² hi/lo-split) are exact
+    * long sums from ONE grouped aggregate (the [[welchTTest]]
+    * contract per group); each group's Σq² reconstruction and
+    * s_g²/n_g contribution is then a deterministic per-group double
+    * quantized to DECIMAL(28,6) BEFORE the cross-group sum (the
+    * Contingency/t12 recipe — float sums don't commute, decimal sums
+    * do), and
+    *   SSB = Σ_g s_g²/n_g − S²/N,  SSW = Σq² − Σ_g s_g²/n_g,
+    *   F = (SSB/(k−1)) / (SSW/(N−k))
+    * is one fixed-shape double chain. Term bound: DECIMAL(28,6)'s 22
+    * integer digits hold Σq² per group to ~10²².
+    *
+    * Scale shape: one map-side-combinable shuffle to the groups-sized
+    * frame, a 1-row reduce. Output: (k, n, f_stat, df1, df2) — F NULL
+    * when k < 2, N ≤ k, or SSW is 0 (no within-group variance).
+    * NULL group/value rows are excluded listwise. */
+  def anovaF(df: DataFrame, group: Column, value: Column,
+      quantScale: Long = 100L): DataFrame = {
+    require(quantScale > 0, "quantScale must be positive")
+    val perGroup = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("_g"),
+        round(value * quantScale).cast("long").as("q"))
+      .groupBy("_g").agg(
+        count(lit(1)).as("ng"),
+        sum(col("q")).as("sg"),
+        expr(s"sum(((q * q) - pmod(q * q, ${K}L)) div ${K}L)")
+          .as("qq_hi"),
+        expr(s"sum(pmod(q * q, ${K}L))").as("qq_lo"))
+    perGroup.agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).cast("long").as("n"),
+        sum(col("sg")).cast("long").as("_s"),
+        expr(s"sum(CAST($anovaQqTermSql AS DECIMAL(28,6)))").as("_qq"),
+        expr(s"sum(CAST($anovaBTermSql AS DECIMAL(28,6)))").as("_b"))
+      .select(col("k"), col("n"),
+        expr(anovaFSql).as("f_stat"),
+        expr("CASE WHEN k >= 2 THEN k - 1 END").as("df1"),
+        expr("CASE WHEN n > k THEN n - k END").as("df2"))
+  }
+
+  // ANOVA's shared expression text. Per-group terms are deterministic
+  // double chains over that group's exact integers, decimal-quantized
+  // before the cross-group sum; F reads the two decimal sums + the
+  // exact integer totals.
+  private[graft] def anovaQqTermSql: String =
+    s"${d("qq_hi")} * $K + ${d("qq_lo")}"
+  private[graft] def anovaBTermSql: String =
+    s"(${d("sg")} * ${d("sg")}) / ${d("ng")}"
+  private[graft] def anovaFSql: String = {
+    val ssb = s"(${d("_b")} - (${d("_s")} * ${d("_s")}) / ${d("n")})"
+    val ssw = s"(${d("_qq")} - ${d("_b")})"
+    s"CASE WHEN k >= 2 AND n > k AND $ssw > 0.0 THEN " +
+      s"round(($ssb / (${d("k")} - 1.0)) / ($ssw / (${d("n")} - " +
+      s"${d("k")})), 4) END"
+  }
 }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *   confidence_ppm = 1e6·n(a,b) div n(a)
   *   lift_ppm       = 1e6·n(a,b)·N div (n(a)·n(b))
   * (lift's numerator and denominator in DECIMAL(38,0) — n(a)·n(b)
-  * overflows a long past ~3·10⁹ baskets per item) — so the global
-  * ranking replays bit-for-bit in any engine.
+  * overflows a long past ~3·10⁹ baskets per item; support/confidence
+  * numerators are longs, fine to ~9·10¹² pair occurrences, ANSI
+  * errors loudly past that) — so the global ranking replays
+  * bit-for-bit in any engine.
   *
   * Scale shape: the [[CoOccurrence]] spine — one collect_set shuffle
   * to per-basket sorted item sets, a<b pairs expanded array-side (the

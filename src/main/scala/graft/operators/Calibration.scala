@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * value; per-bin pred/obs are ppm floor-divisions of exact sums
   * (Σp_ppm in DECIMAL(38,0) — 10¹² rows of 10⁶-ppm overflow a long);
   * ECE is the floor-division of Σ n_bin·|obs−pred| by N. Everything
-  * replays bit-for-bit in any engine.
+  * replays bit-for-bit in any engine. Bounds: obs_ppm's 1e6·pos
+  * numerator is a long — fine to ~9·10¹² positives per bin (ANSI
+  * errors loudly past that, the AbTest discipline).
   *
   * Scale shape: ONE map-side-combinable aggregate to the bins-sized
   * frame; the ECE rider is a 1-row crossJoin back onto it. Nothing

@@ -59,6 +59,60 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) — is the
+    * series monotonically drifting? [[acf]]'s directional complement:
+    * ACF finds the period, this finds the trend, and together they
+    * decide whether e14's anomaly baseline needs detrending. S =
+    * Σ_{i<j} sgn(x_j − x_i) needs no distributional assumption and
+    * ignores outlier magnitude — the standard choice for telemetry.
+    *
+    * Exactness: S is an exact long sum of {−1, 0, 1}; the tie term
+    * Σ_t t(t−1)(2t+5) is an exact DECIMAL(38,0) sum (t³-class, the
+    * RankTest bound); z = (S − sgn(S))/√Var with
+    * Var = [n(n−1)(2n+5) − ties]/18 and the continuity correction is
+    * one fixed double chain (z = 0 at S = 0 by the correction).
+    *
+    * Scale shape: pair volume is SERIES-sized squared, not corpus —
+    * the day frame comes out of one count shuffle, and even a century
+    * of daily points is ~36k rows → ~6·10⁸ sign pairs, a bounded
+    * broadcast-nested-loop by construction. The corpus itself is
+    * touched once. Output one row: (n, s, tie_term, z); z NULL when
+    * n < 2 or the variance is non-positive (all values tied). */
+  def mannKendall(series: DataFrame, timeCol: String,
+      valueCol: String): DataFrame = {
+    val base = series.select(col(timeCol).as("_d"),
+      col(valueCol).cast("long").as("_x"))
+      .filter(col("_d").isNotNull && col("_x").isNotNull)
+      .localCheckpoint() // day-sized; three consumers read one layout
+    val nF = base.agg(count(lit(1)).as("n"))
+    val sF = base.select(col("_d").as("d1"), col("_x").as("x"))
+      .join(base.select(col("_d").as("d2"), col("_x").as("y")),
+        col("d2") > col("d1"))
+      .agg(coalesce(sum(when(col("y") > col("x"), 1L)
+        .when(col("y") < col("x"), -1L).otherwise(0L)), lit(0L))
+        .cast("long").as("s"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tieF = base.groupBy("_x").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(dec(col("t")) * (dec(col("t")) - 1) *
+          (dec(col("t")) * 2 + 5)), lit(java.math.BigDecimal.ZERO))
+        .cast("long").as("tie_term"))
+    nF.crossJoin(sF).crossJoin(tieF)
+      .select(col("n"), col("s"), col("tie_term"),
+        expr(mkZSql).as("z"))
+  }
+
+  // z's expression text over (n, s, tie_term), shared verbatim with
+  // the oracle: Var in doubles from the exact integers, continuity
+  // correction via the sign CASE
+  private[graft] def mkZSql: String = {
+    val varS = s"((${d("n")} * (${d("n")} - 1.0) * " +
+      s"(2.0 * ${d("n")} + 5.0) - ${d("tie_term")}) / 18.0)"
+    val sgn = "CASE WHEN s > 0 THEN 1.0 WHEN s < 0 THEN -1.0 " +
+      "ELSE 0.0 END"
+    s"CASE WHEN n >= 2 AND $varS > 0.0 THEN " +
+      s"round((${d("s")} - ($sgn)) / sqrt($varS), 4) END"
+  }
+
   // r's expression text over the integer columns (n, sx, sy, sxx, syy,
   // sxy), shared verbatim with the DuckDB oracle: exact-moment Pearson,
   // one double chain, round 4. NULL at n < 2 or zero variance.

@@ -379,11 +379,20 @@ object AnalyticsQueries {
         col("user_id").isNotNull && col("value").isNotNull),
       pmod(col("user_id"), lit(2)) === 1, col("value"))
 
+  // one-way ANOVA F across the five event types — the k-variant "does
+  // ANY mean differ" read the pairwise tests can't answer without
+  // multiple-comparison inflation; per-group exact moments, decimal-
+  // quantized cross-group terms (the f16 recipe), one F chain
+  private def f23(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AbTest.anovaF(
+      events(s, dir), col("event_type"), col("value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f19_roc_auc" -> (f19 _),
     "f20_diff_in_diff" -> (f20 _),
     "f21_calibration" -> (f21 _),
     "f22_ks_test" -> (f22 _),
+    "f23_anova" -> (f23 _),
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
     "f16_chi_square" -> (f16 _),
@@ -539,6 +548,29 @@ object AnalyticsQueries {
       "AS BIGINT) AS ece_ppm FROM g) " +
       "SELECT bin, n, pos, pred_ppm, obs_ppm, gap_ppm, ece_ppm " +
       "FROM g CROSS JOIN e ORDER BY bin"
+
+  // per-group hi/lo moment sums, the shared decimal-quantized term
+  // texts, then the shared F chain verbatim
+  private val f23OracleSql: String = {
+    import graft.operators.AbTest
+    val k = AbTest.splitBase
+    def pm(p: String) = s"((($p) % $k) + $k) % $k"
+    "WITH c AS (SELECT event_type AS g, " +
+      "CAST(round(value * 100) AS BIGINT) AS q FROM events " +
+      "WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+      "pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, " +
+      "CAST(sum(q) AS BIGINT) AS sg, " +
+      s"CAST(sum(((q * q) - ${pm("q * q")}) // $k) AS BIGINT) AS qq_hi, " +
+      s"CAST(sum(${pm("q * q")}) AS BIGINT) AS qq_lo FROM c GROUP BY g), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS _s, " +
+      s"sum(CAST(${AbTest.anovaQqTermSql} AS DECIMAL(28,6))) AS _qq, " +
+      s"sum(CAST(${AbTest.anovaBTermSql} AS DECIMAL(28,6))) AS _b " +
+      "FROM pg) " +
+      s"SELECT k, n, ${AbTest.anovaFSql} AS f_stat, " +
+      "CASE WHEN k >= 2 THEN k - 1 END AS df1, " +
+      "CASE WHEN n > k THEN n - k END AS df2 FROM m"
+  }
 
   // f18's distinct-value spine, INCLUSIVE cumulatives for both arms,
   // the exact cross-multiplied D numerator, then the shared λ chain
@@ -909,6 +941,7 @@ object AnalyticsQueries {
     // of K — the q51 recipe)
     "f15_welch_ttest" -> f15OracleSql,
     "f20_diff_in_diff" -> f20OracleSql,
+    "f23_anova" -> f23OracleSql,
     "f21_calibration" -> f21OracleSql,
     "f22_ks_test" -> f22OracleSql,
     // identical cell counts -> decimal-quantized term sums -> the same

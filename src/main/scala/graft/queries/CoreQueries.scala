@@ -889,6 +889,17 @@ object CoreQueries {
       .orderBy("grp", "pct")
   }
 
+  // Mann-Kendall trend test on the daily event-count series (q55's
+  // directional complement: ACF finds the period, this finds the
+  // drift). Sign-pair volume is DAY-count-squared — bounded by the
+  // series, never the corpus, which is touched once for the counts.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    graft.operators.TimeSeries.mannKendall(daily, "d", "c")
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -1233,6 +1244,7 @@ object CoreQueries {
     "q55_acf" -> (q55 _),
     "q56_join_size" -> (q56 _),
     "q57_group_percentiles" -> (q57 _),
+    "q58_trend" -> (q58 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1658,6 +1670,21 @@ object CoreQueries {
     // q54's sketch-build replay per (type, day) shard, grouped union
     // readout (no recompression), exact rank teeth + tightened eps
     "q57_group_percentiles" -> q57OracleSql,
+    // same daily series -> sign pairs on d2 > d1 (exact long S) ->
+    // tie cubics in HUGEINT -> the shared continuity-corrected z chain
+    "q58_trend" ->
+      ("WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily), " +
+        "sp AS (SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x THEN 1 " +
+        "WHEN b.x < a.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s " +
+        "FROM daily a JOIN daily b ON b.d > a.d), " +
+        "tt AS (SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) " +
+        "* (2 * t + 5)), 0) AS BIGINT) AS tie_term FROM " +
+        "(SELECT count(*) AS t FROM daily GROUP BY x)), " +
+        "m AS (SELECT n, s, tie_term FROM nn CROSS JOIN sp " +
+        "CROSS JOIN tt) SELECT n, s, tie_term, " +
+        s"${graft.operators.TimeSeries.mkZSql} AS z FROM m"),
     // identical daily-count series -> lag-shifted self-join (DuckDB
     // date + int = date) -> exact DECIMAL(38,0) moments -> the shared
     // fixed-shape r chain

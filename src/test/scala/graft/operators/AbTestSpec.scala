@@ -141,6 +141,42 @@ class AbTestSpec extends SparkSpec {
     assert(r2.isNullAt(9) && r2.isNullAt(10))
   }
 
+  test("anovaF agrees with brute-force F; planted separation is loud") {
+    val rnd = new scala.util.Random(13)
+    // three groups with distinct means and shared spread
+    val rows = Seq("a", "b", "c").flatMap { g =>
+      val base = g(0) - 'a'
+      Seq.fill(60)((g, base * 2.0 + rnd.nextInt(5) / 10.0))
+    }
+    val r = AbTest.anovaF(rows.toDF("g", "y"), col("g"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 180L)))
+    assert((r.getLong(3), r.getLong(4)) === ((2L, 177L)))
+    // brute force over the same quantized integers
+    val q = rows.map { case (g, y) => (g, math.round(y * 100)) }
+    val n = q.size.toDouble
+    val grand = q.map(_._2).sum.toDouble
+    val b = q.groupBy(_._1).values
+      .map(c => { val s = c.map(_._2).sum.toDouble; s * s / c.size }).sum
+    val qq = q.map(x => x._2.toDouble * x._2).sum
+    val fBrute = ((b - grand * grand / n) / 2.0) / ((qq - b) / 177.0)
+    assert(math.abs(r.getDouble(2) - fBrute) < 1e-3)
+    assert(r.getDouble(2) > 1000.0) // the planted separation is huge
+  }
+
+  test("anovaF degeneracies: k < 2, constant groups, empty input") {
+    val oneGroup = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "y")
+    assert(AbTest.anovaF(oneGroup, col("g"), col("y")).head().isNullAt(2))
+    // all values identical: SSW = 0, F undefined
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "y")
+    val rc = AbTest.anovaF(const, col("g"), col("y")).head()
+    assert(rc.getLong(0) === 2L && rc.isNullAt(2))
+    val empty = Seq((Option.empty[String], Option.empty[Double]))
+      .toDF("g", "y")
+    val re = AbTest.anovaF(empty, col("g"), col("y")).head()
+    assert(re.getLong(0) === 0L && re.isNullAt(2) && re.isNullAt(3))
+  }
+
   test("Welch moment sums stay exact when squares exceed the long sum range") {
     // values ~3e7 in quant units (3e5 * 100): q^2 ~ 9e14; 10.5k rows
     // per arm sum to ~9.5e18, past a naive long sum-of-squares at

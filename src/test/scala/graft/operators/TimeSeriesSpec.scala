@@ -50,6 +50,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.map(_.getLong(1)).toSeq === Seq(4L, 3L))
   }
 
+  test("mannKendall agrees with brute force; monotone series is loud") {
+    val rnd = new scala.util.Random(41)
+    val xs = (0 until 60).map(i => (i / 3 + rnd.nextInt(4)).toLong)
+    val df = xs.zipWithIndex.map { case (x, i) => (day(i), x) }.toDF("d", "x")
+    val r = TimeSeries.mannKendall(df, "d", "x").head()
+    val sBrute = (for (i <- xs.indices; j <- i + 1 until xs.size)
+      yield math.signum(xs(j).compare(xs(i))).toLong).sum
+    val tieBrute = xs.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((60L, sBrute, tieBrute)))
+    val varS = (60.0 * 59 * 125 - tieBrute) / 18.0
+    val zBrute = math.rint(
+      (sBrute - math.signum(sBrute.toDouble)) / math.sqrt(varS) * 1e4) / 1e4
+    assert(r.getDouble(3) === zBrute)
+    assert(r.getDouble(3) > 5.0) // the planted upward drift is loud
+  }
+
+  test("mannKendall degeneracies: all tied, single point, S = 0") {
+    val tied = (0 until 5).map(i => (day(i), 7L)).toDF("d", "x")
+    val rt = TimeSeries.mannKendall(tied, "d", "x").head()
+    assert(rt.getLong(1) === 0L && rt.isNullAt(3)) // zero variance
+    val single = Seq((day(0), 1L)).toDF("d", "x")
+    assert(TimeSeries.mannKendall(single, "d", "x").head().isNullAt(3))
+    // perfectly balanced up/down: S = 0, z = 0 by the correction
+    val bal = Seq((day(0), 1L), (day(1), 2L), (day(2), 1L))
+      .toDF("d", "x")
+    val rb = TimeSeries.mannKendall(bal, "d", "x").head()
+    assert(rb.getLong(1) === 0L && rb.getDouble(3) === 0.0)
+  }
+
   test("a lag with a single overlapping pair yields NULL r (n < 2)") {
     val df = Seq((day(0), 1L), (day(3), 5L)).toDF("d", "x")
     val rows = TimeSeries.acf(df, "d", "x", maxLag = 3).collect()

@@ -134,7 +134,10 @@ class PlanLintSpec extends SparkSpec {
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
         // frame + the q54-class bounded cum>=target range joins
-        "q57_group_percentiles"),
+        "q57_group_percentiles",
+        // sign pairs on d2 > d1 over the DAY-sized series (bounded by
+        // the series, never the corpus) + three 1-row report riders
+        "q58_trend"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
