@@ -356,10 +356,12 @@ object AbTest {
         expr(s"sum(((q * q) - pmod(q * q, ${K}L)) div ${K}L)")
           .as("qq_hi"),
         expr(s"sum(pmod(q * q, ${K}L))").as("qq_lo"))
+    // coalesce(…, 0): an all-empty input must report zero counts, not
+    // NULL longs that throw on read (the RankTest empty-input contract)
     perGroup.agg(
         count(lit(1)).as("k"),
-        sum(col("ng")).cast("long").as("n"),
-        sum(col("sg")).cast("long").as("_s"),
+        coalesce(sum(col("ng")), lit(0L)).cast("long").as("n"),
+        coalesce(sum(col("sg")), lit(0L)).cast("long").as("_s"),
         expr(s"sum(CAST($anovaQqTermSql AS DECIMAL(28,6)))").as("_qq"),
         expr(s"sum(CAST($anovaBTermSql AS DECIMAL(28,6)))").as("_b"))
       .select(col("k"), col("n"),

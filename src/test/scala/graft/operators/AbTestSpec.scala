@@ -174,7 +174,9 @@ class AbTestSpec extends SparkSpec {
     val empty = Seq((Option.empty[String], Option.empty[Double]))
       .toDF("g", "y")
     val re = AbTest.anovaF(empty, col("g"), col("y")).head()
-    assert(re.getLong(0) === 0L && re.isNullAt(2) && re.isNullAt(3))
+    // zero counts, not NULL longs (the RankTest empty-input contract)
+    assert((re.getLong(0), re.getLong(1)) === ((0L, 0L)))
+    assert(re.isNullAt(2) && re.isNullAt(3))
   }
 
   test("Welch moment sums stay exact when squares exceed the long sum range") {
