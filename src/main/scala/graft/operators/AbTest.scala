@@ -370,6 +370,44 @@ object AbTest {
         expr("CASE WHEN n > k THEN n - k END").as("df2"))
   }
 
+  /** Sample-ratio-mismatch guard (Fabijan et al. 2019) — the health
+    * check an experiment platform runs BEFORE reading any metric: if
+    * the realized A/B split is improbably far from the assignment
+    * ratio, the randomization is broken (bot filtering, redirect
+    * loss, logging drop) and every downstream readout is invalid.
+    * χ² goodness-of-fit with df = 1 against `expectedBppm` (B's
+    * intended share in ppm):
+    *   χ² = (n_a − E_a)²/E_a + (n_b − E_b)²/E_b,
+    * one fixed double chain over the exact counts; `srm` flags
+    * χ² > 3.84 (α = .05). Counts come from ONE conditional aggregate.
+    * NULL variant rows are excluded listwise (they are themselves a
+    * logging-loss signal — count them upstream). */
+  def srmCheck(df: DataFrame, variant: Column,
+      expectedBppm: Long = 500000L): DataFrame = {
+    require(expectedBppm > 0 && expectedBppm < 1000000,
+      "expectedBppm must be in (0, 1e6)")
+    df.filter(variant.isNotNull).select(variant.as("_v"))
+      .agg(expr("sum(CASE WHEN NOT _v THEN 1L ELSE 0L END)").as("n_a"),
+        expr("sum(CASE WHEN _v THEN 1L ELSE 0L END)").as("n_b"))
+      .select(
+        expr("coalesce(n_a, 0L)").as("n_a"),
+        expr("coalesce(n_b, 0L)").as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        lit(expectedBppm).as("expected_b_ppm"),
+        expr(srmChiSql(expectedBppm)).as("chi2"),
+        expr(s"${srmChiSql(expectedBppm)} > 3.84").as("srm"))
+  }
+
+  /** SRM χ² text over (n_a, n_b) — E from the expected split. */
+  private[graft] def srmChiSql(expectedBppm: Long): String = {
+    val n = s"(${d("n_a")} + ${d("n_b")})"
+    val eb = s"($n * $expectedBppm.0 / 1000000.0)"
+    val ea = s"($n - $eb)"
+    s"CASE WHEN n_a + n_b > 0 THEN " +
+      s"round((${d("n_a")} - $ea) * (${d("n_a")} - $ea) / $ea + " +
+      s"(${d("n_b")} - $eb) * (${d("n_b")} - $eb) / $eb, 4) END"
+  }
+
   // ANOVA's shared expression text. Per-group terms are deterministic
   // double chains over that group's exact integers, decimal-quantized
   // before the cross-group sum; F reads the two decimal sums + the

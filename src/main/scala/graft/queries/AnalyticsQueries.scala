@@ -387,8 +387,17 @@ object AnalyticsQueries {
     graft.operators.AbTest.anovaF(
       events(s, dir), col("event_type"), col("value"))
 
+  // sample-ratio-mismatch guard on the odd/even user split — the
+  // health check every experiment readout (f14–f23) should gate on:
+  // a broken randomization invalidates them all
+  private def f24(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AbTest.srmCheck(
+      events(s, dir).filter(col("user_id").isNotNull),
+      pmod(col("user_id"), lit(2)) === 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f19_roc_auc" -> (f19 _),
+    "f24_srm_check" -> (f24 _),
     "f20_diff_in_diff" -> (f20 _),
     "f21_calibration" -> (f21 _),
     "f22_ks_test" -> (f22 _),
@@ -942,6 +951,17 @@ object AnalyticsQueries {
     "f15_welch_ttest" -> f15OracleSql,
     "f20_diff_in_diff" -> f20OracleSql,
     "f23_anova" -> f23OracleSql,
+    // identical conditional counts + the shared chi-square text
+    "f24_srm_check" ->
+      ("WITH m AS (SELECT " +
+        "CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_b FROM events WHERE user_id IS NOT NULL) " +
+        "SELECT n_a, n_b, CAST(500000 AS BIGINT) AS expected_b_ppm, " +
+        s"${graft.operators.AbTest.srmChiSql(500000L)} AS chi2, " +
+        s"${graft.operators.AbTest.srmChiSql(500000L)} > 3.84 AS srm " +
+        "FROM m"),
     "f21_calibration" -> f21OracleSql,
     "f22_ks_test" -> f22OracleSql,
     // identical cell counts -> decimal-quantized term sums -> the same

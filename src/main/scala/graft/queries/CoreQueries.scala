@@ -900,6 +900,33 @@ object CoreQueries {
     graft.operators.TimeSeries.mannKendall(daily, "d", "c")
   }
 
+  // JDBC SOURCE round-trip (S6's read face): a deterministic ledger
+  // written through the batched JDBC sink, read back as a PARTITIONED
+  // jdbc scan (partitionColumn/bounds/numPartitions = 4 parallel range
+  // queries — the shape that keeps a warehouse extract off one
+  // executor), filtered server-side (Spark pushes the WHERE into the
+  // Derby query), aggregated. Oracle replays the generator arithmetic
+  // over range() — the dbms holds no state DuckDB needs to see.
+  private def src05(s: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftsrc05;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val rows = s.range(0, 200).selectExpr("id",
+      "CAST(id % 7 AS INT) AS loc", "(id * 37) % 1000 AS cents")
+    // overwrite = drop + recreate: idempotent per process, no
+    // append-dup risk if a prior run half-seeded
+    rows.write.mode("overwrite").jdbc(url, "SRC05_SALES", props)
+    s.read
+      .option("partitionColumn", "id")
+      .option("lowerBound", "0").option("upperBound", "200")
+      .option("numPartitions", "4")
+      .jdbc(url, "SRC05_SALES", props)
+      .filter(col("cents") >= 100)
+      .groupBy("loc")
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("total"))
+      .orderBy("loc")
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -1229,6 +1256,7 @@ object CoreQueries {
     "src02_csv_source" -> (src02 _),
     "src03_jsonl_gz_source" -> (src03 _),
     "src04_schema_evolution" -> (src04 _),
+    "src05_jdbc_source" -> (src05 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
@@ -1685,6 +1713,14 @@ object CoreQueries {
         "m AS (SELECT n, s, tie_term FROM nn CROSS JOIN sp " +
         "CROSS JOIN tt) SELECT n, s, tie_term, " +
         s"${graft.operators.TimeSeries.mkZSql} AS z FROM m"),
+    // the generator arithmetic replayed over range() — the Derby DB
+    // holds no state the oracle needs (deterministic seed)
+    "src05_jdbc_source" ->
+      ("SELECT CAST(id % 7 AS INT) AS loc, " +
+        "CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum((id * 37) % 1000) AS BIGINT) AS total " +
+        "FROM range(200) t(id) WHERE (id * 37) % 1000 >= 100 " +
+        "GROUP BY 1 ORDER BY 1"),
     // identical daily-count series -> lag-shifted self-join (DuckDB
     // date + int = date) -> exact DECIMAL(38,0) moments -> the shared
     // fixed-shape r chain

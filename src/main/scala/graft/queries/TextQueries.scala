@@ -60,19 +60,26 @@ object TextQueries {
   // classifier is right on text that actually carries its label's
   // language, and WHERE it goes wrong). One (true, pred) shuffle,
   // cells-sized after; accuracy in div-ppm integers rides on every row
-  private def t30(s: SparkSession, dir: String): DataFrame = {
+  // the planted-corpus confusion cells t30 (accuracy) and t31
+  // (per-class P/R/F1) both read — cells-sized, checkpointed once
+  // per call
+  private def langEvalCells(s: SparkSession, dir: String): DataFrame = {
     val snippet = langSnippets.tail.foldLeft(
       when(col("lang") === langSnippets.head._1, langSnippets.head._2)) {
       case (acc, (k, v)) => acc.when(col("lang") === k, v)
     }
-    val cells = docs(s, dir)
+    docs(s, dir)
       .select(col("lang").as("lang_true"),
         concat(snippet, lit(" "),
           array_join(slice(T.tokens(col("text")), 1, 12), " ")).as("text"))
       .select(col("lang_true"), T.langId(col("text")).as("lang_pred"))
       .groupBy("lang_true", "lang_pred")
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // cells-sized; read by the accuracy rider too
+      .localCheckpoint() // cells-sized; read by the rider(s) too
+  }
+
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    val cells = langEvalCells(s, dir)
     val acc = cells.agg(sum(col("cnt")).cast("long").as("n_docs"),
         sum(when(col("lang_true") === col("lang_pred"), col("cnt"))
           .otherwise(0L)).cast("long").as("n_correct"))
@@ -81,6 +88,36 @@ object TextQueries {
           "div n_docs END").as("accuracy_ppm"))
     cells.crossJoin(broadcast(acc))
       .orderBy("lang_true", "lang_pred")
+  }
+
+  // per-class precision/recall/F1 + macro-F1 from the same planted
+  // confusion cells (t30 reads accuracy — the one number that HIDES
+  // per-class collapse; this is the readout that shows it): exact ppm
+  // floor-divisions, F1's harmonic mean in long arithmetic
+  // (2·p·r ≤ 2·10¹², never near overflow), classes with zero
+  // predictions score F1 = 0 by the tp = 0 branch (the standard
+  // macro-averaging convention, documented rather than NULL-dropped)
+  private def t31(s: SparkSession, dir: String): DataFrame = {
+    val cells = langEvalCells(s, dir)
+    val sup = cells.groupBy(col("lang_true").as("lang")).agg(
+      sum(col("cnt")).cast("long").as("support"),
+      sum(when(col("lang_pred") === col("lang_true"), col("cnt"))
+        .otherwise(0L)).cast("long").as("tp"))
+    val prd = cells.groupBy(col("lang_pred").as("lang"))
+      .agg(sum(col("cnt")).cast("long").as("predicted"))
+    val met = sup.join(prd, Seq("lang"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit(0L)))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN predicted > 0 THEN (1000000 * tp) div predicted END"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN support > 0 THEN (1000000 * tp) div support END"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN tp = 0 THEN 0L ELSE (2 * precision_ppm * " +
+          "recall_ppm) div (precision_ppm + recall_ppm) END"))
+      .localCheckpoint() // classes-sized; the macro rider reads it
+    val macroF1 = met.agg(expr(
+      "CAST(sum(f1_ppm) div count(*) AS BIGINT)").as("macro_f1_ppm"))
+    met.crossJoin(broadcast(macroF1)).orderBy("lang")
   }
 
   private def t04(s: SparkSession, dir: String): DataFrame =
@@ -434,6 +471,7 @@ object TextQueries {
     "t20_collocations" -> (t20 _),
     "t21_textrank" -> (t21 _),
     "t30_langid_eval" -> (t30 _),
+    "t31_macro_f1" -> (t31 _),
   )
 
   /** Aux fixture for t06's two-stage oracle (see Verify). */
@@ -478,6 +516,25 @@ object TextQueries {
   private val duckSnippetCase = langSnippets.map { case (k, v) =>
     s"WHEN '$k' THEN '$v'"
   }.mkString("CASE lang ", " ", " END")
+
+  // the planted-corpus confusion-cells CTE prefix t30 and t31 share
+  // (one definition — the two oracles cannot drift from each other)
+  private lazy val langCellsCteSql: String =
+    "WITH planted AS (SELECT lang, " +
+      s"($duckSnippetCase || ' ' || array_to_string(list_slice(" +
+      "list_filter(string_split_regex(trim(text), '\\s+'), " +
+      "t -> t <> ''), 1, 12), ' ')) AS text FROM documents), " +
+      "toks AS (SELECT lang, text, " +
+      "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
+      "FROM planted), " +
+      s"hits AS (SELECT lang, " +
+      "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+      s"$enScore AS en, $esScore AS es, $deScore AS de, $frScore AS fr " +
+      "FROM toks), " +
+      s"p AS (SELECT lang AS lang_true, $duckLangCase AS lang_pred " +
+      "FROM hits), " +
+      "cells AS (SELECT lang_true, lang_pred, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2)"
 
   val oracleSql: Map[String, String] = Map(
     // identical add-one bigram model from the % 10 reference slice
@@ -713,21 +770,7 @@ object TextQueries {
     // labeled lang carried through, then confusion cells + div-ppm
     // accuracy rider
     "t30_langid_eval" ->
-      ("WITH planted AS (SELECT lang, " +
-        s"($duckSnippetCase || ' ' || array_to_string(list_slice(" +
-        "list_filter(string_split_regex(trim(text), '\\s+'), " +
-        "t -> t <> ''), 1, 12), ' ')) AS text FROM documents), " +
-        "toks AS (SELECT lang, text, " +
-        "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk " +
-        "FROM planted), " +
-        s"hits AS (SELECT lang, " +
-        "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
-        s"$enScore AS en, $esScore AS es, $deScore AS de, $frScore AS fr " +
-        "FROM toks), " +
-        s"p AS (SELECT lang AS lang_true, $duckLangCase AS lang_pred " +
-        "FROM hits), " +
-        "cells AS (SELECT lang_true, lang_pred, " +
-        "CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1, 2), " +
+      (langCellsCteSql + ", " +
         "a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_docs, " +
         "CAST(sum(CASE WHEN lang_true = lang_pred THEN cnt ELSE 0 END) " +
         "AS BIGINT) AS n_correct FROM cells) " +
@@ -735,6 +778,34 @@ object TextQueries {
         "CASE WHEN n_docs > 0 THEN (1000000 * n_correct) // n_docs END " +
         "AS accuracy_ppm FROM cells CROSS JOIN a " +
         "ORDER BY lang_true, lang_pred"),
+    // same cells prefix -> per-class support/predicted/tp -> exact ppm
+    // P/R + long harmonic-mean F1 (tp = 0 branch covers zero-predicted
+    // classes) -> macro rider
+    "t31_macro_f1" ->
+      (langCellsCteSql + ", " +
+        "sup AS (SELECT lang_true AS lang, " +
+        "CAST(sum(cnt) AS BIGINT) AS support, " +
+        "CAST(sum(CASE WHEN lang_pred = lang_true THEN cnt ELSE 0 END) " +
+        "AS BIGINT) AS tp FROM cells GROUP BY 1), " +
+        "prd AS (SELECT lang_pred AS lang, " +
+        "CAST(sum(cnt) AS BIGINT) AS predicted FROM cells GROUP BY 1), " +
+        "met AS (SELECT s.lang, s.support, " +
+        "CAST(coalesce(p.predicted, 0) AS BIGINT) AS predicted, s.tp " +
+        "FROM sup s LEFT JOIN prd p USING (lang)), " +
+        "pr AS (SELECT lang, support, predicted, tp, " +
+        "CASE WHEN predicted > 0 THEN (1000000 * tp) // predicted END " +
+        "AS precision_ppm, " +
+        "CASE WHEN support > 0 THEN (1000000 * tp) // support END " +
+        "AS recall_ppm FROM met), " +
+        "f AS (SELECT lang, support, predicted, tp, precision_ppm, " +
+        "recall_ppm, CASE WHEN tp = 0 THEN 0 ELSE " +
+        "(2 * precision_ppm * recall_ppm) // " +
+        "(precision_ppm + recall_ppm) END AS f1_ppm FROM pr), " +
+        "m AS (SELECT CAST(sum(f1_ppm) // count(*) AS BIGINT) " +
+        "AS macro_f1_ppm FROM f) " +
+        "SELECT lang, support, predicted, tp, precision_ppm, " +
+        "recall_ppm, f1_ppm, macro_f1_ppm FROM f CROSS JOIN m " +
+        "ORDER BY lang"),
     "t04_fingerprint" ->
       ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents ORDER BY doc_id LIMIT 100"),

@@ -179,6 +179,29 @@ class AbTestSpec extends SparkSpec {
     assert(re.isNullAt(2) && re.isNullAt(3))
   }
 
+  test("srmCheck: healthy split passes, broken split flags, brute χ²") {
+    val ok = (1 to 1000).map(i => Tuple1(i % 2 == 1)).toDF("v")
+    val r = AbTest.srmCheck(ok, col("v")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((500L, 500L)))
+    assert(r.getDouble(3) === 0.0 && !r.getBoolean(4))
+    // 600/400 against an intended 50/50: chi2 = 2*(100^2/500) = 40
+    val broken = ((1 to 600).map(_ => true) ++ (1 to 400).map(_ => false))
+      .map(Tuple1(_)).toDF("v")
+    val rb = AbTest.srmCheck(broken, col("v")).head()
+    assert(rb.getDouble(3) === 40.0 && rb.getBoolean(4))
+    // asymmetric expected split: 300/700 at 70% B expected is healthy
+    val skewed = ((1 to 700).map(_ => true) ++ (1 to 300).map(_ => false))
+      .map(Tuple1(_)).toDF("v")
+    val rs = AbTest.srmCheck(skewed, col("v"), expectedBppm = 700000L)
+      .head()
+    assert(rs.getDouble(3) === 0.0 && !rs.getBoolean(4))
+    // empty input: zero counts, NULL chi2/flag
+    val empty = Seq(Tuple1(Option.empty[Boolean])).toDF("v")
+    val re = AbTest.srmCheck(empty, col("v")).head()
+    assert((re.getLong(0), re.getLong(1)) === ((0L, 0L)))
+    assert(re.isNullAt(3) && re.isNullAt(4))
+  }
+
   test("Welch moment sums stay exact when squares exceed the long sum range") {
     // values ~3e7 in quant units (3e5 * 100): q^2 ~ 9e14; 10.5k rows
     // per arm sum to ~9.5e18, past a naive long sum-of-squares at

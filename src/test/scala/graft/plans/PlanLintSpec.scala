@@ -103,6 +103,8 @@ class PlanLintSpec extends SparkSpec {
         "q53_psi_drift",
         // 1-row accuracy rider over the confusion-cells frame
         "t30_langid_eval",
+        // 1-row macro-F1 rider over the classes-sized metrics frame
+        "t31_macro_f1",
         // 1-row exact/candidate/hit census riders (the audit row)
         "d18_lsh_audit",
         // 1-row max-normalization riders on node-sized score frames
