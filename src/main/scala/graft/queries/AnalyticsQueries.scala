@@ -395,9 +395,44 @@ object AnalyticsQueries {
       events(s, dir).filter(col("user_id").isNotNull),
       pmod(col("user_id"), lit(2)) === 1)
 
+  // degree distribution + heavy-tail fit of the co-purchase graph —
+  // the measurement behind g08's maxDegree cap-sizing rule (hub skew
+  // is WHY the cap exists; this gate reads it): log-log OLS slope
+  // over the (rank, degree) curve (t27's Zipf recipe — decimal-
+  // quantized log sums, fixed double chain), max/mean degree riders
+  // in exact integers. One degree shuffle over the shared edge spine;
+  // the fit frame is node-sized.
+  private def g10(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SequentialIds
+    val deg = coPurchase4Sym(s, dir)
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val ranked = SequentialIds
+      .assign(deg, Seq(col("deg").desc, col("node")), "_r0")
+      .select(col("deg"),
+        log((col("_r0") + 1).cast("double")).as("x"),
+        log(col("deg").cast("double")).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(28,14)")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("deg")).cast("long").as("degsum"),
+        max(col("deg")).cast("long").as("maxdeg"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+      .select(col("n").as("n_nodes"), col("maxdeg").as("max_degree"),
+        expr("(1000000 * degsum) div n").as("mean_degree_ppm"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("tail_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") *
+          col("sy")) / (col("n") * col("sxx") - col("sx") * col("sx")))
+          * col("sx")) / col("n"), 4).as("tail_intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f19_roc_auc" -> (f19 _),
     "f24_srm_check" -> (f24 _),
+    "g10_degree_zipf" -> (g10 _),
     "f20_diff_in_diff" -> (f20 _),
     "f21_calibration" -> (f21 _),
     "f22_ks_test" -> (f22 _),
@@ -952,6 +987,35 @@ object AnalyticsQueries {
     "f20_diff_in_diff" -> f20OracleSql,
     "f23_anova" -> f23OracleSql,
     // identical conditional counts + the shared chi-square text
+    // the kcore/g02 edge CTE -> degrees -> (deg desc, node) rank ->
+    // t27's decimal-quantized log-log OLS chain verbatim
+    "g10_degree_zipf" ->
+      ("WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+        "eu AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y " +
+        "ON x.o = y.o AND x.p < y.p), " +
+        "e0 AS (SELECT a AS src, b AS dst FROM eu " +
+        "UNION ALL SELECT b, a FROM eu), " +
+        "d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM e0 GROUP BY 1), " +
+        "r AS (SELECT deg, row_number() OVER " +
+        "(ORDER BY deg DESC, node) AS rank FROM d), " +
+        "xy AS (SELECT deg, ln(CAST(rank AS DOUBLE)) AS x, " +
+        "ln(CAST(deg AS DOUBLE)) AS y FROM r), " +
+        "sums AS (SELECT count(*) AS n, " +
+        "CAST(sum(deg) AS BIGINT) AS degsum, " +
+        "CAST(max(deg) AS BIGINT) AS maxdeg, " +
+        "CAST(sum(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx, " +
+        "CAST(sum(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx " +
+        "FROM xy) " +
+        "SELECT n AS n_nodes, maxdeg AS max_degree, " +
+        "(1000000 * degsum) // n AS mean_degree_ppm, " +
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) " +
+        "AS tail_slope, " +
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) " +
+        "/ n, 4) AS tail_intercept FROM sums"),
     "f24_srm_check" ->
       ("WITH m AS (SELECT " +
         "CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) " +

@@ -622,7 +622,39 @@ object DedupQueries {
     curve
   }
 
+  // duplicate-cluster size distribution + dup-mass rollup — the
+  // dedup DATASHEET (d16 reports who survives; this reports the
+  // SHAPE of what was found: how many pairs vs mega-clusters, and
+  // what fraction of the corpus is removable). Cluster histogram is
+  // cluster-count-sized; the mass riders are exact ppm; the expensive
+  // LSH/CC spine runs ONCE (histogram checkpointed before its two
+  // consumers).
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val comp = ConnectedComponents.components(
+      Dedup.minHashLshPairsStaged(sig64(s, dir), sets3(s, dir),
+        bands = 32, r = 2, threshold = 0.8),
+      "doc_a", "doc_b")
+    val hist = comp.groupBy("comp")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .withColumn("docs_in_size",
+        col("cluster_size") * col("n_clusters"))
+      .localCheckpoint() // bins-sized; the mass rider reads it too
+    val total = docs(s, dir).agg(count(lit(1)).as("total_docs"))
+    val mass = hist.agg(
+        sum(col("docs_in_size")).cast("long").as("_dup_docs"),
+        sum(col("n_clusters")).cast("long").as("_ncl"))
+      .crossJoin(broadcast(total))
+      .select(col("total_docs"),
+        (col("_dup_docs") - col("_ncl")).as("removable"),
+        expr("(1000000 * (_dup_docs - _ncl)) div total_docs")
+          .as("dup_mass_ppm"))
+    hist.crossJoin(broadcast(mass)).orderBy("cluster_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_dup_mass" -> (d19 _),
     "p13_leakage_split" -> (p13 _),
     "d17_incremental_ingest" -> (d17 _),
     "s12_recall_curve" -> (s12 _),
@@ -1272,6 +1304,26 @@ object DedupQueries {
         "WHERE c.doc_id > 5 AND b.doc_id <= 5 " +
         "GROUP BY doc, bench HAVING count(*) >= 3 ORDER BY doc, bench"),
     "d09_components" -> componentsSql,
+    // the same recursive-CTE component body -> cluster-size histogram
+    // -> exact ppm dup-mass riders (removable = dups minus one
+    // representative per cluster)
+    "d19_dup_mass" -> (componentsBodySql +
+      ", sz AS (SELECT component, CAST(count(*) AS BIGINT) " +
+      "AS cluster_size FROM comp GROUP BY 1), " +
+      "h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) " +
+      "AS n_clusters, cluster_size * CAST(count(*) AS BIGINT) " +
+      "AS docs_in_size FROM sz GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs " +
+      "FROM documents), " +
+      "ms AS (SELECT total_docs, " +
+      "CAST(sum(docs_in_size) - sum(n_clusters) AS BIGINT) " +
+      "AS removable, " +
+      "(1000000 * CAST(sum(docs_in_size) - sum(n_clusters) AS BIGINT))" +
+      " // total_docs AS dup_mass_ppm " +
+      "FROM h CROSS JOIN tot GROUP BY total_docs) " +
+      "SELECT h.cluster_size, h.n_clusters, h.docs_in_size, " +
+      "ms.total_docs, ms.removable, ms.dup_mass_ppm " +
+      "FROM h CROSS JOIN ms ORDER BY h.cluster_size"),
     "d16_dedup_pipeline" -> dedupPipelineSql,
     "p13_leakage_split" -> leakageSplitSql,
     "d17_incremental_ingest" -> incrementalIngestSql,

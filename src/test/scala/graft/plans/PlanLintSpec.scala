@@ -139,7 +139,10 @@ class PlanLintSpec extends SparkSpec {
         "q57_group_percentiles",
         // sign pairs on d2 > d1 over the DAY-sized series (bounded by
         // the series, never the corpus) + three 1-row report riders
-        "q58_trend"),
+        "q58_trend",
+        // 1-row corpus-total + dup-mass riders over the bins-sized
+        // cluster histogram
+        "d19_dup_mass"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
