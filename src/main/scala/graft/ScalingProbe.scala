@@ -96,7 +96,8 @@ object ScalingProbe {
     "f19_roc_auc" -> "events", "f20_diff_in_diff" -> "events",
     "f21_calibration" -> "events", "f22_ks_test" -> "events",
     "q55_acf" -> "events", "q56_join_size" -> "events",
-    "q57_group_percentiles" -> "events")
+    "q57_group_percentiles" -> "events",
+    "t31_macro_f1" -> "documents", "d19_dup_mass" -> "documents")
 
   /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
     * pin their payload count (LIMIT 40/30) for oracle determinism, so
