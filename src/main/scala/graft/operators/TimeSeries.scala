@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Autocorrelation function (ACF) over a daily series — the telemetry
@@ -99,6 +100,77 @@ object TimeSeries {
     nF.crossJoin(sF).crossJoin(tieF)
       .select(col("n"), col("s"), col("tie_term"),
         expr(mkZSql).as("z"))
+  }
+
+  /** Offline CUSUM changepoint scan (Page 1954 / Pettitt-style
+    * location) — WHERE did the series' level shift? [[acf]] finds the
+    * period, [[mannKendall]] finds the drift; this finds the split.
+    * The statistic is max_k |S_k − (k/n)·S_n| over prefix sums S_k —
+    * kept EXACT by the n-scaled form D_k = n·S_k − k·S_n (every term
+    * an integer; DECIMAL(38,0) inside — n·S_k overflows a long once
+    * n·Σx passes 9·10¹⁸, i.e. ~10⁵ days of 10⁹-count traffic), with
+    * the argmax day as the estimated changepoint (ties → earliest
+    * day, a total order). The normalized readout
+    * cusum = D_max/(n·√n·σ̂) with σ̂ from the exact global moments is
+    * one fixed double chain — compare to the Kolmogorov-style ~1.36
+    * line for a rough α=.05 read; the gate pins the exact integers
+    * regardless.
+    *
+    * Scale shape: one count shuffle to the day-sized series, then a
+    * day-sized ordered window (bounded by the series, never the
+    * corpus) and a 1-row reduce. Output one row:
+    * (n, split_day, d_max, cusum). cusum NULL when n < 2 or the
+    * series is constant. */
+  def changepoint(series: DataFrame, timeCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = series.select(col(timeCol).as("_d"),
+      col(valueCol).cast("long").as("_x"))
+      .filter(col("_d").isNotNull && col("_x").isNotNull)
+      .localCheckpoint() // day-sized; two consumers must not re-run
+                         // the caller's corpus aggregate
+    // day-sized frame: the single-partition ordered window is bounded
+    // by the series length by construction
+    val w = Window.orderBy("_d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sk", sum(col("_x")).over(w))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("_x")).as("sn"),
+      sum(dec(col("_x")) * col("_x")).as("sxx"))
+    val scored = pre.crossJoin(broadcast(tot))
+      .withColumn("dk", abs(dec(col("sk")) * col("n")
+        - dec(col("sn")) * col("k")))
+      // the last point always scores 0 (S_n − n/n·S_n); excluding it
+      // keeps split_day a real interior candidate set for n >= 2
+      .filter(col("k") < col("n"))
+    val best = scored.agg(
+      min_by(col("_d"), struct((-col("dk")).as("a"), col("_d").as("b")))
+        .as("split_day"),
+      coalesce(max(col("dk")), lit(java.math.BigDecimal.ZERO))
+        .cast("decimal(38,0)").as("d_max"))
+    // coalesce(…, 0): an all-empty input reports zero counts with a
+    // NULL split_day/cusum, not NULL longs (the RankTest contract)
+    tot.crossJoin(broadcast(best))
+      .select(coalesce(col("n"), lit(0L)).cast("long").as("n"),
+        coalesce(col("sn"), lit(0L)).cast("long").as("sn"),
+        coalesce(col("sxx"), lit(java.math.BigDecimal.ZERO))
+          .cast("decimal(38,0)").as("sxx"),
+        col("split_day"), col("d_max"))
+      .select(col("n"), col("split_day"),
+        col("d_max").cast("long").as("d_max"),
+        expr(cusumSql).as("cusum"))
+  }
+
+  // cusum's expression text over (n, sn, sxx, d_max): σ̂² from the
+  // exact moments, D_max/(n·√n·σ̂), round 4
+  private[graft] def cusumSql: String = {
+    val varN = s"((${d("n")} * ${d("sxx")} - ${d("sn")} * ${d("sn")}) " +
+      s"/ (${d("n")} * ${d("n")}))"
+    s"CASE WHEN n >= 2 AND $varN > 0.0 THEN " +
+      s"round(${d("d_max")} / (${d("n")} * sqrt(${d("n")}) * " +
+      s"sqrt($varN)), 4) END"
   }
 
   // z's expression text over (n, s, tie_term), shared verbatim with

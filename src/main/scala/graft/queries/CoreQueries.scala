@@ -927,6 +927,17 @@ object CoreQueries {
       .orderBy("loc")
   }
 
+  // Offline CUSUM changepoint on the daily event-count series — the
+  // third telemetry diagnostic on the q55/q58 spine (ACF: period;
+  // Mann-Kendall: drift; this: WHERE the level shifted). Exact
+  // n-scaled integer statistic, day-sized windows only.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    graft.operators.TimeSeries.changepoint(daily, "d", "c")
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -1273,6 +1284,7 @@ object CoreQueries {
     "q56_join_size" -> (q56 _),
     "q57_group_percentiles" -> (q57 _),
     "q58_trend" -> (q58 _),
+    "q59_changepoint" -> (q59 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1698,6 +1710,30 @@ object CoreQueries {
     // q54's sketch-build replay per (type, day) shard, grouped union
     // readout (no recompression), exact rank teeth + tightened eps
     "q57_group_percentiles" -> q57OracleSql,
+    // same daily series -> exact n-scaled prefix statistic |n·S_k −
+    // k·S_n| (HUGEINT), interior argmax with (dk desc, day) ties,
+    // the shared normalized-cusum chain
+    "q59_changepoint" ->
+      ("WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sn, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx FROM daily), " +
+        "pre AS (SELECT d, CAST(row_number() OVER (ORDER BY d) " +
+        "AS BIGINT) AS k, CAST(sum(x) OVER (ORDER BY d " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS sk FROM daily), " +
+        "sc AS (SELECT d, abs(CAST(sk AS HUGEINT) * n - " +
+        "CAST(sn AS HUGEINT) * k) AS dk FROM pre CROSS JOIN tot " +
+        "WHERE k < n), " +
+        "best AS (SELECT CAST(coalesce(max(dk), 0) AS BIGINT) " +
+        "AS d_max FROM sc), " +
+        "sp AS (SELECT d AS split_day FROM sc " +
+        "ORDER BY dk DESC, d LIMIT 1), " +
+        "m AS (SELECT n, sn, sxx, split_day, d_max FROM tot " +
+        "CROSS JOIN best LEFT JOIN sp ON true) " +
+        "SELECT n, split_day, d_max, " +
+        s"${graft.operators.TimeSeries.cusumSql} AS cusum FROM m"),
     // same daily series -> sign pairs on d2 > d1 (exact long S) ->
     // tie cubics in HUGEINT -> the shared continuity-corrected z chain
     "q58_trend" ->

@@ -81,6 +81,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rb.getLong(1) === 0L && rb.getDouble(3) === 0.0)
   }
 
+  test("changepoint finds a planted level shift at the exact boundary") {
+    // 15 days at 10, then 15 days at 30: D_k = |n·S_k − k·S_n| peaks
+    // at k = 15 with value 4500 (hand-traced), split at the 15th day
+    val xs = (0 until 30).map(i => if (i < 15) 10L else 30L)
+    val df = xs.zipWithIndex.map { case (x, i) => (day(i), x) }.toDF("d", "x")
+    val r = TimeSeries.changepoint(df, "d", "x").head()
+    assert(r.getLong(0) === 30L)
+    assert(r.getDate(1) === day(14))
+    assert(r.getLong(2) === 4500L)
+    // normalized statistic recomputed locally from the same integers
+    val (n, sn) = (30.0, xs.sum.toDouble)
+    val sxx = xs.map(x => x.toDouble * x).sum
+    val varN = (n * sxx - sn * sn) / (n * n)
+    val expect = math.rint(4500.0 / (n * math.sqrt(n) * math.sqrt(varN))
+      * 1e4) / 1e4
+    assert(r.getDouble(3) === expect)
+  }
+
+  test("changepoint degeneracies: constant series, single point, empty") {
+    val const = (0 until 6).map(i => (day(i), 5L)).toDF("d", "x")
+    val rc = TimeSeries.changepoint(const, "d", "x").head()
+    assert(rc.getLong(2) === 0L && rc.isNullAt(3)) // zero variance
+    assert(rc.getDate(1) === day(0)) // all-zero dk: earliest interior
+    val single = Seq((day(0), 1L)).toDF("d", "x")
+    val rs = TimeSeries.changepoint(single, "d", "x").head()
+    assert(rs.getLong(0) === 1L && rs.isNullAt(1) && rs.getLong(2) === 0L)
+    val empty = Seq.empty[(java.sql.Date, Long)].toDF("d", "x")
+    val re = TimeSeries.changepoint(empty, "d", "x").head()
+    assert(re.getLong(0) === 0L && re.isNullAt(1) && re.isNullAt(3))
+  }
+
   test("a lag with a single overlapping pair yields NULL r (n < 2)") {
     val df = Seq((day(0), 1L), (day(3), 5L)).toDF("d", "x")
     val rows = TimeSeries.acf(df, "d", "x", maxLag = 3).collect()

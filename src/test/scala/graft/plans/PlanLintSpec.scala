@@ -142,7 +142,9 @@ class PlanLintSpec extends SparkSpec {
         "q58_trend",
         // 1-row corpus-total + dup-mass riders over the bins-sized
         // cluster histogram
-        "d19_dup_mass"),
+        "d19_dup_mass",
+        // 1-row totals/argmax riders over the DAY-sized prefix frame
+        "q59_changepoint"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
