@@ -938,6 +938,45 @@ object CoreQueries {
     graft.operators.TimeSeries.changepoint(daily, "d", "c")
   }
 
+  // Per-weekday traffic profile — the BASELINE the q55 ACF finding
+  // calls for (a strongly weekly series needs per-weekday baselines,
+  // not one global one) and the table e14's anomaly thresholds would
+  // consume. Deviation of each weekday's mean daily count from the
+  // global mean, kept exact by integer cross-multiplication:
+  //   dev_ppm = 1e6·(sum_w·n_days − total·days_w) div (total·days_w)
+  // (DECIMAL(38,0) — total·days_w overflows a long past ~10¹⁴
+  // event-days). One count shuffle to the day-sized series; the
+  // 7-row profile + 1-row totals rider after.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // day-sized; profile + totals read one frame
+    val prof = daily
+      .groupBy(date_format(col("d"), "EEEE").as("weekday"),
+        dayofweek(col("d")).as("dow"))
+      .agg(count(lit(1)).cast("long").as("days"),
+        sum(col("c")).cast("long").as("events"))
+    val tot = daily.agg(count(lit(1)).cast("long").as("n_days"),
+      sum(col("c")).cast("long").as("total"))
+    // sign-magnitude ppm: Spark `div` truncates toward zero while
+    // DuckDB `//` floors, and they disagree on NEGATIVE numerators —
+    // dividing the |numerator| and re-applying the sign makes both
+    // engines floor the same non-negative value
+    prof.crossJoin(broadcast(tot))
+      .withColumn("_num",
+        expr("CAST(events AS DECIMAL(38,0)) * n_days - " +
+          "CAST(total AS DECIMAL(38,0)) * days"))
+      .withColumn("_den", expr("CAST(total AS DECIMAL(38,0)) * days"))
+      .select(col("weekday"), col("dow"), col("days"), col("events"),
+        expr("(1000000 * events) div days").as("mean_ppm"),
+        expr("CAST(CASE WHEN _num >= 0 THEN " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * _num) div _den " +
+          "ELSE -((CAST(1000000 AS DECIMAL(38,0)) * -_num) div _den) " +
+          "END AS BIGINT)").as("dev_ppm"))
+      .orderBy("dow")
+  }
+
   // S1–S4 end-to-end through the square-orders V2 connector: read the
   // per-location .jsonl fixture dir, push the state/date predicates and
   // location pruning into the scan (plan-asserted by the source specs;
@@ -1285,6 +1324,7 @@ object CoreQueries {
     "q57_group_percentiles" -> (q57 _),
     "q58_trend" -> (q58 _),
     "q59_changepoint" -> (q59 _),
+    "q60_weekday_profile" -> (q60 _),
     "q40_group_stats" -> (q40 _),
     "q41_skyline" -> (q41 _),
     "q42_robust_outliers" -> (q42 _),
@@ -1710,6 +1750,28 @@ object CoreQueries {
     // q54's sketch-build replay per (type, day) shard, grouped union
     // readout (no recompression), exact rank teeth + tightened eps
     "q57_group_percentiles" -> q57OracleSql,
+    // same daily series -> per-weekday exact sums -> sign-magnitude
+    // ppm deviations (both engines floor the same |numerator|);
+    // DuckDB dayname/isodow mapped to Spark's EEEE/dayofweek(Sun=1)
+    "q60_weekday_profile" ->
+      ("WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "prof AS (SELECT dayname(d) AS weekday, " +
+        "CAST(isodow(d) % 7 + 1 AS INT) AS dow, " +
+        "CAST(count(*) AS BIGINT) AS days, " +
+        "CAST(sum(c) AS BIGINT) AS events FROM daily GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(c) AS BIGINT) AS total FROM daily), " +
+        "st AS (SELECT weekday, dow, days, events, " +
+        "(1000000 * events) // days AS mean_ppm, " +
+        "CAST(events AS HUGEINT) * n_days - " +
+        "CAST(total AS HUGEINT) * days AS num, " +
+        "CAST(total AS HUGEINT) * days AS den " +
+        "FROM prof CROSS JOIN tot) " +
+        "SELECT weekday, dow, days, events, mean_ppm, " +
+        "CAST(CASE WHEN num >= 0 THEN (1000000 * num) // den " +
+        "ELSE -((1000000 * -num) // den) END AS BIGINT) AS dev_ppm " +
+        "FROM st ORDER BY dow"),
     // same daily series -> exact n-scaled prefix statistic |n·S_k −
     // k·S_n| (HUGEINT), interior argmax with (dk desc, day) ties,
     // the shared normalized-cusum chain

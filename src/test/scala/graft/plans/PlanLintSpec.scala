@@ -144,7 +144,9 @@ class PlanLintSpec extends SparkSpec {
         // cluster histogram
         "d19_dup_mass",
         // 1-row totals/argmax riders over the DAY-sized prefix frame
-        "q59_changepoint"),
+        "q59_changepoint",
+        // 1-row totals rider over the 7-row weekday profile
+        "q60_weekday_profile"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
