@@ -33,7 +33,10 @@ object Calibration {
     * clamp rationale) against boolean `label`. Only non-empty bins
     * appear (a bin with no predictions has no calibration to report);
     * `ece_ppm` repeats on every row (the 1-row rider discipline).
-    * NULL label/score rows are excluded listwise. */
+    * NULL label/score rows are excluded listwise. NaN scores are the
+    * caller's to filter: they are not NULL, and engines disagree on
+    * NaN→integer casts (the KmvSketch /0 lesson) — a probability
+    * column containing NaN is already a broken scorer upstream. */
   def report(df: DataFrame, label: Column, p: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
