@@ -267,9 +267,14 @@ object AbTest {
         value.isNotNull)
       .select(treated.as("_t"), post.as("_p"),
         round(value * quantScale).cast("long").as("q"))
+    // coalesce(…, 0): an all-empty input must report zero counts/sums,
+    // not NULL longs that throw on read (the RankTest empty-input
+    // contract anovaF/srmCheck/ksTest follow)
     def cellSums(cell: String, pred: String) = Seq(
-      expr(s"sum(CASE WHEN $pred THEN 1L ELSE 0L END)").as(s"n_$cell"),
-      expr(s"sum(CASE WHEN $pred THEN q ELSE 0L END)").as(s"s_$cell"),
+      expr(s"coalesce(sum(CASE WHEN $pred THEN 1L ELSE 0L END), 0L)")
+        .as(s"n_$cell"),
+      expr(s"coalesce(sum(CASE WHEN $pred THEN q ELSE 0L END), 0L)")
+        .as(s"s_$cell"),
       expr(s"sum(CASE WHEN $pred THEN ((q * q) - pmod(q * q, ${K}L)) " +
         s"div ${K}L ELSE 0L END)").as(s"ss_${cell}_hi"),
       expr(s"sum(CASE WHEN $pred THEN pmod(q * q, ${K}L) ELSE 0L END)")

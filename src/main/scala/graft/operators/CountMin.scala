@@ -66,10 +66,17 @@ object CountMin {
       col("c").cast("decimal(38,0)").as("ca"))
     val b = skB.select(col("row"), col("bucket"),
       col("c").cast("decimal(38,0)").as("cb"))
-    // inner join: a bucket absent from either side contributes 0
-    a.join(b, Seq("row", "bucket"))
-      .groupBy("row").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min(col("ip")).cast("decimal(38,0)").as("est"))
+    // LEFT join from A's rows: a depth row whose buckets never overlap
+    // B's is PROOF the true join size is 0 (every true joint key would
+    // hash into a shared bucket on that row), so it must contribute
+    // ip = 0 to the min — an inner join dropped it, inflating the
+    // estimate and returning NULL for fully disjoint sketches. The
+    // final coalesce covers empty sketches (empty input ⟹ size 0).
+    a.join(b, Seq("row", "bucket"), "left")
+      .groupBy("row").agg(sum(col("ca") *
+        coalesce(col("cb"), lit(java.math.BigDecimal.ZERO))).as("ip"))
+      .agg(coalesce(min(col("ip")), lit(java.math.BigDecimal.ZERO))
+        .cast("decimal(38,0)").as("est"))
   }
 
   /** Point estimates for a keys frame: min over the depth probed

@@ -111,10 +111,16 @@ object QuantileSketch {
     require(pcts.nonEmpty, "pcts must be non-empty")
     val spark = sketches.sparkSession
     import spark.implicits._
+    // localCheckpoint: cum is read TWICE (group totals + the cum>=target
+    // anchor join) — left lazy, each consumer re-runs the upstream
+    // sketch-build window over the data (the q51 re-derive cliff
+    // Calibration.report checkpoints against). The frame is sketch-sized
+    // (shards-per-group × k rows), so materializing it is ~free.
     val cum = sketches.select(grpCol.as("grp"), col("v"), col("w"))
       .withColumn("cum", sum(col("w")).over(
         Window.partitionBy("grp").orderBy("v", "w")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
     val tot = cum.groupBy("grp").agg(max(col("cum")).as("n"))
     val anchors = tot.crossJoin(broadcast(pcts.toDF("pct")))
       .select(col("grp"), col("pct"), col("n"),

@@ -541,8 +541,10 @@ object AnalyticsQueries {
     val k = AbTest.splitBase
     def pm(p: String) = s"((($p) % $k) + $k) % $k"
     def cellSums(cell: String, pred: String) = Seq(
-      s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS n_$cell",
-      s"CAST(sum(CASE WHEN $pred THEN q ELSE 0 END) AS BIGINT) AS s_$cell",
+      s"CAST(coalesce(sum(CASE WHEN $pred THEN 1 ELSE 0 END), 0) " +
+        s"AS BIGINT) AS n_$cell",
+      s"CAST(coalesce(sum(CASE WHEN $pred THEN q ELSE 0 END), 0) " +
+        s"AS BIGINT) AS s_$cell",
       s"CAST(sum(CASE WHEN $pred THEN ((q * q) - ${pm("q * q")}) // $k " +
         s"ELSE 0 END) AS BIGINT) AS ss_${cell}_hi",
       s"CAST(sum(CASE WHEN $pred THEN ${pm("q * q")} ELSE 0 END) " +

@@ -1838,8 +1838,10 @@ object CoreQueries {
         "FROM p GROUP BY 1) " +
         "SELECT lag, n, " +
         s"${graft.operators.TimeSeries.acfRSql} AS r FROM m ORDER BY lag"),
-    // both sketches replayed with the q39 md5 pipeline, inner product
-    // per row, min over rows; exact side on the same string keys
+    // both sketches replayed with the q39 md5 pipeline; inner product
+    // per row is a LEFT join from A's buckets (zero-overlap row ⟹
+    // ip = 0, mirrored in CountMin.innerProduct), min over rows;
+    // exact side on the same string keys
     "q56_join_size" ->
       ("WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events " +
         "WHERE event_type = 'view' AND user_id IS NOT NULL), " +
@@ -1853,9 +1855,11 @@ object CoreQueries {
         "CAST(t.r AS VARCHAR) || ':' || k), 1, 4)) AS INT) % 1024 " +
         "AS bucket FROM b CROSS JOIN generate_series(0, 3) AS t(r)), " +
         "skb AS (SELECT r, bucket, count(*) AS c FROM ib GROUP BY 1, 2), " +
-        "ip AS (SELECT ska.r, sum(CAST(ska.c AS HUGEINT) * skb.c) AS v " +
-        "FROM ska JOIN skb USING (r, bucket) GROUP BY 1), " +
-        "est AS (SELECT CAST(min(v) AS BIGINT) AS est FROM ip), " +
+        "ip AS (SELECT ska.r, sum(CAST(ska.c AS HUGEINT) * " +
+        "coalesce(skb.c, 0)) AS v " +
+        "FROM ska LEFT JOIN skb USING (r, bucket) GROUP BY 1), " +
+        "est AS (SELECT CAST(coalesce(min(v), 0) AS BIGINT) AS est " +
+        "FROM ip), " +
         "ex AS (SELECT CAST(coalesce(sum(CAST(ca AS HUGEINT) * cb), 0) " +
         "AS BIGINT) AS exact FROM " +
         "(SELECT k, count(*) AS ca FROM a GROUP BY 1) x JOIN " +

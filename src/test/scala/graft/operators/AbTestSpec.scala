@@ -141,6 +141,16 @@ class AbTestSpec extends SparkSpec {
     assert(r2.isNullAt(9) && r2.isNullAt(10))
   }
 
+  test("diffInDiff: all-empty input reports zero counts, not NULL longs") {
+    // the RankTest empty-input contract anovaF/srmCheck/ksTest follow:
+    // getLong must not throw on an experiment with no qualifying rows
+    val empty = Seq.empty[(Boolean, Boolean, Double)].toDF("t", "p", "y")
+    val r = AbTest.diffInDiff(empty, col("t"), col("p"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((0L, 0L, 0L, 0L)))
+    assert(r.isNullAt(8) && r.isNullAt(9) && r.isNullAt(10))
+  }
+
   test("anovaF agrees with brute-force F; planted separation is loud") {
     val rnd = new scala.util.Random(13)
     // three groups with distinct means and shared spread

@@ -61,6 +61,26 @@ class CountMinSpec extends SparkSpec {
     assert(estNarrow >= exact)
   }
 
+  test("innerProduct: disjoint and empty sketches estimate zero") {
+    val a = (1 to 50).map(i => s"a$i").toDF("k")
+    val b = (1 to 50).map(i => s"b$i").toDF("k")
+    // wide sketch: a's and b's keys land in (almost surely) disjoint
+    // buckets on at least one depth row — that row proves size 0, so
+    // the min must be 0 (the inner-join version dropped the row and
+    // inflated the estimate from the colliding rows instead)
+    val est = CountMin.innerProduct(
+      CountMin.sketch(a, col("k"), depth = 4, width = 65536),
+      CountMin.sketch(b, col("k"), depth = 4, width = 65536))
+      .head().getDecimal(0).longValueExact()
+    assert(est === 0L)
+    // empty sketch (empty input): join size 0, not NULL
+    val empty = Seq.empty[String].toDF("k")
+    val estE = CountMin.innerProduct(
+      CountMin.sketch(empty, col("k")), CountMin.sketch(b, col("k")))
+      .head().getDecimal(0).longValueExact()
+    assert(estE === 0L)
+  }
+
   test("merged shard sketches == sketch of the union") {
     val a = freqs(300)
     val b = (301 to 500).map(i => (i % 17).toLong).toDF("k")
