@@ -145,7 +145,13 @@ object Bench {
       val oks = mine.collect { case (_, t, true) => t }
       (name, if (oks.nonEmpty) oks.min else 0.0, oks.nonEmpty)
     }
-    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: full nanosecond floats made the 227-query line
+    // ~10 KB, overflowing the driver's captured log tail (the r12
+    // "parsed: null"); 1 ms resolution is far inside the measured ±40%
+    // sandbox noise band, so nothing comparable is lost
+    def sec(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -173,7 +179,7 @@ object Bench {
     }
     val over = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$over,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"over_budget":$over,"sf":"$sfDir","iters":$iters}"""
     // durable copy: the driver captures only the log tail, which truncated
     // the r3 artifact to 64 of 109 queries — a committed file survives.
     // A SPARK_GRAFT_ONLY subset run records to a sibling file so local
