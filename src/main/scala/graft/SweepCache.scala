@@ -29,16 +29,30 @@ object SweepCache {
   @volatile private var on = false
   private val frames =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val values =
+    scala.collection.concurrent.TrieMap.empty[String, Any]
   private val guarded =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   /** Turn the cache on for this process (sweep mains only). */
   def enable(): Unit = synchronized {
-    on = true; frames.clear(); guarded.clear()
+    on = true; frames.clear(); values.clear(); guarded.clear()
   }
 
   /** Is this RDD id one of the cache's materialized fixtures? */
   def isProtected(id: Int): Boolean = guarded.contains(id)
+
+  /** A cached DRIVER-SIDE artifact (a trained PQ codebook, fitted
+    * projection planes — model values, not frames): built on first
+    * use, pass-through when disabled. Same rationale as the frame
+    * cache — a deployment trains once and persists the artifact (the
+    * codebook IS persisted, as the oracle's aux fixture); consumers
+    * load it instead of re-running Lloyd iterations per query. */
+  def getOrBuildValue[T](key: String)(build: => T): T =
+    if (!on) build
+    else synchronized {
+      values.getOrElseUpdate(key, build).asInstanceOf[T]
+    }
 
   /** The cached frame for `key`, building (and eagerly materializing)
     * it on first use; pass-through when the cache is disabled. */

@@ -130,29 +130,30 @@ object ProductQuantization {
       cb: Codebooks, queryVec: Seq[Float], k: Int): DataFrame =
     adcTopKCodes(encode(emb, idCol, vecCol, cb), cb, queryVec, k)
 
-  /** The m×ksub query→centroid distance table (the ADC lookup) as a
-    * plan literal. */
-  private def distanceLut(cb: Codebooks, queryVec: Seq[Float]): Column = {
+  /** The m×ksub query→centroid distance table (the ADC lookup),
+    * precomputed driver-side — m·ksub doubles, a plan literal. */
+  private def distanceLut(cb: Codebooks,
+      queryVec: Seq[Float]): Seq[Seq[Double]] = {
     require(queryVec.size == cb.dim, "query dim mismatch")
-    val tbl: Seq[Seq[Double]] = (0 until cb.m).map { j =>
+    (0 until cb.m).map { j =>
       val q = queryVec.slice(j * cb.dsub, (j + 1) * cb.dsub)
       cb.centroids(j).map(c =>
         q.zip(c).map { case (a, b) =>
           (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble)
         }.sum)
     }
-    typedlit(tbl)
   }
 
-  /** ADC lookup-sum over a CODES column. */
+  /** ADC lookup-sum over a CODES column — the codegen'd
+    * [[graft.plans.AdcSum]] expression. The HOF formulation
+    * (`aggregate(zip_with(element_at(element_at(lut, j), c + 1)))`)
+    * hit the interpreted-lambda + no-CSE cliffs exactly like encode
+    * did before [[graft.plans.PqEncode]]; see AdcSum's scaladoc for
+    * the measured A/B. */
   private def adcOfCodes(codes: Column, cb: Codebooks,
-      queryVec: Seq[Float]): Column = {
-    val lut = distanceLut(cb, queryVec)
-    aggregate(
-      zip_with(codes, sequence(lit(1), lit(cb.m)), (c, j) =>
-        element_at(element_at(lut, j), c + 1)),
-      lit(0.0d), (acc, x) => acc + x)
-  }
+      queryVec: Seq[Float]): Column =
+    bridge.column(graft.plans.AdcSum(bridge.expression(codes),
+      distanceLut(cb, queryVec)))
 
   /** ADC distance of a raw VECTOR column against `queryVec` — encode +
     * lookup-sum fused into one expression, for composes that carry the

@@ -51,6 +51,24 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(got === List(2L, 5L)) // equal adc -> id order; k=2 cuts 9
   }
 
+  test("adcTopKCodes drops undecodable code rows instead of erroring " +
+    "or ranking them first") {
+    // short array, null element, out-of-range code, null codes: all
+    // yield null adc (the AdcSum null discipline — the HOF element_at
+    // form threw under ANSI on a bad code) and are filtered before the
+    // NULLS FIRST asc sort can hand them rank 1
+    val codes = Seq(
+      (1L, Some(Seq(Some(0), Some(0)))),
+      (2L, Some(Seq(Some(0)))),
+      (3L, Some(Seq(Some(0), None))),
+      (4L, Some(Seq(Some(0), Some(7)))),
+      (5L, Option.empty[Seq[Option[Int]]])
+    ).toDF("id", "codes")
+    val got = adcTopKCodes(codes, cb, Seq(0f, 0f, 0f, 0f), 10)
+      .select("id").as[Long].collect().toList
+    assert(got === List(1L))
+  }
+
   test("train recovers two planted clusters per subspace and encode " +
     "separates them") {
     // subspace clusters: first half near (0,0) or (8,8); second half
