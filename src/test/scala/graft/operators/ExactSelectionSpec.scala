@@ -64,8 +64,11 @@ class ExactSelectionSpec extends SparkSpec {
     }
     val one = scansFor(1)
     val five = scansFor(5)
-    // stats (4 partitions) + shared level (4) + shared terminal (4)
-    assert(one === 12L, s"single-quantile scans: $one")
+    // the up-front localCheckpoint is the ONLY pass over the source
+    // (4 partitions); stats, the shared levels, and the terminal walk
+    // all read the materialized longs — multi-pass selection touches
+    // the source format exactly once
+    assert(one === 4L, s"single-quantile source scans: $one")
     assert(five === one,
       s"5 quantiles took $five partition scans vs $one for 1 — " +
         "level synchronization broke")
