@@ -71,6 +71,24 @@ object Drill {
         "/ count(*) FROM v_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)")
         .count()
     }
+    time("SQL gate + SHUFFLE_HASH hint") {
+      s.sql("SELECT /*+ SHUFFLE_HASH(l2) */ count(*) AS cnt, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+        "FROM v_lineitem l1 WHERE l_quantity < " +
+        "(SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) " +
+        "/ count(*) FROM v_lineitem l2 WHERE l2.l_partkey = l1.l_partkey)")
+        .count()
+    }
+    time("DF variant, shuffled-hash (no broadcast)") {
+      val thr = li.groupBy("l_partkey")
+        .agg((lit(0.5) * sum(dec("l_quantity")).cast(DoubleType) /
+          count(lit(1))).as("thr"))
+      li.join(thr.hint("shuffle_hash"), "l_partkey")
+        .filter(col("l_quantity") < col("thr"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("total"))
+        .count()
+    }
   }
 
   private def s04Variants(s: SparkSession, dir: String): Unit = {

@@ -233,6 +233,14 @@ object CoreQueries {
   // average threshold, decorrelated by Catalyst into an aggregate +
   // join. The per-group mean is computed as exact-decimal sum / count
   // so both engines agree bit-for-bit regardless of summation order.
+  // Scaling (r13 drill): the decorrelated plan stays BroadcastHashJoin
+  // even at the 10× probe corpus (stage table in Drill.q23Variants —
+  // scan, inner agg, and join all sublinear), and the isolated
+  // min-of-4 probe fits alpha(sf0.1→sf1x) = 0.97
+  // (scaling_q23_isolated_r13.json); r12's 1.12 was mid-sweep
+  // min-of-2 noise, not a plan defect. When the per-key agg outgrows
+  // broadcast at true 100 TB, AQE's SMJ/SHJ fallback on the shared
+  // partkey partitioning is the intended plan.
   private def q23(s: SparkSession, dir: String): DataFrame = {
     views(s, dir, "lineitem")
     s.sql("SELECT count(*) AS cnt, " +
