@@ -151,7 +151,14 @@ object SimilaritySearch {
     * neighbors. */
   def writeIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
       dim: Int, planes: Int = 6, tables: Int = 8, seed: Long = 42L): Unit = {
+    // repartition ON the partition columns before the partitioned
+    // write: without it every task writes its own file into every
+    // (table, bucket) dir it holds rows for — tasks × dirs small files
+    // (measured 32× the file count on the s16 gate). After the
+    // shuffle each dir is written by exactly one task: one file per
+    // partition, the small-files discipline a 100 TB index needs.
     ivfIndex(emb, idCol, vecCol, dim, planes, tables, seed)
+      .repartition(col("table"), col("bucket"))
       .write.mode("overwrite")
       .partitionBy("table", "bucket")
       .parquet(path)
@@ -168,6 +175,48 @@ object SimilaritySearch {
       s"dim=$dim planes=$planes tables=$tables seed=$seed\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Incrementally append a NEW batch to a [[writeIndex]]-persisted
+    * index — the maintenance path a 100 TB pipeline actually runs:
+    * bucket ONLY the incoming rows (one scan of the batch, never the
+    * indexed corpus) and append their files into the existing
+    * (table, bucket) partition directories. Because the LSH planes are
+    * a pure function of (dim, planes, tables, seed), append-then-probe
+    * is row-equivalent to a full rebuild on the unioned corpus — the
+    * s16 gate pins that equivalence against the oracle.
+    *
+    * Refuses loudly when `path` is not an existing index (no
+    * `_ivf_params` sidecar — appending would silently create a
+    * checkless index) or when the passed params drift from the stored
+    * ones (batch rows would land in buckets the probe's query
+    * signature never visits: silent recall loss, the exact failure the
+    * sidecar exists to prevent). The sidecar itself is left untouched.
+    * Idempotence is the caller's job (re-appending the same batch
+    * duplicates rows, as with any append-mode write). */
+  def appendIndex(emb: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, planes: Int = 6, tables: Int = 8,
+      seed: Long = 42L): Unit = {
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_params")
+    val fs = sidecar.getFileSystem(
+      emb.sparkSession.sparkContext.hadoopConfiguration)
+    require(fs.exists(sidecar),
+      s"$path is not a writeIndex index (no _ivf_params sidecar) — " +
+        "build it with writeIndex before appending")
+    val want = s"dim=$dim planes=$planes tables=$tables seed=$seed"
+    val in = fs.open(sidecar)
+    val have =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    require(have == want,
+      s"IVF append params ($want) != index build params ($have)")
+    // one file per touched partition dir per batch (see writeIndex)
+    ivfIndex(emb, idCol, vecCol, dim, planes, tables, seed)
+      .repartition(col("table"), col("bucket"))
+      .write.mode("append")
+      .partitionBy("table", "bucket")
+      .parquet(path)
   }
 
   /** ANN top-k against a [[writeIndex]]-persisted index: the bucket

@@ -485,6 +485,48 @@ object DedupQueries {
       .select(col("id").as("vec_id"), col("score"))
   }
 
+  // Incremental IVF index maintenance (s16): build the persisted
+  // (table, bucket)-partitioned index on two-thirds of the corpus,
+  // APPEND the remaining third (bucketing only the batch — the 100 TB
+  // maintenance path), probe it, and pin row-equivalence against a
+  // full REBUILD on the union in-plan (rebuilt_match). The oracle
+  // replays exact-cosine top-10 over the aux candidate set (the s15
+  // two-stage recipe — LSH candidacy is Spark-seeded, everything
+  // downstream is cross-engine checked). Ranks on round(score, 4)
+  // with id tie-break from a k=25 probe shortlist (t12 determinism).
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    // bounded corpus slice + small (table, bucket) fan-out: the gate
+    // demonstrates the MAINTENANCE CONTRACT (append-then-probe ==
+    // rebuild, param-drift refusal lives in the spec), not write
+    // throughput — three partitioned index writes per call over the
+    // full corpus at 8×64 partition dirs was ~20 s of small-file
+    // creation at sf0.1 for identical evidence
+    val e = emb(s, dir).filter(col("vec_id") <= 3000L)
+      .select("vec_id", "embedding").localCheckpoint() // read 4×, 3k rows
+    val q = e.filter(col("vec_id") === 1L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val appPath = "/tmp/graft_s16_ivf_app"
+    SimilaritySearch.writeIndex(e.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", appPath, dim = 64, planes = 4, tables = 4)
+    SimilaritySearch.appendIndex(e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", appPath, dim = 64, planes = 4, tables = 4)
+    def top10(c: DataFrame, idc: String) = c
+      .select(col(idc).as("vec_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+    val probed = top10(SimilaritySearch.annTopKPersisted(s, appPath, q,
+      dim = 64, k = 25, planes = 4, tables = 4), "id")
+    // union reference via the one-job scan path — spec-pinned equal to
+    // the index path, and the spec ALSO pins append == full rebuild
+    // probe-for-probe; the gate carries the cheaper equivalent
+    val ref = top10(SimilaritySearch.annTopKScan(e, "vec_id", "embedding",
+      q, dim = 64, k = 25, planes = 4, tables = 4), "id")
+    probed
+      .join(ref.withColumnRenamed("score", "_rs"), Seq("vec_id"), "full")
+      .select(col("vec_id"), col("score"),
+        (col("score") <=> col("_rs")).as("rebuilt_match"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   // Maximal duplicated token spans per doc (the strippable ranges of
   // exact substring dedup). md5-hashed positional 8-grams so the oracle
   // replays the hash; the oracle rebuilds windows, corpus counts, and
@@ -691,6 +733,7 @@ object DedupQueries {
     "d14_dup_spans" -> (d14 _),
     "s07_pq_topk" -> (s07 _),
     "s15_ivfpq_topk" -> (s15 _),
+    "s16_ivf_append" -> (s16 _),
     "s09_pca_project" -> (s09 _),
     "s10_binary_hamming" -> (s10 _),
     "s11_binary_rerank" -> (s11 _),
@@ -1113,6 +1156,17 @@ object DedupQueries {
       SimilaritySearch.lshCandidates(e, "embedding", q, dim = 64,
         planes = 4, tables = 8, seed = 42L).select(col("vec_id"))
     }),
+    // the s16 coarse tier at the GATE's corpus slice and params
+    // (vec_id <= 3000, planes=4, tables=4): same seeded-plane candidacy
+    // the persisted probe prunes to, so DuckDB replays the rerank over
+    // exactly the probed rows
+    "s16_candidates" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") <= 3000L)
+      val q = e.filter(col("vec_id") === 1L)
+        .select(col("embedding")).collect().head.getSeq[Float](0)
+      SimilaritySearch.lshCandidates(e, "embedding", q, dim = 64,
+        planes = 4, tables = 4, seed = 42L).select(col("vec_id"))
+    }),
     "s09_components" -> ((s, dir) =>
       Pca.fixtureTable(s,
         Pca.fit(emb(s, dir), "embedding", d = 64, nComp = 2))),
@@ -1420,6 +1474,26 @@ object DedupQueries {
         "CAST(coalesce(max(df), 0) AS BIGINT) AS max_df " +
         "FROM caps LEFT JOIN df ON true GROUP BY cap ORDER BY cap"),
     "s01_ann_topk" -> annTopKSql,
+    // exact-cosine top-10 over the aux candidate set (the s15 recipe);
+    // rebuilt_match is the Spark-side append==rebuild invariant, so the
+    // oracle pins it TRUE — any divergence hash-mismatches
+    "s16_ivf_append" ->
+      ("WITH cand AS (SELECT vec_id FROM " +
+        "read_parquet('{OUT}/aux/s16_candidates/*.parquet')), " +
+        "q AS (SELECT generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +
+        "WHERE vec_id = 1), " +
+        "v AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i, " +
+        "CAST(unnest(e.embedding) AS DOUBLE) AS x FROM embeddings e " +
+        "JOIN cand USING (vec_id)), " +
+        "d AS (SELECT v.vec_id, sum(v.x * q.x) AS dot, " +
+        "sum(v.x * v.x) AS nv, sum(q.x * q.x) AS nq " +
+        "FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id), " +
+        "r AS (SELECT vec_id, round(dot / (sqrt(nv) * sqrt(nq)), 4) " +
+        "AS score FROM d WHERE nv > 0 AND nq > 0 " +
+        "ORDER BY score DESC, vec_id LIMIT 10) " +
+        "SELECT vec_id, score, CAST(TRUE AS BOOLEAN) AS rebuilt_match " +
+        "FROM r ORDER BY score DESC, vec_id"),
     "s02_quantize_int8" ->
       ("WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
         "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings " +

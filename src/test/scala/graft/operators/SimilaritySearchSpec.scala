@@ -170,6 +170,40 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(persistedIds === inMem)
   }
 
+  test("appendIndex: append-then-probe == full rebuild; refuses param " +
+    "drift and non-index paths") {
+    val appPath = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val fullPath = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    val batchA = emb.filter(col("vec_id") % 3 =!= 0)
+    val batchB = emb.filter(col("vec_id") % 3 === 0)
+    SimilaritySearch.writeIndex(batchA, "vec_id", "embedding", appPath,
+      dim = 64, planes = 6, tables = 4)
+    SimilaritySearch.appendIndex(batchB, "vec_id", "embedding", appPath,
+      dim = 64, planes = 6, tables = 4)
+    SimilaritySearch.writeIndex(emb, "vec_id", "embedding", fullPath,
+      dim = 64, planes = 6, tables = 4)
+    def probe(path: String) =
+      SimilaritySearch.annTopKPersisted(spark, path, queryVec,
+        dim = 64, k = 10, planes = 6, tables = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(appPath) === probe(fullPath))
+    // drifted params re-bucket the batch into partitions the probe's
+    // query signature never visits — must refuse, not lose recall
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.appendIndex(batchB, "vec_id", "embedding", appPath,
+        dim = 64, planes = 5, tables = 4)
+    }
+    assert(e1.getMessage.contains("params"))
+    // appending to a path that was never writeIndex-built would create
+    // a sidecar-less (checkless) index — must refuse
+    val bare = java.nio.file.Files.createTempDirectory("not_idx").toString
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.appendIndex(batchB, "vec_id", "embedding", bare,
+        dim = 64, planes = 6, tables = 4)
+    }
+    assert(e2.getMessage.contains("sidecar"))
+  }
+
   test("ANN probes a strict subset of the table (it is actually pruning)") {
     val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
       dim = 64, planes = 6, tables = 1)

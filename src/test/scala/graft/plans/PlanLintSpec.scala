@@ -188,6 +188,11 @@ class PlanLintSpec extends SparkSpec {
         // query's signature literals) + the adc NOT NULL guard: both
         // computed predicates — the s01/s07 classes composed
         "s15_ivfpq_topk",
+        // the scan-side reference probe's LSH candidacy + the isnan
+        // zero-norm guard over the just-computed cosine: the s15
+        // class (the persisted probe's bucket predicate IS pushed —
+        // it's a partition filter, spec-pinned)
+        "s16_ivf_append",
         // n_d > 0 empty-doc guard over the computed token count
         // (size of the filtered split): the t16/t26 class
         "t18_nb_confusion",
