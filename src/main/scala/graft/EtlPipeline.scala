@@ -119,12 +119,20 @@ object EtlPipeline {
         .write.mode("append").json(s"$dir/quarantined_rows")
     }
 
+    // a month with no qualifying rows can optimize sections of the plan
+    // to an empty relation, and the CollectMetrics nodes vanish with
+    // them — Observation then resolves to an EMPTY map. A scheduled run
+    // over a quiet month must report zeros, not crash on a missing key
+    // (found by the tools/monthly_etl.sh smoke over an out-of-range
+    // window).
+    def metric(m: Map[String, Any], key: String): Long =
+      m.get(key).fold(0L)(_.asInstanceOf[Long])
     EtlStats(
-      orders = obsOrders.get("orders").asInstanceOf[Long],
-      rejectedOrders = obsSrc.get("rejected").asInstanceOf[Long],
-      unknownLocationRows = obsRows.get("unknown").asInstanceOf[Long],
-      quarantinedRows = obsRows.get("quarantined").asInstanceOf[Long],
-      rowsWritten = obsRows.get("written").asInstanceOf[Long])
+      orders = metric(obsOrders.get, "orders"),
+      rejectedOrders = metric(obsSrc.get, "rejected"),
+      unknownLocationRows = metric(obsRows.get, "unknown"),
+      quarantinedRows = metric(obsRows.get, "quarantined"),
+      rowsWritten = metric(obsRows.get, "written"))
   }
 
   def main(args: Array[String]): Unit = {

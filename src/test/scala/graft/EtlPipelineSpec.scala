@@ -86,6 +86,23 @@ class EtlPipelineSpec extends SparkSpec {
       unknownLocationRows = 1, quarantinedRows = 0, rowsWritten = 2))
   }
 
+  test("runPipeline over an empty month reports zeros, not a crash") {
+    // an all-out-of-window run can optimize plan sections to an empty
+    // relation whose CollectMetrics nodes vanish — Observation then
+    // resolves to an empty map and the old stats read threw
+    // NoSuchElementException (found by the monthly_etl.sh smoke)
+    val located = SquareOrders.fromJson(spark, spark.createDataset(docs))
+    val (lo, hi) = EtlPipeline.utcWindow(
+      LocalDate.of(2020, 1, 1), LocalDate.of(2020, 1, 31))
+    val out = java.nio.file.Files.createTempDirectory("etl-empty").toString
+    val stats = EtlPipeline.runPipeline(located, locations, lo, hi, out,
+      testLimit = Some(1000))
+    assert(stats.orders === 0)
+    assert(stats.unknownLocationRows === 0)
+    assert(stats.quarantinedRows === 0)
+    assert(stats.rowsWritten === 0)
+  }
+
   test("runPipeline with test-limit caps the window sample") {
     val located = SquareOrders.fromJson(spark, spark.createDataset(docs))
     val (lo, hi) = EtlPipeline.utcWindow(

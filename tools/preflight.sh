@@ -29,5 +29,19 @@ if [[ "${1:-}" == "--full" ]]; then
   }
   tail -5 /tmp/preflight_test.log
   echo "[preflight] suite OK"
+
+  echo "[preflight] scheduled-entry smoke (tools/monthly_etl.sh, spark-submit)..."
+  sbt -batch package >/tmp/preflight_pkg.log 2>&1 || {
+    echo "[preflight] FAIL: sbt package broke — do not snapshot."
+    exit 1
+  }
+  RUN_MODE=test OUT=/tmp/graft_preflight_etl tools/monthly_etl.sh \
+      >/tmp/preflight_etl.log 2>&1 || {
+    echo "[preflight] FAIL: monthly_etl.sh smoke red — do not snapshot."
+    tail -5 /tmp/preflight_etl.log
+    exit 1
+  }
+  tail -1 /tmp/preflight_etl.log
+  echo "[preflight] scheduled-entry smoke OK"
 fi
 echo "[preflight] PASS — safe to snapshot."
