@@ -375,6 +375,58 @@ object AbTest {
         expr("CASE WHEN n > k THEN n - k END").as("df2"))
   }
 
+  /** Experiment SIZING (power analysis) — the question every team asks
+    * BEFORE launching what [[proportionTest]] later reads: how many
+    * users per arm to detect a relative lift of `mde` on the current
+    * baseline rate with α = .05 two-sided and 80% power? The classic
+    * two-proportion normal-approximation form (Fleiss, Statistical
+    * Methods for Rates and Proportions):
+    *   n/arm = ⌈( z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p1(1−p1)+p2(1−p2)) )²
+    *           / (p2−p1)²⌉,   p2 = p1(1+mde),  p̄ = (p1+p2)/2.
+    *
+    * Exactness: the baseline comes from ONE conditional-count aggregate
+    * (exact integers); per MDE the estimate is one fixed-shape double
+    * chain over (conv, n, mde_ppm) with literal z constants, mirrored
+    * textually by the oracle — identical IEEE ops, so even the ⌈…⌉
+    * boundary cannot drift between engines. `p1_ppm` rides as the
+    * exact floor-division integer.
+    *
+    * Scale shape: one map-side-combinable aggregate to a 1-row frame,
+    * crossJoined with the |mdes|-row literal rider (the f10 class).
+    * Output per mde: (mde_ppm, n, conv, p1_ppm, n_per_arm); n_per_arm
+    * NULL when the baseline is degenerate (no users, rate 0 or 1, or
+    * p2 ≥ 1 — no test exists). NULL converted counts as not converted;
+    * the caller's user frame decides who is in scope. */
+  def powerMde(users: DataFrame, converted: Column,
+      mdesPpm: Seq[Long]): DataFrame = {
+    require(mdesPpm.nonEmpty && mdesPpm.forall(m => m > 0 && m < 1000000),
+      "relative MDEs must be in (0, 1e6) ppm")
+    val spark = users.sparkSession
+    import spark.implicits._
+    val base = users.agg(
+      coalesce(sum(when(coalesce(converted, lit(false)), 1L)
+        .otherwise(0L)), lit(0L)).as("conv"),
+      count(lit(1)).as("n"))
+    base.crossJoin(broadcast(mdesPpm.toDF("mde_ppm")))
+      .select(col("mde_ppm"), col("n"), col("conv"),
+        expr("CASE WHEN n > 0 THEN (1000000 * conv) div n END")
+          .as("p1_ppm"),
+        expr(powerNArmSql).as("n_per_arm"))
+      .orderBy("mde_ppm")
+  }
+
+  // power's shared expression text over (conv, n, mde_ppm); z_{.025}
+  // and z_{.20} as literals — the chain must be char-identical in both
+  // engines for the ceil boundary to be safe
+  private def p1D = s"(${d("conv")} / ${d("n")})"
+  private def p2D = s"($p1D * (1.0 + ${d("mde_ppm")} / 1000000.0))"
+  private def pbD = s"(($p1D + $p2D) / 2.0)"
+  private[graft] def powerNArmSql: String =
+    s"CASE WHEN n > 0 AND conv > 0 AND conv < n AND $p2D < 1.0 THEN " +
+      s"CAST(ceil(pow(1.959964 * sqrt(2.0 * $pbD * (1.0 - $pbD)) + " +
+      s"0.841621 * sqrt($p1D * (1.0 - $p1D) + $p2D * (1.0 - $p2D)), 2) " +
+      s"/ (($p2D - $p1D) * ($p2D - $p1D))) AS BIGINT) END"
+
   /** Sample-ratio-mismatch guard (Fabijan et al. 2019) — the health
     * check an experiment platform runs BEFORE reading any metric: if
     * the realized A/B split is improbably far from the assignment

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical data LAYOUT for scan locality — the lever that decides how
+  * much of a 100 TB table a range query actually reads.
+  *
+  * Parquet readers skip data with per-row-group min/max statistics, but
+  * stats only help when rows with nearby keys sit TOGETHER: a table
+  * written from a hash-shuffled upstream spreads every key range over
+  * every file, so every row group straddles the whole domain and no
+  * predicate ever skips anything. [[writeRangeClustered]] is the
+  * standard fix (Hive/Iceberg/Delta call it sort-clustering; z-order
+  * generalizes it to multiple keys): range-repartition on the cluster
+  * keys so each output file owns a narrow contiguous slice, then sort
+  * within partitions so row groups inside each file are narrower still.
+  * A `key BETWEEN lo AND hi` scan then reads the few files whose slice
+  * intersects — the pushed predicate skips whole row groups of the
+  * rest.
+  *
+  * repartitionByRange samples the data to pick boundaries (one extra
+  * pass at write time — the cost a read-heavy table amortizes on the
+  * first clustered query). The boundaries are data-dependent, so the
+  * CONTENT contract (round-trip equality, range-aggregate equality) is
+  * what the p16 gate hash-pins; the clustering property itself
+  * (per-file key spans are narrow and nearly disjoint) is pinned by
+  * LayoutSpec over the file footprint.
+  */
+object Layout {
+
+  /** Write `df` to `path` range-clustered on `cols`: `files` output
+    * files, each covering a narrow contiguous slice of the cluster-key
+    * domain, rows sorted inside each file. */
+  def writeRangeClustered(df: DataFrame, cols: Seq[String], path: String,
+      files: Int): Unit = {
+    require(cols.nonEmpty && files >= 1, "need cluster cols and files >= 1")
+    df.repartitionByRange(files, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Clustering-quality report of a parquet table: one row per file
+    * with the (lo, hi) span of `keyCol` it holds — the evidence that a
+    * layout is (or is not) range-clustered. File names are run-varying,
+    * so this is spec/ops-side diagnostics, not gate output. */
+  def fileSpans(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
+        count(lit(1)).as("rows"))
+}

@@ -370,6 +370,21 @@ object AnalyticsQueries {
       label = col("event_type") === "purchase",
       p = col("value") / 100.0)
 
+  // experiment sizing (f25): users-per-arm needed to detect 1/5/10/20%
+  // relative lifts on the observed per-user purchase-conversion
+  // baseline — the pre-launch readout in front of f14/f24. One
+  // groupBy(user) to the conversion frame, one conditional-count
+  // aggregate, the Fleiss chain per MDE level (fixed-shape doubles
+  // over exact integers, shared text with the oracle — even the ceil
+  // boundary replays bit-for-bit)
+  private def f25(s: SparkSession, dir: String): DataFrame = {
+    val users = events(s, dir).filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(col("event_type") === "purchase").as("converted"))
+    graft.operators.AbTest.powerMde(users, col("converted"),
+      Seq(10000L, 50000L, 100000L, 200000L))
+  }
+
   // two-sample Kolmogorov–Smirnov: do odd and even users draw event
   // values from the same distribution? Exact integer D numerator over
   // the distinct-value frame (f18's two-phase prefix, both arms)
@@ -436,6 +451,7 @@ object AnalyticsQueries {
     "f20_diff_in_diff" -> (f20 _),
     "f21_calibration" -> (f21 _),
     "f22_ks_test" -> (f22 _),
+    "f25_power" -> (f25 _),
     "f23_anova" -> (f23 _),
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
@@ -988,6 +1004,21 @@ object AnalyticsQueries {
     "f15_welch_ttest" -> f15OracleSql,
     "f20_diff_in_diff" -> f20OracleSql,
     "f23_anova" -> f23OracleSql,
+    // identical per-user conversion rollup, then AbTest's Fleiss chain
+    // text verbatim per MDE level (ceil boundary safe: same IEEE ops)
+    "f25_power" ->
+      ("WITH u AS (SELECT user_id, bool_or(event_type = 'purchase') " +
+        "AS converted FROM events WHERE user_id IS NOT NULL " +
+        "GROUP BY 1), " +
+        "m AS (SELECT CAST(coalesce(sum(CASE WHEN " +
+        "coalesce(converted, false) THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+        "AS conv, count(*) AS n FROM u), " +
+        "k AS (SELECT unnest([10000, 50000, 100000, 200000]) AS mde_ppm) " +
+        "SELECT CAST(mde_ppm AS BIGINT) AS mde_ppm, " +
+        "CAST(n AS BIGINT) AS n, conv, " +
+        "CASE WHEN n > 0 THEN (1000000 * conv) // n END AS p1_ppm, " +
+        s"${graft.operators.AbTest.powerNArmSql} AS n_per_arm " +
+        "FROM m CROSS JOIN k ORDER BY mde_ppm"),
     // identical conditional counts + the shared chi-square text
     // the kcore/g02 edge CTE -> degrees -> (deg desc, node) rank ->
     // t27's decimal-quantized log-log OLS chain verbatim

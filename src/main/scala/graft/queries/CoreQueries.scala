@@ -1041,6 +1041,32 @@ object CoreQueries {
         col("score"))
       .orderBy("doc_id")
 
+  // ORC ingest/export round-trip (src06): the other columnar format
+  // warehouses hand over (Spark's reader is built-in and vectorized).
+  // Write a projected fact slice as ORC partitioned by ship year (one
+  // file per partition — the writeIndex small-files discipline), read
+  // it back with a partition-pruning filter plus a pushed row-level
+  // predicate, and aggregate by month. DuckDB has no ORC reader, so
+  // the oracle computes the same aggregate straight from the parquet
+  // table — round-trip FIDELITY through the format is what's checked.
+  private def src06(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_src06_orc"
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"), year(col("l_shipdate")).as("y"))
+      .repartition(col("y"))
+      .write.mode("overwrite").partitionBy("y").orc(base)
+    s.read.orc(base)
+      .filter(col("y") === 1997 && col("l_quantity") > 40)
+      .groupBy(month(col("l_shipdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+      .orderBy("m")
+  }
+
   // Key-skew pre-flight (q29's diagnosis half): the top-10 heavy
   // l_partkey values with exact ppm shares, the max/avg ratio, and the
   // decimal-quantized distribution entropy — one key-shuffle + a 1-row
@@ -1323,6 +1349,7 @@ object CoreQueries {
     "src03_jsonl_gz_source" -> (src03 _),
     "src04_schema_evolution" -> (src04 _),
     "src05_jdbc_source" -> (src05 _),
+    "src06_orc_source" -> (src06 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
@@ -1834,6 +1861,16 @@ object CoreQueries {
         "CAST(count(*) AS BIGINT) AS cnt, " +
         "CAST(sum((id * 37) % 1000) AS BIGINT) AS total " +
         "FROM range(200) t(id) WHERE (id * 37) % 1000 >= 100 " +
+        "GROUP BY 1 ORDER BY 1"),
+    // same aggregate straight off the parquet table (DuckDB has no ORC
+    // reader — round-trip fidelity through the format is the check)
+    "src06_orc_source" ->
+      ("SELECT CAST(month(l_shipdate) AS BIGINT) AS m, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS revenue FROM lineitem " +
+        "WHERE year(l_shipdate) = 1997 AND l_quantity > 40 " +
         "GROUP BY 1 ORDER BY 1"),
     // identical daily-count series -> lag-shifted self-join (DuckDB
     // date + int = date) -> exact DECIMAL(38,0) moments -> the shared

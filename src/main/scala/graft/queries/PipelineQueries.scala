@@ -209,7 +209,37 @@ object PipelineQueries {
     graft.operators.DatasetCard.report(docs(s, dir))
       .orderBy("lang")
 
+  // Range-clustered table layout (p16): write the fact slice clustered
+  // on the scan key (Layout.writeRangeClustered — each parquet file
+  // owns a narrow contiguous l_shipdate slice, rows sorted within), read
+  // it back THROUGH the clustered files, and answer a narrow range
+  // query plus a total-rows rider. The hash pins the CONTENT contract —
+  // clustering must lose/duplicate/reorder nothing and the range
+  // aggregate must equal the raw table's — while the layout property
+  // itself (narrow per-file spans ⟹ row-group skipping at 100 TB) is
+  // pinned by LayoutSpec (boundaries are sampled, so they're not
+  // oracle-replayable).
+  private def p16(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_p16_clustered"
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    graft.operators.Layout.writeRangeClustered(
+      li, Seq("l_shipdate"), base, files = 16)
+    val back = s.read.parquet(base)
+    val days = back
+      .filter(col("l_shipdate").between("1997-06-01", "1997-06-30"))
+      .groupBy(col("l_shipdate").as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+    val total = back.agg(count(lit(1)).as("total_rows"))
+    days.crossJoin(broadcast(total)).orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_range_cluster" -> (p16 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -235,6 +265,18 @@ object PipelineQueries {
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 
   val oracleSql: Map[String, String] = Map(
+    // same range aggregate + total-rows rider straight off the raw
+    // table — the clustered layout must be content-transparent
+    "p16_range_cluster" ->
+      ("WITH days AS (SELECT l_shipdate AS d, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) " +
+        "AS revenue FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1997-06-01' AND DATE '1997-06-30' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total_rows FROM lineitem) " +
+        "SELECT d, cnt, qty, revenue, total_rows " +
+        "FROM days CROSS JOIN t ORDER BY d"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

@@ -151,6 +151,27 @@ class AbTestSpec extends SparkSpec {
     assert(r.isNullAt(8) && r.isNullAt(9) && r.isNullAt(10))
   }
 
+  test("powerMde matches the Fleiss formula; inverse-square in the MDE") {
+    // 1000 users, 100 converted -> p1 = 0.1 exactly
+    val users = (1 to 1000).map(i => (i.toLong, i <= 100)).toDF("u", "c")
+    val r = AbTest.powerMde(users, col("c"), Seq(50000L, 200000L))
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    def fleiss(p1: Double, mde: Double): Long = {
+      val p2 = p1 * (1 + mde); val pb = (p1 + p2) / 2
+      math.ceil(math.pow(1.959964 * math.sqrt(2 * pb * (1 - pb)) +
+        0.841621 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2) /
+        ((p2 - p1) * (p2 - p1))).toLong
+    }
+    assert(r(50000L) === fleiss(0.1, 0.05))
+    assert(r(200000L) === fleiss(0.1, 0.20))
+    // halving the detectable lift ~quadruples the required sample
+    assert(r(50000L) > 10 * r(200000L) && r(50000L) < 20 * r(200000L))
+    // degenerate baselines refuse with NULL, not a crash
+    val allConv = (1 to 10).map(i => (i.toLong, true)).toDF("u", "c")
+    assert(AbTest.powerMde(allConv, col("c"), Seq(100000L))
+      .collect().forall(_.isNullAt(4)))
+  }
+
   test("anovaF agrees with brute-force F; planted separation is loud") {
     val rnd = new scala.util.Random(13)
     // three groups with distinct means and shared spread

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // pseudo-random keys over a wide domain, hash-scattered arrival order
+  private def corpus = (1 to 10000)
+    .map(i => ((i * 2654435761L) % 100000L, i.toLong)).toDF("k", "v")
+
+  test("writeRangeClustered is content-transparent and yields narrow, " +
+    "near-disjoint per-file key spans (hash layout does not)") {
+    val path = java.nio.file.Files.createTempDirectory("clustered").toString
+    Layout.writeRangeClustered(corpus, Seq("k"), path, files = 8)
+    val back = spark.read.parquet(path)
+    // content contract: nothing lost, duplicated, or altered
+    assert(back.count() === 10000L)
+    assert(back.agg(sum("v")).head().getLong(0) ===
+      (1 to 10000).map(_.toLong).sum)
+    // layout contract: Σ per-file span ≈ global span (files own
+    // near-disjoint slices). A hash-scattered layout has every file
+    // spanning ~the whole domain, Σ spans ≈ files × global.
+    def spanStats(p: String): (Long, Long, Int) = {
+      val spans = Layout.fileSpans(spark.read.parquet(p), "k")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val global = spans.map(_._2).max - spans.map(_._1).min
+      (spans.map(s => s._2 - s._1).sum, global, spans.length)
+    }
+    val (sumSpan, global, nFiles) = spanStats(path)
+    assert(nFiles >= 2, s"want multiple files, got $nFiles")
+    assert(sumSpan <= (global * 1.2).toLong,
+      s"clustered layout not disjoint: Σ spans $sumSpan vs global $global")
+    // contrast: the same data written hash-scattered
+    val scattered = java.nio.file.Files.createTempDirectory("hash").toString
+    corpus.repartition(8).write.mode("overwrite").parquet(scattered)
+    val (sumScat, globScat, _) = spanStats(scattered)
+    assert(sumScat > globScat * 4,
+      s"expected scattered spans to overlap heavily: $sumScat vs $globScat")
+  }
+}

@@ -132,6 +132,11 @@ class PlanLintSpec extends SparkSpec {
         "a05_assoc_rules",
         // 1-row ECE rider over the bins-sized reliability frame
         "f21_calibration",
+        // 1-row (conv, n) baseline crossJoined with the |mdes|-row
+        // literal rider (the f10 class)
+        "f25_power",
+        // 1-row total-rows rider over the days-sized range aggregate
+        "p16_range_cluster",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
