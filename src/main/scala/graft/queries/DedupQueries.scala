@@ -570,8 +570,11 @@ object DedupQueries {
   // the d16 pipeline the corpus already runs.
   private def p13(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
-      n = 3, numHashes = 64, bands = 32, threshold = 0.8)
+    // the staged spine (d03/d09/d16's entry point, identical params —
+    // r13: this was the last gate re-shingling/re-signing from raw
+    // text; the staged read IS the production shape)
+    val pairs = Dedup.minHashLshPairsStaged(sig64(s, dir), sets3(s, dir),
+      bands = 32, r = 2, threshold = 0.8)
     val split = DataSplit.assignByComponent(d, "doc_id", pairs,
       "doc_a", "doc_b", trainPct = 80, valPct = 10, keepKeyAs = "gkey")
     val leak = split.groupBy("gkey")
