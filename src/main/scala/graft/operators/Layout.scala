@@ -40,6 +40,43 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a parquet table IN PLACE: read every file, rewrite as
+    * `files` larger ones (range-clustered on `sortCols` when given,
+    * hash-spread otherwise), and swap the directory. The maintenance
+    * op every append-heavy table needs — [[SimilaritySearch.appendIndex]]
+    * adds one file per touched partition per batch, daily ingest adds
+    * one per job; a year of that is millions of tiny files whose
+    * open/footer cost dominates scans long before data volume does.
+    *
+    * Swap protocol: write to `<path>_compacting`, rename the live dir
+    * to `<path>_precompact`, rename the new dir in, delete the backup.
+    * Plain-parquet honesty: the two renames are not one atomic commit —
+    * run it in the table's single-writer maintenance window (the
+    * snapshot-commit version of this op is what Iceberg/Delta exist
+    * for; on those, compaction is a rewrite-files commit instead).
+    * A crash between renames leaves `_precompact` intact for manual
+    * restore; readers mid-swap can see a missing dir. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      files: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(files >= 1, "files must be >= 1")
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(files, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(files)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true); fs.delete(bak, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, bak), s"compact: could not move $path aside")
+    require(fs.rename(tmp, p), s"compact: could not install $tmp")
+    fs.delete(bak, true)
+    ()
+  }
+
   /** Clustering-quality report of a parquet table: one row per file
     * with the (lo, hi) span of `keyCol` it holds — the evidence that a
     * layout is (or is not) range-clustered. File names are run-varying,

@@ -238,8 +238,38 @@ object PipelineQueries {
     days.crossJoin(broadcast(total)).orderBy("d")
   }
 
+  // Small-files compaction (p17): scatter the fact slice into 48 tiny
+  // files (a quarter of appendIndex/daily-ingest history), compact
+  // in place to 4 range-clustered files (Layout.compact's swap
+  // protocol), and answer a range query through the compacted table.
+  // The hash pins content transparency (monthly aggregate + total-rows
+  // rider vs the raw table) AND that compaction actually compacted —
+  // n_files rides the output and the oracle pins the literal 4.
+  private def p17(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_p17_compact"
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    li.repartition(48).write.mode("overwrite").parquet(base)
+    graft.operators.Layout.compact(s, base, files = 4,
+      sortCols = Seq("l_shipdate"))
+    val back = s.read.parquet(base)
+    val months = back
+      .filter(col("l_shipdate").between("1996-01-01", "1996-03-31"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty"))
+    // input_file_name is nondeterministic — project it first (allowed),
+    // aggregating it directly is not
+    val riders = back.select(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("total_rows"),
+        countDistinct(col("_f")).cast("long").as("n_files"))
+    months.crossJoin(broadcast(riders)).orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
+    "p17_compact" -> (p17 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -277,6 +307,19 @@ object PipelineQueries {
         "t AS (SELECT count(*) AS total_rows FROM lineitem) " +
         "SELECT d, cnt, qty, revenue, total_rows " +
         "FROM days CROSS JOIN t ORDER BY d"),
+    // same monthly aggregate off the raw table; n_files pinned at the
+    // literal compaction target — fewer/more files than asked is a bug
+    "p17_compact" ->
+      ("WITH months AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty " +
+        "FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total_rows, CAST(4 AS BIGINT) " +
+        "AS n_files FROM lineitem) " +
+        "SELECT m, cnt, qty, total_rows, n_files " +
+        "FROM months CROSS JOIN t ORDER BY m"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

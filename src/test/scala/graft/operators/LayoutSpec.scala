@@ -40,4 +40,27 @@ class LayoutSpec extends SparkSpec {
     assert(sumScat > globScat * 4,
       s"expected scattered spans to overlap heavily: $sumScat vs $globScat")
   }
+
+  test("compact: in-place swap preserves content, hits the file target, " +
+    "clusters when asked, and leaves no backup dirs") {
+    val path = java.nio.file.Files.createTempDirectory("compact").toString
+    corpus.repartition(16).write.mode("overwrite").parquet(path)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 16)
+    Layout.compact(spark, path, files = 2, sortCols = Seq("k"))
+    val back = spark.read.parquet(path)
+    assert(back.count() === 10000L)
+    assert(back.agg(sum("v")).head().getLong(0) ===
+      (1 to 10000).map(_.toLong).sum)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 2)
+    // clustered: the two files own near-disjoint key slices
+    val spans = Layout.fileSpans(back, "k").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val global = spans.map(_._2).max - spans.map(_._1).min
+    assert(spans.map(s => s._2 - s._1).sum <= (global * 1.2).toLong)
+    // swap hygiene: neither staging nor backup dir survives
+    assert(!new java.io.File(path + "_compacting").exists())
+    assert(!new java.io.File(path + "_precompact").exists())
+  }
 }

@@ -137,6 +137,8 @@ class PlanLintSpec extends SparkSpec {
         "f25_power",
         // 1-row total-rows rider over the days-sized range aggregate
         "p16_range_cluster",
+        // 1-row (total_rows, n_files) rider over the months aggregate
+        "p17_compact",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
