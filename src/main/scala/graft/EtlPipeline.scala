@@ -124,9 +124,11 @@ object EtlPipeline {
     // them — Observation then resolves to an EMPTY map. A scheduled run
     // over a quiet month must report zeros, not crash on a missing key
     // (found by the tools/monthly_etl.sh smoke over an out-of-range
-    // window).
+    // window). Only the WHOLE-map-empty case is defaulted: a key
+    // missing from a populated map is a rename/typo bug that must keep
+    // crashing loudly, not report 0 rows written for a real month.
     def metric(m: Map[String, Any], key: String): Long =
-      m.get(key).fold(0L)(_.asInstanceOf[Long])
+      if (m.isEmpty) 0L else m(key).asInstanceOf[Long]
     EtlStats(
       orders = metric(obsOrders.get, "orders"),
       rejectedOrders = metric(obsSrc.get, "rejected"),

@@ -421,10 +421,16 @@ object AbTest {
   private def p1D = s"(${d("conv")} / ${d("n")})"
   private def p2D = s"($p1D * (1.0 + ${d("mde_ppm")} / 1000000.0))"
   private def pbD = s"(($p1D + $p2D) / 2.0)"
+  // the numerator is squared EXPLICITLY ((e)*(e), not pow(e, 2)):
+  // pow is not a correctly-rounded IEEE op, so two libms may disagree
+  // by an ulp — +,*,/ and sqrt are exactly rounded everywhere, which
+  // is what keeps the ceil boundary engine-safe
+  private def powerNumE: String =
+    s"(1.959964 * sqrt(2.0 * $pbD * (1.0 - $pbD)) + " +
+      s"0.841621 * sqrt($p1D * (1.0 - $p1D) + $p2D * (1.0 - $p2D)))"
   private[graft] def powerNArmSql: String =
     s"CASE WHEN n > 0 AND conv > 0 AND conv < n AND $p2D < 1.0 THEN " +
-      s"CAST(ceil(pow(1.959964 * sqrt(2.0 * $pbD * (1.0 - $pbD)) + " +
-      s"0.841621 * sqrt($p1D * (1.0 - $p1D) + $p2D * (1.0 - $p2D)), 2) " +
+      s"CAST(ceil(($powerNumE * $powerNumE) " +
       s"/ (($p2D - $p1D) * ($p2D - $p1D))) AS BIGINT) END"
 
   /** Sample-ratio-mismatch guard (Fabijan et al. 2019) — the health

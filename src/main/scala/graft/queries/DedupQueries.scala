@@ -513,13 +513,18 @@ object DedupQueries {
     def top10(c: DataFrame, idc: String) = c
       .select(col(idc).as("vec_id"), round(col("score"), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id")).limit(10)
+    // k = 1000 ≥ any possible candidate count on the 3000-row slice
+    // (≤ ~190 bucket-mates × 4 tables), so the probe applies NO
+    // raw-score pre-cut — the gate's final rounded-score top-10 ranks
+    // the SAME candidate universe the oracle ranks (a k=25 pre-cut
+    // left a rounded-tie straddling the cut engine-divergent)
     val probed = top10(SimilaritySearch.annTopKPersisted(s, appPath, q,
-      dim = 64, k = 25, planes = 4, tables = 4), "id")
+      dim = 64, k = 1000, planes = 4, tables = 4), "id")
     // union reference via the one-job scan path — spec-pinned equal to
     // the index path, and the spec ALSO pins append == full rebuild
     // probe-for-probe; the gate carries the cheaper equivalent
     val ref = top10(SimilaritySearch.annTopKScan(e, "vec_id", "embedding",
-      q, dim = 64, k = 25, planes = 4, tables = 4), "id")
+      q, dim = 64, k = 1000, planes = 4, tables = 4), "id")
     probed
       .join(ref.withColumnRenamed("score", "_rs"), Seq("vec_id"), "full")
       .select(col("vec_id"), col("score"),

@@ -158,9 +158,9 @@ class AbTestSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
     def fleiss(p1: Double, mde: Double): Long = {
       val p2 = p1 * (1 + mde); val pb = (p1 + p2) / 2
-      math.ceil(math.pow(1.959964 * math.sqrt(2 * pb * (1 - pb)) +
-        0.841621 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2)), 2) /
-        ((p2 - p1) * (p2 - p1))).toLong
+      val e = 1.959964 * math.sqrt(2 * pb * (1 - pb)) +
+        0.841621 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+      math.ceil((e * e) / ((p2 - p1) * (p2 - p1))).toLong
     }
     assert(r(50000L) === fleiss(0.1, 0.05))
     assert(r(200000L) === fleiss(0.1, 0.20))

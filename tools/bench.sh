@@ -17,10 +17,17 @@
 #        still printed first so the record survives the failure signal).
 set -u
 cd "$(dirname "$0")/.."
+# set-vs-non-empty must MATCH Bench.scala (sys.env.get): an empty-but-
+# exported SPARK_GRAFT_ONLY makes Bench write bench_subset.json, so the
+# wrapper must read the same file, not a stale bench_last.json
+record=bench_last.json
+if [ -n "${SPARK_GRAFT_ONLY+x}" ]; then record=bench_subset.json; fi
+# remove the prior record BEFORE the run: bench_last.json is committed,
+# so on a failed run the [ -s ] guard below would otherwise cat last
+# round's timings as a fresh result with a clean stdout
+rm -f "$record"
 sbt -batch "runMain graft.Bench" 1>&2
 rc=$?
-record=bench_last.json
-if [ -n "${SPARK_GRAFT_ONLY:-}" ]; then record=bench_subset.json; fi
 if [ ! -s "$record" ]; then
   echo "{\"metric\":\"total\",\"value\":null,\"error\":\"$record missing\"}"
   exit 1

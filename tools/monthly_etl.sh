@@ -49,7 +49,12 @@ ARGS=(--orders "$ORDERS" --locations "$LOCATIONS" --out "$OUT")
 [ "$RUN_MODE" = "test" ] && ARGS+=(--test-limit 1000)
 
 if command -v spark-submit >/dev/null 2>&1; then
-  JAR=$(ls target/scala-2.13/analyticsetlspark_2.13-*.jar 2>/dev/null | head -1)
+  # `|| true`: under set -e a bare `ls` with no match would kill the
+  # script HERE (exit 2 through the pipeline), making the sbt-package
+  # fallback below unreachable — a fresh clone's scheduled run would
+  # die silently
+  JAR=$(ls target/scala-2.13/analyticsetlspark_2.13-*.jar 2>/dev/null \
+    | head -1 || true)
   if [ -z "${JAR:-}" ]; then
     echo "[monthly-etl] no packaged jar — running sbt package" >&2
     sbt -batch package 1>&2
@@ -58,6 +63,16 @@ if command -v spark-submit >/dev/null 2>&1; then
   exec spark-submit --class graft.EtlPipeline --master "$SPARK_MASTER" \
     "$JAR" "${ARGS[@]}"
 else
+  # sbt's runMain takes ONE string it splits on whitespace itself —
+  # shell quoting cannot pass a space-containing path through it.
+  # Refuse loudly instead of silently truncating an output dir.
+  for a in "${ARGS[@]}"; do
+    case "$a" in *[[:space:]]*)
+      echo "[monthly-etl] arg '$a' contains whitespace — the sbt" \
+        "fallback cannot pass it; install spark-submit or rename" >&2
+      exit 1 ;;
+    esac
+  done
   echo "[monthly-etl] spark-submit not on PATH — sbt runMain fallback" >&2
   exec sbt -batch "runMain graft.EtlPipeline ${ARGS[*]}"
 fi
