@@ -433,6 +433,82 @@ object AbTest {
       s"CAST(ceil(($powerNumE * $powerNumE) " +
       s"/ (($p2D - $p1D) * ($p2D - $p1D))) AS BIGINT) END"
 
+  /** Always-valid sequential monitoring (mSPRT; Johari, Koomen,
+    * Pekelis & Walsh 2017 — "peeking" made safe): the per-look readout
+    * an experiment DASHBOARD needs, where [[proportionTest]]'s fixed-n
+    * p-value is invalid the moment anyone acts on an interim look.
+    * Normal-mixture sequential probability ratio per look d:
+    *   Λ_d = √(V_d/(V_d+τ²)) · exp(Δ_d²·τ² / (2·V_d·(V_d+τ²))),
+    * with Δ_d the arms' rate difference, V_d the pooled two-proportion
+    * variance at look d, τ² the mixture prior; the always-valid
+    * p-value is the running min over looks of 1/Λ (capped at 1) —
+    * valid at EVERY look simultaneously, by construction.
+    *
+    * Exactness: per-look cumulative counts are exact integers (one
+    * (day, arm) count shuffle, then a cumulative window over the
+    * DAY-sized frame — bounded by looks, never by users); Λ and p are
+    * one fixed-shape double chain over those integers, mirrored
+    * textually by the oracle (√, ·, / exactly rounded; exp is the same
+    * libm-ulp exposure the repo's ln-based gates already carry, hidden
+    * behind round()).
+    *
+    * Output per look: (d, n_a, conv_a, n_b, conv_b, lambda, p_av) —
+    * lambda rounded 4, p_av rounded 4; both NULL while a look's arms
+    * are degenerate (an empty arm or pooled rate 0/1 — no test, and a
+    * NULL look also contributes nothing to the running min). NULL
+    * variant/day rows are excluded; NULL converted counts as not
+    * converted. */
+  def msprt(users: DataFrame, variant: Column, converted: Column,
+      day: Column, tau2: Double = 1e-4): DataFrame = {
+    require(tau2 > 0, "tau2 must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val daily = users.filter(variant.isNotNull && day.isNotNull)
+      .select(day.as("d"), variant.as("_v"),
+        coalesce(converted, lit(false)).as("_c"))
+      .groupBy("d").agg(
+        sum(when(!col("_v"), 1L).otherwise(0L)).as("da"),
+        sum(when(!col("_v") && col("_c"), 1L).otherwise(0L)).as("dca"),
+        sum(when(col("_v"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("_v") && col("_c"), 1L).otherwise(0L)).as("dcb"))
+    // looks-sized cumulative window (the HistogramQuantile bounded-
+    // single-task discipline: one row per day, never per user)
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("d"),
+      sum("da").over(w).as("n_a"), sum("dca").over(w).as("conv_a"),
+      sum("db").over(w).as("n_b"), sum("dcb").over(w).as("conv_b"))
+    val lam = cum.withColumn("lambda", expr(msprtLambdaSql(tau2)))
+    lam.withColumn("p_av", expr(msprtPSql))
+      .select(col("d"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"), round(col("lambda"), 4).as("lambda"),
+        round(col("p_av"), 4).as("p_av"))
+      .orderBy("d")
+  }
+
+  // mSPRT's shared expression text over the cumulative integer columns
+  // (n_a, conv_a, n_b, conv_b) + the literal τ². V is the pooled
+  // two-proportion variance (proportionTest's z denominator, squared).
+  private def mDelta =
+    s"(${d("conv_b")} / ${d("n_b")} - ${d("conv_a")} / ${d("n_a")})"
+  private def mPool = s"(${d("conv_a + conv_b")} / ${d("n_a + n_b")})"
+  private def mV =
+    s"($mPool * (1.0 - $mPool) * (1.0 / ${d("n_a")} + 1.0 / ${d("n_b")}))"
+  private def mTested =
+    "n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0 AND " +
+      "conv_a + conv_b < n_a + n_b"
+  private[graft] def msprtLambdaSql(tau2: Double): String =
+    s"CASE WHEN $mTested THEN " +
+      s"sqrt($mV / ($mV + $tau2)) * " +
+      s"exp(($mDelta * $mDelta) * $tau2 / " +
+      s"(2.0 * $mV * ($mV + $tau2))) END"
+  /** Always-valid p at each look: min(1, 1/max_{d'≤d} Λ) via a running
+    * max window over the looks-sized frame (NULL looks ignored). */
+  private[graft] def msprtPSql: String =
+    "CASE WHEN max(lambda) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) IS NOT NULL THEN " +
+      "least(1.0, 1.0 / max(lambda) OVER (ORDER BY d ROWS BETWEEN " +
+      "UNBOUNDED PRECEDING AND CURRENT ROW)) END"
+
   /** Sample-ratio-mismatch guard (Fabijan et al. 2019) — the health
     * check an experiment platform runs BEFORE reading any metric: if
     * the realized A/B split is improbably far from the assignment

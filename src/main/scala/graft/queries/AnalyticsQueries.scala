@@ -385,6 +385,22 @@ object AnalyticsQueries {
       Seq(10000L, 50000L, 100000L, 200000L))
   }
 
+  // always-valid sequential monitoring (f26): the peeking-safe daily
+  // dashboard readout over the running experiment — per enrollment-day
+  // look, cumulative per-arm conversion and the mSPRT Λ / always-valid
+  // p (running 1/max Λ). Exact cumulative integers from one (day, arm)
+  // shuffle + a looks-sized window; Λ/p chains shared textually with
+  // the oracle
+  private def f26(s: SparkSession, dir: String): DataFrame = {
+    val u = events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d"),
+        max(col("event_type") === "purchase").as("converted"))
+    graft.operators.AbTest.msprt(u,
+      pmod(col("user_id"), lit(2)) === 1, col("converted"), col("d"))
+  }
+
   // two-sample Kolmogorov–Smirnov: do odd and even users draw event
   // values from the same distribution? Exact integer D numerator over
   // the distinct-value frame (f18's two-phase prefix, both arms)
@@ -452,6 +468,7 @@ object AnalyticsQueries {
     "f21_calibration" -> (f21 _),
     "f22_ks_test" -> (f22 _),
     "f25_power" -> (f25 _),
+    "f26_msprt" -> (f26 _),
     "f23_anova" -> (f23 _),
     "f11_markov" -> (f11 _),
     "f15_welch_ttest" -> (f15 _),
@@ -1019,6 +1036,35 @@ object AnalyticsQueries {
         "CASE WHEN n > 0 THEN (1000000 * conv) // n END AS p1_ppm, " +
         s"${graft.operators.AbTest.powerNArmSql} AS n_per_arm " +
         "FROM m CROSS JOIN k ORDER BY mde_ppm"),
+    // identical per-user enrollment rollup -> daily conditional sums ->
+    // cumulative looks window -> AbTest's shared Λ and running-min p
+    // chains verbatim
+    "f26_msprt" ->
+      ("WITH u AS (SELECT user_id, user_id % 2 = 1 AS v, " +
+        "min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d, " +
+        "bool_or(event_type = 'purchase') AS c FROM events " +
+        "WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+        "daily AS (SELECT d, " +
+        "CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS da, " +
+        "CAST(sum(CASE WHEN NOT v AND coalesce(c, false) THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS dca, " +
+        "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS db, " +
+        "CAST(sum(CASE WHEN v AND coalesce(c, false) THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS dcb FROM u GROUP BY 1), " +
+        "cum AS (SELECT d, " +
+        "CAST(sum(da) OVER lk AS BIGINT) AS n_a, " +
+        "CAST(sum(dca) OVER lk AS BIGINT) AS conv_a, " +
+        "CAST(sum(db) OVER lk AS BIGINT) AS n_b, " +
+        "CAST(sum(dcb) OVER lk AS BIGINT) AS conv_b FROM daily " +
+        "WINDOW lk AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW)), " +
+        "lam AS (SELECT d, n_a, conv_a, n_b, conv_b, " +
+        s"${graft.operators.AbTest.msprtLambdaSql(1e-4)} AS lambda " +
+        "FROM cum) " +
+        "SELECT d, n_a, conv_a, n_b, conv_b, " +
+        "round(lambda, 4) AS lambda, " +
+        s"round(${graft.operators.AbTest.msprtPSql}, 4) AS p_av " +
+        "FROM lam ORDER BY d"),
     // identical conditional counts + the shared chi-square text
     // the kcore/g02 edge CTE -> degrees -> (deg desc, node) rank ->
     // t27's decimal-quantized log-log OLS chain verbatim

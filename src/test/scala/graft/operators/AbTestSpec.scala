@@ -172,6 +172,41 @@ class AbTestSpec extends SparkSpec {
       .collect().forall(_.isNullAt(4)))
   }
 
+  test("msprt: p_av is non-increasing, crushes under a planted effect, " +
+    "and lambda matches the brute chain") {
+    // 14 daily cohorts of 100+100 users; control converts 10%, treated 30%
+    val rows = for (day <- 1 to 14; i <- 0 until 200) yield {
+      val t = i % 2 == 1
+      val idx = i / 2
+      val conv = if (t) idx < 30 else idx < 10
+      (java.sql.Date.valueOf(f"2024-01-$day%02d"), t, conv)
+    }
+    val r = AbTest.msprt(rows.toDF("d", "v", "c"),
+      col("v"), col("c"), col("d")).collect()
+    assert(r.length === 14)
+    assert((r.head.getLong(1), r.head.getLong(2)) === ((100L, 10L)))
+    assert((r.last.getLong(3), r.last.getLong(4)) === ((1400L, 420L)))
+    // always-valid p = running min of 1/Λ: non-increasing by definition
+    val ps = r.map(_.getDouble(6))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(ps.last < 0.01, s"planted 3x lift should be loud, p=${ps.last}")
+    // day-1 lambda against the hand-computed mixture chain
+    val (na, ca, nb, cb) = (100.0, 10.0, 100.0, 30.0)
+    val pool = (ca + cb) / (na + nb)
+    val v = pool * (1 - pool) * (1 / na + 1 / nb)
+    val t2 = 1e-4
+    val del = cb / nb - ca / na
+    val lam = math.sqrt(v / (v + t2)) *
+      math.exp(del * del * t2 / (2 * v * (v + t2)))
+    assert(math.abs(r.head.getDouble(5) - math.rint(lam * 1e4) / 1e4) < 1e-9)
+    // a null experiment never gets (spuriously) significant
+    val nullRows = for (day <- 1 to 14; i <- 0 until 200) yield
+      (java.sql.Date.valueOf(f"2024-01-$day%02d"), i % 2 == 1, i / 2 < 20)
+    val pNull = AbTest.msprt(nullRows.toDF("d", "v", "c"),
+      col("v"), col("c"), col("d")).collect().map(_.getDouble(6)).min
+    assert(pNull > 0.5, s"null effect must keep p high, got $pNull")
+  }
+
   test("anovaF agrees with brute-force F; planted separation is loud") {
     val rnd = new scala.util.Random(13)
     // three groups with distinct means and shared spread
