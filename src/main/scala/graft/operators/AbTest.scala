@@ -452,24 +452,41 @@ object AbTest {
     * libm-ulp exposure the repo's ln-based gates already carry, hidden
     * behind round()).
     *
-    * Output per look: (d, n_a, conv_a, n_b, conv_b, lambda, p_av) —
-    * lambda rounded 4, p_av rounded 4; both NULL while a look's arms
-    * are degenerate (an empty arm or pooled rate 0/1 — no test, and a
-    * NULL look also contributes nothing to the running min). NULL
-    * variant/day rows are excluded; NULL converted counts as not
-    * converted. */
-  def msprt(users: DataFrame, variant: Column, converted: Column,
-      day: Column, tau2: Double = 1e-4): DataFrame = {
+    * FILTRATION-ADAPTED, which is what makes the guarantee real: a
+    * user enters the denominators at their `day` (enrollment) look and
+    * the numerators only at `convertedDay` (when the conversion became
+    * VISIBLE) — a look never counts a conversion that hadn't happened
+    * yet (the ever-converted shortcut silently breaks the type-I
+    * guarantee the test exists for). A convertedDay before enrollment
+    * is clamped to the enrollment look.
+    *
+    * Output per look (looks = every day an enrollment or a conversion
+    * lands): (d, n_a, conv_a, n_b, conv_b, lambda, p_av) — lambda and
+    * p_av rounded 4; both NULL while a look's arms are degenerate (an
+    * empty arm or pooled rate 0/1 — no test, and a NULL look
+    * contributes nothing to the running min). NULL variant/day rows
+    * are excluded; NULL convertedDay means never converted. */
+  def msprt(users: DataFrame, variant: Column, day: Column,
+      convertedDay: Column, tau2: Double = 1e-4): DataFrame = {
     require(tau2 > 0, "tau2 must be positive")
     import org.apache.spark.sql.expressions.Window
-    val daily = users.filter(variant.isNotNull && day.isNotNull)
-      .select(day.as("d"), variant.as("_v"),
-        coalesce(converted, lit(false)).as("_c"))
-      .groupBy("d").agg(
-        sum(when(!col("_v"), 1L).otherwise(0L)).as("da"),
-        sum(when(!col("_v") && col("_c"), 1L).otherwise(0L)).as("dca"),
-        sum(when(col("_v"), 1L).otherwise(0L)).as("db"),
-        sum(when(col("_v") && col("_c"), 1L).otherwise(0L)).as("dcb"))
+    val base = users.filter(variant.isNotNull && day.isNotNull)
+      .select(day.as("_d"), variant.as("_v"),
+        when(convertedDay.isNotNull, greatest(day, convertedDay))
+          .as("_cd"))
+    val enr = base.groupBy(col("_d").as("d")).agg(
+      sum(when(!col("_v"), 1L).otherwise(0L)).as("da"),
+      sum(when(col("_v"), 1L).otherwise(0L)).as("db"))
+    val conv = base.filter(col("_cd").isNotNull)
+      .groupBy(col("_cd").as("d")).agg(
+        sum(when(!col("_v"), 1L).otherwise(0L)).as("dca"),
+        sum(when(col("_v"), 1L).otherwise(0L)).as("dcb"))
+    val daily = enr.join(conv, Seq("d"), "full")
+      .select(col("d"),
+        coalesce(col("da"), lit(0L)).as("da"),
+        coalesce(col("dca"), lit(0L)).as("dca"),
+        coalesce(col("db"), lit(0L)).as("db"),
+        coalesce(col("dcb"), lit(0L)).as("dcb"))
     // looks-sized cumulative window (the HistogramQuantile bounded-
     // single-task discipline: one row per day, never per user)
     val w = Window.orderBy("d")

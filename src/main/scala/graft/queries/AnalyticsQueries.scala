@@ -386,19 +386,23 @@ object AnalyticsQueries {
   }
 
   // always-valid sequential monitoring (f26): the peeking-safe daily
-  // dashboard readout over the running experiment — per enrollment-day
-  // look, cumulative per-arm conversion and the mSPRT Λ / always-valid
-  // p (running 1/max Λ). Exact cumulative integers from one (day, arm)
-  // shuffle + a looks-sized window; Λ/p chains shared textually with
-  // the oracle
+  // dashboard readout over the running experiment — per look,
+  // cumulative per-arm enrollment AND conversion-as-of-that-look (a
+  // user's purchase only counts from the day it happened — the
+  // filtration-adapted wiring the mSPRT guarantee requires; the
+  // ever-converted shortcut leaks the future into early looks), then
+  // the mSPRT Λ / always-valid p (running 1/max Λ). Exact cumulative
+  // integers from two (day, arm) shuffles + a looks-sized window; Λ/p
+  // chains shared textually with the oracle
   private def f26(s: SparkSession, dir: String): DataFrame = {
     val u = events(s, dir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy("user_id")
       .agg(min(to_date(col("ts"))).as("d"),
-        max(col("event_type") === "purchase").as("converted"))
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("pd"))
     graft.operators.AbTest.msprt(u,
-      pmod(col("user_id"), lit(2)) === 1, col("converted"), col("d"))
+      pmod(col("user_id"), lit(2)) === 1, col("d"), col("pd"))
   }
 
   // two-sample Kolmogorov–Smirnov: do odd and even users draw event
@@ -1036,21 +1040,28 @@ object AnalyticsQueries {
         "CASE WHEN n > 0 THEN (1000000 * conv) // n END AS p1_ppm, " +
         s"${graft.operators.AbTest.powerNArmSql} AS n_per_arm " +
         "FROM m CROSS JOIN k ORDER BY mde_ppm"),
-    // identical per-user enrollment rollup -> daily conditional sums ->
-    // cumulative looks window -> AbTest's shared Λ and running-min p
-    // chains verbatim
+    // identical per-user (enrollment day, first-purchase day) rollup ->
+    // per-day enrollment and conversion-VISIBILITY sums (full outer on
+    // day, the filtration-adapted wiring) -> cumulative looks window ->
+    // AbTest's shared Λ and running-min p chains verbatim
     "f26_msprt" ->
       ("WITH u AS (SELECT user_id, user_id % 2 = 1 AS v, " +
         "min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d, " +
-        "bool_or(event_type = 'purchase') AS c FROM events " +
+        "min(CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS pd FROM events " +
         "WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
-        "daily AS (SELECT d, " +
+        "enr AS (SELECT d, " +
         "CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS da, " +
-        "CAST(sum(CASE WHEN NOT v AND coalesce(c, false) THEN 1 ELSE 0 " +
-        "END) AS BIGINT) AS dca, " +
-        "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS db, " +
-        "CAST(sum(CASE WHEN v AND coalesce(c, false) THEN 1 ELSE 0 " +
-        "END) AS BIGINT) AS dcb FROM u GROUP BY 1), " +
+        "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS db " +
+        "FROM u GROUP BY 1), " +
+        "cv AS (SELECT greatest(d, pd) AS d, " +
+        "CAST(sum(CASE WHEN NOT v THEN 1 ELSE 0 END) AS BIGINT) AS dca, " +
+        "CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS dcb " +
+        "FROM u WHERE pd IS NOT NULL GROUP BY 1), " +
+        "daily AS (SELECT coalesce(enr.d, cv.d) AS d, " +
+        "coalesce(da, 0) AS da, coalesce(dca, 0) AS dca, " +
+        "coalesce(db, 0) AS db, coalesce(dcb, 0) AS dcb " +
+        "FROM enr FULL OUTER JOIN cv ON enr.d = cv.d), " +
         "cum AS (SELECT d, " +
         "CAST(sum(da) OVER lk AS BIGINT) AS n_a, " +
         "CAST(sum(dca) OVER lk AS BIGINT) AS conv_a, " +

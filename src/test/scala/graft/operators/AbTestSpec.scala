@@ -174,15 +174,17 @@ class AbTestSpec extends SparkSpec {
 
   test("msprt: p_av is non-increasing, crushes under a planted effect, " +
     "and lambda matches the brute chain") {
-    // 14 daily cohorts of 100+100 users; control converts 10%, treated 30%
+    // 14 daily cohorts of 100+100 users converting SAME-DAY;
+    // control converts 10%, treated 30%
     val rows = for (day <- 1 to 14; i <- 0 until 200) yield {
       val t = i % 2 == 1
       val idx = i / 2
+      val d = java.sql.Date.valueOf(f"2024-01-$day%02d")
       val conv = if (t) idx < 30 else idx < 10
-      (java.sql.Date.valueOf(f"2024-01-$day%02d"), t, conv)
+      (d, t, if (conv) Some(d) else None)
     }
-    val r = AbTest.msprt(rows.toDF("d", "v", "c"),
-      col("v"), col("c"), col("d")).collect()
+    val r = AbTest.msprt(rows.toDF("d", "v", "cd"),
+      col("v"), col("d"), col("cd")).collect()
     assert(r.length === 14)
     assert((r.head.getLong(1), r.head.getLong(2)) === ((100L, 10L)))
     assert((r.last.getLong(3), r.last.getLong(4)) === ((1400L, 420L)))
@@ -200,11 +202,35 @@ class AbTestSpec extends SparkSpec {
       math.exp(del * del * t2 / (2 * v * (v + t2)))
     assert(math.abs(r.head.getDouble(5) - math.rint(lam * 1e4) / 1e4) < 1e-9)
     // a null experiment never gets (spuriously) significant
-    val nullRows = for (day <- 1 to 14; i <- 0 until 200) yield
-      (java.sql.Date.valueOf(f"2024-01-$day%02d"), i % 2 == 1, i / 2 < 20)
-    val pNull = AbTest.msprt(nullRows.toDF("d", "v", "c"),
-      col("v"), col("c"), col("d")).collect().map(_.getDouble(6)).min
+    val nullRows = for (day <- 1 to 14; i <- 0 until 200) yield {
+      val d = java.sql.Date.valueOf(f"2024-01-$day%02d")
+      (d, i % 2 == 1, if (i / 2 < 20) Some(d) else None)
+    }
+    val pNull = AbTest.msprt(nullRows.toDF("d", "v", "cd"),
+      col("v"), col("d"), col("cd")).collect().map(_.getDouble(6)).min
     assert(pNull > 0.5, s"null effect must keep p high, got $pNull")
+  }
+
+  test("msprt is filtration-adapted: a future conversion is invisible " +
+    "at earlier looks") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d5 = java.sql.Date.valueOf("2024-01-05")
+    // everyone enrolls day 1; every treated user converts on day 5 —
+    // the day-1 look must see ZERO conversions (the ever-converted
+    // shortcut would leak them all into it and invalidate the
+    // guarantee). 1000/arm so the day-5 evidence clears the mixture
+    // prior (at n=20 Λ is ~1.08 by hand — correctly conservative).
+    val rows = (0 until 2000).map { i =>
+      val t = i % 2 == 1
+      (d1, t, if (t) Some(d5) else None)
+    }
+    val r = AbTest.msprt(rows.toDF("d", "v", "cd"),
+      col("v"), col("d"), col("cd")).collect()
+    assert(r.length === 2)
+    assert((r(0).getLong(2), r(0).getLong(4)) === ((0L, 0L)))
+    assert(r(0).isNullAt(5) && r(0).isNullAt(6)) // pooled rate 0: no test
+    assert(r(1).getLong(4) === 1000L)
+    assert(!r(1).isNullAt(6) && r(1).getDouble(6) < 0.01)
   }
 
   test("anovaF agrees with brute-force F; planted separation is loud") {
