@@ -98,9 +98,9 @@ object ScalingProbe {
     "q55_acf" -> "events", "q56_join_size" -> "events",
     "q57_group_percentiles" -> "events",
     "t31_macro_f1" -> "documents", "d19_dup_mass" -> "documents",
-    // r13 tail: the new index/layout/sizing gates
-    "s16_ivf_append" -> "embeddings", "f25_power" -> "events",
-    "p13_leakage_split" -> "documents")
+    // r13 tail: the new index/layout/sizing gates (p13 already mapped
+    // above)
+    "s16_ivf_append" -> "embeddings", "f25_power" -> "events")
 
   /** Probe-ONLY variants (not SparkEntry gates): the mm near-dup gates
     * pin their payload count (LIMIT 40/30) for oracle determinism, so

@@ -399,8 +399,11 @@ object AbTest {
     * the caller's user frame decides who is in scope. */
   def powerMde(users: DataFrame, converted: Column,
       mdesPpm: Seq[Long]): DataFrame = {
-    require(mdesPpm.nonEmpty && mdesPpm.forall(m => m > 0 && m < 1000000),
-      "relative MDEs must be in (0, 1e6) ppm")
+    // no upper bound: a >100% relative lift is a well-posed sizing
+    // question on a low baseline (p2 = p1·(1+mde) just has to stay
+    // below 1, and the chain's p2 < 1.0 guard NULLs the rest)
+    require(mdesPpm.nonEmpty && mdesPpm.forall(_ > 0),
+      "relative MDEs must be positive ppm")
     val spark = users.sparkSession
     import spark.implicits._
     val base = users.agg(

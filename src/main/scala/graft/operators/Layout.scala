@@ -59,18 +59,24 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       files: Int, sortCols: Seq[String] = Nil): Unit = {
     require(files >= 1, "files must be >= 1")
-    val df = spark.read.parquet(path)
-    val out =
-      if (sortCols.nonEmpty)
-        df.repartitionByRange(files, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else df.repartition(files)
+    // SIBLING staging dirs built from the normalized Path (not raw
+    // string concat): a trailing-slash path would otherwise put
+    // _compacting INSIDE the live table and the aside-rename — a dir
+    // into its own child — always fails, leaving the rewrite as junk
+    // inside the table
     val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
-    val bak = new org.apache.hadoop.fs.Path(path + "_precompact")
+    require(p.getParent != null, s"compact: $path has no parent dir")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "_compacting")
+    val bak = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + "_precompact")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true); fs.delete(bak, true)
-    out.write.mode("overwrite").parquet(tmp.toString)
+    val df = spark.read.parquet(path)
+    // the clustered staging write IS writeRangeClustered — one recipe,
+    // one place to change it
+    if (sortCols.nonEmpty) writeRangeClustered(df, sortCols, tmp.toString, files)
+    else df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(p, bak), s"compact: could not move $path aside")
     require(fs.rename(tmp, p), s"compact: could not install $tmp")
     fs.delete(bak, true)

@@ -493,7 +493,9 @@ object DedupQueries {
   // replays exact-cosine top-10 over the aux candidate set (the s15
   // two-stage recipe — LSH candidacy is Spark-seeded, everything
   // downstream is cross-engine checked). Ranks on round(score, 4)
-  // with id tie-break from a k=25 probe shortlist (t12 determinism).
+  // with id tie-break over the FULL candidate universe (the probe's
+  // k exceeds any possible candidate count — no raw-score pre-cut,
+  // so rounded ties can't straddle an engine-divergent boundary).
   private def s16(s: SparkSession, dir: String): DataFrame = {
     // bounded corpus slice + small (table, bucket) fan-out: the gate
     // demonstrates the MAINTENANCE CONTRACT (append-then-probe ==

@@ -170,6 +170,9 @@ class AbTestSpec extends SparkSpec {
     val allConv = (1 to 10).map(i => (i.toLong, true)).toDF("u", "c")
     assert(AbTest.powerMde(allConv, col("c"), Seq(100000L))
       .collect().forall(_.isNullAt(4)))
+    // a >100% relative lift on a low baseline is well-posed (p2 < 1)
+    assert(AbTest.powerMde(users, col("c"), Seq(1500000L))
+      .head().getLong(4) === fleiss(0.1, 1.5))
   }
 
   test("msprt: p_av is non-increasing, crushes under a planted effect, " +

@@ -63,4 +63,14 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(path + "_compacting").exists())
     assert(!new java.io.File(path + "_precompact").exists())
   }
+
+  test("compact normalizes a trailing-slash path (staging dirs are " +
+    "siblings, never children of the live table)") {
+    val path = java.nio.file.Files.createTempDirectory("compactsl").toString
+    corpus.repartition(4).write.mode("overwrite").parquet(path)
+    Layout.compact(spark, path + "/", files = 2, sortCols = Seq("k"))
+    assert(spark.read.parquet(path).count() === 10000L)
+    assert(!new java.io.File(path + "_compacting").exists())
+    assert(!new java.io.File(path, "_compacting").exists())
+  }
 }
