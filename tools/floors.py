@@ -4,7 +4,14 @@
 Runs graft.Bench over small groups of gates with SPARK_GRAFT_ITERS=4
 (one sbt/JVM per group, nothing else running), merges the per-query
 minima into bench_floors.json, and prints a budget proposal of
-max(1.5 x floor, 0.35 s) per gate.
+max(2.5 x floor, 0.35 s) per gate.
+
+The multiplier is 2.5, not 1.5: full-sweep times run 1.3-2x the
+isolated floor under ambient contention (r13 measured: p13's 1.5x
+budget breached in a hot sweep at 1.66x its floor while three other
+sweeps passed), so 1.5x flags weather, not regressions. 2.5x still
+sits far below any real slowdown's footprint (the r13 fixes cut their
+gates 2-7x).
 
 The r6/r7 measurement discipline: full-sweep numbers carry +/-40%
 ambient variance; isolated min-of-4 is the steady-state floor and the
@@ -76,10 +83,10 @@ def main():
                   open("bench_floors.json", "w"), indent=0, sort_keys=True)
     print("[floors] wrote bench_floors.json")
     budgets = json.load(open("bench_budgets.json"))
-    proposal = {k: max(round(1.5 * v, 2), 0.35) for k, v in floors.items()}
+    proposal = {k: max(round(2.5 * v, 2), 0.35) for k, v in floors.items()}
     tighter = {k: (budgets.get(k), p) for k, p in proposal.items()
                if k in budgets and p < budgets[k]}
-    print(f"[floors] budget proposal (1.5x floor) tightens "
+    print(f"[floors] budget proposal (2.5x floor) tightens "
           f"{len(tighter)} of {len(proposal)} gates:")
     for k, (old, new) in sorted(tighter.items()):
         print(f"[floors]   {k}: {old} -> {new}")
