@@ -44,11 +44,24 @@ object AssocRules {
       maxGroupRows: Long = 100000L): DataFrame = {
     require(minPairs >= 1 && topN >= 1 && maxGroupRows >= 1,
       "minPairs, topN, maxGroupRows must be >= 1")
+    // the cap stays a PRE-aggregation window on purpose: collect_set's
+    // buffer holds a group's whole item set and does not spill, so a
+    // mega-basket must be dropped BEFORE the aggregate ever sees it (a
+    // post-agg size(items) filter is too late — the CoOccurrence OOM
+    // rationale). The window shares the groupBy's hash partitioning:
+    // one sort added, no extra exchange (plan-pinned in AssocRulesSpec).
     val inc = incidence
       .select(col(group).as("_g"), col(item).as("_i"))
       .withColumn("_gn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("_g")))
       .filter(col("_gn") <= maxGroupRows).drop("_gn")
+    // sets feeds three consumers (pair expansion, base counts, basket
+    // total) and is deliberately LEFT LAZY: the r14 A/B measured
+    // checkpointing the array-heavy basket-sized frame at 1.64 →
+    // 2.4 s isolated (sf0.1) — the replayed scan+window+collect_set
+    // subtrees fuse into their consumers and run in parallel for less
+    // than the block-store serialize/deserialize (the CoOccurrence r12
+    // lazy-vs-materialized lesson, reconfirmed here).
     val sets = inc.groupBy("_g")
       .agg(array_sort(collect_set(col("_i"))).as("items"))
     // a<b pairs array-side off the sorted set (the CoOccurrence shape);
@@ -62,6 +75,13 @@ object AssocRules {
     val cntAB = pairsAB
       .groupBy("a", "b").agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minPairs)
+    // ALSO left lazy: the mirror union replays the pair-expansion
+    // subtree (2 of the plan's 5 source replays), but the r14 A/B
+    // measured checkpointing even this tiny frame at 2.5 s vs 1.64 s
+    // lazy — the eager job serializes what the lazy plan runs as one
+    // 5-subtree wave across all cores. On a saturated 1000-executor
+    // cluster the trade flips toward materializing; at local bench
+    // scale the wide lazy plan wins decisively.
     val paired = cntAB.unionByName(
       cntAB.select(col("b").as("a"), col("a").as("b"), col("pair_cnt")))
     val base = sets.select(explode(col("items")).as("_i"))

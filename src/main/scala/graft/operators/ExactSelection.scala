@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * cost is ⌈log_buckets(span)⌉ + 2 passes (min/max/count, the rounds,
   * one final distinct-count walk) with only bucket-count rows ever
   * shuffled — for cent-scale money values (span ~10⁹) that is FOUR
-  * passes end to end. The projected long column is localCheckpointed
-  * up front (8 bytes/row, spillable, released on return), so only the
+  * passes end to end. The projected long column is persisted
+  * (MEMORY_AND_DISK) up front and unpersisted on return, so only the
   * first pass touches the source format; the rest scan memory — a
   * multi-pass algorithm re-decoding parquet per round paid ~3× the
   * one materialization (measured on the q38 gate).
@@ -34,7 +34,8 @@ object ExactSelection {
   /** k-th smallest (1-indexed) among the non-null values of `c`. */
   def kthSmallest(df: DataFrame, c: String, k: Long,
       buckets: Int = 4096): Long = {
-    val vals = longs(df, c).localCheckpoint() // see quantiles()
+    val vals = longs(df, c) // see quantiles() for the persist rationale
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (lo, hi, n) = stats(vals)
       require(k >= 1 && k <= n, s"k=$k outside [1, $n]")
@@ -64,11 +65,17 @@ object ExactSelection {
       "quantiles must be in (0, 1]")
     // selection is MULTI-PASS by design (stats + ~log_buckets(span)
     // levels + the terminal walk): left lazy, every pass re-reads and
-    // re-decodes the source parquet. Materialize the one projected long
-    // column once (8 bytes/row, spillable) and the later passes scan
-    // memory — measured 1.34 → 0.60 s on the q38 gate at sf0.1. The
-    // storage is released before returning.
-    val vals = longs(df, c).localCheckpoint()
+    // re-decodes the source parquet. Cache the one projected long
+    // column (8 bytes/row, spillable; the stats() pass populates the
+    // blocks) and the later passes scan memory — measured 1.34 → 0.60 s
+    // on the q38 gate at sf0.1. persist (not localCheckpoint): only
+    // materialization is needed, not lineage truncation, and
+    // Dataset.unpersist routes through the CacheManager which does NOT
+    // track localCheckpoint's RDD-level blocks — the old finally was a
+    // no-op and blocks lingered until GC. This pairing actually
+    // releases the storage before returning.
+    val vals = longs(df, c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val (lo0, hi0, n) = stats(vals)
     val kOf = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong)).toMap

@@ -55,7 +55,9 @@ object Layout {
     * snapshot-commit version of this op is what Iceberg/Delta exist
     * for; on those, compaction is a rewrite-files commit instead).
     * A crash between renames leaves `_precompact` intact for manual
-    * restore; readers mid-swap can see a missing dir. */
+    * restore; readers mid-swap can see a missing dir. A re-run after
+    * such a crash REFUSES (leftover `_precompact`, or missing live
+    * dir) rather than deleting the only remaining copies. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       files: Int, sortCols: Seq[String] = Nil): Unit = {
     require(files >= 1, "files must be >= 1")
@@ -71,7 +73,17 @@ object Layout {
     val bak = new org.apache.hadoop.fs.Path(p.getParent,
       p.getName + "_precompact")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true); fs.delete(bak, true)
+    // crash-safety guards BEFORE any delete: after a crash between the
+    // two renames the live dir is gone and _precompact holds the only
+    // copy — a blind re-run would delete both (the backup in cleanup,
+    // then fail on the read) and lose the table. Refuse instead: a
+    // leftover _precompact always means "restore manually first", and a
+    // missing live dir means there is nothing safe to compact.
+    require(!fs.exists(bak),
+      s"compact: $bak exists — a previous compact did not finish; " +
+        s"restore it over $p (or delete it after verifying $p) first")
+    require(fs.exists(p), s"compact: $path does not exist")
+    fs.delete(tmp, true)
     val df = spark.read.parquet(path)
     // the clustered staging write IS writeRangeClustered — one recipe,
     // one place to change it

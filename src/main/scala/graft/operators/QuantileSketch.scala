@@ -54,12 +54,19 @@ object QuantileSketch {
   def build(df: DataFrame, valueCol: String, shard: Column,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val byShard = Window.partitionBy("shard")
     val ordered = Window.partitionBy("shard").orderBy("v")
+    // ONE WindowExec: r, n and the lag all share the same
+    // (partitionBy, orderBy) spec — n uses an entire-partition frame
+    // over that spec rather than a bare partitionBy("shard"), which
+    // Spark planned as a SECOND unbounded Window operator buffering
+    // the full value frame again (the r13 q54 drill: two data-sized
+    // window passes → one).
+    val entire = ordered.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     df.select(shard.as("shard"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .withColumn("r", row_number().over(ordered).cast("long"))
-      .withColumn("n", count(lit(1)).over(byShard))
+      .withColumn("n", count(lit(1)).over(entire))
       .filter(expr(s"(r * $k) div n > ((r - 1) * $k) div n"))
       .withColumn("w",
         col("r") - coalesce(lag(col("r"), 1).over(ordered), lit(0L)))
@@ -71,28 +78,41 @@ object QuantileSketch {
     * row order is irrelevant — the result is a function of the
     * (v, w) multiset. Output: (v, w, cum) with cum = Σw up to and
     * including the point, cum(last) = N. */
-  def mergeAll(sketches: DataFrame, k: Int): DataFrame = {
+  def mergeAll(sketches: DataFrame, k: Int): DataFrame =
+    mergeAllBy(sketches.withColumn("_mg", lit("_")), col("_mg"), k)
+      .drop("grp")
+
+  /** Grouped [[mergeAll]]: input rows (grpCol, v, w); EVERY group is
+    * recompressed in one window/aggregate pipeline — per-group output
+    * identical to `mergeAll` over that group's rows alone, but G
+    * groups cost one pass of sketch-sized jobs instead of G pipelines
+    * (the r14 q54 drill: 3 readout groups ran 3 separate
+    * window+crossJoin+join chains — the gate's cost was job-count
+    * constants, not data). Output: (grp, v, w, cum). */
+  def mergeAllBy(sketches: DataFrame, grpCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = sketches.sparkSession
     import spark.implicits._
-    // sketch-sized (≤ shards·k rows): the single-task cumulative
-    // window is bounded by design
-    val cum = sketches.select(col("v"), col("w"))
-      .withColumn("cum", sum(col("w")).over(Window.orderBy("v", "w")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = cum.agg(max(col("cum")).as("n"))
+    // sketch-sized (≤ shards·k rows per group): the per-group
+    // cumulative window is bounded by design
+    val cum = sketches.select(grpCol.as("grp"), col("v"), col("w"))
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy("grp").orderBy("v", "w")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cum.groupBy("grp").agg(max(col("cum")).as("n"))
     // anchor positions p_i = ceil(i·N/k); point i = first (min-value)
     // sketch point whose cum reaches p_i; weight = p_i − p_{i−1}
-    val anchors = (1 to k).toDF("i").crossJoin(broadcast(tot))
-      .select(col("i"), expr(s"(i * n + $k - 1) div $k").as("p"))
-      .filter(col("p") > 0) // empty input: no anchors, empty sketch
-    anchors.join(cum, col("cum") >= col("p"))
-      .groupBy("i", "p").agg(min(col("v")).as("v"))
+    val anchors = tot.crossJoin(broadcast((1 to k).toDF("i")))
+      .select(col("grp"), col("i"), expr(s"(i * n + $k - 1) div $k").as("p"))
+      .filter(col("p") > 0) // empty group: no anchors, empty sketch
+    anchors.join(cum.select(col("grp").as("_cg"), col("v"), col("cum")),
+        col("grp") === col("_cg") && col("cum") >= col("p"))
+      .groupBy("grp", "i", "p").agg(min(col("v")).as("v"))
       .withColumn("w",
-        col("p") - coalesce(lag(col("p"), 1).over(Window.orderBy("i")),
-          lit(0L)))
+        col("p") - coalesce(lag(col("p"), 1).over(
+          Window.partitionBy("grp").orderBy("i")), lit(0L)))
       .filter(col("w") > 0) // k > N: collapse duplicate anchors
-      .select(col("v"), col("w"), col("p").as("cum"))
+      .select(col("grp"), col("v"), col("w"), col("p").as("cum"))
   }
 
   /** Per-GROUP percentile readout directly from unioned shard
@@ -111,16 +131,21 @@ object QuantileSketch {
     require(pcts.nonEmpty, "pcts must be non-empty")
     val spark = sketches.sparkSession
     import spark.implicits._
-    // localCheckpoint: cum is read TWICE (group totals + the cum>=target
+    // persist: cum is read TWICE (group totals + the cum>=target
     // anchor join) — left lazy, each consumer re-runs the upstream
     // sketch-build window over the data (the q51 re-derive cliff
     // Calibration.report checkpoints against). The frame is sketch-sized
     // (shards-per-group × k rows), so materializing it is ~free.
+    // persist (not localCheckpoint): the result is returned LAZY, so no
+    // in-function unpersist is possible — persist is CacheManager-
+    // tracked (clearCache()/Dataset.unpersist actually reclaim it,
+    // where localCheckpoint blocks linger until RDD GC) and the kept
+    // lineage recomputes safely if a caller drops the cache early.
     val cum = sketches.select(grpCol.as("grp"), col("v"), col("w"))
       .withColumn("cum", sum(col("w")).over(
         Window.partitionBy("grp").orderBy("v", "w")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cum.groupBy("grp").agg(max(col("cum")).as("n"))
     val anchors = tot.crossJoin(broadcast(pcts.toDF("pct")))
       .select(col("grp"), col("pct"), col("n"),
@@ -143,5 +168,20 @@ object QuantileSketch {
         expr("(pct * n + 99) div 100").as("target"))
       .join(merged, col("cum") >= col("target"))
       .groupBy("pct", "n", "target").agg(min(col("v")).as("est"))
+  }
+
+  /** Grouped [[quantiles]]: readout over a [[mergeAllBy]] result
+    * ((grp, v, w, cum)) — one row per (grp, pct) with the same
+    * per-group math as `quantiles` on that group alone. */
+  def quantilesBy(merged: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val tot = merged.groupBy("grp").agg(max(col("cum")).as("n"))
+    tot.crossJoin(broadcast(pcts.toDF("pct")))
+      .select(col("grp"), col("pct"), col("n"),
+        expr("(pct * n + 99) div 100").as("target"))
+      .join(merged.select(col("grp").as("_mg"), col("v"), col("cum")),
+        col("grp") === col("_mg") && col("cum") >= col("target"))
+      .groupBy("grp", "pct", "n", "target").agg(min(col("v")).as("est"))
   }
 }

@@ -557,7 +557,7 @@ object AnalyticsQueries {
       "event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) " +
       "ELSE 0 END) AS BIGINT) AS qy " +
       "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
-      "c AS (SELECT user_id % 2 = 1 AS v, qy, qx FROM u), " +
+      "c AS (SELECT ((user_id % 2) + 2) % 2 = 1 AS v, qy, qx FROM u), " +
       "m AS (SELECT " +
       (armSums("a", "NOT v") ++ armSums("b", "v")).mkString(", ") +
       " FROM c) " +
@@ -590,7 +590,7 @@ object AnalyticsQueries {
       cellSums("c1", "NOT t AND p") ++
       cellSums("t0", "t AND NOT p") ++
       cellSums("t1", "t AND p")
-    "WITH c AS (SELECT user_id % 2 = 1 AS t, " +
+    "WITH c AS (SELECT ((user_id % 2) + 2) % 2 = 1 AS t, " +
       "CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' AS p, " +
       "CAST(round(value * 100) AS BIGINT) AS q FROM events " +
       "WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
@@ -658,7 +658,7 @@ object AnalyticsQueries {
   // f18's distinct-value spine, INCLUSIVE cumulatives for both arms,
   // the exact cross-multiplied D numerator, then the shared λ chain
   private val f22OracleSql: String =
-    "WITH c AS (SELECT user_id % 2 = 1 AS v, " +
+    "WITH c AS (SELECT ((user_id % 2) + 2) % 2 = 1 AS v, " +
       "CAST(round(value * 100) AS BIGINT) AS q FROM events " +
       "WHERE user_id IS NOT NULL AND value IS NOT NULL), " +
       "vals AS (SELECT q, " +
@@ -689,7 +689,7 @@ object AnalyticsQueries {
         s"ELSE 0 END) AS BIGINT) AS ss_${arm}_hi",
       s"CAST(sum(CASE WHEN $pred THEN ${pm("q * q")} ELSE 0 END) " +
         s"AS BIGINT) AS ss_${arm}_lo")
-    "WITH c AS (SELECT o_custkey % 2 = 1 AS v, " +
+    "WITH c AS (SELECT ((o_custkey % 2) + 2) % 2 = 1 AS v, " +
       "CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders " +
       "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL), " +
       "m AS (SELECT " +
@@ -973,13 +973,13 @@ object AnalyticsQueries {
         "'purchase' THEN 1 ELSE 0 END) AS conv FROM events " +
         "GROUP BY user_id), " +
         "a AS (SELECT " +
-        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) " +
+        "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_a, " +
-        "CAST(sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 " +
+        "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 AND conv = 1 THEN 1 " +
         "ELSE 0 END) AS BIGINT) AS conv_a, " +
-        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) " +
+        "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_b, " +
-        "CAST(sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 " +
+        "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 AND conv = 1 THEN 1 " +
         "ELSE 0 END) AS BIGINT) AS conv_b FROM u) " +
         "SELECT n_a, conv_a, CASE WHEN n_a > 0 THEN " +
         "(1000000 * conv_a) // n_a END AS rate_a_ppm, " +
@@ -1045,7 +1045,7 @@ object AnalyticsQueries {
     // day, the filtration-adapted wiring) -> cumulative looks window ->
     // AbTest's shared Λ and running-min p chains verbatim
     "f26_msprt" ->
-      ("WITH u AS (SELECT user_id, user_id % 2 = 1 AS v, " +
+      ("WITH u AS (SELECT user_id, ((user_id % 2) + 2) % 2 = 1 AS v, " +
         "min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d, " +
         "min(CASE WHEN event_type = 'purchase' THEN " +
         "CAST(CAST(ts AS TIMESTAMP) AS DATE) END) AS pd FROM events " +
@@ -1108,9 +1108,9 @@ object AnalyticsQueries {
         "/ n, 4) AS tail_intercept FROM sums"),
     "f24_srm_check" ->
       ("WITH m AS (SELECT " +
-        "CAST(sum(CASE WHEN NOT (user_id % 2 = 1) THEN 1 ELSE 0 END) " +
+        "CAST(sum(CASE WHEN NOT (((user_id % 2) + 2) % 2 = 1) THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_a, " +
-        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) " +
+        "CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1 THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS n_b FROM events WHERE user_id IS NOT NULL) " +
         "SELECT n_a, n_b, CAST(500000 AS BIGINT) AS expected_b_ppm, " +
         s"${graft.operators.AbTest.srmChiSql(500000L)} AS chi2, " +
@@ -1152,7 +1152,7 @@ object AnalyticsQueries {
         "auc AS auc_ppm, CASE WHEN auc IS NOT NULL THEN " +
         "2 * auc - 1000000 END AS gini_ppm FROM r"),
     "f18_mann_whitney" ->
-      ("WITH c AS (SELECT o_custkey % 2 = 1 AS v, " +
+      ("WITH c AS (SELECT ((o_custkey % 2) + 2) % 2 = 1 AS v, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) AS q FROM orders " +
         "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL), " +
         "vals AS (SELECT q, " +

@@ -59,4 +59,18 @@ class AssocRulesSpec extends SparkSpec {
     assert(capped.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ===
       Set((1, 2), (2, 1)))
   }
+
+  test("the basket cap costs one sort, never a second exchange (the " +
+    "window shares the set-aggregate's hash partitioning)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the exact cap+collect_set shape mine() plans before materializing
+    val plan = baskets.select(col("g").as("_g"), col("i").as("_i"))
+      .withColumn("_gn", count(lit(1)).over(Window.partitionBy("_g")))
+      .filter(col("_gn") <= 3).drop("_gn")
+      .groupBy("_g").agg(array_sort(collect_set(col("_i"))).as("items"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, plan)
+  }
 }

@@ -64,6 +64,32 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(path + "_precompact").exists())
   }
 
+  test("compact refuses after a half-finished swap instead of deleting " +
+    "the only remaining copies") {
+    // crash-between-renames state: live dir moved aside to _precompact,
+    // new dir never installed — _precompact is the ONLY copy. A re-run
+    // must refuse (not clean up the backup and then fail on the read).
+    val path = java.nio.file.Files.createTempDirectory("compactcr").toString
+    corpus.repartition(4).write.mode("overwrite").parquet(path)
+    val live = new java.io.File(path)
+    val bak = new java.io.File(path + "_precompact")
+    assert(live.renameTo(bak))
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, path, files = 2)
+    }
+    assert(e.getMessage.contains("_precompact"))
+    // the backup survived the refusal — restore works
+    assert(bak.renameTo(live))
+    assert(spark.read.parquet(path).count() === 10000L)
+    // a missing live dir without a backup also refuses loudly
+    val ghost = java.nio.file.Files.createTempDirectory("ghost").toString
+    assert(new java.io.File(ghost).delete())
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.compact(spark, ghost, files = 2)
+    }
+    assert(e2.getMessage.contains("does not exist"))
+  }
+
   test("compact normalizes a trailing-slash path (staging dirs are " +
     "siblings, never children of the live table)") {
     val path = java.nio.file.Files.createTempDirectory("compactsl").toString

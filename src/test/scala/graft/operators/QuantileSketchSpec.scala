@@ -20,6 +20,50 @@ class QuantileSketchSpec extends SparkSpec {
     assert(q === Map(20 -> 1L, 40 -> 3L, 60 -> 5L, 80 -> 7L, 100 -> 9L))
   }
 
+  test("build plans ONE data-sized Window pass (r, n and the lag share " +
+    "a single spec; the old bare-partitionBy count was a second one)") {
+    val df = (1L to 100L).toDF("v").withColumn("s", lit("a"))
+    val plan = QuantileSketch.build(df, "v", col("s"), k = 8)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter { l =>
+      val t = l.trim
+      t.startsWith("+- Window") || t.startsWith("Window")
+    }.toSeq
+    // two Window nodes total: the data-sized one computing BOTH
+    // row_number and count over one sort, and the lag over the
+    // already-filtered anchor frame (<= k rows per shard)
+    assert(winLines.size <= 2, plan)
+    assert(winLines.exists(l =>
+      l.contains("row_number") && l.contains("count(1)")), plan)
+  }
+
+  test("mergeAllBy/quantilesBy equal the ungrouped path group by group") {
+    val rnd = new scala.util.Random(7)
+    val k = 8
+    val data = Seq("g1" -> 120, "g2" -> 35, "g3" -> 6).flatMap {
+      case (g, n) => (1 to n).map(i =>
+        (g, s"$g-s${i % 3}", rnd.nextInt(500).toLong))
+    }
+    val sk = QuantileSketch.build(
+      data.toDF("g", "s", "v"), "v", col("s"), k)
+      .withColumn("grp", substring(col("shard"), 1, 2))
+    val grouped = QuantileSketch.mergeAllBy(sk, col("grp"), k)
+    val reads = QuantileSketch.quantilesBy(grouped, Seq(25, 50, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for (g <- Seq("g1", "g2", "g3")) {
+      val solo = QuantileSketch.mergeAll(
+        sk.filter(col("grp") === g), k)
+      val gRows = grouped.filter(col("grp") === g)
+        .select("v", "w", "cum").orderBy("cum").collect().toSeq
+      assert(gRows === solo.orderBy("cum").collect().toSeq, g)
+      val soloReads = QuantileSketch.quantiles(solo, Seq(25, 50, 99))
+        .collect().map(r => (g, r.getInt(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      soloReads.foreach { case (key, v) => assert(reads(key) === v, key) }
+    }
+  }
+
   test("build: anchors at exact ranks ceil(i*n/k), weights sum to n") {
     val df = (1L to 10L).toDF("v").withColumn("s", lit("a"))
     val sk = QuantileSketch.build(df, "v", col("s"), k = 4)
