@@ -61,6 +61,24 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       files: Int, sortCols: Seq[String] = Nil): Unit = {
     require(files >= 1, "files must be >= 1")
+    swapInPlace(spark, path) { (df, tmp) =>
+      // the clustered staging write IS writeRangeClustered — one recipe,
+      // one place to change it
+      if (sortCols.nonEmpty) writeRangeClustered(df, sortCols, tmp, files)
+      else df.repartition(files).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** The guarded in-place swap [[compact]] uses, reusable by layout-
+    * specific compactors (e.g. [[SimilaritySearch.compactIndex]], whose
+    * staging write must preserve directory partitioning + a sidecar):
+    * `write(currentTable, stagingPath)` rewrites the table into the
+    * staging dir, then live → `_precompact`, staging → live, backup
+    * deleted. Same crash-safety contract as [[compact]]: a re-run after
+    * a half-finished swap REFUSES rather than deleting the only copies. */
+  private[operators] def swapInPlace(
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      write: (DataFrame, String) => Unit): Unit = {
     // SIBLING staging dirs built from the normalized Path (not raw
     // string concat): a trailing-slash path would otherwise put
     // _compacting INSIDE the live table and the aside-rename — a dir
@@ -84,11 +102,7 @@ object Layout {
         s"restore it over $p (or delete it after verifying $p) first")
     require(fs.exists(p), s"compact: $path does not exist")
     fs.delete(tmp, true)
-    val df = spark.read.parquet(path)
-    // the clustered staging write IS writeRangeClustered — one recipe,
-    // one place to change it
-    if (sortCols.nonEmpty) writeRangeClustered(df, sortCols, tmp.toString, files)
-    else df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    write(spark.read.parquet(path), tmp.toString)
     require(fs.rename(p, bak), s"compact: could not move $path aside")
     require(fs.rename(tmp, p), s"compact: could not install $tmp")
     fs.delete(bak, true)

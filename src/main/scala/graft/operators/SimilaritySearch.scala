@@ -219,6 +219,43 @@ object SimilaritySearch {
       .parquet(path)
   }
 
+  /** Compact an appended index in place: [[appendIndex]] adds one file
+    * per touched (table, bucket) dir per batch, so a year of daily
+    * appends is ~365 files per hot bucket — footer/open cost dominates
+    * probes long before data volume does. Rewrites the whole index back
+    * to ONE file per partition dir under [[Layout.swapInPlace]]'s
+    * guarded swap (same crash-safety contract as `Layout.compact`),
+    * preserving the directory partitioning that [[annTopKPersisted]]'s
+    * partition pruning depends on (a manifest-style flat file list
+    * would lose the dir-encoded (table, bucket) pruning — this layout
+    * compacts by rewrite, the plain table by `ManifestTable.compact`)
+    * and carrying the `_ivf_params` sidecar across the swap. Probe
+    * results are row-identical before and after (spec-pinned): rows
+    * move between files, never between buckets. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_params")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sidecar),
+      s"$path is not a writeIndex index (no _ivf_params sidecar)")
+    val in = fs.open(sidecar)
+    val params =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    Layout.swapInPlace(spark, path) { (df, tmp) =>
+      df.repartition(col("table"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("table", "bucket")
+        .parquet(tmp)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_ivf_params"),
+        true)
+      try out.write(
+        params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** ANN top-k against a [[writeIndex]]-persisted index: the bucket
     * predicate is a partition filter, so Spark's scan lists and reads
     * only the matching (table, bucket) directories — probe I/O is

@@ -267,9 +267,53 @@ object PipelineQueries {
     months.crossJoin(broadcast(riders)).orderBy("m")
   }
 
+  // Manifest-committed table maintenance (p18): p17's compact needs a
+  // single-writer maintenance window because its directory swap is two
+  // renames; ManifestTable makes visibility a versioned manifest
+  // published by ONE rename — data files are immutable, readers resolve
+  // the highest _manifest.N, old-or-new never mixed. The gate drives
+  // the full lifecycle (create v1 → append v2 → compact v3 → vacuum)
+  // and plants a poison ORPHAN parquet in the table dir that no
+  // manifest references: if the reader ever globbed the directory
+  // instead of resolving the manifest, the orphan rows break the hash.
+  // Riders pin the version literal (3 = the whole history ran), the
+  // compacted file count, and total rows.
+  private def p18(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p18_manifest"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1997-01-01"), files = 8)
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1997-01-01"), files = 8)
+    // poison orphan: same schema, never committed — must stay invisible
+    li.limit(500).repartition(1).write.mode("overwrite")
+      .parquet(s"$base/c_orphan")
+    ManifestTable.compact(s, base, files = 3, sortCols = Seq("l_shipdate"))
+    ManifestTable.vacuum(s, base, keepVersions = 1)
+    val back = ManifestTable.read(s, base)
+    val months = back
+      .filter(col("l_shipdate").between("1997-01-01", "1997-03-31"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty"))
+    val riders = back.agg(count(lit(1)).as("total_rows"))
+    val (mv, mfiles) = ManifestTable.currentManifest(s, base)
+    months.crossJoin(broadcast(riders))
+      .withColumn("version", lit(mv))
+      .withColumn("n_files", lit(mfiles.size.toLong))
+      .orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
+    "p18_manifest_table" -> (p18 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -319,6 +363,21 @@ object PipelineQueries {
         "t AS (SELECT count(*) AS total_rows, CAST(4 AS BIGINT) " +
         "AS n_files FROM lineitem) " +
         "SELECT m, cnt, qty, total_rows, n_files " +
+        "FROM months CROSS JOIN t ORDER BY m"),
+    // same quarterly aggregate off the raw table; version pinned at the
+    // literal 3 (create+append+compact all committed) and n_files at
+    // the compaction target — the manifest protocol must be content-
+    // transparent THROUGH the whole lifecycle, orphan excluded
+    "p18_manifest_table" ->
+      ("WITH months AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty " +
+        "FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total_rows, CAST(3 AS BIGINT) " +
+        "AS version, CAST(3 AS BIGINT) AS n_files FROM lineitem) " +
+        "SELECT m, cnt, qty, total_rows, version, n_files " +
         "FROM months CROSS JOIN t ORDER BY m"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)

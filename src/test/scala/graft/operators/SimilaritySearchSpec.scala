@@ -204,6 +204,43 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(e2.getMessage.contains("sidecar"))
   }
 
+  test("compactIndex: probe results identical, per-dir files collapse " +
+    "to one, sidecar survives, appending afterwards still works") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_cpt").toString
+    val batches = (0 to 2).map(r => emb.filter(col("vec_id") % 3 === r))
+    SimilaritySearch.writeIndex(batches(0), "vec_id", "embedding", path,
+      dim = 64, planes = 6, tables = 4)
+    batches.drop(1).foreach(b => SimilaritySearch.appendIndex(
+      b, "vec_id", "embedding", path, dim = 64, planes = 6, tables = 4))
+    def probe() = SimilaritySearch.annTopKPersisted(spark, path, queryVec,
+      dim = 64, k = 10, planes = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def bucketDirs() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("table=")).flatMap(_.listFiles())
+      .filter(_.getName.startsWith("bucket="))
+    val before = probe()
+    // the append history shows: some (table, bucket) dir holds >1 file
+    assert(bucketDirs().exists(
+      _.listFiles().count(_.getName.endsWith(".parquet")) > 1))
+    SimilaritySearch.compactIndex(spark, path)
+    // one file per partition dir, everywhere
+    val counts = bucketDirs()
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(counts.nonEmpty && counts.forall(_ === 1), counts.toSeq)
+    // rows moved between files, never between buckets
+    assert(probe() === before)
+    // sidecar carried across the swap; params still enforced
+    assert(new java.io.File(path, "_ivf_params").exists())
+    SimilaritySearch.appendIndex(batches(1), "vec_id", "embedding", path,
+      dim = 64, planes = 6, tables = 4) // would throw if sidecar drifted
+    // a non-index dir refuses
+    val bare = java.nio.file.Files.createTempDirectory("not_idx2").toString
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.compactIndex(spark, bare)
+    }
+    assert(e.getMessage.contains("sidecar"))
+  }
+
   test("ANN probes a strict subset of the table (it is actually pruning)") {
     val index = SimilaritySearch.ivfIndex(emb, "vec_id", "embedding",
       dim = 64, planes = 6, tables = 1)
