@@ -310,10 +310,44 @@ object PipelineQueries {
       .orderBy("m")
   }
 
+  // Z-ordered layout end-to-end (p19): p16 clusters ONE key; the
+  // Morton curve gives every file a narrow range in BOTH keys, so a
+  // two-predicate box query can skip most files on min/max stats alone
+  // (the reference's twin secondary indexes on timestamp AND item_name,
+  // README.md:138-141, are the analog). The gate writes the fact slice
+  // z-ordered on (l_partkey, l_suppkey), builds the per-file min/max
+  // stats index, resolves the box's file list via ZOrder.boxFiles, and
+  // answers the query READING ONLY THOSE FILES — the oracle replays
+  // the box off the raw table, so the hash proves the skip-list read
+  // lost nothing. Pruning MAGNITUDE is ZOrderSpec's claim (file spans
+  // come from sampled range boundaries — not oracle-replayable);
+  // content transparency through the pruned read is this gate's.
+  private def p19(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrder
+    val base = "/tmp/graft_p19_zorder"
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ZOrder.writeZOrdered(li, "l_partkey", "l_suppkey", base, numFiles = 16)
+    val back = s.read.parquet(base)
+    val idx = ZOrder.statsIndex(back, "l_partkey", "l_suppkey")
+    val files = ZOrder.boxFiles(idx, 20, 120, 2, 8)
+    val box = s.read.parquet(files: _*)
+      .filter(col("l_partkey").between(20, 120) &&
+        col("l_suppkey").between(2, 8))
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val riders = back.select(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("total_rows"),
+        countDistinct(col("_f")).cast("long").as("n_files"))
+    box.crossJoin(broadcast(riders)).orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
     "p18_manifest_table" -> (p18 _),
+    "p19_zorder_layout" -> (p19 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -379,6 +413,19 @@ object PipelineQueries {
         "AS version, CAST(3 AS BIGINT) AS n_files FROM lineitem) " +
         "SELECT m, cnt, qty, total_rows, version, n_files " +
         "FROM months CROSS JOIN t ORDER BY m"),
+    // same box aggregate off the raw table — the z-ordered layout AND
+    // the stats-index file skipping must be content-transparent; n_files
+    // pinned at the literal write target
+    "p19_zorder_layout" ->
+      ("WITH box AS (SELECT l_suppkey AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM lineitem " +
+        "WHERE l_partkey BETWEEN 20 AND 120 " +
+        "AND l_suppkey BETWEEN 2 AND 8 GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total_rows, CAST(16 AS BIGINT) " +
+        "AS n_files FROM lineitem) " +
+        "SELECT sk, cnt, qty, total_rows, n_files " +
+        "FROM box CROSS JOIN t ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->
