@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * (localCheckpoint) exactly like [[ConnectedComponents]]' pointer
   * jumping. Dangling nodes contribute nothing (standard simplification;
   * symmetrize the edge list and none exist).
+  *
+  * AQE is DISABLED inside the iteration loop (restored after): the
+  * layouts are pinned by construction — the persisted edge frame keeps
+  * its src hash partitioning, the rank frame exits each round hash-
+  * partitioned on node — so adaptive re-planning has nothing to improve
+  * and its per-stage materialize/replan overhead is pure constant on
+  * the K small fixed-shape rounds (r14 A/B at sf0.1, min-of-4, stable
+  * warm neighbor: g01 3.99 s → 2.86 s). The every-2nd-round checkpoint
+  * cadence survives AQE-off on its own (every-3rd re-measured 4.5 s —
+  * the r13 cliff was lineage depth, not only AQE replanning).
   */
 object PageRank {
 
@@ -69,22 +79,27 @@ object PageRank {
     eDeg.count()
     var rank = eDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(One))
-    for (i <- 1 to iters) {
-      rank = eDeg.join(rank, eDeg("src") === rank("node"))
-        .select(col("dst"), expr("rank div deg").as("contrib"))
-        .groupBy(col("dst").as("node_"))
-        .agg(expr(s"${3 * One / 20} + (17 * sum(contrib)) div 20")
-          .as("rank"))
-        .select(col("node_").as("node"), col("rank"))
-      // Materialize the node-sized rank frame every SECOND round. The
-      // cadence is measured (sf0.1, min-of-4 warm runs): every round
-      // 4.3 s, every 2nd 3.2 s, every 3rd 9.2 s — one lazy round costs
-      // less than its checkpoint job, two lazy rounds tip AQE into
-      // replanning/re-shuffling the doubled tree (the fully-lazy DAG
-      // was 3x slower still). The checkpoint writes a node-sized
-      // frame — cheap relative to the edge joins it caps.
-      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
-    }
+    val spark = edges.sparkSession
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (i <- 1 to iters) {
+        rank = eDeg.join(rank, eDeg("src") === rank("node"))
+          .select(col("dst"), expr("rank div deg").as("contrib"))
+          .groupBy(col("dst").as("node_"))
+          .agg(expr(s"${3 * One / 20} + (17 * sum(contrib)) div 20")
+            .as("rank"))
+          .select(col("node_").as("node"), col("rank"))
+        // Materialize the node-sized rank frame every SECOND round. The
+        // cadence is measured (sf0.1, min-of-4 warm runs): every round
+        // 4.3 s, every 2nd 3.2 s, every 3rd 9.2 s — one lazy round costs
+        // less than its checkpoint job, two lazy rounds tip AQE into
+        // replanning/re-shuffling the doubled tree (the fully-lazy DAG
+        // was 3x slower still). The checkpoint writes a node-sized
+        // frame — cheap relative to the edge joins it caps.
+        if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
     eDeg.unpersist() // final rank is checkpointed — lineage-free
     rank
   }
@@ -118,19 +133,24 @@ object PageRank {
     // seeds are read every iteration (the reset join) — tiny, pin once
     val s = seeds.select(col("node")).distinct().localCheckpoint()
     var rank = s.withColumn("rank", lit(One))
-    for (i <- 1 to iters) {
-      val damped = eDeg.join(rank, eDeg("src") === rank("node"))
-        .select(col("dst"), expr("rank div deg").as("contrib"))
-        .groupBy(col("dst").as("node_"))
-        .agg(expr("(17 * sum(contrib)) div 20").as("damped"))
-      rank = damped
-        .join(s.withColumn("reset", lit(3 * One / 20)),
-          col("node_") === col("node"), "full_outer")
-        .select(coalesce(col("node_"), col("node")).as("node"),
-          (coalesce(col("damped"), lit(0L)) +
-            coalesce(col("reset"), lit(0L))).as("rank"))
-      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
-    }
+    val spark = edges.sparkSession
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (i <- 1 to iters) {
+        val damped = eDeg.join(rank, eDeg("src") === rank("node"))
+          .select(col("dst"), expr("rank div deg").as("contrib"))
+          .groupBy(col("dst").as("node_"))
+          .agg(expr("(17 * sum(contrib)) div 20").as("damped"))
+        rank = damped
+          .join(s.withColumn("reset", lit(3 * One / 20)),
+            col("node_") === col("node"), "full_outer")
+          .select(coalesce(col("node_"), col("node")).as("node"),
+            (coalesce(col("damped"), lit(0L)) +
+              coalesce(col("reset"), lit(0L))).as("rank"))
+        if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
     eDeg.unpersist()
     rank
   }
