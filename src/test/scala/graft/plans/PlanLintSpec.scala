@@ -139,6 +139,11 @@ class PlanLintSpec extends SparkSpec {
         "p16_range_cluster",
         // 1-row (total_rows, n_files) rider over the months aggregate
         "p17_compact",
+        // 1-row (total_rows) rider over the months aggregate, version/
+        // n_files as literals (the p17 class)
+        "p18_manifest_table",
+        // 1-row (total_rows, n_files) rider over the box aggregate
+        "p19_zorder_layout",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
