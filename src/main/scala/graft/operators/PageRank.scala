@@ -28,13 +28,14 @@ import org.apache.spark.sql.functions._
   * jumping. Dangling nodes contribute nothing (standard simplification;
   * symmetrize the edge list and none exist).
   *
-  * AQE is DISABLED inside the iteration loop (restored after): the
-  * layouts are pinned by construction — the persisted edge frame keeps
-  * its src hash partitioning, the rank frame exits each round hash-
-  * partitioned on node — so adaptive re-planning has nothing to improve
-  * and its per-stage materialize/replan overhead is pure constant on
-  * the K small fixed-shape rounds (r14 A/B at sf0.1, min-of-4, stable
-  * warm neighbor: g01 3.99 s → 2.86 s). The every-2nd-round checkpoint
+  * AQE is DISABLED inside the iteration loop ([[IterativeLoop]], the
+  * shared discipline of the whole graph family): the layouts are pinned
+  * by construction — the persisted edge frame keeps its src hash
+  * partitioning, the rank frame exits each round hash-partitioned on
+  * node — so adaptive re-planning has nothing to improve and its
+  * per-stage materialize/replan overhead is pure constant on the K
+  * small fixed-shape rounds (r14 A/B at sf0.1, min-of-4, stable warm
+  * neighbor: g01 3.99 s → 2.86 s). The every-2nd-round checkpoint
   * cadence survives AQE-off on its own (every-3rd re-measured 4.5 s —
   * the r13 cliff was lineage depth, not only AQE replanning).
   */
@@ -79,10 +80,7 @@ object PageRank {
     eDeg.count()
     var rank = eDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(One))
-    val spark = edges.sparkSession
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    IterativeLoop.withoutAqe(edges.sparkSession) {
       for (i <- 1 to iters) {
         rank = eDeg.join(rank, eDeg("src") === rank("node"))
           .select(col("dst"), expr("rank div deg").as("contrib"))
@@ -99,7 +97,7 @@ object PageRank {
         // frame — cheap relative to the edge joins it caps.
         if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
     eDeg.unpersist() // final rank is checkpointed — lineage-free
     rank
   }
@@ -133,10 +131,7 @@ object PageRank {
     // seeds are read every iteration (the reset join) — tiny, pin once
     val s = seeds.select(col("node")).distinct().localCheckpoint()
     var rank = s.withColumn("rank", lit(One))
-    val spark = edges.sparkSession
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    IterativeLoop.withoutAqe(edges.sparkSession) {
       for (i <- 1 to iters) {
         val damped = eDeg.join(rank, eDeg("src") === rank("node"))
           .select(col("dst"), expr("rank div deg").as("contrib"))
@@ -150,7 +145,7 @@ object PageRank {
               coalesce(col("reset"), lit(0L))).as("rank"))
         if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
     eDeg.unpersist()
     rank
   }
