@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
 
 /** Manifest-committed parquet table — the snapshot-commit layer that
   * closes [[Layout.compact]]'s one honesty gap: its directory swap is
@@ -45,14 +45,39 @@ object ManifestTable {
 
   private val ManifestName = """_manifest\.(\d+)""".r
 
+  /** A manifest line: the file's relative path plus its per-column
+    * (min, max) stats when the writer declared `statsCols`. Serialized
+    * as `rel/path|col:lo:hi|col2:lo:hi` — stats values are LONGS (the
+    * repo-wide fixed-point discipline: ids, epoch days, cents; cast or
+    * pre-scale non-integer columns), so parsing is trivial and the
+    * envelope check is exact integer arithmetic. A line without stats
+    * is just the path — readers treat such files as "always
+    * intersects" (conservative), so stats-less and stats-carrying
+    * files mix freely in one table. */
+  final case class ManifestEntry(path: String,
+      stats: Map[String, (Long, Long)])
+
+  private def parseEntry(line: String): ManifestEntry = {
+    val parts = line.split('|')
+    val stats = parts.drop(1).flatMap { s =>
+      s.split(':') match {
+        case Array(c, lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+        case _                => None
+      }
+    }.toMap
+    ManifestEntry(parts.head, stats)
+  }
+
   private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** (version, relative data-file paths) of the current snapshot;
-    * (0, Nil) when no manifest exists. */
-  def currentManifest(spark: SparkSession, path: String): (Long, Seq[String]) = {
+  /** (version, raw manifest lines) of the current snapshot; (0, Nil)
+    * when no manifest exists. Lines are the serialized [[ManifestEntry]]
+    * form — [[currentManifest]]/[[currentEntries]] are the parsed views. */
+  private def currentLines(spark: SparkSession,
+      path: String): (Long, Seq[String]) = {
     val (fs, p) = fsOf(spark, path)
     if (!fs.exists(p)) return (0L, Nil)
     val versions = fs.listStatus(p).iterator.flatMap { st =>
@@ -63,12 +88,30 @@ object ManifestTable {
     }.toSeq
     if (versions.isEmpty) return (0L, Nil)
     val v = versions.max
-    val in = fs.open(new Path(p, s"_manifest.$v"))
+    (v, manifestLines(fs, new Path(p, s"_manifest.$v")))
+  }
+
+  private def manifestLines(fs: FileSystem, m: Path): Seq[String] = {
+    val in = fs.open(m)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val files = body.linesIterator.map(_.trim)
+    body.linesIterator.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-    (v, files)
+  }
+
+  /** (version, relative data-file paths) of the current snapshot;
+    * (0, Nil) when no manifest exists. */
+  def currentManifest(spark: SparkSession, path: String): (Long, Seq[String]) = {
+    val (v, lines) = currentLines(spark, path)
+    (v, lines.map(parseEntry(_).path))
+  }
+
+  /** (version, parsed entries with per-file stats) of the current
+    * snapshot — the input to manifest-side pruning ([[readRange]]). */
+  def currentEntries(spark: SparkSession,
+      path: String): (Long, Seq[ManifestEntry]) = {
+    val (v, lines) = currentLines(spark, path)
+    (v, lines.map(parseEntry))
   }
 
   /** The current snapshot as a DataFrame. Resolves ONLY manifest-listed
@@ -83,22 +126,25 @@ object ManifestTable {
   }
 
   /** Create the table: write `df` as the first snapshot. Refuses if a
-    * manifest already exists (use [[append]]/[[compact]] to evolve). */
+    * manifest already exists (use [[append]]/[[compact]] to evolve).
+    * `statsCols` (long-castable) get per-file (min, max) recorded in
+    * the manifest — see [[readRange]]. */
   def create(spark: SparkSession, path: String, df: DataFrame,
-      files: Int, sortCols: Seq[String] = Nil): Long = {
-    val (v0, _) = currentManifest(spark, path)
+      files: Int, sortCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
+    val (v0, _) = currentLines(spark, path)
     require(v0 == 0L, s"manifest table $path already exists (v$v0)")
-    val added = writeDataFiles(spark, path, df, files, sortCols)
+    val added = writeDataFiles(spark, path, df, files, sortCols, statsCols)
     commit(spark, path, added, expectedCurrent = 0L)
   }
 
   /** Append `df` as new immutable files; the new snapshot lists the old
     * files plus the new ones. Running readers keep the old snapshot. */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      files: Int): Long = {
-    val (v, current) = currentManifest(spark, path)
+      files: Int, statsCols: Seq[String] = Nil): Long = {
+    val (v, current) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
-    val added = writeDataFiles(spark, path, df, files, Nil)
+    val added = writeDataFiles(spark, path, df, files, Nil, statsCols)
     commit(spark, path, current ++ added, expectedCurrent = v)
   }
 
@@ -108,12 +154,39 @@ object ManifestTable {
     * any reader that resolved the previous manifest — until [[vacuum]].
     * This is [[Layout.compact]] without the maintenance window. */
   def compact(spark: SparkSession, path: String, files: Int,
-      sortCols: Seq[String] = Nil): Long = {
-    val (v, _) = currentManifest(spark, path)
+      sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
+    val (v, _) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
-    val rewritten =
-      writeDataFiles(spark, path, read(spark, path), files, sortCols)
+    val rewritten = writeDataFiles(spark, path, read(spark, path), files,
+      sortCols, statsCols)
     commit(spark, path, rewritten, expectedCurrent = v)
+  }
+
+  /** `col BETWEEN lo AND hi` through MANIFEST-SIDE file pruning: keep
+    * only the files whose recorded [min, max] envelope intersects the
+    * range (files without stats for `c` are always kept — conservative)
+    * and apply the exact predicate to just those. At 100 TB the win is
+    * not row-group skipping — parquet already does that — it is never
+    * LISTING or opening the excluded files: for a selective range over
+    * a [[create]]d/[[compact]]ed clustered table, I/O is proportional
+    * to the slice, and the decision runs driver-side over the one
+    * manifest (a line per file), no footer reads at all. The same
+    * stats-in-manifest idea as Iceberg/Delta file skipping. */
+  def readRange(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"readRange: lo $lo > hi $hi")
+    val (v, entries) = currentEntries(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val base = new Path(path)
+    val keep = entries.filter(e =>
+      e.stats.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi })
+    if (keep.isEmpty) {
+      // empty by stats: derive the (empty) frame with the same schema
+      // from one file rather than inventing a schema
+      return read(spark, path).filter(lit(false))
+    }
+    spark.read.parquet(keep.map(e => new Path(base, e.path).toString): _*)
+      .filter(col(c).cast("long").between(lo, hi))
   }
 
   /** Delete data files referenced by NONE of the newest `keepVersions`
@@ -129,11 +202,8 @@ object ManifestTable {
     require(v > 0, s"manifest table $path does not exist")
     val keepManifests = (0 until keepVersions).map(v - _).filter(_ > 0)
     val live: Set[String] = keepManifests.flatMap { kv =>
-      val in = fs.open(new Path(p, s"_manifest.$kv"))
-      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      body.linesIterator.map(_.trim)
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
+      manifestLines(fs, new Path(p, s"_manifest.$kv"))
+        .map(parseEntry(_).path)
     }.toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(p).foreach { st =>
@@ -164,11 +234,18 @@ object ManifestTable {
 
   /** Write `df` into a fresh `c<uuid>/` subdir (range-clustered when
     * `sortCols` given, the [[Layout.writeRangeClustered]] recipe) and
-    * return the relative paths of the parquet files written. The files
-    * are INVISIBLE until a manifest referencing them is committed. */
+    * return the serialized manifest lines of the parquet files written.
+    * The files are INVISIBLE until a manifest referencing them is
+    * committed. With `statsCols`, one extra scan of the JUST-WRITTEN
+    * files records per-file (min, max) longs in the lines — the
+    * write-time cost every stats-carrying table format pays, over new
+    * data only, never the table. */
   private def writeDataFiles(spark: SparkSession, path: String,
-      df: DataFrame, files: Int, sortCols: Seq[String]): Seq[String] = {
+      df: DataFrame, files: Int, sortCols: Seq[String],
+      statsCols: Seq[String]): Seq[String] = {
     require(files >= 1, "files must be >= 1")
+    require(statsCols.forall(c => !c.exists("|:#".contains(_))),
+      "stats column names must not contain '|', ':' or '#'")
     val sub = "c" + java.util.UUID.randomUUID.toString.take(12)
     val dir = new Path(path, sub)
     if (sortCols.nonEmpty)
@@ -176,9 +253,32 @@ object ManifestTable {
     else
       df.repartition(files).write.mode("overwrite").parquet(dir.toString)
     val (fs, _) = fsOf(spark, path)
-    fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted
-      .map(n => s"$sub/$n").toSeq
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    val statsByFile: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__lo_$c"),
+          max(col(c).cast("long")).as(s"__hi_$c")))
+        spark.read.parquet(dir.toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val fname = r.getString(0).split('/').last
+            val parts = statsCols.flatMap { c =>
+              val lo = r.getAs[Any](s"__lo_$c")
+              val hi = r.getAs[Any](s"__hi_$c")
+              // an all-NULL column in a file has no envelope — omit the
+              // stat, the reader keeps the file (conservative)
+              if (lo == null || hi == null) None
+              else Some(s"$c:$lo:$hi")
+            }
+            fname -> (if (parts.isEmpty) "" else parts.mkString("|", "|", ""))
+          }.toMap
+      }
+    names.map(n => s"$sub/$n" + statsByFile.getOrElse(n, ""))
   }
 
   /** Publish `files` as the next snapshot: write the full manifest to a

@@ -343,11 +343,45 @@ object PipelineQueries {
     box.crossJoin(broadcast(riders)).orderBy("sk")
   }
 
+  // Stats-carrying manifest (p20): p18's commit protocol + p19's
+  // stats-pruned reads in ONE table format — create records per-file
+  // (min, max) of the cluster key IN the manifest, and readRange keeps
+  // only the files whose envelope intersects the predicate before any
+  // parquet footer is opened (at 100 TB the listing/open cost of the
+  // excluded files is the win; row groups inside kept files still skip
+  // via parquet's own stats). The oracle replays the range aggregate
+  // off the raw table — the hash proves manifest-side pruning loses
+  // nothing; pruning magnitude is ManifestTableSpec's claim (sampled
+  // range boundaries aren't replayable).
+  private def p20(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p20_manistats"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("l_partkey"), statsCols = Seq("l_partkey"))
+    val box = ManifestTable.readRange(s, base, "l_partkey", 20L, 120L)
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val riders = ManifestTable.read(s, base)
+      .agg(count(lit(1)).as("total_rows"))
+    val (mv, mfiles) = ManifestTable.currentManifest(s, base)
+    box.crossJoin(broadcast(riders))
+      .withColumn("version", lit(mv))
+      .withColumn("n_files", lit(mfiles.size.toLong))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
     "p18_manifest_table" -> (p18 _),
     "p19_zorder_layout" -> (p19 _),
+    "p20_manifest_stats" -> (p20 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -425,6 +459,17 @@ object PipelineQueries {
         "t AS (SELECT count(*) AS total_rows, CAST(16 AS BIGINT) " +
         "AS n_files FROM lineitem) " +
         "SELECT sk, cnt, qty, total_rows, n_files " +
+        "FROM box CROSS JOIN t ORDER BY sk"),
+    // same range aggregate off the raw table — manifest-side file
+    // pruning must be content-transparent; version pinned at 1 (one
+    // create commit), n_files at the write target
+    "p20_manifest_stats" ->
+      ("WITH box AS (SELECT l_suppkey AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM lineitem WHERE l_partkey BETWEEN 20 AND 120 GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total_rows, CAST(1 AS BIGINT) " +
+        "AS version, CAST(16 AS BIGINT) AS n_files FROM lineitem) " +
+        "SELECT sk, cnt, qty, total_rows, version, n_files " +
         "FROM box CROSS JOIN t ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)

@@ -114,6 +114,36 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 2000L)
   }
 
+  test("statsCols: per-file (min, max) ride the manifest; readRange " +
+    "prunes by envelope, equals the full filter, and skips files") {
+    val path = freshDir()
+    // clustered on k so per-file envelopes are narrow — the layout
+    // stats-pruning exists for
+    ManifestTable.create(spark, path, part(1, 10000), files = 8,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val (_, entries) = ManifestTable.currentEntries(spark, path)
+    assert(entries.size === 8 && entries.forall(_.stats.contains("k")))
+    val full = ManifestTable.read(spark, path)
+      .filter(col("k").between(100L, 220L))
+    val ranged = ManifestTable.readRange(spark, path, "k", 100L, 220L)
+    assert(ranged.orderBy("k", "v").collect().toSeq ===
+      full.orderBy("k", "v").collect().toSeq)
+    // the envelope check actually skips files on this clustered layout
+    val kept = entries.count(e =>
+      e.stats("k") match { case (lo, hi) => hi >= 100L && lo <= 220L })
+    assert(kept < entries.size, s"no pruning: $kept of ${entries.size}")
+    // stats survive an append and mix with stats-less files safely:
+    // the new stats-less file is always kept (conservative)
+    ManifestTable.append(spark, path, part(10001, 10100), files = 1)
+    val r2 = ManifestTable.readRange(spark, path, "k", 100L, 220L)
+    assert(r2.orderBy("k", "v").collect().toSeq ===
+      ManifestTable.read(spark, path).filter(col("k").between(100L, 220L))
+        .orderBy("k", "v").collect().toSeq)
+    // a range outside every envelope returns an empty, schema-correct frame
+    val none = ManifestTable.readRange(spark, path, "k", 5000000L, 6000000L)
+    assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
+  }
+
   test("a concurrent commit is detected and refused, never silently " +
     "rebased (a rebase under a compact would resurrect dead files)") {
     val path = freshDir()

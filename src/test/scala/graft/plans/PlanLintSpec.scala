@@ -144,6 +144,8 @@ class PlanLintSpec extends SparkSpec {
         "p18_manifest_table",
         // 1-row (total_rows, n_files) rider over the box aggregate
         "p19_zorder_layout",
+        // 1-row (total_rows) rider over the range aggregate (p18 class)
+        "p20_manifest_stats",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
