@@ -131,21 +131,45 @@ object ManifestTable {
     * the manifest — see [[readRange]]. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       files: Int, sortCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, txn: Option[String] = None): Long = {
     val (v0, _) = currentLines(spark, path)
     require(v0 == 0L, s"manifest table $path already exists (v$v0)")
     val added = writeDataFiles(spark, path, df, files, sortCols, statsCols)
-    commit(spark, path, added, expectedCurrent = 0L)
+    commit(spark, path, added, expectedCurrent = 0L, txn = txn)
   }
 
   /** Append `df` as new immutable files; the new snapshot lists the old
-    * files plus the new ones. Running readers keep the old snapshot. */
+    * files plus the new ones. Running readers keep the old snapshot.
+    *
+    * `txn` is the idempotence tag for replayed writers (a Structured
+    * Streaming batchId, an orchestrator run id): when it equals the tag
+    * the CURRENT manifest committed under, the append is a NO-OP
+    * returning the current version — the caller already committed and
+    * crashed before recording it. Checking only the current manifest is
+    * sufficient for monotonic writers (streaming replays only the
+    * latest uncommitted batch — the transactional-sink argument); it is
+    * NOT a general dedup ledger. */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      files: Int, statsCols: Seq[String] = Nil): Long = {
+      files: Int, statsCols: Seq[String] = Nil,
+      txn: Option[String] = None): Long = {
     val (v, current) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
+    if (txn.isDefined && lastTxn(spark, path) == txn) return v
     val added = writeDataFiles(spark, path, df, files, Nil, statsCols)
-    commit(spark, path, current ++ added, expectedCurrent = v)
+    commit(spark, path, current ++ added, expectedCurrent = v, txn = txn)
+  }
+
+  /** The idempotence tag the current manifest committed under, if any. */
+  def lastTxn(spark: SparkSession, path: String): Option[String] = {
+    val (fs, p) = fsOf(spark, path)
+    val (v, _) = currentLines(spark, path)
+    if (v == 0L) return None
+    val in = fs.open(new Path(p, s"_manifest.$v"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    body.linesIterator.collectFirst {
+      case l if l.startsWith("# txn ") => l.stripPrefix("# txn ").trim
+    }
   }
 
   /** Rewrite the current snapshot as `files` larger files (range-
@@ -287,7 +311,10 @@ object ManifestTable {
     * appends could rebase, but silent rebase under a compact would
     * resurrect compacted files, so both refuse loudly instead. */
   private def commit(spark: SparkSession, path: String,
-      files: Seq[String], expectedCurrent: Long): Long = {
+      files: Seq[String], expectedCurrent: Long,
+      txn: Option[String] = None): Long = {
+    require(txn.forall(t => t.nonEmpty && !t.contains('\n')),
+      "txn tag must be non-empty and single-line")
     val (fs, p) = fsOf(spark, path)
     fs.mkdirs(p)
     val (cur, _) = currentManifest(spark, path)
@@ -302,7 +329,9 @@ object ManifestTable {
       s"_manifest.staged.${java.util.UUID.randomUUID.toString.take(12)}")
     val out = fs.create(staged, false)
     try {
-      val body = (s"# graft manifest v$next, ${files.size} files\n" +
+      val header = s"# graft manifest v$next, ${files.size} files\n" +
+        txn.map(t => s"# txn $t\n").getOrElse("")
+      val body = (header +
         files.sorted.mkString("\n") + "\n").getBytes("UTF-8")
       out.write(body)
     } finally out.close()

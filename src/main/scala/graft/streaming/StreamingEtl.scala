@@ -56,6 +56,50 @@ object StreamingEtl {
       .partitionBy("location_id", "month")
       .parquet(s"$outDir/batch=$batchId")
 
+  /** Manifest-committed micro-batch landing — the snapshot-isolated
+    * upgrade of [[writeBatch]]: each batch's files land invisible and
+    * become readable with ONE manifest rename, so a reader NEVER sees a
+    * half-written batch (the batchId-dir sink exposes in-progress files
+    * to anyone scanning `outDir` without the batch column discipline).
+    * Exactly-once comes from the txn tag instead of dir overwrite: a
+    * batch replayed after a post-commit crash finds its own batchId on
+    * the current manifest and no-ops (streaming batchIds are monotonic
+    * and only the latest uncommitted batch replays — the transactional-
+    * sink argument; orphan files from a pre-commit crash stay invisible
+    * and are [[graft.operators.ManifestTable.vacuum]]ed). Compaction
+    * needs no maintenance window here — `ManifestTable.compact` is one
+    * more commit. */
+  def writeBatchManifest(batch: DataFrame, tableDir: String,
+      batchId: Long, files: Int = 1): Long = {
+    import graft.operators.ManifestTable
+    val spark = batch.sparkSession
+    val txn = Some(s"batch-$batchId")
+    val (v, _) = ManifestTable.currentManifest(spark, tableDir)
+    if (v == 0L) ManifestTable.create(spark, tableDir, batch, files,
+      txn = txn)
+    else ManifestTable.append(spark, tableDir, batch, files, txn = txn)
+  }
+
+  /** [[start]] with the manifest-committed sink: same transform, but
+    * downstream readers go through `ManifestTable.read(tableDir)` and
+    * see only whole committed batches. */
+  def startManifest(spark: SparkSession, ordersDir: String,
+      locations: DataFrame, tableDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val orders = spark.readStream
+      .schema(SquareOrders.orderSchema)
+      .json(ordersDir)
+    val sales = SalesEtl.validate(
+      SalesEtl.withLocations(SalesEtl.toSalesRows(orders), locations))._1
+    sales.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchManifest(batch, tableDir, batchId); ()
+      }
+      .start()
+  }
+
   /** Compaction: fold the streaming table's batchId-scoped directories
     * into the batch table's plain (location_id, month) layout at
     * `destDir` (full overwrite — rerunnable, no partial-state risk; the

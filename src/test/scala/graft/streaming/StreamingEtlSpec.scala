@@ -69,4 +69,51 @@ class StreamingEtlSpec extends SparkSpec {
     assert(dirs.exists(_.startsWith("location_id=")))
     assert(!dirs.exists(_.startsWith("batch=")))
   }
+
+  test("manifest sink: replayed batchId no-ops by txn tag; readers see " +
+    "whole committed batches only") {
+    import graft.operators.ManifestTable
+    val table = Files.createTempDirectory("stream_mani").toString
+    new java.io.File(table).delete()
+    val b0 = Seq(("Latte", 1), ("Mocha", 2)).toDF("item_name", "qty")
+    val b1 = Seq(("Drip", 3)).toDF("item_name", "qty")
+    assert(StreamingEtl.writeBatchManifest(b0, table, batchId = 0) === 1L)
+    assert(StreamingEtl.writeBatchManifest(b1, table, batchId = 1) === 2L)
+    // post-commit crash replay of batch 1: same txn tag -> NO-OP
+    assert(StreamingEtl.writeBatchManifest(b1, table, batchId = 1) === 2L)
+    assert(ManifestTable.read(spark, table).count() === 3L)
+    assert(ManifestTable.lastTxn(spark, table) === Some("batch-1"))
+    // replay of batch 0 after batch 1 cannot happen (monotonic), and a
+    // NEW batch advances normally
+    assert(StreamingEtl.writeBatchManifest(b1, table, batchId = 2) === 3L)
+    assert(ManifestTable.read(spark, table).count() === 4L)
+  }
+
+  test("startManifest: end-to-end file-stream -> manifest table equals " +
+    "the batch transform; checkpoint restart appends only the new file") {
+    val ordersDir = Files.createTempDirectory("mani_orders")
+    val table = Files.createTempDirectory("mani_table").toString
+    new java.io.File(table).delete()
+    val ckpt = Files.createTempDirectory("mani_ckpt").toString
+    val locations = Seq((2, "Current", "L5WST6KFZBT10"))
+      .toDF("id", "name", "square_id")
+    def orderJson(id: String, cents: Long) =
+      s"""{"id":"$id","location_id":"L5WST6KFZBT10",
+         |"closed_at":"2025-11-24T13:27:45Z","line_items":[
+         |{"name":"Latte $id","quantity":"1",
+         |"base_price_money":{"amount":$cents},
+         |"gross_sales_money":{"amount":$cents}}]}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(ordersDir.resolve("b1.jsonl"),
+      orderJson("a", 500) + "\n" + orderJson("b", 750))
+    StreamingEtl.startManifest(spark, ordersDir.toString, locations,
+      table, ckpt).awaitTermination()
+    Files.writeString(ordersDir.resolve("b2.jsonl"), orderJson("c", 300))
+    StreamingEtl.startManifest(spark, ordersDir.toString, locations,
+      table, ckpt).awaitTermination()
+    val out = graft.operators.ManifestTable.read(spark, table)
+    assert(out.count() === 3)
+    assert(out.select("item_name").as[String].collect().toSet ===
+      Set("Latte a", "Latte b", "Latte c"))
+  }
 }
