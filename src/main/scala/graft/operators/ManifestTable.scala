@@ -186,6 +186,36 @@ object ManifestTable {
     commit(spark, path, rewritten, expectedCurrent = v)
   }
 
+  /** Copy-on-write range DELETE: remove every row with `c` in
+    * [lo, hi], rewriting ONLY the files whose stats envelope intersects
+    * the range — files provably outside it keep their exact bytes and
+    * manifest lines (at 100 TB a targeted delete touches the few files
+    * holding the range, not the table; the right-to-be-forgotten shape
+    * for a training corpus). Files without stats for `c` are rewritten
+    * conservatively. One commit publishes the new snapshot; the old
+    * files serve in-flight readers until [[vacuum]]. Rewritten files
+    * get fresh stats for `statsCols` (pass the create-time columns to
+    * keep future deletes/reads pruned). Returns the committed version
+    * (the current one unchanged when no file intersects). */
+  def deleteRange(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long, statsCols: Seq[String] = Nil): Long = {
+    require(lo <= hi, s"deleteRange: lo $lo > hi $hi")
+    val (v, lines) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val base = new Path(path)
+    val (touched, untouched) = lines.partition { l =>
+      parseEntry(l).stats.get(c)
+        .forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+    if (touched.isEmpty) return v
+    val survivors = spark.read.parquet(touched.map(l =>
+        new Path(base, parseEntry(l).path).toString): _*)
+      .filter(!col(c).cast("long").between(lo, hi))
+    val rewritten = writeDataFiles(spark, path, survivors,
+      files = touched.size, Nil, statsCols)
+    commit(spark, path, untouched ++ rewritten, expectedCurrent = v)
+  }
+
   /** `col BETWEEN lo AND hi` through MANIFEST-SIDE file pruning: keep
     * only the files whose recorded [min, max] envelope intersects the
     * range (files without stats for `c` are always kept — conservative)

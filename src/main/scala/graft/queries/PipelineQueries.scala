@@ -376,12 +376,44 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // Copy-on-write range delete (p21): the right-to-be-forgotten op on
+  // the stats-carrying manifest table — deleteRange rewrites ONLY the
+  // files whose envelope intersects [50, 150] (file-level CoW; at
+  // 100 TB a targeted delete touches the range's files, not the table)
+  // and publishes one new snapshot. The oracle replays the anti-filter
+  // off the raw table: the hash proves the delete removed exactly the
+  // range and disturbed nothing else. The untouched-files-keep-their-
+  // bytes property is ManifestTableSpec's claim (file identities come
+  // from sampled range boundaries — not oracle-replayable).
+  private def p21(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p21_delete"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("l_partkey"), statsCols = Seq("l_partkey"))
+    val v = ManifestTable.deleteRange(s, base, "l_partkey", 50L, 150L,
+      statsCols = Seq("l_partkey"))
+    val back = ManifestTable.read(s, base)
+    val agg = back
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(when(col("l_partkey").between(50, 150), 1L).otherwise(0L))
+          .cast("long").as("leaked"))
+    agg.withColumn("version", lit(v)).orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
     "p18_manifest_table" -> (p18 _),
     "p19_zorder_layout" -> (p19 _),
     "p20_manifest_stats" -> (p20 _),
+    "p21_manifest_delete" -> (p21 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -471,6 +503,16 @@ object PipelineQueries {
         "AS version, CAST(16 AS BIGINT) AS n_files FROM lineitem) " +
         "SELECT sk, cnt, qty, total_rows, version, n_files " +
         "FROM box CROSS JOIN t ORDER BY sk"),
+    // the anti-filter replayed off the raw table; the pmod is
+    // non-negative-key-safe on both engines (suppkey >= 1); version
+    // pinned at 2 (create + delete commits), leaked pinned 0 by the
+    // oracle's WHERE
+    "p21_manifest_delete" ->
+      ("SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(0 AS BIGINT) AS leaked, CAST(2 AS BIGINT) AS version " +
+        "FROM lineitem WHERE l_partkey NOT BETWEEN 50 AND 150 " +
+        "GROUP BY 1 ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

@@ -144,6 +144,46 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
   }
 
+  test("deleteRange is copy-on-write at FILE level: untouched files " +
+    "keep their lines, content equals the anti-filter, stats refresh") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 10000), files = 8,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val (v1, before) = ManifestTable.currentEntries(spark, path)
+    val expect = ManifestTable.read(spark, path)
+      .filter(!col("k").between(100L, 220L))
+      .agg(count(lit(1)), sum("v")).head()
+    val v2 = ManifestTable.deleteRange(spark, path, "k", 100L, 220L,
+      statsCols = Seq("k"))
+    assert(v2 === v1 + 1)
+    val (_, after) = ManifestTable.currentEntries(spark, path)
+    // file-level CoW: every file whose envelope misses the range kept
+    // its exact manifest line; at least one file was rewritten
+    val untouchedBefore = before.filter(e =>
+      e.stats("k") match { case (lo, hi) => hi < 100L || lo > 220L })
+    assert(untouchedBefore.nonEmpty)
+    assert(untouchedBefore.forall(e => after.exists(_.path == e.path)))
+    assert(after.size >= untouchedBefore.size)
+    assert(before.map(_.path).toSet != after.map(_.path).toSet)
+    // content contract
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("k").between(100L, 220L)).count() === 0L)
+    assert(got.agg(count(lit(1)), sum("v")).head() === expect)
+    // rewritten files carry fresh stats -> future range ops still prune
+    assert(after.forall(_.stats.contains("k")))
+    // a range outside every envelope is a NO-OP (same version)
+    assert(ManifestTable.deleteRange(spark, path, "k", 5000000L,
+      6000000L) === v2)
+    // a stats-less table deletes correctly by rewriting everything
+    // (conservative: no envelopes, every file is "touched")
+    val p2 = freshDir()
+    ManifestTable.create(spark, p2, part(1, 100), files = 2)
+    ManifestTable.deleteRange(spark, p2, "k", 1L, 50L)
+    val left = ManifestTable.read(spark, p2)
+    assert(left.count() === 50L)
+    assert(left.filter(col("k") <= 50L).count() === 0L)
+  }
+
   test("a concurrent commit is detected and refused, never silently " +
     "rebased (a rebase under a compact would resurrect dead files)") {
     val path = freshDir()
