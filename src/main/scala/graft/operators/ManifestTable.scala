@@ -131,10 +131,12 @@ object ManifestTable {
     * the manifest — see [[readRange]]. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       files: Int, sortCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil, txn: Option[String] = None): Long = {
+      statsCols: Seq[String] = Nil, txn: Option[String] = None,
+      zOrder: Boolean = false): Long = {
     val (v0, _) = currentLines(spark, path)
     require(v0 == 0L, s"manifest table $path already exists (v$v0)")
-    val added = writeDataFiles(spark, path, df, files, sortCols, statsCols)
+    val added = writeDataFiles(spark, path, df, files, sortCols, statsCols,
+      zOrder)
     commit(spark, path, added, expectedCurrent = 0L, txn = txn)
   }
 
@@ -178,12 +180,38 @@ object ManifestTable {
     * any reader that resolved the previous manifest — until [[vacuum]].
     * This is [[Layout.compact]] without the maintenance window. */
   def compact(spark: SparkSession, path: String, files: Int,
-      sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long = {
+      sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      zOrder: Boolean = false): Long = {
     val (v, _) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
     val rewritten = writeDataFiles(spark, path, read(spark, path), files,
-      sortCols, statsCols)
+      sortCols, statsCols, zOrder)
     commit(spark, path, rewritten, expectedCurrent = v)
+  }
+
+  /** Two-predicate box read through manifest-side pruning: keep only
+    * the files whose stats envelopes intersect BOTH ranges (a missing
+    * stat keeps the file — conservative per axis) and apply the exact
+    * predicates to just those. On a [[create]]d `zOrder = true` layout
+    * every file is narrow in both columns, so either predicate alone
+    * prunes most files and their conjunction prunes multiplicatively —
+    * the manifest-resident version of [[ZOrder.boxFiles]] (no stats
+    * scan at query time: the envelopes were recorded at write). */
+  def readBox(spark: SparkSession, path: String,
+      c1: String, lo1: Long, hi1: Long,
+      c2: String, lo2: Long, hi2: Long): DataFrame = {
+    require(lo1 <= hi1 && lo2 <= hi2, "readBox: lo > hi")
+    val (v, entries) = currentEntries(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val base = new Path(path)
+    def hits(e: ManifestEntry, c: String, lo: Long, hi: Long) =
+      e.stats.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    val keep = entries.filter(e =>
+      hits(e, c1, lo1, hi1) && hits(e, c2, lo2, hi2))
+    if (keep.isEmpty) return read(spark, path).filter(lit(false))
+    spark.read.parquet(keep.map(e => new Path(base, e.path).toString): _*)
+      .filter(col(c1).cast("long").between(lo1, hi1) &&
+        col(c2).cast("long").between(lo2, hi2))
   }
 
   /** Copy-on-write range DELETE: remove every row with `c` in
@@ -296,13 +324,20 @@ object ManifestTable {
     * data only, never the table. */
   private def writeDataFiles(spark: SparkSession, path: String,
       df: DataFrame, files: Int, sortCols: Seq[String],
-      statsCols: Seq[String]): Seq[String] = {
+      statsCols: Seq[String], zOrder: Boolean = false): Seq[String] = {
     require(files >= 1, "files must be >= 1")
     require(statsCols.forall(c => !c.exists("|:#".contains(_))),
       "stats column names must not contain '|', ':' or '#'")
+    require(!zOrder || sortCols.size == 2,
+      "zOrder layout takes exactly two sortCols")
     val sub = "c" + java.util.UUID.randomUUID.toString.take(12)
     val dir = new Path(path, sub)
-    if (sortCols.nonEmpty)
+    if (zOrder)
+      // Morton-curve layout: every file narrow in BOTH sortCols, so
+      // stats recorded on both let readBox prune on either/both axes
+      ZOrder.writeZOrdered(df, sortCols.head, sortCols(1), dir.toString,
+        files)
+    else if (sortCols.nonEmpty)
       Layout.writeRangeClustered(df, sortCols, dir.toString, files)
     else
       df.repartition(files).write.mode("overwrite").parquet(dir.toString)

@@ -407,6 +407,39 @@ object PipelineQueries {
     agg.withColumn("version", lit(v)).orderBy("sk")
   }
 
+  // Z-ordered manifest table (p22): p19's Morton layout + p20's
+  // manifest-resident stats in ONE format — create(zOrder = true)
+  // records per-file (min, max) on BOTH box columns, and readBox
+  // prunes the file list on the conjunction of recorded envelopes
+  // before any footer opens (p19 derives its stats index by a scan at
+  // query time; here the envelopes were written at commit — at 100 TB
+  // the difference is a driver-side manifest read vs a table scan).
+  // Oracle replays the box off the raw table: pruning lost nothing.
+  private def p22(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p22_zmanifest"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("l_partkey", "l_suppkey"),
+      statsCols = Seq("l_partkey", "l_suppkey"), zOrder = true)
+    val box = ManifestTable.readBox(s, base,
+        "l_partkey", 20L, 120L, "l_suppkey", 2L, 8L)
+      .groupBy(col("l_suppkey").as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    val riders = ManifestTable.read(s, base)
+      .agg(count(lit(1)).as("total_rows"))
+    val (mv, mfiles) = ManifestTable.currentManifest(s, base)
+    box.crossJoin(broadcast(riders))
+      .withColumn("version", lit(mv))
+      .withColumn("n_files", lit(mfiles.size.toLong))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -414,6 +447,7 @@ object PipelineQueries {
     "p19_zorder_layout" -> (p19 _),
     "p20_manifest_stats" -> (p20 _),
     "p21_manifest_delete" -> (p21 _),
+    "p22_zorder_manifest" -> (p22 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -513,6 +547,19 @@ object PipelineQueries {
         "CAST(0 AS BIGINT) AS leaked, CAST(2 AS BIGINT) AS version " +
         "FROM lineitem WHERE l_partkey NOT BETWEEN 50 AND 150 " +
         "GROUP BY 1 ORDER BY sk"),
+    // same box aggregate off the raw table (the p19 box) — the
+    // z-ordered manifest layout and its 2D envelope pruning must be
+    // content-transparent; version 1, n_files at the write target
+    "p22_zorder_manifest" ->
+      ("WITH box AS (SELECT l_suppkey AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM lineitem " +
+        "WHERE l_partkey BETWEEN 20 AND 120 " +
+        "AND l_suppkey BETWEEN 2 AND 8 GROUP BY 1), " +
+        "t AS (SELECT count(*) AS total_rows, CAST(1 AS BIGINT) " +
+        "AS version, CAST(16 AS BIGINT) AS n_files FROM lineitem) " +
+        "SELECT sk, cnt, qty, total_rows, version, n_files " +
+        "FROM box CROSS JOIN t ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

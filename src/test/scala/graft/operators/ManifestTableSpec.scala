@@ -144,6 +144,35 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
   }
 
+  test("zOrder layout + readBox: two-predicate prune on recorded " +
+    "envelopes equals the full filter and skips on BOTH axes") {
+    val path = freshDir()
+    // k is sequential 1..10000, v is pseudo-random 0..999 — independent
+    // axes, the shape z-ordering exists for
+    ManifestTable.create(spark, path, part(1, 10000), files = 16,
+      sortCols = Seq("k", "v"), statsCols = Seq("k", "v"), zOrder = true)
+    val (_, entries) = ManifestTable.currentEntries(spark, path)
+    assert(entries.size === 16 &&
+      entries.forall(e => e.stats.contains("k") && e.stats.contains("v")))
+    val full = ManifestTable.read(spark, path)
+      .filter(col("k").between(1000L, 3000L) &&
+        col("v").between(100L, 300L))
+    val boxed = ManifestTable.readBox(spark, path,
+      "k", 1000L, 3000L, "v", 100L, 300L)
+    assert(boxed.orderBy("k", "v").collect().toSeq ===
+      full.orderBy("k", "v").collect().toSeq)
+    // each axis independently excludes at least one file, and the
+    // conjunction keeps strictly fewer than the table
+    def misses(c: String, lo: Long, hi: Long) = entries.count(e =>
+      e.stats(c) match { case (flo, fhi) => fhi < lo || flo > hi })
+    assert(misses("k", 1000L, 3000L) > 0, "k axis never pruned")
+    assert(misses("v", 100L, 300L) > 0, "v axis never pruned")
+    val kept = entries.count(e =>
+      (e.stats("k") match { case (lo, hi) => hi >= 1000L && lo <= 3000L }) &&
+      (e.stats("v") match { case (lo, hi) => hi >= 100L && lo <= 300L }))
+    assert(kept < entries.size, s"no pruning: $kept of ${entries.size}")
+  }
+
   test("deleteRange is copy-on-write at FILE level: untouched files " +
     "keep their lines, content equals the anti-filter, stats refresh") {
     val path = freshDir()

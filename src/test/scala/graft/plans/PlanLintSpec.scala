@@ -146,6 +146,8 @@ class PlanLintSpec extends SparkSpec {
         "p19_zorder_layout",
         // 1-row (total_rows) rider over the range aggregate (p18 class)
         "p20_manifest_stats",
+        // 1-row (total_rows) rider over the box aggregate (p18 class)
+        "p22_zorder_manifest",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
