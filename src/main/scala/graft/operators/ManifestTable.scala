@@ -224,7 +224,10 @@ object ManifestTable {
     * files serve in-flight readers until [[vacuum]]. Rewritten files
     * get fresh stats for `statsCols` (pass the create-time columns to
     * keep future deletes/reads pruned). Returns the committed version
-    * (the current one unchanged when no file intersects). */
+    * (the current one unchanged when no file intersects). Rewritten
+    * files are hash-spread (clustering degrades locally after many
+    * deletes); a `compact(..., zOrder = true)` commit restores the
+    * layout — no maintenance window needed. */
   def deleteRange(spark: SparkSession, path: String, c: String,
       lo: Long, hi: Long, statsCols: Seq[String] = Nil): Long = {
     require(lo <= hi, s"deleteRange: lo $lo > hi $hi")
