@@ -278,7 +278,11 @@ object ManifestTable {
     * manifests, staged manifest leftovers, and the superseded manifests
     * themselves. keepVersions >= 2 keeps the previous snapshot readable
     * for in-flight readers (grace); run vacuum only when anything that
-    * resolved an older manifest has drained. Returns deleted paths. */
+    * resolved an older manifest has drained. A vacuum racing an
+    * in-flight writer can delete the writer's staged manifest or
+    * not-yet-committed files — the writer then FAILS LOUDLY at publish
+    * (nothing committed corrupts), but schedule vacuum in the same
+    * single-writer window as compaction. Returns deleted paths. */
   def vacuum(spark: SparkSession, path: String,
       keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
