@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   * jumping. Dangling nodes contribute nothing (standard simplification;
   * symmetrize the edge list and none exist).
   *
-  * AQE is DISABLED inside the iteration loop ([[IterativeLoop]], the
-  * shared discipline of the whole graph family): the layouts are pinned
+  * AQE is DISABLED inside the iteration loop ([[IterativeLoop]] — the
+  * ONLY operator where the A/B favored it; the other iterative loops
+  * measured worse and keep AQE, see that scaladoc): the layouts are pinned
   * by construction — the persisted edge frame keeps its src hash
   * partitioning, the rank frame exits each round hash-partitioned on
   * node — so adaptive re-planning has nothing to improve and its
