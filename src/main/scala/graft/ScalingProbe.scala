@@ -63,7 +63,10 @@ object ScalingProbe {
     // r11 late additions: the round's own new >= 1 s gates (f15-f18,
     // mm14, e14 all run sub-second — under the probe bar)
     "q52_shard_topk", "g08_link_predict", "g09_personalized_pr",
-    "d18_lsh_audit", "q53_psi_drift", "f18_mann_whitney")
+    "d18_lsh_audit", "q53_psi_drift", "f18_mann_whitney",
+    // r14 additions: the manifest-table family + the round's drills
+    "p18_manifest_table", "p19_zorder_layout", "p20_manifest_stats",
+    "p21_manifest_delete", "p22_zorder_manifest", "q54_quantile_sketch")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
