@@ -116,13 +116,23 @@ object ManifestTable {
 
   /** The current snapshot as a DataFrame. Resolves ONLY manifest-listed
     * files — orphan parquet in the directory (crashed writers, not-yet-
-    * committed appends, pre-vacuum compaction leftovers) is invisible. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * committed appends, pre-vacuum compaction leftovers) is invisible.
+    *
+    * Schema: by default Spark takes it from a sample of footers — cheap,
+    * correct while every commit writes the same columns. After a
+    * schema-evolving append (new column on new files), pass
+    * `mergeSchema = true` to union all footers (src04's parquet
+    * contract: old files read the new column as NULL); it costs a
+    * footer read per file at planning, so reserve it for evolved
+    * tables — or compact once and the schema is uniform again. */
+  def read(spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val (v, files) = currentManifest(spark, path)
     require(v > 0, s"manifest table $path does not exist (no _manifest.N)")
     require(files.nonEmpty, s"manifest table $path: v$v lists no files")
     val base = new Path(path)
-    spark.read.parquet(files.map(f => new Path(base, f).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => new Path(base, f).toString): _*)
   }
 
   /** Create the table: write `df` as the first snapshot. Refuses if a
@@ -184,7 +194,12 @@ object ManifestTable {
       zOrder: Boolean = false): Long = {
     val (v, _) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
-    val rewritten = writeDataFiles(spark, path, read(spark, path), files,
+    // mergeSchema ALWAYS on the rewrite read: a schema-evolved table
+    // whose footer sample missed the new column would otherwise be
+    // rewritten WITHOUT it — silent data loss. Compaction reads every
+    // file anyway; the per-footer planning cost is already paid.
+    val rewritten = writeDataFiles(spark, path,
+      read(spark, path, mergeSchema = true), files,
       sortCols, statsCols, zOrder)
     commit(spark, path, rewritten, expectedCurrent = v)
   }
@@ -239,7 +254,10 @@ object ManifestTable {
         .forall { case (flo, fhi) => fhi >= lo && flo <= hi }
     }
     if (touched.isEmpty) return v
-    val survivors = spark.read.parquet(touched.map(l =>
+    // mergeSchema for the same reason as compact(): rewriting evolved
+    // files through a sampled schema would silently drop a new column
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(l =>
         new Path(base, parseEntry(l).path).toString): _*)
       .filter(!col(c).cast("long").between(lo, hi))
     val rewritten = writeDataFiles(spark, path, survivors,

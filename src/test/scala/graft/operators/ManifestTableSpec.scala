@@ -144,6 +144,23 @@ class ManifestTableSpec extends SparkSpec {
     assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
   }
 
+  test("schema evolution: a new column on appended files surfaces with " +
+    "mergeSchema (old rows NULL); default reads stay cheap and stable") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    ManifestTable.append(spark, path,
+      part(101, 150).withColumn("tag", lit("new")), files = 1)
+    val merged = ManifestTable.read(spark, path, mergeSchema = true)
+    assert(merged.columns.toSet === Set("k", "v", "tag"))
+    assert(merged.filter(col("tag").isNull).count() === 100L)
+    assert(merged.filter(col("tag") === "new").count() === 50L)
+    // compact unifies the schema — the evolved column is in every file
+    // afterwards, so the default (cheap) read sees it too
+    ManifestTable.compact(spark, path, files = 1)
+    assert(ManifestTable.read(spark, path).columns.toSet ===
+      Set("k", "v", "tag"))
+  }
+
   test("zOrder layout + readBox: two-predicate prune on recorded " +
     "envelopes equals the full filter and skips on BOTH axes") {
     val path = freshDir()
