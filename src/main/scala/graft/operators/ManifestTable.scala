@@ -192,7 +192,7 @@ object ManifestTable {
   def compact(spark: SparkSession, path: String, files: Int,
       sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       zOrder: Boolean = false): Long = {
-    val (v, _) = currentLines(spark, path)
+    val (v, lines) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
     // mergeSchema ALWAYS on the rewrite read: a schema-evolved table
     // whose footer sample missed the new column would otherwise be
@@ -200,9 +200,19 @@ object ManifestTable {
     // file anyway; the per-footer planning cost is already paid.
     val rewritten = writeDataFiles(spark, path,
       read(spark, path, mergeSchema = true), files,
-      sortCols, statsCols, zOrder)
+      sortCols, inheritStats(statsCols, lines), zOrder)
     commit(spark, path, rewritten, expectedCurrent = v)
   }
+
+  /** Stats columns are a TABLE property: maintenance rewrites
+    * (compact, deleteRange) keep recording whatever the current
+    * manifest records unless the caller overrides — a routine compact
+    * must not silently degrade every future pruned read to
+    * conservative full-list scans. */
+  private def inheritStats(statsCols: Seq[String],
+      lines: Seq[String]): Seq[String] =
+    if (statsCols.nonEmpty) statsCols
+    else lines.flatMap(parseEntry(_).stats.keys).distinct.sorted
 
   /** Two-predicate box read through manifest-side pruning: keep only
     * the files whose stats envelopes intersect BOTH ranges (a missing
@@ -261,7 +271,7 @@ object ManifestTable {
         new Path(base, parseEntry(l).path).toString): _*)
       .filter(!col(c).cast("long").between(lo, hi))
     val rewritten = writeDataFiles(spark, path, survivors,
-      files = touched.size, Nil, statsCols)
+      files = touched.size, Nil, inheritStats(statsCols, lines))
     commit(spark, path, untouched ++ rewritten, expectedCurrent = v)
   }
 

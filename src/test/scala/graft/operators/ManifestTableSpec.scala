@@ -142,6 +142,12 @@ class ManifestTableSpec extends SparkSpec {
     // a range outside every envelope returns an empty, schema-correct frame
     val none = ManifestTable.readRange(spark, path, "k", 5000000L, 6000000L)
     assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
+    // stats are a TABLE property: a maintenance compact with no
+    // explicit statsCols INHERITS them — pruning survives routine
+    // maintenance instead of silently degrading
+    ManifestTable.compact(spark, path, files = 2, sortCols = Seq("k"))
+    val (_, afterCompact) = ManifestTable.currentEntries(spark, path)
+    assert(afterCompact.forall(_.stats.contains("k")), afterCompact)
   }
 
   test("schema evolution: a new column on appended files surfaces with " +
