@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.types.StructType
 
 /** Manifest-committed parquet table — the snapshot-commit layer that
   * closes [[Layout.compact]]'s one honesty gap: its directory swap is
@@ -37,9 +38,19 @@ import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
   * filesystems the exists-check in [[commit]] narrows but cannot close
   * the two-writer race — single-writer maintenance windows (the
   * documented regime for compaction) are exact everywhere, and readers
-  * are always safe. Scale shape: a manifest is one line per file — a
-  * 100 TB table at healthy file sizes is ~10⁵ lines, a driver-side
-  * read; the data plane never moves through the manifest.
+  * are always safe: a reader that catches a non-atomic local replace
+  * mid-read detects it by the header's file count (the torn-manifest
+  * self-check in [[readSnapshot]]) and fails loudly. Scale shape: a
+  * manifest is one line per file — a 100 TB table at healthy file
+  * sizes is ~10⁵ lines, a driver-side read; the data plane never moves
+  * through the manifest.
+  *
+  * Retention doubles as TIME TRAVEL: superseded manifests stay on disk
+  * until [[vacuum]], and `read(path, version = Some(v))` resolves
+  * exactly snapshot v — the "which snapshot trained model X"
+  * reproducibility read. Deletes come in both real-world shapes:
+  * [[deleteRange]] (contiguous) and [[deleteIds]] (scattered id sets),
+  * both file-level copy-on-write through the same stats pruning.
   */
 object ManifestTable {
 
@@ -73,31 +84,91 @@ object ManifestTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** (version, raw manifest lines) of the current snapshot; (0, Nil)
-    * when no manifest exists. Lines are the serialized [[ManifestEntry]]
-    * form — [[currentManifest]]/[[currentEntries]] are the parsed views. */
-  private def currentLines(spark: SparkSession,
-      path: String): (Long, Seq[String]) = {
+  /** One fully-parsed manifest: entry lines, the idempotence tag it
+    * committed under, and the snapshot's schema DDL (recorded since r15
+    * so an EMPTY snapshot — a delete that removed every row — still
+    * reads as a typed empty frame instead of bricking the table). */
+  private final case class Snapshot(version: Long, lines: Seq[String],
+      txn: Option[String], schemaDdl: Option[String])
+
+  private val HeaderCount = """# graft manifest v\d+, (\d+) files""".r
+
+  /** Parse `_manifest.<v>` with the torn-manifest self-check: the
+    * header records the file count at write, so a reader that opens a
+    * manifest a non-atomic local-FS writer replaced mid-read (rename(2)
+    * REPLACES the target — the documented local-FS corner) detects the
+    * truncation by count and fails loudly instead of silently serving a
+    * partial snapshot. Headerless manifests (hand-written/foreign) skip
+    * the check — there is nothing to validate against. */
+  private def readSnapshot(fs: FileSystem, p: Path, v: Long): Snapshot = {
+    val m = new Path(p, s"_manifest.$v")
+    val in = fs.open(m)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val all = body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val entries = all.filterNot(_.startsWith("#"))
+    all.headOption match {
+      case Some(HeaderCount(n)) =>
+        require(entries.size == n.toInt,
+          s"manifest $m is torn/truncated: header declares $n files, " +
+            s"found ${entries.size} — a non-atomic writer replaced it " +
+            "mid-read; retry the read or restore the manifest")
+      case _ => // no header: nothing to validate against
+    }
+    val txn = all.collectFirst {
+      case l if l.startsWith("# txn ") => l.stripPrefix("# txn ").trim
+    }
+    val schema = all.collectFirst {
+      case l if l.startsWith("# schema ") => l.stripPrefix("# schema ").trim
+    }
+    Snapshot(v, entries, txn, schema)
+  }
+
+  /** Retained manifest versions, ascending; Nil when the table does
+    * not exist. The lower end moves up as [[vacuum]] reclaims. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, p) = fsOf(spark, path)
-    if (!fs.exists(p)) return (0L, Nil)
-    val versions = fs.listStatus(p).iterator.flatMap { st =>
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).iterator.flatMap { st =>
       st.getPath.getName match {
         case ManifestName(v) => Some(v.toLong)
         case _               => None
       }
-    }.toSeq
-    if (versions.isEmpty) return (0L, Nil)
-    val v = versions.max
-    (v, manifestLines(fs, new Path(p, s"_manifest.$v")))
+    }.toSeq.sorted
   }
 
-  private def manifestLines(fs: FileSystem, m: Path): Seq[String] = {
-    val in = fs.open(m)
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+  /** The newest snapshot; None when no manifest exists. */
+  private def currentSnapshot(spark: SparkSession,
+      path: String): Option[Snapshot] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) None
+    else {
+      val (fs, p) = fsOf(spark, path)
+      Some(readSnapshot(fs, p, vs.max))
+    }
   }
+
+  /** The snapshot at `version`, failing loudly when it was vacuumed or
+    * never committed (the reproducibility contract: a caller asking for
+    * a specific historical snapshot must never silently get another). */
+  private def snapshotAt(spark: SparkSession, path: String,
+      version: Long): Snapshot = {
+    val (fs, p) = fsOf(spark, path)
+    val m = new Path(p, s"_manifest.$version")
+    require(fs.exists(m),
+      s"manifest table $path: version $version is not retained " +
+        s"(vacuumed or never committed); retained: " +
+        s"${versions(spark, path).mkString(", ")}")
+    readSnapshot(fs, p, version)
+  }
+
+  /** (version, raw manifest lines) of the current snapshot; (0, Nil)
+    * when no manifest exists. Lines are the serialized [[ManifestEntry]]
+    * form — [[currentManifest]]/[[currentEntries]] are the parsed views. */
+  private def currentLines(spark: SparkSession,
+      path: String): (Long, Seq[String]) =
+    currentSnapshot(spark, path)
+      .map(s => (s.version, s.lines)).getOrElse((0L, Nil))
 
   /** (version, relative data-file paths) of the current snapshot;
     * (0, Nil) when no manifest exists. */
@@ -114,9 +185,23 @@ object ManifestTable {
     (v, lines.map(parseEntry))
   }
 
-  /** The current snapshot as a DataFrame. Resolves ONLY manifest-listed
-    * files — orphan parquet in the directory (crashed writers, not-yet-
+  /** The table as a DataFrame. Resolves ONLY manifest-listed files —
+    * orphan parquet in the directory (crashed writers, not-yet-
     * committed appends, pre-vacuum compaction leftovers) is invisible.
+    *
+    * `version`: time-travel read. `None` (default) resolves the newest
+    * manifest; `Some(v)` reads EXACTLY snapshot v — superseded
+    * manifests and their data files stay on disk until [[vacuum]]
+    * (`keepVersions`, default 2), so "which exact snapshot trained
+    * model X" is answerable as long as retention covers it. A vacuumed
+    * or never-committed version fails loudly, never silently serves a
+    * neighbor. This is the read half of the reproducibility contract
+    * (the reference's analog is the count-what-was-there-first backfill
+    * guard, `database_service.py:443-450`).
+    *
+    * An EMPTY snapshot (a delete removed every row) reads as an empty
+    * frame with the schema the commit recorded in the manifest header —
+    * a legal API sequence must not brick the table for readers.
     *
     * Schema: by default Spark takes it from a sample of footers — cheap,
     * correct while every commit writes the same columns. After a
@@ -126,10 +211,25 @@ object ManifestTable {
     * footer read per file at planning, so reserve it for evolved
     * tables — or compact once and the schema is uniform again. */
   def read(spark: SparkSession, path: String,
-      mergeSchema: Boolean = false): DataFrame = {
-    val (v, files) = currentManifest(spark, path)
-    require(v > 0, s"manifest table $path does not exist (no _manifest.N)")
-    require(files.nonEmpty, s"manifest table $path: v$v lists no files")
+      mergeSchema: Boolean = false,
+      version: Option[Long] = None): DataFrame = {
+    val snap = version match {
+      case Some(ver) => snapshotAt(spark, path, ver)
+      case None =>
+        val s = currentSnapshot(spark, path)
+        require(s.isDefined,
+          s"manifest table $path does not exist (no _manifest.N)")
+        s.get
+    }
+    val files = snap.lines.map(parseEntry(_).path)
+    if (files.isEmpty) {
+      require(snap.schemaDdl.isDefined,
+        s"manifest table $path: v${snap.version} lists no files and " +
+          "records no schema (pre-r15 manifest) — cannot type an empty read")
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType.fromDDL(snap.schemaDdl.get))
+    }
     val base = new Path(path)
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(files.map(f => new Path(base, f).toString): _*)
@@ -147,7 +247,8 @@ object ManifestTable {
     require(v0 == 0L, s"manifest table $path already exists (v$v0)")
     val added = writeDataFiles(spark, path, df, files, sortCols, statsCols,
       zOrder)
-    commit(spark, path, added, expectedCurrent = 0L, txn = txn)
+    commit(spark, path, added, expectedCurrent = 0L, txn = txn,
+      schemaDdl = Some(df.schema.toDDL))
   }
 
   /** Append `df` as new immutable files; the new snapshot lists the old
@@ -168,21 +269,19 @@ object ManifestTable {
     require(v > 0, s"manifest table $path does not exist")
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
     val added = writeDataFiles(spark, path, df, files, Nil, statsCols)
-    commit(spark, path, current ++ added, expectedCurrent = v, txn = txn)
+    commit(spark, path, current ++ added, expectedCurrent = v, txn = txn,
+      schemaDdl = Some(df.schema.toDDL))
   }
 
-  /** The idempotence tag the current manifest committed under, if any. */
-  def lastTxn(spark: SparkSession, path: String): Option[String] = {
-    val (fs, p) = fsOf(spark, path)
-    val (v, _) = currentLines(spark, path)
-    if (v == 0L) return None
-    val in = fs.open(new Path(p, s"_manifest.$v"))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    body.linesIterator.collectFirst {
-      case l if l.startsWith("# txn ") => l.stripPrefix("# txn ").trim
-    }
-  }
+  /** The idempotence tag the current manifest committed under, if any.
+    * Maintenance commits ([[compact]], [[deleteRange]], [[deleteIds]])
+    * CARRY the tag FORWARD — a replayed streaming batch must still
+    * no-op after a compaction interleaved with its replay window
+    * (otherwise crash-after-commit + compact + replay = duplicate
+    * rows; the exactly-once contract of
+    * [[graft.streaming.StreamingEtl.writeBatchManifest]]). */
+  def lastTxn(spark: SparkSession, path: String): Option[String] =
+    currentSnapshot(spark, path).flatMap(_.txn)
 
   /** Rewrite the current snapshot as `files` larger files (range-
     * clustered on `sortCols` when given) and commit the replacement
@@ -198,10 +297,13 @@ object ManifestTable {
     // whose footer sample missed the new column would otherwise be
     // rewritten WITHOUT it — silent data loss. Compaction reads every
     // file anyway; the per-footer planning cost is already paid.
-    val rewritten = writeDataFiles(spark, path,
-      read(spark, path, mergeSchema = true), files,
+    val src = read(spark, path, mergeSchema = true)
+    val rewritten = writeDataFiles(spark, path, src, files,
       sortCols, inheritStats(statsCols, lines), zOrder)
-    commit(spark, path, rewritten, expectedCurrent = v)
+    // carry the txn tag forward (see lastTxn): maintenance must not
+    // erase a streaming writer's idempotence marker
+    commit(spark, path, rewritten, expectedCurrent = v,
+      txn = lastTxn(spark, path), schemaDdl = Some(src.schema.toDDL))
   }
 
   /** Stats columns are a TABLE property: maintenance rewrites
@@ -265,14 +367,63 @@ object ManifestTable {
     }
     if (touched.isEmpty) return v
     // mergeSchema for the same reason as compact(): rewriting evolved
-    // files through a sampled schema would silently drop a new column
+    // files through a sampled schema would silently drop a new column.
+    // NULL (and cast-failed) rows are KEPT explicitly: NULL is in no
+    // range, and `!between` alone evaluates to NULL on them — a bare
+    // negation would silently delete every NULL-c row in rewritten
+    // files (schema-evolved tables read old files' new column as NULL).
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(l =>
         new Path(base, parseEntry(l).path).toString): _*)
-      .filter(!col(c).cast("long").between(lo, hi))
+      .filter(col(c).cast("long").isNull ||
+        !col(c).cast("long").between(lo, hi))
     val rewritten = writeDataFiles(spark, path, survivors,
       files = touched.size, Nil, inheritStats(statsCols, lines))
-    commit(spark, path, untouched ++ rewritten, expectedCurrent = v)
+    commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
+      txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL))
+  }
+
+  /** Copy-on-write id-set DELETE: remove every row whose `c` is in
+    * `ids` — the shape real right-to-be-forgotten requests arrive in
+    * (scattered document ids, not one contiguous range). File pruning
+    * is exact against the manifest stats: a file is rewritten only when
+    * AT LEAST ONE id falls inside its [min, max] envelope (binary
+    * search per file over the sorted set — driver-side, O(files · log
+    * ids)); files without stats for `c` rewrite conservatively. On an
+    * id-clustered layout a scattered-but-local set touches few files.
+    * The survivor filter is an `IN`-set test (Catalyst turns it into a
+    * hash-set `InSet` above the conversion threshold — O(1) per row);
+    * NULL / cast-failed rows are KEPT (membership of NULL in any set is
+    * false for deletion purposes, same contract as [[deleteRange]]).
+    * For id sets beyond what a broadcast literal set should carry
+    * (~10⁷), stage the ids as a table and anti-join instead. Returns
+    * the committed version (unchanged when no envelope holds any id). */
+  def deleteIds(spark: SparkSession, path: String, c: String,
+      ids: Seq[Long], statsCols: Seq[String] = Nil): Long = {
+    require(ids.nonEmpty, "deleteIds: empty id set")
+    val (v, lines) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val base = new Path(path)
+    val sorted = ids.distinct.sorted.toArray
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      i < sorted.length && sorted(i) <= hi
+    }
+    val (touched, untouched) = lines.partition { l =>
+      parseEntry(l).stats.get(c)
+        .forall { case (flo, fhi) => anyIn(flo, fhi) }
+    }
+    if (touched.isEmpty) return v
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(l =>
+        new Path(base, parseEntry(l).path).toString): _*)
+      .filter(col(c).cast("long").isNull ||
+        !col(c).cast("long").isin(sorted.toSeq: _*))
+    val rewritten = writeDataFiles(spark, path, survivors,
+      files = touched.size, Nil, inheritStats(statsCols, lines))
+    commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
+      txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL))
   }
 
   /** `col BETWEEN lo AND hi` through MANIFEST-SIDE file pruning: keep
@@ -317,10 +468,13 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, path)
     val (v, _) = currentManifest(spark, path)
     require(v > 0, s"manifest table $path does not exist")
-    val keepManifests = (0 until keepVersions).map(v - _).filter(_ > 0)
+    // keep only versions that still EXIST: an earlier vacuum with a
+    // smaller keepVersions may already have reclaimed _manifest.(v-1) —
+    // keep-what-exists, never throw on the gap
+    val keepManifests = (0 until keepVersions).map(v - _)
+      .filter(kv => kv > 0 && fs.exists(new Path(p, s"_manifest.$kv")))
     val live: Set[String] = keepManifests.flatMap { kv =>
-      manifestLines(fs, new Path(p, s"_manifest.$kv"))
-        .map(parseEntry(_).path)
+      readSnapshot(fs, p, kv).lines.map(parseEntry(_).path)
     }.toSet
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(p).foreach { st =>
@@ -412,9 +566,12 @@ object ManifestTable {
     * resurrect compacted files, so both refuse loudly instead. */
   private def commit(spark: SparkSession, path: String,
       files: Seq[String], expectedCurrent: Long,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None,
+      schemaDdl: Option[String] = None): Long = {
     require(txn.forall(t => t.nonEmpty && !t.contains('\n')),
       "txn tag must be non-empty and single-line")
+    require(schemaDdl.forall(!_.contains('\n')),
+      "schema DDL must be single-line")
     val (fs, p) = fsOf(spark, path)
     fs.mkdirs(p)
     val (cur, _) = currentManifest(spark, path)
@@ -430,7 +587,8 @@ object ManifestTable {
     val out = fs.create(staged, false)
     try {
       val header = s"# graft manifest v$next, ${files.size} files\n" +
-        txn.map(t => s"# txn $t\n").getOrElse("")
+        txn.map(t => s"# txn $t\n").getOrElse("") +
+        schemaDdl.map(s => s"# schema $s\n").getOrElse("")
       val body = (header +
         files.sorted.mkString("\n") + "\n").getBytes("UTF-8")
       out.write(body)

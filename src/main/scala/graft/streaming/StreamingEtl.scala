@@ -68,7 +68,10 @@ object StreamingEtl {
     * sink argument; orphan files from a pre-commit crash stay invisible
     * and are [[graft.operators.ManifestTable.vacuum]]ed). Compaction
     * needs no maintenance window here — `ManifestTable.compact` is one
-    * more commit. */
+    * more commit, and maintenance commits CARRY the txn tag forward,
+    * so a compact interleaved with a crash-replay window cannot erase
+    * the idempotence marker and readmit the batch (pinned by
+    * ManifestTableSpec's carry-forward test). */
   def writeBatchManifest(batch: DataFrame, tableDir: String,
       batchId: Long, files: Int = 1): Long = {
     import graft.operators.ManifestTable

@@ -236,6 +236,162 @@ class ManifestTableSpec extends SparkSpec {
     assert(left.filter(col("k") <= 50L).count() === 0L)
   }
 
+  test("deleteRange KEEPS NULL rows in rewritten files: after a " +
+    "schema-evolving append, old files read the delete column as NULL " +
+    "— NULL is in no range, so those rows must survive the rewrite") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    // evolve: the new column exists only on the appended file; the two
+    // old files have NO stats for it -> conservative rewrite of all
+    ManifestTable.append(spark, path,
+      part(101, 150).withColumn("t", col("k")), files = 1)
+    ManifestTable.deleteRange(spark, path, "t", 120L, 130L)
+    val back = ManifestTable.read(spark, path, mergeSchema = true)
+    // the 100 NULL-t rows all survive; exactly t in [120,130] removed
+    assert(back.filter(col("t").isNull).count() === 100L)
+    assert(back.count() === 100L + 50L - 11L)
+    assert(back.filter(col("t").between(120L, 130L)).count() === 0L)
+  }
+
+  test("maintenance carries the txn tag forward: a compact between a " +
+    "batch commit and its replay must not break append idempotence") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    val v2 = ManifestTable.append(spark, path, part(101, 150), files = 1,
+      txn = Some("batch-7"))
+    assert(ManifestTable.lastTxn(spark, path) === Some("batch-7"))
+    val v3 = ManifestTable.compact(spark, path, files = 1)
+    assert(v3 === v2 + 1)
+    // the tag survived the compact ...
+    assert(ManifestTable.lastTxn(spark, path) === Some("batch-7"))
+    // ... so the crashed writer's replay is still a no-op
+    assert(ManifestTable.append(spark, path, part(101, 150), files = 1,
+      txn = Some("batch-7")) === v3)
+    assert(ManifestTable.read(spark, path).count() === 150L)
+    // a delete is maintenance too — tag still carried
+    ManifestTable.deleteRange(spark, path, "k", 1L, 10L)
+    assert(ManifestTable.lastTxn(spark, path) === Some("batch-7"))
+    // the NEXT batch commits normally
+    assert(ManifestTable.append(spark, path, part(151, 160), files = 1,
+      txn = Some("batch-8")) > v3)
+  }
+
+  test("vacuum keeps what exists: a wider keepVersions after an earlier " +
+    "narrower vacuum must not throw on the already-reclaimed manifest") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    ManifestTable.append(spark, path, part(101, 150), files = 1)
+    ManifestTable.vacuum(spark, path, keepVersions = 1) // reclaims v1
+    // v1 is gone; asking to keep 2 versions must keep what exists
+    ManifestTable.vacuum(spark, path, keepVersions = 2)
+    assert(ManifestTable.read(spark, path).count() === 150L)
+  }
+
+  test("time travel: read(version = Some(v)) resolves exactly snapshot " +
+    "v while retained, and fails loudly once vacuumed") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    ManifestTable.append(spark, path, part(101, 200), files = 1)
+    ManifestTable.compact(spark, path, files = 1)
+    assert(ManifestTable.versions(spark, path) === Seq(1L, 2L, 3L))
+    // v1 = pre-append content, v2 = pre-compact content, v3 = current
+    val v1 = ManifestTable.read(spark, path, version = Some(1L))
+    assert(v1.count() === 100L)
+    assert(v1.agg(sum("k")).head().getLong(0) ===
+      (1 to 100).map(_.toLong).sum)
+    assert(ManifestTable.read(spark, path, version = Some(2L))
+      .count() === 200L)
+    assert(ManifestTable.read(spark, path, version = Some(3L))
+      .collect().toSet ===
+      ManifestTable.read(spark, path).collect().toSet)
+    // a never-committed version fails loudly
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, path, version = Some(9L))
+    }
+    assert(e1.getMessage.contains("not retained"))
+    // vacuum reclaims v1/v2; the historical read refuses, never serves
+    // a neighbor silently
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, path, version = Some(1L))
+    }
+    assert(e2.getMessage.contains("not retained"))
+    assert(ManifestTable.read(spark, path, version = Some(3L))
+      .count() === 200L)
+  }
+
+  test("deleteIds is copy-on-write through exact envelope pruning: a " +
+    "clustered id set touches only its files, content equals the " +
+    "anti-filter, NULL ids survive") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 10000), files = 8,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val (v1, before) = ManifestTable.currentEntries(spark, path)
+    // scattered-but-local set: all inside the low end of the key space
+    val ids = Seq(5L, 17L, 123L, 404L, 777L)
+    val v2 = ManifestTable.deleteIds(spark, path, "k", ids,
+      statsCols = Seq("k"))
+    assert(v2 === v1 + 1)
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() === 10000L - ids.size)
+    assert(got.filter(col("k").isin(ids: _*)).count() === 0L)
+    // file-level CoW: files whose envelope holds none of the ids kept
+    // their exact manifest lines
+    val (_, after) = ManifestTable.currentEntries(spark, path)
+    val untouchedBefore = before.filter { e =>
+      val (lo, hi) = e.stats("k"); !ids.exists(i => i >= lo && i <= hi)
+    }
+    assert(untouchedBefore.nonEmpty)
+    assert(untouchedBefore.forall(e => after.exists(_.path == e.path)))
+    // ids outside every envelope: a NO-OP at the same version
+    assert(ManifestTable.deleteIds(spark, path, "k",
+      Seq(5000000L, 6000000L)) === v2)
+    // NULL ids survive a conservative (stats-less) rewrite
+    val p2 = freshDir()
+    val withNulls = spark.range(1, 51).toDF("k")
+      .withColumn("t", when(col("k") <= 10L, col("k")))
+    ManifestTable.create(spark, p2, withNulls, files = 2)
+    ManifestTable.deleteIds(spark, p2, "t", Seq(3L, 7L))
+    val left = ManifestTable.read(spark, p2)
+    assert(left.count() === 48L)
+    assert(left.filter(col("t").isNull).count() === 40L)
+  }
+
+  test("empty snapshot: deleting every row commits a snapshot that " +
+    "reads as a typed empty frame, and the table stays writable") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val v = ManifestTable.deleteRange(spark, path, "k", 1L, 100L,
+      statsCols = Seq("k"))
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 0L)
+    assert(back.columns.toSeq === Seq("k", "v"))
+    // the table is not bricked: the next append commits and reads
+    assert(ManifestTable.append(spark, path, part(200, 250),
+      files = 1) === v + 1)
+    assert(ManifestTable.read(spark, path).count() === 51L)
+  }
+
+  test("torn-manifest self-check: a manifest whose body lost lines vs " +
+    "its header count is refused loudly, not served partially") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 4)
+    val m = new java.io.File(path, "_manifest.1")
+    val lines = scala.io.Source.fromFile(m, "UTF-8").getLines().toList
+    // simulate a torn read: the header survives, the tail is cut (drop
+    // the checksum sidecar too — a real torn read happens UNDER a valid
+    // crc, the hadoop checksum must not be the thing the test trips)
+    val w = new java.io.PrintWriter(m, "UTF-8")
+    lines.dropRight(2).foreach(w.println)
+    w.close()
+    new java.io.File(path, "._manifest.1.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, path)
+    }
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
+
   test("a concurrent commit is detected and refused, never silently " +
     "rebased (a rebase under a compact would resurrect dead files)") {
     val path = freshDir()
