@@ -66,7 +66,9 @@ object ScalingProbe {
     "d18_lsh_audit", "q53_psi_drift", "f18_mann_whitney",
     // r14 additions: the manifest-table family + the round's drills
     "p18_manifest_table", "p19_zorder_layout", "p20_manifest_stats",
-    "p21_manifest_delete", "p22_zorder_manifest", "q54_quantile_sketch")
+    "p21_manifest_delete", "p22_zorder_manifest", "q54_quantile_sketch",
+    // r15 additions: the round's own new >= 1 s gates
+    "p23_time_travel", "p24_delete_ids")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */
@@ -388,8 +390,24 @@ object ScalingProbe {
         s""""events":[${dirs.map(d => rowsOf(d._1)("events")).mkString(",")}],""" +
         s""""dirs":["sf0.01","sf0.1","sf1x"]},""",
       ",", "}")
-    Files.writeString(Paths.get(outJson), json + "\n")
-    println(s"[scaling] wrote $outJson")
+    // MERGE into an existing record instead of overwriting it: a
+    // late-round single-gate probe must not erase the round's earlier
+    // probe evidence (r14 lost six records exactly this way — the p22
+    // run clobbered the file and the data survived only in git
+    // history). Fresh entries win on key conflicts, including "rows".
+    val merged =
+      if (Files.exists(Paths.get(outJson))) {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val prior = JsonMethods.parse(Files.readString(Paths.get(outJson)))
+          .asInstanceOf[JObject].obj
+        val fresh = JsonMethods.parse(json).asInstanceOf[JObject].obj
+        val freshKeys = fresh.map(_._1).toSet
+        JsonMethods.compact(JsonMethods.render(
+          JObject(prior.filterNot(kv => freshKeys(kv._1)) ++ fresh)))
+      } else json
+    Files.writeString(Paths.get(outJson), merged + "\n")
+    println(s"[scaling] wrote $outJson (merged into existing record)")
     spark.stop()
   }
 }

@@ -440,6 +440,85 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // Time-travel read (p23): superseded manifests stay on disk until
+  // vacuum, so "which exact snapshot trained model X" is answerable —
+  // the reproducibility half of the table format. The gate runs the
+  // create → append → compact lifecycle, then reads AT VERSION 1 (the
+  // pre-append snapshot): the months aggregate and the v1_rows rider
+  // are computed off that historical file list while total_rows/version
+  // come off the current one. If read() ignored the version and
+  // resolved the newest manifest, v1_rows would equal total_rows and
+  // the hash breaks — the oracle pins v1_rows at the create-time
+  // filter's count off the raw table.
+  private def p23(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p23_timetravel"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1997-01-01"), files = 4)
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1997-01-01"), files = 4)
+    ManifestTable.compact(s, base, files = 2, sortCols = Seq("l_shipdate"))
+    val v1 = ManifestTable.read(s, base, version = Some(1L))
+    val months = v1
+      .filter(col("l_shipdate").between("1996-10-01", "1996-12-31"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty"))
+    val riders = v1.agg(count(lit(1)).as("v1_rows"))
+      .crossJoin(ManifestTable.read(s, base)
+        .agg(count(lit(1)).as("total_rows")))
+    val (mv, _) = ManifestTable.currentManifest(s, base)
+    months.crossJoin(broadcast(riders))
+      .withColumn("version", lit(mv))
+      .orderBy("m")
+  }
+
+  // Scattered-id copy-on-write delete (p24): real right-to-be-forgotten
+  // requests arrive as doc-id SETS, not one contiguous range — p21's
+  // contiguous cousin. deleteIds prunes files EXACTLY against the
+  // manifest envelopes (a file rewrites only when at least one id falls
+  // inside its [min, max] — binary search per file, driver-side) and
+  // anti-filters the survivors with a hash-set InSet. The id set is
+  // bounded by literals (keys ≡ 3 mod 997 under 30000) so it stays a
+  // small driver list at any sf AND lands in the low-key files only —
+  // on the l_orderkey-clustered layout most files keep their exact
+  // bytes. Riders pin the version (create + delete = 2), the set size,
+  // and leaked = 0; the oracle replays the anti-filter off the raw
+  // table.
+  private def p24(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p24_deleteids"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    val ids = li.select("l_orderkey").distinct()
+      .filter(pmod(col("l_orderkey"), lit(997)) === 3 &&
+        col("l_orderkey") <= 30000)
+      .collect().map(_.getLong(0)).toSeq
+    val v = ManifestTable.deleteIds(s, base, "l_orderkey", ids,
+      statsCols = Seq("l_orderkey"))
+    val back = ManifestTable.read(s, base)
+    back.groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        sum(when(pmod(col("l_orderkey"), lit(997)) === 3 &&
+          col("l_orderkey") <= 30000, 1L).otherwise(0L))
+          .cast("long").as("leaked"))
+      .withColumn("version", lit(v))
+      .withColumn("n_deleted_ids", lit(ids.size.toLong))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -448,6 +527,8 @@ object PipelineQueries {
     "p20_manifest_stats" -> (p20 _),
     "p21_manifest_delete" -> (p21 _),
     "p22_zorder_manifest" -> (p22 _),
+    "p23_time_travel" -> (p23 _),
+    "p24_delete_ids" -> (p24 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -560,6 +641,37 @@ object PipelineQueries {
         "AS version, CAST(16 AS BIGINT) AS n_files FROM lineitem) " +
         "SELECT sk, cnt, qty, total_rows, version, n_files " +
         "FROM box CROSS JOIN t ORDER BY sk"),
+    // same months aggregate off the raw table restricted to the
+    // create-time slice; v1_rows pinned at that slice's count (the
+    // time-travel proof: a version-blind read would return total_rows
+    // there), version pinned at 3 (create+append+compact)
+    "p23_time_travel" ->
+      ("WITH months AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty " +
+        "FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1996-10-01' AND DATE '1996-12-31' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT (SELECT count(*) FROM lineitem " +
+        "WHERE l_shipdate < DATE '1997-01-01') AS v1_rows, " +
+        "count(*) AS total_rows, CAST(3 AS BIGINT) AS version " +
+        "FROM lineitem) " +
+        "SELECT m, cnt, qty, v1_rows, total_rows, version " +
+        "FROM months CROSS JOIN t ORDER BY m"),
+    // the id-set anti-filter replayed off the raw table; leaked pinned
+    // 0 by the oracle's WHERE, version at 2 (create + delete),
+    // n_deleted_ids at the set's size
+    "p24_delete_ids" ->
+      ("WITH t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) " +
+        "AS n_deleted_ids FROM lineitem " +
+        "WHERE l_orderkey % 997 = 3 AND l_orderkey <= 30000) " +
+        "SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(0 AS BIGINT) AS leaked, CAST(2 AS BIGINT) AS version, " +
+        "(SELECT n_deleted_ids FROM t) AS n_deleted_ids " +
+        "FROM lineitem " +
+        "WHERE NOT (l_orderkey % 997 = 3 AND l_orderkey <= 30000) " +
+        "GROUP BY 1 ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->
