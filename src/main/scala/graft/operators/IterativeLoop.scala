@@ -33,4 +33,19 @@ object IterativeLoop {
     spark.conf.set(key, "false")
     try body finally spark.conf.set(key, before)
   }
+
+  /** Per-CALLER AQE choice for a shared loop operator: the decision is
+    * a property of the GRAPH the loop runs over, not of the operator —
+    * r15 measured PageRank.ranks both ways on its two call sites
+    * (matched (t20,t21) group, min-of-4, sf0.1): g01's long-keyed
+    * order graph wins with AQE off (the r14 drill, 6.40 → 4.24 s
+    * in-sweep), while t21's string-keyed word-adjacency graph LOSES
+    * with AQE off (1.84 → 1.31 s isolated when re-enabled; it had
+    * read 2.33 s beside the write-heavy p-gates — the r14 "t21
+    * regression" was exactly this, inherited through the shared
+    * operator the round the g01 drill landed). Callers pass what their
+    * graph measured. */
+  def maybeWithoutAqe[T](spark: SparkSession, off: Boolean)(
+      body: => T): T =
+    if (off) withoutAqe(spark)(body) else body
 }

@@ -61,7 +61,8 @@ object PageRank {
     * ANSI mode fails loudly rather than wrapping. At that scale,
     * lower the fixed-point scale (e.g. 10⁹) — the oracle replays
     * whatever scale is chosen. */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int,
+      aqeOff: Boolean = true): DataFrame = {
     require(iters >= 1, "at least one iteration")
     // The edge list with its source degree riding along — every
     // iteration equi-joins this frame, nothing else.
@@ -81,7 +82,9 @@ object PageRank {
     eDeg.count()
     var rank = eDeg.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(One))
-    IterativeLoop.withoutAqe(edges.sparkSession) {
+    // aqeOff is the CALLER's measured choice — see
+    // IterativeLoop.maybeWithoutAqe (g01 wins off, t21 wins on)
+    IterativeLoop.maybeWithoutAqe(edges.sparkSession, aqeOff) {
       for (i <- 1 to iters) {
         rank = eDeg.join(rank, eDeg("src") === rank("node"))
           .select(col("dst"), expr("rank div deg").as("contrib"))

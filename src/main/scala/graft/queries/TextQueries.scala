@@ -313,7 +313,12 @@ object TextQueries {
     val edges = bg.select(col("x").as("src"), col("y").as("dst"))
       .unionByName(bg.select(col("y").as("src"), col("x").as("dst")))
       .distinct()
-    graft.operators.PageRank.ranks(edges, iters = 5)
+    // aqeOff = false: measured on THIS word graph (r15 matched
+    // (t20,t21) group, min-of-4, sf0.1) — AQE on 1.31 s vs off 1.84 s
+    // isolated / 2.33 s beside the write-heavy p-gates; the string-
+    // keyed word graph's node-sized shuffles want AQE coalescing,
+    // unlike g01's pinned-layout order graph (the r14 drill's win)
+    graft.operators.PageRank.ranks(edges, iters = 5, aqeOff = false)
       .select(col("node").as("word"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("word"))
       .limit(20)
