@@ -305,6 +305,46 @@ object Drill {
     }
   }
 
+  /** The r15 multi-stage-constant confirmation pass (r14 verdict #7):
+    * the never-isolated >= 1.8 s non-graph cohort (t18, s03, t29), each
+    * A/B'd through its materialization hook in ONE session — matched
+    * group by construction, min-of-4. Confirms (or falls out of) the
+    * classification that per-stage constants, not a missed pass, own
+    * their cost: the current default should WIN its alternative, and
+    * the remaining gap to the oracle is stage count × per-stage
+    * constant (all three probes α sublinear). */
+  private def constcheckVariants(s: SparkSession, dir: String): Unit = {
+    val docs = Tables(s, dir, "documents")
+    val embT = Tables(s, dir, "embeddings")
+    // ---- t18: lazy spine (current) vs persist+checkpoint ----
+    time("t18 gate (lazy spine, current)", 4) {
+      graft.SparkEntry.queries("t18_nb_confusion")(s, dir).count()
+    }
+    time("t18 materialized spine", 4) {
+      operators.NaiveBayes.confusionImpl(docs, "doc_id", "text",
+        "lang", materialize = true).count()
+    }
+    // ---- s03: persisted Lloyd projection (current) vs lazy ----
+    time("s03 gate (persisted projection, current)", 4) {
+      graft.SparkEntry.queries("s03_kmeans_assign")(s, dir).count()
+    }
+    time("s03 lazy projection", 4) {
+      operators.Clustering.assign(embT, "vec_id", "embedding",
+        operators.Clustering.fitImpl(embT, "vec_id", "embedding",
+          k = 8, iters = 4, persistProjection = false)).count()
+    }
+    // ---- t29: persist+checkpoint (current) vs fully lazy ----
+    time("t29 gate (persist+checkpoint, current)", 4) {
+      graft.SparkEntry.queries("t29_ppl_filter")(s, dir).count()
+    }
+    time("t29 fully lazy", 4) {
+      operators.PerplexityFilter.bucketsImpl(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(10)) === 0, nBuckets = 3,
+        operators.PerplexityFilter.CtxBroadcastMaxVocab,
+        materialize = false).count()
+    }
+  }
+
   /** Text-tail stage tables (the r10-carried drill list): t18 NB
     * confusion, t16/t25 bigram LMs, a03 co-occurrence, t21 TextRank.
     * Each gate's stages are timed cumulatively, then candidate rewrites
@@ -606,6 +646,7 @@ object Drill {
     val spark = GraftSession.getOrCreate("graft-drill")
     spark.range(1000).selectExpr("sum(id)").collect() // JIT warm
     args.headOption.getOrElse("q23") match {
+      case "constcheck" => constcheckVariants(spark, sfDir)
       case "q23" => q23Variants(spark, sfDir)
       case "s04" => s04Variants(spark, sfDir)
       case "g04" => g04Variants(spark, sfDir)

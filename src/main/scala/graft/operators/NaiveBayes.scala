@@ -153,7 +153,10 @@ object NaiveBayes {
     * and checkpoints the cells; false leaves the whole chain one lazy
     * plan (the spine recomputes once per consumer). Lazy is the
     * default — the r12 A/B read 1.30 s lazy vs 2.10 s materialized
-    * (min-of-4, sf0.1): both consumers' stages run inside ONE job, so
+    * (min-of-4, sf0.1), and the r15 matched-group re-run confirms the
+    * direction at HEAD (1.49 s lazy vs 1.66 s materialized, same
+    * session — the multi-stage-constant classification stands, probe
+    * α_large 0.61): both consumers' stages run inside ONE job, so
     * laziness costs one extra pass over the token stream and saves two
     * job boundaries plus a data-sized cache write — the same
     * size-of-frame rule as g08's lazy edge frame. Materialize only
