@@ -185,6 +185,35 @@ object ManifestTable {
     (v, lines.map(parseEntry))
   }
 
+  /** Entries of the requested snapshot (current when `version` is
+    * None) — the pruned reads are version-aware like [[read]]. */
+  private def entriesOf(spark: SparkSession, path: String,
+      version: Option[Long]): (Long, Seq[ManifestEntry]) =
+    version match {
+      case Some(ver) =>
+        (ver, snapshotAt(spark, path, ver).lines.map(parseEntry))
+      case None => currentEntries(spark, path)
+    }
+
+  /** Metadata-only row count: every write that records stats also
+    * records the file's row count (`__rows`), so counting a
+    * stats-carrying table is a driver-side sum over the manifest — no
+    * file opens at all (the `SELECT count(*)` a 100 TB table answers
+    * from metadata). Falls back to a data count when any file predates
+    * the stat or the table never carried stats. */
+  def countRows(spark: SparkSession, path: String,
+      version: Option[Long] = None): Long = {
+    val (v, entries) = entriesOf(spark, path, version)
+    require(v > 0, s"manifest table $path does not exist")
+    val counts = entries.map(_.stats.get(RowsStat).map(_._1))
+    if (counts.nonEmpty && counts.forall(_.isDefined))
+      counts.flatten.sum
+    else read(spark, path, version = version).count()
+  }
+
+  /** Reserved manifest-stat key carrying the file's row count. */
+  private val RowsStat = "__rows"
+
   /** The table as a DataFrame. Resolves ONLY manifest-listed files —
     * orphan parquet in the directory (crashed writers, not-yet-
     * committed appends, pre-vacuum compaction leftovers) is invisible.
@@ -314,7 +343,8 @@ object ManifestTable {
   private def inheritStats(statsCols: Seq[String],
       lines: Seq[String]): Seq[String] =
     if (statsCols.nonEmpty) statsCols
-    else lines.flatMap(parseEntry(_).stats.keys).distinct.sorted
+    else lines.flatMap(parseEntry(_).stats.keys)
+      .filterNot(_ == RowsStat).distinct.sorted
 
   /** Two-predicate box read through manifest-side pruning: keep only
     * the files whose stats envelopes intersect BOTH ranges (a missing
@@ -326,16 +356,18 @@ object ManifestTable {
     * scan at query time: the envelopes were recorded at write). */
   def readBox(spark: SparkSession, path: String,
       c1: String, lo1: Long, hi1: Long,
-      c2: String, lo2: Long, hi2: Long): DataFrame = {
+      c2: String, lo2: Long, hi2: Long,
+      version: Option[Long] = None): DataFrame = {
     require(lo1 <= hi1 && lo2 <= hi2, "readBox: lo > hi")
-    val (v, entries) = currentEntries(spark, path)
+    val (v, entries) = entriesOf(spark, path, version)
     require(v > 0, s"manifest table $path does not exist")
     val base = new Path(path)
     def hits(e: ManifestEntry, c: String, lo: Long, hi: Long) =
       e.stats.get(c).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
     val keep = entries.filter(e =>
       hits(e, c1, lo1, hi1) && hits(e, c2, lo2, hi2))
-    if (keep.isEmpty) return read(spark, path).filter(lit(false))
+    if (keep.isEmpty)
+      return read(spark, path, version = version).filter(lit(false))
     spark.read.parquet(keep.map(e => new Path(base, e.path).toString): _*)
       .filter(col(c1).cast("long").between(lo1, hi1) &&
         col(c2).cast("long").between(lo2, hi2))
@@ -426,6 +458,132 @@ object ManifestTable {
       txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL))
   }
 
+  /** Copy-on-write MERGE (upsert) keyed on long-castable `c`: rows of
+    * `updates` REPLACE every current row sharing their key; keys absent
+    * from the table are inserted. One commit publishes the result.
+    *
+    * File pruning is two-tier: when the update key set is small enough
+    * to collect (`<= maxCollectedKeys` distinct keys — one countDistinct
+    * scalar decides), pruning is EXACT per file (binary search of the
+    * sorted set against each envelope, the [[deleteIds]] discipline);
+    * a larger update prunes by the updates' global [min, max] envelope
+    * only — coarser (an envelope-intersecting file may hold no update
+    * key) but never incorrect, because the survivor filter is a
+    * LEFT ANTI JOIN against the update keys, not a literal set: it
+    * scales to arbitrarily large updates and keeps NULL-keyed rows
+    * (NULL never equi-joins — the same NULL contract as the deletes).
+    * Files without stats for `c` rewrite conservatively.
+    *
+    * The rewrite unions survivors with the updates and writes them as
+    * `files` fresh files; untouched files keep their exact bytes and
+    * manifest lines. Multi-row keys follow DELETE-then-INSERT
+    * semantics: ALL current rows of an updated key are replaced by
+    * exactly the update's rows for that key (the natural contract when
+    * a key is a document/order and its rows are parts). `txn` is the
+    * replay-idempotence tag ([[append]]). */
+  def upsert(spark: SparkSession, path: String, c: String,
+      updates: DataFrame, files: Int, statsCols: Seq[String] = Nil,
+      txn: Option[String] = None,
+      maxCollectedKeys: Long = 100000L): Long = {
+    val (v, lines) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    if (txn.isDefined && lastTxn(spark, path) == txn) return v
+    val base = new Path(path)
+    val keyCol = col(c).cast("long")
+    val bounds = updates.agg(min(keyCol), max(keyCol),
+      org.apache.spark.sql.functions.count_distinct(keyCol)).head()
+    require(!bounds.isNullAt(0),
+      "upsert: updates carry no non-NULL keys")
+    val (kLo, kHi, nKeys) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val exactKeys: Option[Array[Long]] =
+      if (nKeys <= maxCollectedKeys)
+        Some(updates.select(keyCol.as("k")).where(col("k").isNotNull)
+          .distinct().collect().map(_.getLong(0)).sorted)
+      else None
+    def fileTouched(stats: Option[(Long, Long)]): Boolean = stats match {
+      case None => true // no envelope: conservative
+      case Some((flo, fhi)) => exactKeys match {
+        case Some(ks) =>
+          var i = java.util.Arrays.binarySearch(ks, flo)
+          if (i < 0) i = -i - 1
+          i < ks.length && ks(i) <= fhi
+        case None => fhi >= kLo && flo <= kHi
+      }
+    }
+    val (touched, untouched) = lines.partition(l =>
+      fileTouched(parseEntry(l).stats.get(c)))
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(l =>
+          new Path(base, parseEntry(l).path).toString): _*)
+        .join(updates.select(keyCol.as("__k")).where(col("__k").isNotNull)
+          .distinct(), keyCol === col("__k"), "left_anti"))
+    val rewriteDf = survivors match {
+      case Some(s) => s.unionByName(updates, allowMissingColumns = true)
+      case None    => updates
+    }
+    val rewritten = writeDataFiles(spark, path, rewriteDf,
+      files = math.max(files, touched.size), Nil,
+      inheritStats(statsCols, lines))
+    commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
+      txn = txn, schemaDdl = Some(rewriteDf.schema.toDDL))
+  }
+
+  /** Incremental scan: the rows ADDED between snapshot `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — the files in `to`'s
+    * manifest that `from`'s does not list. This is the incremental-
+    * consumer primitive: a downstream job processes only the delta
+    * since the snapshot it last saw, never the table (at 100 TB the
+    * difference between a nightly re-read and a nightly no-op).
+    *
+    * Defined for APPEND-ONLY ranges: if any file `from` listed is gone
+    * by `to` (a compact/delete/upsert rewrote history in between), the
+    * added files double-count rewritten rows — the call fails loudly
+    * and the consumer should fall back to a full re-read (or diff at a
+    * finer grain). Returns an empty, schema-typed frame when nothing
+    * was added. Both versions must still be retained ([[vacuum]]). */
+  def readChanges(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChanges: from $fromVersion > to $toVersion")
+    val from = snapshotAt(spark, path, fromVersion)
+    val to = snapshotAt(spark, path, toVersion)
+    val fromFiles = from.lines.map(parseEntry(_).path).toSet
+    val toFiles = to.lines.map(parseEntry(_).path)
+    val removed = fromFiles -- toFiles.toSet
+    require(removed.isEmpty,
+      s"manifest table $path: v$fromVersion..v$toVersion is not " +
+        s"append-only (${removed.size} file(s) rewritten/removed, e.g. " +
+        s"${removed.head}) — added files would double-count rewritten " +
+        "rows; re-read the snapshot instead")
+    val added = toFiles.filterNot(fromFiles)
+    if (added.isEmpty)
+      return read(spark, path, version = Some(toVersion)).limit(0)
+    val base = new Path(path)
+    spark.read.option("mergeSchema", "true")
+      .parquet(added.map(f => new Path(base, f).toString): _*)
+  }
+
+  /** ROLLBACK: republish snapshot `toVersion`'s exact file list (and
+    * txn tag — the table state IS that snapshot, so a writer replaying
+    * the rolled-back batch must re-append) as the NEXT version. Nothing
+    * is deleted or rewritten — a rollback of a rollback works, readers
+    * switch with the usual one-rename visibility, and [[vacuum]]'s
+    * retention governs how far back is reachable. The undo-a-bad-write
+    * op: data files are immutable, so restoring a state is just
+    * restoring a file list. */
+  def rollback(spark: SparkSession, path: String,
+      toVersion: Long): Long = {
+    val target = snapshotAt(spark, path, toVersion)
+    val (cur, _) = currentLines(spark, path)
+    require(toVersion <= cur,
+      s"rollback: v$toVersion is ahead of current v$cur")
+    commit(spark, path, target.lines, expectedCurrent = cur,
+      txn = target.txn, schemaDdl = target.schemaDdl)
+  }
+
   /** `col BETWEEN lo AND hi` through MANIFEST-SIDE file pruning: keep
     * only the files whose recorded [min, max] envelope intersects the
     * range (files without stats for `c` are always kept — conservative)
@@ -437,9 +595,9 @@ object ManifestTable {
     * manifest (a line per file), no footer reads at all. The same
     * stats-in-manifest idea as Iceberg/Delta file skipping. */
   def readRange(spark: SparkSession, path: String, c: String,
-      lo: Long, hi: Long): DataFrame = {
+      lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
     require(lo <= hi, s"readRange: lo $lo > hi $hi")
-    val (v, entries) = currentEntries(spark, path)
+    val (v, entries) = entriesOf(spark, path, version)
     require(v > 0, s"manifest table $path does not exist")
     val base = new Path(path)
     val keep = entries.filter(e =>
@@ -447,7 +605,7 @@ object ManifestTable {
     if (keep.isEmpty) {
       // empty by stats: derive the (empty) frame with the same schema
       // from one file rather than inventing a schema
-      return read(spark, path).filter(lit(false))
+      return read(spark, path, version = version).filter(lit(false))
     }
     spark.read.parquet(keep.map(e => new Path(base, e.path).toString): _*)
       .filter(col(c).cast("long").between(lo, hi))
@@ -517,6 +675,8 @@ object ManifestTable {
     require(files >= 1, "files must be >= 1")
     require(statsCols.forall(c => !c.exists("|:#".contains(_))),
       "stats column names must not contain '|', ':' or '#'")
+    require(!statsCols.contains(RowsStat),
+      s"'$RowsStat' is a reserved stat key (per-file row counts)")
     require(!zOrder || sortCols.size == 2,
       "zOrder layout takes exactly two sortCols")
     val sub = "c" + java.util.UUID.randomUUID.toString.take(12)
@@ -538,7 +698,10 @@ object ManifestTable {
       else {
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"__lo_$c"),
-          max(col(c).cast("long")).as(s"__hi_$c")))
+          max(col(c).cast("long")).as(s"__hi_$c"))) :+
+          // row count rides the same scan for free — the metadata-only
+          // countRows() source
+          org.apache.spark.sql.functions.count(lit(1)).as("__n")
         spark.read.parquet(dir.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -552,6 +715,9 @@ object ManifestTable {
               // stat, the reader keeps the file (conservative)
               if (lo == null || hi == null) None
               else Some(s"$c:$lo:$hi")
+            } :+ {
+              val n = r.getAs[Long]("__n")
+              s"$RowsStat:$n:$n"
             }
             fname -> (if (parts.isEmpty) "" else parts.mkString("|", "|", ""))
           }.toMap

@@ -519,6 +519,83 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // Copy-on-write MERGE/upsert (p25): the third real-world write shape
+  // after append and delete — updated keys' rows replaced wholesale
+  // (DELETE-then-INSERT per key), new keys inserted, one commit. The
+  // update set (orders ≡ 5 mod 1009, quantity +100) is ~150 distinct
+  // keys at sf0.1, so the gate exercises the EXACT per-file key-set
+  // pruning path (the envelope/anti-join path for huge updates is
+  // spec-pinned); on the l_orderkey-clustered layout the scattered
+  // keys still leave most files byte-identical. The oracle replays the
+  // merge as NOT-matching UNION ALL transformed-matching off the raw
+  // table — content equality through replace-not-duplicate semantics
+  // (a naive append-only "upsert" would double the matching rows and
+  // break cnt).
+  private def p25(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p25_upsert"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    val updates = li.filter(pmod(col("l_orderkey"), lit(1009)) === 5)
+      .withColumn("l_quantity", col("l_quantity") + 100)
+    val v = ManifestTable.upsert(s, base, "l_orderkey", updates,
+      files = 2, statsCols = Seq("l_orderkey"))
+    ManifestTable.read(s, base)
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("version", lit(v))
+      .orderBy("sk")
+  }
+
+  // Incremental scan (p26): the incremental-consumer primitive — a
+  // downstream job reads ONLY the files appended since the snapshot it
+  // last processed (at 100 TB, the difference between a nightly
+  // full-table re-read and I/O proportional to the day's arrivals).
+  // Three append-only commits partition lineitem by ship date; the
+  // delta (v1 -> v3) must be exactly the later two slices: months
+  // aggregate over a window inside the delta + a delta_rows rider (a
+  // full-table read would inflate it and break the hash). total_rows
+  // rides through countRows — the METADATA-ONLY count summed from the
+  // per-file __rows stats in the manifest, no file opens — pinned
+  // against the oracle's real count(*).
+  private def p26(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p26_incremental"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1996-07-01"), files = 4,
+      statsCols = Seq("l_orderkey"))
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1996-07-01" &&
+        col("l_shipdate") < "1997-01-01"), files = 2,
+      statsCols = Seq("l_orderkey"))
+    val v3 = ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1997-01-01"), files = 2,
+      statsCols = Seq("l_orderkey"))
+    val delta = ManifestTable.readChanges(s, base, 1L, v3)
+    val months = delta
+      .filter(col("l_shipdate").between("1996-07-01", "1996-09-30"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("qty"))
+    val riders = delta.agg(count(lit(1)).as("delta_rows"))
+    months.crossJoin(broadcast(riders))
+      .withColumn("total_rows", lit(ManifestTable.countRows(s, base)))
+      .withColumn("to_version", lit(v3))
+      .orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -529,6 +606,8 @@ object PipelineQueries {
     "p22_zorder_manifest" -> (p22 _),
     "p23_time_travel" -> (p23 _),
     "p24_delete_ids" -> (p24 _),
+    "p25_manifest_upsert" -> (p25 _),
+    "p26_incremental_read" -> (p26 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -672,6 +751,36 @@ object PipelineQueries {
         "FROM lineitem " +
         "WHERE NOT (l_orderkey % 997 = 3 AND l_orderkey <= 30000) " +
         "GROUP BY 1 ORDER BY sk"),
+    // the merge replayed as NOT-matching UNION ALL transformed-matching
+    // off the raw table; version pinned at 2 (create + upsert) — a
+    // duplicate-on-merge bug inflates cnt, a lost-update bug misses the
+    // +100 in qty
+    "p25_manifest_upsert" ->
+      ("WITH merged AS (SELECT l_suppkey, l_quantity FROM lineitem " +
+        "WHERE l_orderkey % 1009 <> 5 " +
+        "UNION ALL SELECT l_suppkey, l_quantity + 100 FROM lineitem " +
+        "WHERE l_orderkey % 1009 = 5) " +
+        "SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(2 AS BIGINT) AS version " +
+        "FROM merged GROUP BY 1 ORDER BY sk"),
+    // the delta replayed as the post-cut slice off the raw table;
+    // delta_rows pinned at that slice's count (a full-table read
+    // inflates it), total_rows at the real count(*) (the gate computes
+    // it METADATA-ONLY from the manifest's __rows stats), to_version 3
+    "p26_incremental_read" ->
+      ("WITH months AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, " +
+        "count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty " +
+        "FROM lineitem " +
+        "WHERE l_shipdate BETWEEN DATE '1996-07-01' AND DATE '1996-09-30' " +
+        "GROUP BY 1), " +
+        "t AS (SELECT (SELECT count(*) FROM lineitem " +
+        "WHERE l_shipdate >= DATE '1996-07-01') AS delta_rows, " +
+        "count(*) AS total_rows, CAST(3 AS BIGINT) AS to_version " +
+        "FROM lineitem) " +
+        "SELECT m, cnt, qty, delta_rows, total_rows, to_version " +
+        "FROM months CROSS JOIN t ORDER BY m"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

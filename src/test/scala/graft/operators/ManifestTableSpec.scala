@@ -392,6 +392,140 @@ class ManifestTableSpec extends SparkSpec {
     assert(e.getMessage.contains("torn"), e.getMessage)
   }
 
+  test("upsert: updated keys are replaced (all their rows), new keys " +
+    "inserted, untouched files keep their lines, txn replay no-ops") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 1000), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val (_, before) = ManifestTable.currentEntries(spark, path)
+    val updates = Seq((10L, -1L), (20L, -2L), (500L, -3L), (2000L, -4L))
+      .toDF("k", "v")
+    val v2 = ManifestTable.upsert(spark, path, "k", updates, files = 1,
+      statsCols = Seq("k"), txn = Some("up-1"))
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 1001L) // 1000 - 3 replaced + 3 + 1 new
+    assert(back.filter(col("k").isin(10L, 20L, 500L, 2000L))
+      .orderBy("k").select("v").collect().map(_.getLong(0)).toSeq ===
+      Seq(-1L, -2L, -3L, -4L))
+    // untouched by the exact key set {10,20,500,2000}: files whose
+    // envelope holds none of them keep their exact manifest lines
+    val (_, after) = ManifestTable.currentEntries(spark, path)
+    val untouchedBefore = before.filter { e =>
+      val (lo, hi) = e.stats("k")
+      !Seq(10L, 20L, 500L, 2000L).exists(i => i >= lo && i <= hi)
+    }
+    assert(untouchedBefore.nonEmpty)
+    assert(untouchedBefore.forall(e => after.exists(_.path == e.path)))
+    // replaying the same txn is a no-op at the same version
+    assert(ManifestTable.upsert(spark, path, "k", updates, files = 1,
+      txn = Some("up-1")) === v2)
+    assert(ManifestTable.read(spark, path).count() === 1001L)
+    // multi-row keys: DELETE-then-INSERT — all old rows of the key go
+    val p2 = freshDir()
+    ManifestTable.create(spark, p2,
+      Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("k", "v"), files = 1)
+    ManifestTable.upsert(spark, p2, "k",
+      Seq((1L, 99L)).toDF("k", "v"), files = 1)
+    val got = ManifestTable.read(spark, p2).orderBy("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 99L), (2L, 3L)))
+  }
+
+  test("upsert large-set path (envelope prune + anti-join) matches the " +
+    "exact-set path's content") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 1000), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val updates = Seq((100L, -1L), (900L, -2L)).toDF("k", "v")
+    // maxCollectedKeys = 0 forces the envelope/anti-join path
+    ManifestTable.upsert(spark, path, "k", updates, files = 1,
+      statsCols = Seq("k"), maxCollectedKeys = 0L)
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 1000L)
+    assert(back.filter(col("k").isin(100L, 900L)).orderBy("k")
+      .select("v").collect().map(_.getLong(0)).toSeq === Seq(-1L, -2L))
+  }
+
+  test("readChanges: the appended delta between two retained versions; " +
+    "empty delta is typed; a rewrite in the range refuses loudly") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    ManifestTable.append(spark, path, part(101, 150), files = 1)
+    ManifestTable.append(spark, path, part(151, 160), files = 1)
+    val delta = ManifestTable.readChanges(spark, path, 1L, 3L)
+    assert(delta.count() === 60L)
+    assert(delta.agg(sum("k")).head().getLong(0) ===
+      (101 to 160).map(_.toLong).sum)
+    val none = ManifestTable.readChanges(spark, path, 3L, 3L)
+    assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
+    ManifestTable.compact(spark, path, files = 1)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, path, 1L, 4L)
+    }
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
+    // changes AFTER the compact are append-only again
+    ManifestTable.append(spark, path, part(161, 170), files = 1)
+    assert(ManifestTable.readChanges(spark, path, 4L, 5L).count() === 10L)
+  }
+
+  test("rollback republishes a retained snapshot's file list (and txn) " +
+    "as the next version; nothing is rewritten") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    ManifestTable.append(spark, path, part(101, 150), files = 1,
+      txn = Some("batch-3"))
+    ManifestTable.deleteRange(spark, path, "k", 1L, 120L) // the bad write
+    assert(ManifestTable.read(spark, path).count() === 30L)
+    val v4 = ManifestTable.rollback(spark, path, 2L)
+    assert(v4 === 4L)
+    assert(ManifestTable.read(spark, path).count() === 150L)
+    // the rolled-back state carries v2's txn: a replay of batch-3 no-ops
+    assert(ManifestTable.lastTxn(spark, path) === Some("batch-3"))
+    assert(ManifestTable.append(spark, path, part(101, 150), files = 1,
+      txn = Some("batch-3")) === v4)
+    // rolling forward again also works (rollback of the rollback)
+    assert(ManifestTable.rollback(spark, path, 3L) === 5L)
+    assert(ManifestTable.read(spark, path).count() === 30L)
+  }
+
+  test("countRows is metadata-only on a stats-carrying table (per-file " +
+    "__rows recorded at write) and falls back to a data count otherwise") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 1000), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val (_, entries) = ManifestTable.currentEntries(spark, path)
+    assert(entries.forall(_.stats.contains("__rows")))
+    assert(ManifestTable.countRows(spark, path) === 1000L)
+    ManifestTable.deleteRange(spark, path, "k", 1L, 100L,
+      statsCols = Seq("k"))
+    assert(ManifestTable.countRows(spark, path) === 900L)
+    // time-travel count
+    assert(ManifestTable.countRows(spark, path,
+      version = Some(1L)) === 1000L)
+    // stats-less table: no __rows, the fallback data count is correct
+    val p2 = freshDir()
+    ManifestTable.create(spark, p2, part(1, 50), files = 1)
+    assert(ManifestTable.countRows(spark, p2) === 50L)
+    // '__rows' is reserved
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, freshDir(), part(1, 5), files = 1,
+        statsCols = Seq("__rows"))
+    }
+  }
+
+  test("readRange/readBox are version-aware: the pruned read at a " +
+    "historical version sees rows a later delete removed") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 1000), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    ManifestTable.deleteRange(spark, path, "k", 100L, 200L,
+      statsCols = Seq("k"))
+    assert(ManifestTable.readRange(spark, path, "k", 100L, 200L)
+      .count() === 0L)
+    assert(ManifestTable.readRange(spark, path, "k", 100L, 200L,
+      version = Some(1L)).count() === 101L)
+  }
+
   test("a concurrent commit is detected and refused, never silently " +
     "rebased (a rebase under a compact would resurrect dead files)") {
     val path = freshDir()
