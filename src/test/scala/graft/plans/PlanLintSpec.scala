@@ -148,6 +148,12 @@ class PlanLintSpec extends SparkSpec {
         "p20_manifest_stats",
         // 1-row (total_rows) rider over the box aggregate (p18 class)
         "p22_zorder_manifest",
+        // 1-row (v1_rows x total_rows) riders over the months
+        // aggregate (p18 class)
+        "p23_time_travel",
+        // 1-row (delta_rows) rider over the months aggregate; the
+        // total_rows/to_version columns are literals (p18 class)
+        "p26_incremental_read",
         // two 1-row frames crossJoined into the one-row report
         "q56_join_size",
         // pct-list rider crossJoined onto the groups-sized totals
