@@ -83,6 +83,30 @@ object StreamingEtl {
     else ManifestTable.append(spark, tableDir, batch, files, txn = txn)
   }
 
+  /** Streaming MERGE — the CDC/late-data upgrade of
+    * [[writeBatchManifest]]: each micro-batch UPSERTS by `keyCol`
+    * instead of appending, so a corrected record (a revised order, a
+    * re-scored document) REPLACES its earlier rows rather than
+    * duplicating them — the foreachBatch-merge pattern every
+    * table-format streaming sink converges on. Exactly-once is the same
+    * txn-tag argument: a replayed batchId finds its tag on the current
+    * manifest (maintenance carries it forward) and no-ops; keys only in
+    * earlier batches are untouched — file-level copy-on-write keeps the
+    * rewrite proportional to the keys the batch actually touches, not
+    * the table. First batch creates the table (stats on `keyCol` so
+    * later merges prune exactly). */
+  def writeBatchUpsert(batch: DataFrame, tableDir: String,
+      batchId: Long, keyCol: String, files: Int = 1): Long = {
+    import graft.operators.ManifestTable
+    val spark = batch.sparkSession
+    val txn = Some(s"batch-$batchId")
+    val (v, _) = ManifestTable.currentManifest(spark, tableDir)
+    if (v == 0L) ManifestTable.create(spark, tableDir, batch, files,
+      statsCols = Seq(keyCol), txn = txn)
+    else ManifestTable.upsert(spark, tableDir, keyCol, batch, files,
+      statsCols = Seq(keyCol), txn = txn)
+  }
+
   /** [[start]] with the manifest-committed sink: same transform, but
     * downstream readers go through `ManifestTable.read(tableDir)` and
     * see only whole committed batches. */

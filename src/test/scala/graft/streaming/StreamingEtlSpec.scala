@@ -89,6 +89,35 @@ class StreamingEtlSpec extends SparkSpec {
     assert(ManifestTable.read(spark, table).count() === 4L)
   }
 
+  test("upsert sink: a batch's corrected keys replace earlier rows, " +
+    "new keys insert, replayed batchId no-ops — even after maintenance") {
+    import graft.operators.ManifestTable
+    val table = Files.createTempDirectory("stream_upsert").toString
+    new java.io.File(table).delete()
+    val b0 = Seq((1L, "Latte", 1), (2L, "Mocha", 2), (3L, "Drip", 1))
+      .toDF("order_id", "item_name", "qty")
+    // batch 1 corrects order 2 and adds order 4 — the CDC shape
+    val b1 = Seq((2L, "Mocha", 5), (4L, "Flat White", 1))
+      .toDF("order_id", "item_name", "qty")
+    assert(StreamingEtl.writeBatchUpsert(b0, table, batchId = 0,
+      keyCol = "order_id") === 1L)
+    assert(StreamingEtl.writeBatchUpsert(b1, table, batchId = 1,
+      keyCol = "order_id") === 2L)
+    val got = ManifestTable.read(spark, table).orderBy("order_id")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(got === Seq((1L, 1), (2L, 5), (3L, 1), (4L, 1)))
+    // post-commit crash replay of batch 1: same txn tag -> NO-OP (no
+    // double-merge: a second delete-then-insert of key 2 would be
+    // content-neutral here but version-visible)
+    assert(StreamingEtl.writeBatchUpsert(b1, table, batchId = 1,
+      keyCol = "order_id") === 2L)
+    // a compact between commit and replay still can't readmit batch 1
+    ManifestTable.compact(spark, table, files = 1)
+    assert(StreamingEtl.writeBatchUpsert(b1, table, batchId = 1,
+      keyCol = "order_id") === 3L)
+    assert(ManifestTable.read(spark, table).count() === 4L)
+  }
+
   test("startManifest: end-to-end file-stream -> manifest table equals " +
     "the batch transform; checkpoint restart appends only the new file") {
     val ordersDir = Files.createTempDirectory("mani_orders")
