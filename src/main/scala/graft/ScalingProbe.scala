@@ -69,7 +69,7 @@ object ScalingProbe {
     "p21_manifest_delete", "p22_zorder_manifest", "q54_quantile_sketch",
     // r15 additions: the round's own new >= 1 s gates
     "p23_time_travel", "p24_delete_ids", "p25_manifest_upsert",
-    "p26_incremental_read")
+    "p26_incremental_read", "p27_atomic_backfill")
 
   /** Which table's row count is the gate's size metric (default
     * lineitem; graph/sort gates scan it, d/t gates scan documents). */

@@ -298,7 +298,11 @@ object ManifestTable {
     require(v > 0, s"manifest table $path does not exist")
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
     val added = writeDataFiles(spark, path, df, files, Nil, statsCols)
-    commit(spark, path, current ++ added, expectedCurrent = v, txn = txn,
+    // an untagged write still carries a prior streaming tag forward —
+    // same argument as maintenance (see lastTxn): erasing it would let
+    // a crash-replay readmit an already-committed batch
+    commit(spark, path, current ++ added, expectedCurrent = v,
+      txn = txn.orElse(lastTxn(spark, path)),
       schemaDdl = Some(df.schema.toDDL))
   }
 
@@ -528,7 +532,52 @@ object ManifestTable {
       files = math.max(files, touched.size), Nil,
       inheritStats(statsCols, lines))
     commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
-      txn = txn, schemaDdl = Some(rewriteDf.schema.toDDL))
+      txn = txn.orElse(lastTxn(spark, path)),
+      schemaDdl = Some(rewriteDf.schema.toDDL))
+  }
+
+  /** ATOMIC BACKFILL: replace every row with `c` in [lo, hi] by
+    * `replacement` in ONE commit — the reference's monthly
+    * delete-then-insert backfill (`database_service.py:415-475` runs
+    * DELETE + INSERT in one DB transaction) re-expressed as one
+    * snapshot: readers see the old month or the new month, never the
+    * deleted-but-not-yet-reloaded window a two-step file backfill
+    * exposes. File-level copy-on-write like [[deleteRange]] (only
+    * envelope-intersecting files rewrite; the replacement rows ride the
+    * same write), NULL-`c` rows in rewritten files survive, and the
+    * caller is trusted that `replacement` itself lies in [lo, hi] —
+    * rows outside it are still INSERTED (this is replace-range +
+    * insert, not a filtered load; validate upstream, as the reference's
+    * count-first guard does). */
+  def replaceRange(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long, replacement: DataFrame, files: Int,
+      statsCols: Seq[String] = Nil, txn: Option[String] = None): Long = {
+    require(lo <= hi, s"replaceRange: lo $lo > hi $hi")
+    val (v, lines) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    if (txn.isDefined && lastTxn(spark, path) == txn) return v
+    val base = new Path(path)
+    val (touched, untouched) = lines.partition { l =>
+      parseEntry(l).stats.get(c)
+        .forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(l =>
+          new Path(base, parseEntry(l).path).toString): _*)
+        .filter(col(c).cast("long").isNull ||
+          !col(c).cast("long").between(lo, hi)))
+    val rewriteDf = survivors match {
+      case Some(s) => s.unionByName(replacement, allowMissingColumns = true)
+      case None    => replacement
+    }
+    val rewritten = writeDataFiles(spark, path, rewriteDf,
+      files = math.max(files, touched.size), Nil,
+      inheritStats(statsCols, lines))
+    commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
+      txn = txn.orElse(lastTxn(spark, path)),
+      schemaDdl = Some(rewriteDf.schema.toDDL))
   }
 
   /** Incremental scan: the rows ADDED between snapshot `fromVersion`
@@ -564,6 +613,47 @@ object ManifestTable {
     val base = new Path(path)
     spark.read.option("mergeSchema", "true")
       .parquet(added.map(f => new Path(base, f).toString): _*)
+  }
+
+  /** Incremental-consumer checkpoint: run `process` over the delta
+    * since the version recorded in `stateFile`, then record the new
+    * version — the consumer half of [[readChanges]] (a nightly
+    * downstream job calls this and touches only the day's arrivals).
+    * First run (no state) processes the whole table. The state write is
+    * staged + one rename, and it happens AFTER `process` returns: a
+    * crash mid-process re-delivers the same delta on restart —
+    * AT-LEAST-ONCE, so pair it with an idempotent sink (e.g.
+    * [[graft.streaming.StreamingEtl.writeBatchUpsert]] keyed on the
+    * delta's version tag) for exactly-once end to end. Retention
+    * contract: [[vacuum]]'s keepVersions must cover the slowest
+    * consumer's lag, or its next readChanges fails loudly (never
+    * silently re-reads the world). Returns the version now recorded. */
+  def processChanges(spark: SparkSession, path: String,
+      stateFile: String)(process: DataFrame => Unit): Long = {
+    val (fs, sp) = fsOf(spark, stateFile)
+    val from: Long =
+      if (!fs.exists(sp)) 0L
+      else {
+        val in = fs.open(sp)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        s.trim.toLong
+      }
+    val (cur, _) = currentManifest(spark, path)
+    require(cur > 0, s"manifest table $path does not exist")
+    if (cur == from) return from // nothing new — no read, no state churn
+    val delta =
+      if (from == 0L) read(spark, path)
+      else readChanges(spark, path, from, cur)
+    process(delta)
+    val staged = new Path(sp.getParent,
+      s".${sp.getName}.staged.${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = fs.create(staged, false)
+    try out.write(s"$cur\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(sp, false) // raw-local rename refuses an existing target
+    require(fs.rename(staged, sp),
+      s"could not record consumer state at $stateFile")
+    cur
   }
 
   /** ROLLBACK: republish snapshot `toVersion`'s exact file list (and

@@ -596,6 +596,42 @@ object PipelineQueries {
       .orderBy("m")
   }
 
+  // Atomic backfill (p27): the reference's monthly delete-then-insert
+  // backfill runs DELETE + INSERT inside one DB transaction
+  // (database_service.py:415-475); replaceRange is that shape on the
+  // manifest table — old month out, reloaded month in, ONE snapshot
+  // commit, so a reader sees the old month or the new month and never
+  // the deleted-but-not-yet-reloaded window a two-step file backfill
+  // exposes (S7's SalesSink.overwriteMonth closes this with dynamic
+  // partition overwrite; here it closes WITHOUT a partitioned layout,
+  // via stats-pruned copy-on-write). The month key is a long
+  // (year*100+month) so the envelope prune is exact integer
+  // arithmetic; the range-clustered layout keeps the month in few
+  // files. Oracle replays NOT-month UNION ALL reloaded-month.
+  private def p27(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p27_backfill"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("mkey"))
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("mkey"), statsCols = Seq("mkey"))
+    val reload = li.filter(col("mkey") === 199606L)
+      .withColumn("l_quantity", col("l_quantity") + 1000)
+    val v = ManifestTable.replaceRange(s, base, "mkey", 199606L, 199606L,
+      reload, files = 1, statsCols = Seq("mkey"))
+    ManifestTable.read(s, base)
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("version", lit(v))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -608,6 +644,7 @@ object PipelineQueries {
     "p24_delete_ids" -> (p24 _),
     "p25_manifest_upsert" -> (p25 _),
     "p26_incremental_read" -> (p26 _),
+    "p27_atomic_backfill" -> (p27 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -781,6 +818,18 @@ object PipelineQueries {
         "FROM lineitem) " +
         "SELECT m, cnt, qty, delta_rows, total_rows, to_version " +
         "FROM months CROSS JOIN t ORDER BY m"),
+    // the backfill replayed as NOT-month UNION ALL reloaded-month off
+    // the raw table; version pinned at 2 (create + replace) — an
+    // unatomic or leaky backfill loses/duplicates the month's rows
+    "p27_atomic_backfill" ->
+      ("WITH merged AS (SELECT l_suppkey, l_quantity FROM lineitem " +
+        "WHERE NOT (year(l_shipdate) * 100 + month(l_shipdate) = 199606) " +
+        "UNION ALL SELECT l_suppkey, l_quantity + 1000 FROM lineitem " +
+        "WHERE year(l_shipdate) * 100 + month(l_shipdate) = 199606) " +
+        "SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(2 AS BIGINT) AS version " +
+        "FROM merged GROUP BY 1 ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

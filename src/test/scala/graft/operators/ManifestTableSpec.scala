@@ -526,6 +526,70 @@ class ManifestTableSpec extends SparkSpec {
       version = Some(1L)).count() === 101L)
   }
 
+  test("replaceRange is the atomic backfill: old range out, replacement " +
+    "in, ONE commit; untouched files keep their lines; NULLs survive") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 1000), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val (v1, before) = ManifestTable.currentEntries(spark, path)
+    // the "reloaded month": same keys, corrected values
+    val reload = (100 to 200).map(i => (i.toLong, -i.toLong)).toDF("k", "v")
+    val v2 = ManifestTable.replaceRange(spark, path, "k", 100L, 200L,
+      reload, files = 1, statsCols = Seq("k"))
+    assert(v2 === v1 + 1)
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 1000L)
+    assert(back.filter(col("k").between(100L, 200L) && col("v") >= 0L)
+      .count() === 0L) // no old row of the range survived
+    assert(back.filter(col("v") < 0L).count() === 101L)
+    // file-level CoW: files outside the range keep their exact lines
+    val (_, after) = ManifestTable.currentEntries(spark, path)
+    val untouchedBefore = before.filter(e =>
+      e.stats("k") match { case (lo, hi) => hi < 100L || lo > 200L })
+    assert(untouchedBefore.nonEmpty)
+    assert(untouchedBefore.forall(e => after.exists(_.path == e.path)))
+    // a pre-backfill reader's snapshot still serves (grace until vacuum)
+    assert(ManifestTable.read(spark, path, version = Some(v1))
+      .filter(col("v") < 0L).count() === 0L)
+    // NULL keys in rewritten files survive (stats-less table: all
+    // files rewrite conservatively)
+    val p2 = freshDir()
+    val withNulls = spark.range(1, 21).toDF("k")
+      .withColumn("t", when(col("k") <= 5L, col("k")))
+    ManifestTable.create(spark, p2, withNulls, files = 1)
+    ManifestTable.replaceRange(spark, p2, "t", 1L, 5L,
+      Seq((99L, 1L)).toDF("k", "t"), files = 1)
+    val left = ManifestTable.read(spark, p2)
+    assert(left.filter(col("t").isNull).count() === 15L)
+    assert(left.count() === 16L)
+  }
+
+  test("processChanges: a consumer checkpoint delivers each appended " +
+    "delta exactly once across runs; first run is the full table") {
+    val path = freshDir()
+    val state = freshDir() + "/consumer.version"
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    var seen = Seq.empty[Long]
+    def consume(): Long = ManifestTable.processChanges(spark, path,
+      state) { df => seen = seen ++ df.select("k").collect().map(_.getLong(0)) }
+    assert(consume() === 1L)
+    assert(seen.sorted === (1L to 100L))
+    // no new commits: nothing delivered, state untouched
+    assert(consume() === 1L)
+    assert(seen.size === 100)
+    ManifestTable.append(spark, path, part(101, 130), files = 1)
+    ManifestTable.append(spark, path, part(131, 140), files = 1)
+    assert(consume() === 3L)
+    assert(seen.sorted === (1L to 140L)) // the two appends, once each
+    // a compact in the un-consumed window refuses loudly (never a
+    // silent double-count); after re-basing the consumer state the
+    // flow resumes
+    ManifestTable.append(spark, path, part(141, 150), files = 1)
+    ManifestTable.compact(spark, path, files = 1)
+    val e = intercept[IllegalArgumentException] { consume() }
+    assert(e.getMessage.contains("not append-only"))
+  }
+
   test("a concurrent commit is detected and refused, never silently " +
     "rebased (a rebase under a compact would resurrect dead files)") {
     val path = freshDir()
