@@ -54,6 +54,36 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestTable {
 
+  /** A commit lost the optimistic-concurrency race: the table moved
+    * past the snapshot the writer planned against (or the target
+    * manifest already exists). Extends IllegalArgumentException so
+    * callers treating conflicts as plain failures keep working; typed
+    * so [[retryOnConflict]] can retry EXACTLY this — a data error must
+    * never be retried into place. Nothing is partially committed when
+    * this is thrown (the staged manifest is crash debris, vacuumed). */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** The sanctioned multi-writer append pattern: re-run `body` (which
+    * must RE-READ the current snapshot inside itself — every public
+    * write here does) when it loses the commit race, up to
+    * `maxAttempts`. Rebasing by re-run is safe for appends and other
+    * self-contained writes because each attempt replans against the
+    * NEW snapshot; blind manifest-list rebase (what commit refuses)
+    * would not be. Maintenance (compact/vacuum) should stay
+    * single-writer rather than retry. */
+  def retryOnConflict[T](maxAttempts: Int = 3)(body: => T): T = {
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
+    var attempt = 1
+    while (true) {
+      try return body catch {
+        case _: ConcurrentCommitException if attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private val ManifestName = """_manifest\.(\d+)""".r
 
   /** A manifest line: the file's relative path plus its per-column
@@ -831,12 +861,12 @@ object ManifestTable {
     val (fs, p) = fsOf(spark, path)
     fs.mkdirs(p)
     val (cur, _) = currentManifest(spark, path)
-    require(cur == expectedCurrent,
+    if (cur != expectedCurrent) throw new ConcurrentCommitException(
       s"manifest table $path moved (v$cur, expected v$expectedCurrent) — " +
         "concurrent writer; re-run against the new snapshot")
     val next = cur + 1
     val target = new Path(p, s"_manifest.$next")
-    require(!fs.exists(target),
+    if (fs.exists(target)) throw new ConcurrentCommitException(
       s"manifest table $path: $target already exists — concurrent writer")
     val staged = new Path(p,
       s"_manifest.staged.${java.util.UUID.randomUUID.toString.take(12)}")

@@ -613,4 +613,45 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.append(spark, path, part(101, 110), files = 1) === 3L)
     assert(ManifestTable.read(spark, path).count() === 110L)
   }
+
+  test("retryOnConflict: a writer that loses the commit race re-runs " +
+    "against the new snapshot and lands; data errors are NOT retried") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    // the racing writer publishes between the victim's plan and commit:
+    // simulate by making the victim's FIRST attempt conflict (a foreign
+    // v2 appears), then the retry re-reads v2 and lands at v3
+    var attempts = 0
+    val v = ManifestTable.retryOnConflict(maxAttempts = 3) {
+      attempts += 1
+      if (attempts == 1) {
+        val files = ManifestTable.currentManifest(spark, path)._2
+        val w = new java.io.PrintWriter(
+          new java.io.File(path, "_manifest.2"), "UTF-8")
+        files.foreach(w.println)
+        w.close()
+        // this attempt planned against v1 but the table is at v2 now:
+        // the typed conflict surfaces through create's expected=0 guard
+        throw new ManifestTable.ConcurrentCommitException("simulated race")
+      }
+      ManifestTable.append(spark, path, part(101, 120), files = 1)
+    }
+    assert(attempts === 2 && v === 3L)
+    assert(ManifestTable.read(spark, path).count() === 120L)
+    // exhausting maxAttempts rethrows the conflict
+    intercept[ManifestTable.ConcurrentCommitException] {
+      ManifestTable.retryOnConflict(maxAttempts = 2) {
+        throw new ManifestTable.ConcurrentCommitException("always")
+      }
+    }
+    // a NON-conflict failure is never retried
+    var dataAttempts = 0
+    intercept[IllegalArgumentException] {
+      ManifestTable.retryOnConflict(maxAttempts = 3) {
+        dataAttempts += 1
+        ManifestTable.deleteRange(spark, path, "k", 10L, 1L) // lo > hi
+      }
+    }
+    assert(dataAttempts === 1)
+  }
 }
