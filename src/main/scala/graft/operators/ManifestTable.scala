@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{abs => fabs, col, explode,
+  input_file_name, lit, max, min, sequence, sum => fsum, when}
 import org.apache.spark.sql.types.StructType
 
 /** Manifest-committed parquet table — the snapshot-commit layer that
@@ -684,6 +685,60 @@ object ManifestTable {
     require(fs.rename(staged, sp),
       s"could not record consumer state at $stateFile")
     cur
+  }
+
+  /** Row-level CHANGE FEED between two retained snapshots — the diff
+    * [[readChanges]] refuses when maintenance rewrote history. Returns
+    * the `to`-snapshot's columns plus `_change` ('insert'/'delete'),
+    * with bag semantics: a row updated in place is one delete (old
+    * values) + one insert (new values); duplicate rows diff by
+    * multiplicity.
+    *
+    * Scale shape: only the SYMMETRIC DIFFERENCE of the two file lists
+    * is ever listed or opened — files both snapshots share cancel
+    * driver-side by manifest path, so a copy-on-write delete / upsert /
+    * backfill diffs in I/O proportional to the files it touched, not
+    * the table ([[deleteRange]]'s envelope pruning bounds that churn to
+    * the slice). Surviving rows that a rewrite carried over cancel
+    * VALUE-wise in one hash aggregation (insert count minus delete
+    * count per distinct row, non-zero survives — one scan of the
+    * changed slice, one shuffle; no per-direction `exceptAll` double
+    * scan), so a pure [[compact]] or [[rollback]] round-trip diffs to
+    * empty. Both versions must still be retained ([[vacuum]]). */
+  def diffSnapshots(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diffSnapshots: from $fromVersion > to $toVersion")
+    val from = snapshotAt(spark, path, fromVersion)
+    val to = snapshotAt(spark, path, toVersion)
+    val fromFiles = from.lines.map(parseEntry(_).path)
+    val toFiles = to.lines.map(parseEntry(_).path)
+    val removed = fromFiles.filterNot(toFiles.toSet)
+    val added = toFiles.filterNot(fromFiles.toSet)
+    val base = new Path(path)
+    def slice(fs: Seq[String], tag: String): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => new Path(base, f).toString): _*)
+        .withColumn("_change", lit(tag))
+    val tagged = (removed, added) match {
+      case (Nil, Nil) =>
+        // identical file lists (e.g. a no-op commit): typed empty feed
+        return read(spark, path, version = Some(toVersion)).limit(0)
+          .withColumn("_change", lit(""))
+      case (Nil, a) => slice(a, "insert")
+      case (r, Nil) => slice(r, "delete")
+      case (r, a) => slice(a, "insert") // unionByName aligns evolved
+        .unionByName(slice(r, "delete"), allowMissingColumns = true)
+    }
+    val dataCols = tagged.columns.filter(_ != "_change")
+    tagged.groupBy(dataCols.map(col): _*)
+      .agg((fsum(when(col("_change") === "insert", 1L).otherwise(0L)) -
+        fsum(when(col("_change") === "delete", 1L).otherwise(0L))).as("_n"))
+      .filter(col("_n") =!= 0L)
+      .withColumn("_change",
+        when(col("_n") > 0L, "insert").otherwise("delete"))
+      .withColumn("_dup", explode(sequence(lit(1L), fabs(col("_n")))))
+      .select(dataCols.map(col) :+ col("_change"): _*)
   }
 
   /** ROLLBACK: republish snapshot `toVersion`'s exact file list (and

@@ -632,6 +632,48 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // Row-level snapshot diff / change feed (p28): the question every
+  // incremental consumer asks after maintenance rewrote history —
+  // "what actually changed between the snapshot I processed and now" —
+  // which readChanges (append-only by contract) refuses to answer.
+  // create (l_orderkey-clustered) → append → upsert (low-key scattered
+  // update set), then diffSnapshots(v1, v3): the feed must be exactly
+  // {deletes: v1-slice matched rows at OLD values} ∪ {inserts: appended
+  // non-matching rows + transformed matched rows} — surviving rows the
+  // copy-on-write rewrite carried over cancel value-wise, and only the
+  // file-list symmetric difference is ever opened (unchanged low/high
+  // files never listed). The oracle replays the feed's set algebra off
+  // the raw table; a diff that misses the cancellation double-counts
+  // cnt, one that loses old values breaks the delete group's qty.
+  private def p28(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p28_snapdiff"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1997-01-01"), files = 4,
+      statsCols = Seq("l_orderkey"))
+    val matched = pmod(col("l_orderkey"), lit(1013)) === 7 &&
+      col("l_orderkey") <= 30000
+    val updates = li.filter(matched)
+      .withColumn("l_quantity", col("l_quantity") + 500)
+    val v = ManifestTable.upsert(s, base, "l_orderkey", updates,
+      files = 2, statsCols = Seq("l_orderkey"))
+    val feed = ManifestTable.diffSnapshots(s, base, 1L, v)
+    feed.groupBy(col("_change"), pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        countDistinct(col("l_orderkey")).as("n_keys"))
+      .withColumn("version", lit(v))
+      .orderBy("_change", "sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -645,6 +687,7 @@ object PipelineQueries {
     "p25_manifest_upsert" -> (p25 _),
     "p26_incremental_read" -> (p26 _),
     "p27_atomic_backfill" -> (p27 _),
+    "p28_snapshot_diff" -> (p28 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -830,6 +873,31 @@ object PipelineQueries {
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
         "CAST(2 AS BIGINT) AS version " +
         "FROM merged GROUP BY 1 ORDER BY sk"),
+    // the change feed replayed as set algebra off the raw table:
+    // deletes = create-slice matched rows at OLD values, inserts =
+    // appended non-matching rows ∪ transformed matched rows (appended
+    // matched rows never existed in v1, so their old values are
+    // rightly absent); version pinned at 3 (create+append+upsert). A
+    // diff that fails to cancel carried-over survivors inflates cnt;
+    // one that serves new values under 'delete' breaks that group's qty
+    "p28_snapshot_diff" ->
+      ("WITH feed AS (" +
+        "SELECT 'delete' AS _change, l_orderkey, l_suppkey, l_quantity " +
+        "FROM lineitem WHERE l_shipdate < DATE '1997-01-01' " +
+        "AND l_orderkey % 1013 = 7 AND l_orderkey <= 30000 " +
+        "UNION ALL " +
+        "SELECT 'insert', l_orderkey, l_suppkey, l_quantity " +
+        "FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' " +
+        "AND NOT (l_orderkey % 1013 = 7 AND l_orderkey <= 30000) " +
+        "UNION ALL " +
+        "SELECT 'insert', l_orderkey, l_suppkey, l_quantity + 500 " +
+        "FROM lineitem " +
+        "WHERE l_orderkey % 1013 = 7 AND l_orderkey <= 30000) " +
+        "SELECT _change, l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys, " +
+        "CAST(3 AS BIGINT) AS version " +
+        "FROM feed GROUP BY 1, 2 ORDER BY _change, sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

@@ -654,4 +654,50 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(dataAttempts === 1)
   }
+
+  test("diffSnapshots: append-only diff is all inserts ≡ readChanges; " +
+    "a pure compact diffs to EMPTY (carried-over rows cancel)") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    val v2 = ManifestTable.append(spark, path, part(101, 150), files = 1)
+    val d = ManifestTable.diffSnapshots(spark, path, 1L, v2)
+    assert(d.filter(col("_change") =!= "insert").count() === 0L)
+    assert(d.count() === 50L)
+    assert(d.select("k", "v").exceptAll(
+      ManifestTable.readChanges(spark, path, 1L, v2)).count() === 0L)
+    val v3 = ManifestTable.compact(spark, path, files = 1)
+    assert(ManifestTable.diffSnapshots(spark, path, v2, v3).count() === 0L)
+    // and across the whole range: appended rows still the only changes
+    assert(ManifestTable.diffSnapshots(spark, path, 1L, v3).count() === 50L)
+  }
+
+  test("diffSnapshots: a CoW delete feeds OLD values as deletes only; " +
+    "duplicate rows diff by multiplicity; vacuumed versions refused") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val v2 = ManifestTable.deleteRange(spark, path, "k", 10L, 19L,
+      statsCols = Seq("k"))
+    val d = ManifestTable.diffSnapshots(spark, path, 1L, v2)
+    assert(d.filter(col("_change") =!= "delete").count() === 0L)
+    assert(d.agg(sum("k")).head().getLong(0) === (10L to 19L).sum)
+    // multiplicity: the same batch appended twice is TWO inserts per row
+    val v3 = ManifestTable.append(spark, path, part(200, 201), files = 1)
+    val v4 = ManifestTable.append(spark, path, part(200, 201), files = 1)
+    val dd = ManifestTable.diffSnapshots(spark, path, v2, v4)
+    assert(dd.count() === 4L &&
+      dd.filter(col("k") === 200L).count() === 2L)
+    // an update shows as one delete (old) + one insert (new)
+    val v5 = ManifestTable.upsert(spark, path, "k",
+      Seq((5L, 777L)).toDF("k", "v"), files = 1, statsCols = Seq("k"))
+    val du = ManifestTable.diffSnapshots(spark, path, v4, v5)
+      .filter(col("k") === 5L)
+    assert(du.count() === 2L)
+    assert(du.filter(col("_change") === "insert").head().getLong(1) === 777L)
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      ManifestTable.diffSnapshots(spark, path, 1L, v5)
+    }
+    assert(v3 < v4 && v4 < v5)
+  }
 }
