@@ -759,6 +759,83 @@ object ManifestTable {
       txn = target.txn, schemaDdl = target.schemaDdl)
   }
 
+  /** Valid tag names; the pattern excludes '.'-led and 'staged'-like
+    * collisions with internal names by requiring an alphanumeric head. */
+  private val TagName = """_tag\.([A-Za-z0-9][A-Za-z0-9._-]*)""".r
+  private val TagPattern = "[A-Za-z0-9][A-Za-z0-9._-]*"
+
+  /** TAG: a named, durable ref to a snapshot — "model-x-train-set"
+    * instead of "version 17". Tags PIN their version against [[vacuum]]
+    * (retention keeps every tagged manifest and its data files until
+    * [[dropTag]]), so "read the exact corpus model X trained on" stays
+    * answerable past keepVersions — the reproducibility contract with a
+    * name on it. A tag is a `_tag.<name>` file holding the version,
+    * published staged + one rename like a manifest; it never moves
+    * (refuses an existing name — drop first, explicitly). Defaults to
+    * the current version. Tagging a vacuumed/uncommitted version is
+    * refused (never mint a dangling ref). Returns the pinned version. */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.matches(TagPattern),
+      s"tag name '$name' must match $TagPattern")
+    val (fs, p) = fsOf(spark, path)
+    val v = version.getOrElse {
+      val (cur, _) = currentManifest(spark, path)
+      require(cur > 0, s"manifest table $path does not exist")
+      cur
+    }
+    require(fs.exists(new Path(p, s"_manifest.$v")),
+      s"manifest table $path: cannot tag version $v — not retained " +
+        s"(vacuumed or never committed); retained: " +
+        s"${versions(spark, path).mkString(", ")}")
+    val t = new Path(p, s"_tag.$name")
+    require(!fs.exists(t),
+      s"tag '$name' already exists on $path — dropTag it first " +
+        "(tags never silently move)")
+    val staged = new Path(p,
+      s".tag.staged.${java.util.UUID.randomUUID.toString.take(12)}")
+    val out = fs.create(staged, false)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    require(fs.rename(staged, t), s"could not publish tag $t")
+    v
+  }
+
+  /** All tags on the table, name -> pinned version. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case TagName(n) =>
+          val in = fs.open(st.getPath)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          Some(n -> s.trim.toLong)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Read the snapshot a tag pins — [[read]] at the tag's version. */
+  def readTag(spark: SparkSession, path: String, name: String,
+      mergeSchema: Boolean = false): DataFrame = {
+    val vs = tags(spark, path)
+    require(vs.contains(name),
+      s"manifest table $path has no tag '$name'; tags: " +
+        s"${vs.keys.toSeq.sorted.mkString(", ")}")
+    read(spark, path, mergeSchema = mergeSchema, version = Some(vs(name)))
+  }
+
+  /** Drop a tag: the version loses its pin and the next [[vacuum]] may
+    * reclaim it (if outside keepVersions) — deletion stays a vacuum
+    * decision, never a dropTag side effect. */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    val t = new Path(p, s"_tag.$name")
+    require(fs.exists(t), s"manifest table $path has no tag '$name'")
+    require(fs.delete(t, false), s"could not delete tag $t")
+  }
+
   /** `col BETWEEN lo AND hi` through MANIFEST-SIDE file pruning: keep
     * only the files whose recorded [min, max] envelope intersects the
     * range (files without stats for `c` are always kept — conservative)
@@ -803,9 +880,12 @@ object ManifestTable {
     require(v > 0, s"manifest table $path does not exist")
     // keep only versions that still EXIST: an earlier vacuum with a
     // smaller keepVersions may already have reclaimed _manifest.(v-1) —
-    // keep-what-exists, never throw on the gap
-    val keepManifests = (0 until keepVersions).map(v - _)
-      .filter(kv => kv > 0 && fs.exists(new Path(p, s"_manifest.$kv")))
+    // keep-what-exists, never throw on the gap. TAGGED versions are
+    // pinned regardless of age ([[tag]]'s retention contract).
+    val keepManifests =
+      ((0 until keepVersions).map(v - _) ++ tags(spark, path).values)
+        .distinct
+        .filter(kv => kv > 0 && fs.exists(new Path(p, s"_manifest.$kv")))
     val live: Set[String] = keepManifests.flatMap { kv =>
       readSnapshot(fs, p, kv).lines.map(parseEntry(_).path)
     }.toSet
@@ -818,6 +898,8 @@ object ManifestTable {
             fs.delete(st.getPath, false); deleted += name
           }
         case _ if name.startsWith("_manifest.") => // staged leftover
+          fs.delete(st.getPath, false); deleted += name
+        case _ if name.startsWith(".tag.staged.") => // crashed tag write
           fs.delete(st.getPath, false); deleted += name
         case _ if st.isDirectory && name.startsWith("c") =>
           fs.listStatus(st.getPath).foreach { f =>

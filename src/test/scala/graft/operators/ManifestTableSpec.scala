@@ -700,4 +700,48 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(v3 < v4 && v4 < v5)
   }
+
+  test("tags: a named ref pins its snapshot against vacuum; dropTag " +
+    "releases the pin; tags never silently move or dangle") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    assert(ManifestTable.tag(spark, path, "model-x.train") === 1L)
+    ManifestTable.append(spark, path, part(101, 200), files = 1)
+    ManifestTable.append(spark, path, part(201, 300), files = 1)
+    ManifestTable.append(spark, path, part(301, 400), files = 1)
+    // keepVersions=1 would normally reclaim v1..v3 — the tag pins v1
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(ManifestTable.versions(spark, path) === Seq(1L, 4L))
+    assert(ManifestTable.readTag(spark, path, "model-x.train")
+      .count() === 100L)
+    assert(ManifestTable.tags(spark, path) === Map("model-x.train" -> 1L))
+    // an existing tag never silently moves; bad names/versions refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, path, "model-x.train", Some(4L))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, path, "has/slash")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, path, "dangling", Some(3L)) // vacuumed
+    }
+    // drop releases the pin: the NEXT vacuum reclaims v1, the tag is
+    // gone, and readTag refuses loudly
+    ManifestTable.dropTag(spark, path, "model-x.train")
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(ManifestTable.versions(spark, path) === Seq(4L))
+    assert(ManifestTable.tags(spark, path).isEmpty)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readTag(spark, path, "model-x.train")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.dropTag(spark, path, "model-x.train")
+    }
+    // a crashed tag write's staged dot-file is vacuum debris
+    val staged = new java.io.File(path, ".tag.staged.deadbeef")
+    val w = new java.io.PrintWriter(staged, "UTF-8"); w.println("1"); w.close()
+    assert(ManifestTable.tags(spark, path).isEmpty) // invisible to refs
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(!staged.exists())
+  }
 }
