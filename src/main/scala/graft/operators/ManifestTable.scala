@@ -621,11 +621,16 @@ object ManifestTable {
     * Defined for APPEND-ONLY ranges: if any file `from` listed is gone
     * by `to` (a compact/delete/upsert rewrote history in between), the
     * added files double-count rewritten rows — the call fails loudly
-    * and the consumer should fall back to a full re-read (or diff at a
-    * finer grain). Returns an empty, schema-typed frame when nothing
-    * was added. Both versions must still be retained ([[vacuum]]). */
+    * and the consumer should fall back to a full re-read, the row-level
+    * [[diffSnapshots]], or opt into `ignoreRewrites = true` (deliver
+    * the added files anyway — rewritten files' SURVIVING rows arrive
+    * again, so downstream must tolerate duplicates; the Delta
+    * `ignoreChanges` contract). Returns an empty, schema-typed frame
+    * when nothing was added. Both versions must still be retained
+    * ([[vacuum]]). */
   def readChanges(spark: SparkSession, path: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      ignoreRewrites: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"readChanges: from $fromVersion > to $toVersion")
     val from = snapshotAt(spark, path, fromVersion)
@@ -633,11 +638,12 @@ object ManifestTable {
     val fromFiles = from.lines.map(parseEntry(_).path).toSet
     val toFiles = to.lines.map(parseEntry(_).path)
     val removed = fromFiles -- toFiles.toSet
-    require(removed.isEmpty,
+    require(ignoreRewrites || removed.isEmpty,
       s"manifest table $path: v$fromVersion..v$toVersion is not " +
         s"append-only (${removed.size} file(s) rewritten/removed, e.g. " +
         s"${removed.head}) — added files would double-count rewritten " +
-        "rows; re-read the snapshot instead")
+        "rows; re-read the snapshot, diffSnapshots, or pass " +
+        "ignoreRewrites = true to accept duplicates")
     val added = toFiles.filterNot(fromFiles)
     if (added.isEmpty)
       return read(spark, path, version = Some(toVersion)).limit(0)

@@ -1074,6 +1074,45 @@ object CoreQueries {
       .orderBy("m")
   }
 
+  // Manifest table as a STREAMING SOURCE (src07): offsets are manifest
+  // versions, so a checkpointed consumer reads each committed version's
+  // added files exactly once — the incremental-pipeline loop closed
+  // (sink half: StreamingEtl.writeBatchManifest). The gate creates the
+  // table, commits two appends, then drives a REAL AvailableNow stream
+  // with startingVersion=1 into a memory sink: delivered rows must be
+  // exactly the two appended slices (v1's create rows skipped — a
+  // source that re-delivers the snapshot or re-reads the table breaks
+  // cnt), pinned by the same aggregate the oracle runs on the raw
+  // post-cut slice.
+  private def src07(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_src07_manifest_stream"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1996-07-01"), files = 4)
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1996-07-01" &&
+        col("l_shipdate") < "1997-01-01"), files = 2)
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1997-01-01"), files = 2)
+    val q = s.readStream.format("graft-manifest")
+      .option("startingVersion", "1").load(base)
+      .writeStream.format("memory").queryName("src07_sink")
+      .option("checkpointLocation", s"$base/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("src07_sink")
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .orderBy("sk")
+  }
+
   // Key-skew pre-flight (q29's diagnosis half): the top-10 heavy
   // l_partkey values with exact ppm shares, the max/avg ratio, and the
   // decimal-quantized distribution entropy — one key-shuffle + a 1-row
@@ -1357,6 +1396,7 @@ object CoreQueries {
     "src04_schema_evolution" -> (src04 _),
     "src05_jdbc_source" -> (src05 _),
     "src06_orc_source" -> (src06 _),
+    "src07_manifest_stream" -> (src07 _),
     "q43_histo_quantile" -> (q43 _),
     "q44_weighted_median" -> (q44 _),
     "q45_hll_distinct" -> (q45 _),
@@ -1879,6 +1919,14 @@ object CoreQueries {
         "AS revenue FROM lineitem " +
         "WHERE year(l_shipdate) = 1997 AND l_quantity > 40 " +
         "GROUP BY 1 ORDER BY 1"),
+    // the streamed rows replayed as the post-cut slice off the raw
+    // table — a source that re-delivers the v1 snapshot (or re-reads
+    // the whole table) inflates cnt; one that drops a version loses it
+    "src07_manifest_stream" ->
+      ("SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty " +
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-07-01' " +
+        "GROUP BY 1 ORDER BY sk"),
     // identical daily-count series -> lag-shifted self-join (DuckDB
     // date + int = date) -> exact DECIMAL(38,0) moments -> the shared
     // fixed-shape r chain
