@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{abs => fabs, col, explode,
@@ -763,6 +765,63 @@ object ManifestTable {
       s"rollback: v$toVersion is ahead of current v$cur")
     commit(spark, path, target.lines, expectedCurrent = cur,
       txn = target.txn, schemaDdl = target.schemaDdl)
+  }
+
+  /** The snapshot's per-file metadata as a DataFrame — the `.files`
+    * inspection table every manifest format grows (Iceberg `.files`,
+    * Delta `DESCRIBE DETAIL`): one row per (file, stats column) with
+    * the recorded row count and (min, max) envelope, a single
+    * null-stat row for files that carry none. Driver-side over the one
+    * manifest — no file opens, any table size. This is also the
+    * AUDIT surface: the p29 gate pins that the recorded metadata is
+    * TRUE of the data (Σ n_rows = count(*), min/max envelopes bound
+    * the real extremes) — stats a pruning read trusts must never
+    * drift from the files they describe. */
+  def filesDf(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val (v, entries) = entriesOf(spark, path, version)
+    require(v > 0, s"manifest table $path does not exist")
+    val rows = entries.flatMap { e =>
+      val nRows: java.lang.Long =
+        e.stats.get(RowsStat).map(s => java.lang.Long.valueOf(s._1)).orNull
+      val dataStats = e.stats.view.filterKeys(_ != RowsStat).toSeq
+      if (dataStats.isEmpty)
+        Seq(Row(e.path, nRows, null, null, null))
+      else dataStats.map { case (c, (lo, hi)) =>
+        Row(e.path, nRows, c, java.lang.Long.valueOf(lo),
+          java.lang.Long.valueOf(hi))
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType.fromDDL(
+        "file STRING, n_rows BIGINT, stat_col STRING, " +
+          "stat_min BIGINT, stat_max BIGINT"))
+  }
+
+  /** Retained commit history as a DataFrame: one row per retained
+    * manifest — version, file count, metadata row count (null when any
+    * file predates `__rows`), txn tag, and the tag names pinning it.
+    * Driver-side (a read per retained manifest, no data I/O). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val (fs, p) = fsOf(spark, path)
+    val byVersion = tags(spark, path).toSeq.groupBy(_._2)
+    val rows = versions(spark, path).map { v =>
+      val snap = readSnapshot(fs, p, v)
+      val entries = snap.lines.map(parseEntry)
+      val counts = entries.map(_.stats.get(RowsStat).map(_._1))
+      val nRows: java.lang.Long =
+        if (counts.nonEmpty && counts.forall(_.isDefined))
+          java.lang.Long.valueOf(counts.flatten.sum)
+        else null
+      Row(v, entries.size.toLong, nRows, snap.txn.orNull,
+        byVersion.getOrElse(v, Nil).map(_._1).sorted)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType.fromDDL(
+        "version BIGINT, n_files BIGINT, n_rows BIGINT, " +
+          "txn STRING, tags ARRAY<STRING>"))
   }
 
   /** Valid tag names; the pattern excludes '.'-led and 'staged'-like

@@ -674,6 +674,49 @@ object PipelineQueries {
       .orderBy("_change", "sk")
   }
 
+  // Manifest metadata audit (p29): pruning reads TRUST the manifest's
+  // per-file stats — stats that drift from the files they describe are
+  // silent wrong answers at 100 TB (a pruned file that actually held
+  // matching rows). filesDf exposes the recorded metadata as a
+  // DataFrame (driver-side, no file opens); the gate joins it to the
+  // REAL per-file extremes/counts (one data scan with
+  // input_file_name) and pins: every file's recorded n_rows and
+  // [min, max] are exact (bad_rows = bad_bounds = 0), Σ n_rows is the
+  // table count, the global envelope is the true key range, and the
+  // join is 1:1 (n_files = the write target — an orphan or missing
+  // metadata row breaks the full-outer count).
+  private def p29(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p29_files_meta"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, base, li, files = 16,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    val md = ManifestTable.filesDf(s, base)
+      .filter(col("stat_col") === "l_orderkey")
+    val real = ManifestTable.read(s, base)
+      .withColumn("_f", input_file_name())
+      .groupBy("_f")
+      .agg(count(lit(1)).as("real_rows"),
+        min("l_orderkey").as("real_min"),
+        max("l_orderkey").as("real_max"))
+    real.join(broadcast(md), expr("endswith(_f, file)"), "full_outer")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("real_rows")).as("total_rows"),
+        min(col("stat_min")).as("min_key"),
+        max(col("stat_max")).as("max_key"),
+        sum(when(col("real_rows").isNull || col("n_rows").isNull ||
+          col("real_rows") =!= col("n_rows"), 1L).otherwise(0L))
+          .as("bad_rows"),
+        sum(when(col("real_min").isNull || col("stat_min").isNull ||
+          col("real_min") =!= col("stat_min") ||
+          col("real_max") =!= col("stat_max"), 1L).otherwise(0L))
+          .as("bad_bounds"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -688,6 +731,7 @@ object PipelineQueries {
     "p26_incremental_read" -> (p26 _),
     "p27_atomic_backfill" -> (p27 _),
     "p28_snapshot_diff" -> (p28 _),
+    "p29_files_metadata" -> (p29 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -898,6 +942,16 @@ object PipelineQueries {
         "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys, " +
         "CAST(3 AS BIGINT) AS version " +
         "FROM feed GROUP BY 1, 2 ORDER BY _change, sk"),
+    // the metadata's claims replayed off the raw table: total/min/max
+    // must be the true table facts, violations pinned 0 by the
+    // oracle's literals, n_files at the write target
+    "p29_files_metadata" ->
+      ("SELECT CAST(16 AS BIGINT) AS n_files, " +
+        "count(*) AS total_rows, " +
+        "CAST(min(l_orderkey) AS BIGINT) AS min_key, " +
+        "CAST(max(l_orderkey) AS BIGINT) AS max_key, " +
+        "CAST(0 AS BIGINT) AS bad_rows, " +
+        "CAST(0 AS BIGINT) AS bad_bounds FROM lineitem"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

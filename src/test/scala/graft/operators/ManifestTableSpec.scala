@@ -701,6 +701,38 @@ class ManifestTableSpec extends SparkSpec {
     assert(v3 < v4 && v4 < v5)
   }
 
+  test("filesDf/history: the inspection tables expose per-file stats " +
+    "and retained commits without opening a single data file") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    ManifestTable.append(spark, path, part(101, 120), files = 1,
+      statsCols = Seq("k"), txn = Some("batch-7"))
+    ManifestTable.tag(spark, path, "exp-a")
+    val md = ManifestTable.filesDf(spark, path)
+    assert(md.count() === 5L)
+    assert(md.filter(col("stat_col") === "k")
+      .agg(sum("n_rows"), min("stat_min"), max("stat_max")).head() ===
+      org.apache.spark.sql.Row(120L, 1L, 120L))
+    // version-aware: v1's metadata has 4 files / 100 rows
+    assert(ManifestTable.filesDf(spark, path, version = Some(1L))
+      .agg(sum("n_rows")).head().getLong(0) === 100L)
+    // a stats-less write yields the single null-stat row per file
+    val bare = freshDir()
+    ManifestTable.create(spark, bare, part(1, 10), files = 2)
+    val bm = ManifestTable.filesDf(spark, bare)
+    assert(bm.count() === 2L && bm.filter(col("stat_col").isNull)
+      .count() === 2L)
+    val h = ManifestTable.history(spark, path).orderBy("version")
+      .collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // a manifest lists ALL live files: v2 = 4 created + 1 appended
+    assert(h.map(_.getLong(1)).toSeq === Seq(4L, 5L))
+    assert(h.map(_.getLong(2)).toSeq === Seq(100L, 120L))
+    assert(h(1).getString(3) === "batch-7")
+    assert(h(1).getSeq[String](4) === Seq("exp-a"))
+  }
+
   test("tags: a named ref pins its snapshot against vacuum; dropTag " +
     "releases the pin; tags never silently move or dangle") {
     val path = freshDir()
