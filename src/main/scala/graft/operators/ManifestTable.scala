@@ -117,6 +117,17 @@ object ManifestTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Resolve a manifest entry's file against the table base. Entries
+    * this table's own writes commit are RELATIVE; a [[shallowClone]]'s
+    * first manifest holds ABSOLUTE paths into the source table — those
+    * resolve as themselves. Vacuum stays safe by construction either
+    * way: it only ever deletes files physically under ITS OWN table
+    * directory, which absolute foreign entries never are. */
+  private def resolveFile(base: Path, file: String): Path = {
+    val p = new Path(file)
+    if (p.isAbsolute) p else new Path(base, file)
+  }
+
   /** One fully-parsed manifest: entry lines, the idempotence tag it
     * committed under, and the snapshot's schema DDL (recorded since r15
     * so an EMPTY snapshot — a delete that removed every row — still
@@ -294,7 +305,7 @@ object ManifestTable {
     }
     val base = new Path(path)
     spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(f => new Path(base, f).toString): _*)
+      .parquet(files.map(f => resolveFile(base, f).toString): _*)
   }
 
   /** Create the table: write `df` as the first snapshot. Refuses if a
@@ -405,7 +416,7 @@ object ManifestTable {
       hits(e, c1, lo1, hi1) && hits(e, c2, lo2, hi2))
     if (keep.isEmpty)
       return read(spark, path, version = version).filter(lit(false))
-    spark.read.parquet(keep.map(e => new Path(base, e.path).toString): _*)
+    spark.read.parquet(keep.map(e => resolveFile(base, e.path).toString): _*)
       .filter(col(c1).cast("long").between(lo1, hi1) &&
         col(c2).cast("long").between(lo2, hi2))
   }
@@ -443,7 +454,7 @@ object ManifestTable {
     // files (schema-evolved tables read old files' new column as NULL).
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(l =>
-        new Path(base, parseEntry(l).path).toString): _*)
+        resolveFile(base, parseEntry(l).path).toString): _*)
       .filter(col(c).cast("long").isNull ||
         !col(c).cast("long").between(lo, hi))
     val rewritten = writeDataFiles(spark, path, survivors,
@@ -486,7 +497,7 @@ object ManifestTable {
     if (touched.isEmpty) return v
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(l =>
-        new Path(base, parseEntry(l).path).toString): _*)
+        resolveFile(base, parseEntry(l).path).toString): _*)
       .filter(col(c).cast("long").isNull ||
         !col(c).cast("long").isin(sorted.toSeq: _*))
     val rewritten = writeDataFiles(spark, path, survivors,
@@ -554,7 +565,7 @@ object ManifestTable {
       if (touched.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(touched.map(l =>
-          new Path(base, parseEntry(l).path).toString): _*)
+          resolveFile(base, parseEntry(l).path).toString): _*)
         .join(updates.select(keyCol.as("__k")).where(col("__k").isNotNull)
           .distinct(), keyCol === col("__k"), "left_anti"))
     val rewriteDf = survivors match {
@@ -598,7 +609,7 @@ object ManifestTable {
       if (touched.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(touched.map(l =>
-          new Path(base, parseEntry(l).path).toString): _*)
+          resolveFile(base, parseEntry(l).path).toString): _*)
         .filter(col(c).cast("long").isNull ||
           !col(c).cast("long").between(lo, hi)))
     val rewriteDf = survivors match {
@@ -651,7 +662,7 @@ object ManifestTable {
       return read(spark, path, version = Some(toVersion)).limit(0)
     val base = new Path(path)
     spark.read.option("mergeSchema", "true")
-      .parquet(added.map(f => new Path(base, f).toString): _*)
+      .parquet(added.map(f => resolveFile(base, f).toString): _*)
   }
 
   /** Incremental-consumer checkpoint: run `process` over the delta
@@ -726,7 +737,7 @@ object ManifestTable {
     val base = new Path(path)
     def slice(fs: Seq[String], tag: String): DataFrame =
       spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => new Path(base, f).toString): _*)
+        .parquet(fs.map(f => resolveFile(base, f).toString): _*)
         .withColumn("_change", lit(tag))
     val tagged = (removed, added) match {
       case (Nil, Nil) =>
@@ -822,6 +833,56 @@ object ManifestTable {
       StructType.fromDDL(
         "version BIGINT, n_files BIGINT, n_rows BIGINT, " +
           "txn STRING, tags ARRAY<STRING>"))
+  }
+
+  /** SHALLOW CLONE: a zero-copy writable branch of snapshot `version`
+    * (default: current). The clone's first manifest lists the SOURCE's
+    * data files by ABSOLUTE path — no bytes move, any table size, one
+    * driver-side manifest write — and every subsequent write on the
+    * clone lands under the clone's own directory: appends add, CoW
+    * deletes/upserts rewrite only what they touch (dropping the
+    * absolute refs they rewrite), [[compact]] fully materializes it.
+    * The experiment-branch primitive: fork the corpus, filter/augment
+    * the fork, train, diff — the source never sees any of it.
+    *
+    * Durability: the clone is valid while the source snapshot's FILES
+    * survive the source's [[vacuum]] — so by default the source
+    * version is pinned with a tag (`clone-<dst name>-v<version>`),
+    * making the lifetime explicit and releasable ([[dropTag]] when the
+    * clone is compacted or dropped). `pinSource = false` skips the pin
+    * (caller owns retention — e.g. the source is already tagged).
+    * Returns the clone's version (always 1). */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None, pinSource: Boolean = true): Long = {
+    val (sfs, sp) = fsOf(spark, src)
+    val snap = version match {
+      case Some(ver) => snapshotAt(spark, src, ver)
+      case None =>
+        val s = currentSnapshot(spark, src)
+        require(s.isDefined, s"manifest table $src does not exist")
+        s.get
+    }
+    require(currentLines(spark, dst)._1 == 0L,
+      s"shallowClone: $dst is already a manifest table")
+    val qualified = sfs.makeQualified(sp)
+    val absLines = snap.lines.map { l =>
+      val cut = l.indexOf('|')
+      val (file, rest) =
+        if (cut < 0) (l, "") else (l.substring(0, cut), l.substring(cut))
+      resolveFile(qualified, file).toString + rest
+    }
+    if (pinSource) {
+      val dstName = new Path(dst).getName
+        .replaceAll("[^A-Za-z0-9._-]", "-")
+      tag(spark, src, s"clone-$dstName-v${snap.version}",
+        Some(snap.version))
+    }
+    val (dfs, dp) = fsOf(spark, dst)
+    dfs.mkdirs(dp)
+    // a clone is a NEW table: no txn carried (its streams/writers are
+    // its own), schema carried so an empty clone still types
+    commit(spark, dst, absLines, expectedCurrent = 0L, txn = None,
+      schemaDdl = snap.schemaDdl)
   }
 
   /** Valid tag names; the pattern excludes '.'-led and 'staged'-like
@@ -924,7 +985,7 @@ object ManifestTable {
       // from one file rather than inventing a schema
       return read(spark, path, version = version).filter(lit(false))
     }
-    spark.read.parquet(keep.map(e => new Path(base, e.path).toString): _*)
+    spark.read.parquet(keep.map(e => resolveFile(base, e.path).toString): _*)
       .filter(col(c).cast("long").between(lo, hi))
   }
 

@@ -717,6 +717,47 @@ object PipelineQueries {
           .as("bad_bounds"))
   }
 
+  // Zero-copy shallow clone (p30): the experiment-branch primitive —
+  // fork the corpus without moving a byte (the clone's v1 manifest
+  // lists the source's files by absolute path; n_cloned pins that all
+  // 16 source files are shared, not copied), then DIVERGE: a CoW
+  // delete on the clone rewrites only its envelope files into the
+  // clone's own directory. The gate reads BOTH tables after the
+  // divergence: the source must still serve the full content (a clone
+  // that mutates shared files corrupts its source — the one sin a
+  // branch must never commit), the clone exactly the anti-filtered
+  // content. Oracle replays both off the raw table.
+  private def p30(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val src = "/tmp/graft_p30_clone_src"
+    val dst = "/tmp/graft_p30_clone_dst"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    ManifestTable.create(s, src, li, files = 16,
+      sortCols = Seq("l_partkey"), statsCols = Seq("l_partkey"))
+    ManifestTable.shallowClone(s, src, dst)
+    val nCloned = ManifestTable.filesDf(s, dst, version = Some(1L))
+      .select("file").distinct().count()
+    val cv = ManifestTable.deleteRange(s, dst, "l_partkey", 50L, 150L,
+      statsCols = Seq("l_partkey"))
+    val srcAgg = ManifestTable.read(s, src)
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("src_cnt"),
+        sum(col("l_quantity").cast("long")).as("src_qty"))
+    val cloneAgg = ManifestTable.read(s, dst)
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("clone_cnt"),
+        sum(col("l_quantity").cast("long")).as("clone_qty"))
+    srcAgg.join(cloneAgg, "sk")
+      .withColumn("clone_version", lit(cv))
+      .withColumn("n_cloned", lit(nCloned))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -732,6 +773,7 @@ object PipelineQueries {
     "p27_atomic_backfill" -> (p27 _),
     "p28_snapshot_diff" -> (p28 _),
     "p29_files_metadata" -> (p29 _),
+    "p30_shallow_clone" -> (p30 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -952,6 +994,21 @@ object PipelineQueries {
         "CAST(max(l_orderkey) AS BIGINT) AS max_key, " +
         "CAST(0 AS BIGINT) AS bad_rows, " +
         "CAST(0 AS BIGINT) AS bad_bounds FROM lineitem"),
+    // both tables replayed off the raw table: source = full content
+    // (a clone that mutates shared files corrupts its source), clone =
+    // the anti-filter; clone_version 2 (clone + delete), n_cloned 16
+    "p30_shallow_clone" ->
+      ("WITH s AS (SELECT l_suppkey % 10 AS sk, count(*) AS src_cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS src_qty " +
+        "FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT l_suppkey % 10 AS sk, count(*) AS clone_cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS clone_qty " +
+        "FROM lineitem WHERE l_partkey NOT BETWEEN 50 AND 150 " +
+        "GROUP BY 1) " +
+        "SELECT s.sk AS sk, src_cnt, src_qty, clone_cnt, clone_qty, " +
+        "CAST(2 AS BIGINT) AS clone_version, " +
+        "CAST(16 AS BIGINT) AS n_cloned " +
+        "FROM s JOIN c ON s.sk = c.sk ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

@@ -733,6 +733,70 @@ class ManifestTableSpec extends SparkSpec {
     assert(h(1).getSeq[String](4) === Seq("exp-a"))
   }
 
+  test("shallowClone: a zero-copy writable branch — no data files " +
+    "copied, divergence is private in both directions, the source " +
+    "version is pinned against vacuum") {
+    val src = freshDir()
+    val dst = freshDir()
+    ManifestTable.create(spark, src, part(1, 100), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    assert(ManifestTable.shallowClone(spark, src, dst) === 1L)
+    // content equal, yet ZERO parquet bytes under the clone dir
+    assert(ManifestTable.read(spark, dst).count() === 100L)
+    def parquetCount(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(d)
+      }
+    }
+    assert(parquetCount(dst) === 0)
+    // the pin: a clone-<name>-v1 tag on the SOURCE
+    val pins = ManifestTable.tags(spark, src)
+    assert(pins.size === 1 && pins.values.toSeq === Seq(1L) &&
+      pins.keys.head.startsWith("clone-"))
+
+    // divergence dst -> src: CoW delete on the clone rewrites ONLY the
+    // envelope files (into the clone's own dir); source unchanged
+    ManifestTable.deleteRange(spark, dst, "k", 1L, 25L,
+      statsCols = Seq("k"))
+    assert(ManifestTable.read(spark, dst).count() === 75L)
+    assert(ManifestTable.read(spark, src).count() === 100L)
+    assert(parquetCount(dst) > 0) // the rewrite landed locally
+    // untouched entries still point into the source (still shared)
+    val entries = ManifestTable.filesDf(spark, dst)
+      .select("file").collect().map(_.getString(0))
+    assert(entries.exists(_.contains(src.replace("file:", ""))))
+
+    // divergence src -> dst: appends on the source are invisible here
+    ManifestTable.append(spark, src, part(101, 150), files = 1)
+    assert(ManifestTable.read(spark, dst).count() === 75L)
+
+    // the pin holds through an aggressive source vacuum: more source
+    // commits, keepVersions=1 — the cloned snapshot's files survive
+    ManifestTable.append(spark, src, part(151, 160), files = 1)
+    ManifestTable.vacuum(spark, src, keepVersions = 1)
+    assert(ManifestTable.read(spark, dst).count() === 75L)
+
+    // compact MATERIALIZES the clone: no foreign refs remain, and the
+    // pin can then be dropped safely
+    ManifestTable.compact(spark, dst, files = 2)
+    val after = ManifestTable.filesDf(spark, dst)
+      .select("file").collect().map(_.getString(0))
+    assert(!after.exists(_.contains(src.replace("file:", ""))))
+    ManifestTable.dropTag(spark, src, pins.keys.head)
+    ManifestTable.vacuum(spark, src, keepVersions = 1)
+    assert(ManifestTable.read(spark, dst).count() === 75L)
+
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.shallowClone(spark, src, dst)
+    }
+  }
+
   test("tags: a named ref pins its snapshot against vacuum; dropTag " +
     "releases the pin; tags never silently move or dangle") {
     val path = freshDir()
