@@ -37,13 +37,16 @@ import org.apache.spark.sql.types.StructType
   * Atomicity contract: publish is `FileSystem.rename` of a fully-written
   * file within one directory — atomic on HDFS and POSIX. HDFS rename
   * also refuses an existing target, making concurrent commits safe
-  * there; raw-local rename(2) REPLACES the target, so on local
-  * filesystems the exists-check in [[commit]] narrows but cannot close
-  * the two-writer race — single-writer maintenance windows (the
-  * documented regime for compaction) are exact everywhere, and readers
-  * are always safe: a reader that catches a non-atomic local replace
-  * mid-read detects it by the header's file count (the torn-manifest
-  * self-check in [[readSnapshot]]) and fails loudly. Scale shape: a
+  * there; raw-local rename(2) REPLACES the target, so [[commit]] adds a
+  * per-table JVM mutex that CLOSES the two-writer race for every writer
+  * in one process (the normal single-driver topology — and all of
+  * `local[*]`); losers surface as [[ConcurrentCommitException]] for
+  * [[retryOnConflict]]. Only separate PROCESSES racing on a raw local
+  * FS remain narrowed-not-closed (exact on HDFS) — single-writer
+  * maintenance windows are exact everywhere, and readers are always
+  * safe: a reader that catches a non-atomic local replace mid-read
+  * detects it by the header's file count (the torn-manifest self-check
+  * in [[readSnapshot]]) and fails loudly. Scale shape: a
   * manifest is one line per file — a 100 TB table at healthy file
   * sizes is ~10⁵ lines, a driver-side read; the data plane never moves
   * through the manifest.
@@ -1108,6 +1111,20 @@ object ManifestTable {
     names.map(n => s"$sub/$n" + statsByFile.getOrElse(n, ""))
   }
 
+  /** Per-table commit mutex (qualified path -> lock). The OCC
+    * check-then-rename in [[commit]] is safe cross-process on HDFS
+    * (rename refuses an existing target) but raw-local rename(2)
+    * REPLACES the target — two same-version committers in one process
+    * could silently lose an update. Serializing the critical section
+    * per table CLOSES that race for every writer in this JVM — which
+    * on `local[*]` (and any single-driver deployment, the normal
+    * manifest-writer topology) is every writer, period; losers surface
+    * as [[ConcurrentCommitException]] for [[retryOnConflict]]. Only
+    * separate PROCESSES on a raw local FS remain narrowed-not-closed
+    * (the documented corner; HDFS is exact there). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Publish `files` as the next snapshot: write the full manifest to a
     * staged name, then ONE rename to `_manifest.<next>`. Refuses when
     * the table moved past `expectedCurrent` (a concurrent commit) —
@@ -1123,6 +1140,17 @@ object ManifestTable {
       "schema DDL must be single-line")
     val (fs, p) = fsOf(spark, path)
     fs.mkdirs(p)
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(p).toString, _ => new Object)
+    lock.synchronized {
+      commitLocked(spark, path, fs, p, files, expectedCurrent, txn,
+        schemaDdl)
+    }
+  }
+
+  private def commitLocked(spark: SparkSession, path: String,
+      fs: FileSystem, p: Path, files: Seq[String], expectedCurrent: Long,
+      txn: Option[String], schemaDdl: Option[String]): Long = {
     val (cur, _) = currentManifest(spark, path)
     if (cur != expectedCurrent) throw new ConcurrentCommitException(
       s"manifest table $path moved (v$cur, expected v$expectedCurrent) — " +

@@ -733,6 +733,41 @@ class ManifestTableSpec extends SparkSpec {
     assert(h(1).getSeq[String](4) === Seq("exp-a"))
   }
 
+  test("concurrent appenders: the per-table commit lock + OCC retry " +
+    "serialize every writer in this JVM — all appends land, none lost") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2)
+    val threads = 6
+    val appendsPer = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            var last = 0L
+            (0 until appendsPer).foreach { i =>
+              val lo = 1000 + (t * appendsPer + i) * 10
+              last = ManifestTable.retryOnConflict(maxAttempts = 60) {
+                ManifestTable.append(spark, path, part(lo, lo + 9),
+                  files = 1)
+              }
+            }
+            last
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val (v, files) = ManifestTable.currentManifest(spark, path)
+    assert(v === 1L + threads * appendsPer) // every commit landed, once
+    assert(files.size === 2 + threads * appendsPer)
+    assert(ManifestTable.read(spark, path).count() ===
+      100L + threads * appendsPer * 10L)
+    // and the version chain is gapless — no lost/overwritten manifest
+    assert(ManifestTable.versions(spark, path) ===
+      (1L to (1L + threads * appendsPer)))
+  }
+
   test("shallowClone: a zero-copy writable branch — no data files " +
     "copied, divergence is private in both directions, the source " +
     "version is pinned against vacuum") {
