@@ -583,6 +583,121 @@ object ManifestTable {
       schemaDdl = Some(rewriteDf.schema.toDDL))
   }
 
+  /** Generalized copy-on-write MERGE keyed on long-castable `c` —
+    * [[upsert]] is the (replace, insert) corner of this matrix:
+    *
+    *  - `whenMatched`: what happens to CURRENT rows whose key appears
+    *    in `source`: "replace" (delete-then-insert per key, the upsert
+    *    contract), "delete" (matched keys' rows removed), or "keep"
+    *    (current rows untouched — NO file rewrites at all).
+    *  - `whenNotMatched`: source rows whose key is NOT in the table:
+    *    "insert" or "ignore".
+    *
+    * (keep, insert) is the IDEMPOTENT-INGEST primitive a training
+    * corpus needs: add only genuinely NEW keys, skip re-deliveries
+    * wholesale — no rewrite, I/O = source plus ONE key-scan of the
+    * envelope-candidate slice, and re-merging an already-ingested
+    * source is a no-op that commits nothing. (delete, ignore) is the
+    * DataFrame-keyed delete — [[deleteIds]] without the driver-side id
+    * list, for id sets that only exist distributed. (replace, ignore)
+    * updates existing keys only. Pruning (exact key set when
+    * collectable, envelope otherwise), NULL-row survival, and txn
+    * replay no-ops are [[upsert]]'s. */
+  def merge(spark: SparkSession, path: String, c: String,
+      source: DataFrame, files: Int,
+      whenMatched: String = "replace", whenNotMatched: String = "insert",
+      statsCols: Seq[String] = Nil, txn: Option[String] = None,
+      maxCollectedKeys: Long = 100000L): Long = {
+    require(Set("replace", "delete", "keep")(whenMatched),
+      s"merge: whenMatched '$whenMatched' not in replace|delete|keep")
+    require(Set("insert", "ignore")(whenNotMatched),
+      s"merge: whenNotMatched '$whenNotMatched' not in insert|ignore")
+    require(whenMatched != "keep" || whenNotMatched == "insert",
+      "merge(keep, ignore) does nothing — refuse rather than no-op")
+    if (whenMatched == "replace" && whenNotMatched == "insert")
+      return upsert(spark, path, c, source, files, statsCols, txn,
+        maxCollectedKeys)
+    val (v, lines) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    if (txn.isDefined && lastTxn(spark, path) == txn) return v
+    val base = new Path(path)
+    val keyCol = col(c).cast("long")
+    val bounds = source.agg(min(keyCol), max(keyCol),
+      org.apache.spark.sql.functions.count_distinct(keyCol)).head()
+    require(!bounds.isNullAt(0), "merge: source carries no non-NULL keys")
+    val (kLo, kHi, nKeys) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val exactKeys: Option[Array[Long]] =
+      if (nKeys <= maxCollectedKeys)
+        Some(source.select(keyCol.as("k")).where(col("k").isNotNull)
+          .distinct().collect().map(_.getLong(0)).sorted)
+      else None
+    def fileTouched(stats: Option[(Long, Long)]): Boolean = stats match {
+      case None => true
+      case Some((flo, fhi)) => exactKeys match {
+        case Some(ks) =>
+          var i = java.util.Arrays.binarySearch(ks, flo)
+          if (i < 0) i = -i - 1
+          i < ks.length && ks(i) <= fhi
+        case None => fhi >= kLo && flo <= kHi
+      }
+    }
+    val (touched, untouched) = lines.partition(l =>
+      fileTouched(parseEntry(l).stats.get(c)))
+    val candidates: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(touched.map(l =>
+          resolveFile(base, parseEntry(l).path).toString): _*))
+    // the candidate slice's distinct keys classify the source rows;
+    // keys outside every envelope are new by construction
+    def tgtKeys(cand: DataFrame): DataFrame =
+      cand.select(keyCol.as("__tk")).where(col("__tk").isNotNull)
+        .distinct()
+    def notMatchedSrc: DataFrame = candidates match {
+      case None       => source
+      case Some(cand) =>
+        source.join(tgtKeys(cand), keyCol === col("__tk"), "left_anti")
+    }
+    def matchedSrc: DataFrame = candidates match {
+      case None       => source.limit(0)
+      case Some(cand) =>
+        source.join(tgtKeys(cand), keyCol === col("__tk"), "left_semi")
+    }
+    val carriedTxn = txn.orElse(lastTxn(spark, path))
+    whenMatched match {
+      case "keep" => // insert-only: never rewrite, possibly no-op
+        val ins = notMatchedSrc
+        if (ins.isEmpty) return v
+        val added = writeDataFiles(spark, path, ins, files, Nil,
+          inheritStats(statsCols, lines))
+        commit(spark, path, lines ++ added, expectedCurrent = v,
+          txn = carriedTxn, schemaDdl = Some(ins.schema.toDDL))
+      case m => // delete | replace(+ignore): CoW rewrite of candidates
+        if (touched.isEmpty && whenNotMatched == "ignore") return v
+        val srcKeys = source.select(keyCol.as("__k"))
+          .where(col("__k").isNotNull).distinct()
+        val survivors = candidates.map(
+          _.join(srcKeys, keyCol === col("__k"), "left_anti"))
+        val incoming =
+          if (m == "replace") Some(matchedSrc)
+          else if (whenNotMatched == "insert") Some(notMatchedSrc)
+          else None
+        val rewriteDf = (survivors, incoming) match {
+          case (Some(s), Some(i)) =>
+            s.unionByName(i, allowMissingColumns = true)
+          case (Some(s), None) => s
+          case (None, Some(i)) => i
+          case (None, None)    => return v // nothing to do
+        }
+        val rewritten = writeDataFiles(spark, path, rewriteDf,
+          files = math.max(files, touched.size), Nil,
+          inheritStats(statsCols, lines))
+        commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
+          txn = carriedTxn, schemaDdl = Some(rewriteDf.schema.toDDL))
+    }
+  }
+
   /** ATOMIC BACKFILL: replace every row with `c` in [lo, hi] by
     * `replacement` in ONE commit — the reference's monthly
     * delete-then-insert backfill (`database_service.py:415-475` runs

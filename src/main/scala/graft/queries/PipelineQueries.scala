@@ -758,6 +758,43 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // Idempotent insert-only merge (p31): the ingest shape every
+  // training corpus needs — a re-delivered batch must add only
+  // genuinely NEW keys, never duplicate documents already present, and
+  // never rewrite a byte of the existing table. The source slice
+  // overlaps the target by half a year of ship dates (orderkeys
+  // straddle the cut), so matched-key skipping does real work; the
+  // SECOND merge of the same source must be a metadata no-op (version
+  // pinned at 2 — a non-idempotent ingest commits v3 and breaks the
+  // rider; an ingest that inserts matched keys breaks cnt). Oracle
+  // replays target ∪ (source anti-keyed-in target) off the raw table.
+  private def p31(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p31_merge_ingest"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    val src = li.filter(col("l_shipdate") >= "1996-07-01")
+    ManifestTable.merge(s, base, "l_orderkey", src, files = 4,
+      whenMatched = "keep", whenNotMatched = "insert",
+      statsCols = Seq("l_orderkey"))
+    // the re-delivery: MUST be a no-op (no commit, same version back)
+    val v = ManifestTable.merge(s, base, "l_orderkey", src, files = 4,
+      whenMatched = "keep", whenNotMatched = "insert",
+      statsCols = Seq("l_orderkey"))
+    ManifestTable.read(s, base)
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("version", lit(v))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -774,6 +811,7 @@ object PipelineQueries {
     "p28_snapshot_diff" -> (p28 _),
     "p29_files_metadata" -> (p29 _),
     "p30_shallow_clone" -> (p30 _),
+    "p31_merge_ingest" -> (p31 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -1009,6 +1047,21 @@ object PipelineQueries {
         "CAST(2 AS BIGINT) AS clone_version, " +
         "CAST(16 AS BIGINT) AS n_cloned " +
         "FROM s JOIN c ON s.sk = c.sk ORDER BY sk"),
+    // target ∪ (source rows whose key is absent from the target slice)
+    // replayed off the raw table; version pinned 2 — the re-delivered
+    // merge must commit NOTHING
+    "p31_merge_ingest" ->
+      ("WITH tgt AS (SELECT l_orderkey, l_suppkey, l_quantity " +
+        "FROM lineitem WHERE l_shipdate < DATE '1997-01-01'), " +
+        "src AS (SELECT l_orderkey, l_suppkey, l_quantity " +
+        "FROM lineitem WHERE l_shipdate >= DATE '1996-07-01'), " +
+        "merged AS (SELECT * FROM tgt UNION ALL " +
+        "SELECT * FROM src WHERE l_orderkey NOT IN " +
+        "(SELECT l_orderkey FROM tgt)) " +
+        "SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(2 AS BIGINT) AS version " +
+        "FROM merged GROUP BY 1 ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->
