@@ -168,7 +168,12 @@ class PlanLintSpec extends SparkSpec {
         // 1-row totals/argmax riders over the DAY-sized prefix frame
         "q59_changepoint",
         // 1-row totals rider over the 7-row weekday profile
-        "q60_weekday_profile"),
+        "q60_weekday_profile",
+        // the metadata-audit join: the manifest side is FILE-COUNT
+        // rows (16 here; one line per file at any scale) broadcast
+        // against the per-file aggregate — O(files·files) on suffix
+        // match, bounded by the manifest, never by n
+        "p29_files_metadata"),
       // filters whose predicates are INHERENTLY unpushable expressions
       // over base columns — md5-bucket samplers (p03/p05/d10/d11),
       // computed-similarity/array predicates (d05/d06/s01/t11/t13),
@@ -220,7 +225,12 @@ class PlanLintSpec extends SparkSpec {
         "t18_nb_confusion",
         // the sketch's own NULL guard over the computed cents column
         // (round(price*100) cast long): the q43/q48 class
-        "q54_quantile_sketch"),
+        "q54_quantile_sketch",
+        // deleteRange's CoW survivor filter (NULL-safe NOT BETWEEN over
+        // cast(c as long)) inside the clone-divergence write: a
+        // computed predicate over the envelope-pruned candidate slice —
+        // the pruning already happened driver-side in the manifest
+        "p30_shallow_clone"),
       "no-codegen" -> Set.empty,
     )
     val dir = "/root/testdata/sf0.001"
