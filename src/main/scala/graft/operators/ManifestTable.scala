@@ -397,6 +397,42 @@ object ManifestTable {
     else lines.flatMap(parseEntry(_).stats.keys)
       .filterNot(_ == RowsStat).distinct.sorted
 
+  /** INCREMENTAL compaction: fold only the files smaller than
+    * `minBytes` into `files` consolidated ones, leaving every
+    * well-sized file's bytes and manifest line untouched — the only
+    * compaction shape that works at 100 TB, where a full [[compact]]
+    * rewrite of the table is off the table and the thing that actually
+    * fragments is the small-file TAIL a streaming sink or frequent
+    * small appends leave behind. The size check is one driver-side
+    * `getFileStatus` per manifest line (metadata, no file opens);
+    * cost is proportional to the small tail, never the table. With
+    * fewer than two small files there is nothing to fold — returns
+    * the current version, commits nothing (so a maintenance loop can
+    * call it unconditionally). One snapshot commit; txn carried like
+    * all maintenance ([[lastTxn]]); the pre-compaction snapshot stays
+    * readable until [[vacuum]]. */
+  def compactSmall(spark: SparkSession, path: String, minBytes: Long,
+      files: Int = 1, sortCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Long = {
+    require(minBytes > 0, "compactSmall: minBytes must be positive")
+    val (v, lines) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val (fs, _) = fsOf(spark, path)
+    val base = new Path(path)
+    val (small, big) = lines.partition { l =>
+      fs.getFileStatus(resolveFile(base, parseEntry(l).path))
+        .getLen < minBytes
+    }
+    if (small.size <= 1) return v // already optimal: no-op, no commit
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(l =>
+        resolveFile(base, parseEntry(l).path).toString): _*)
+    val rewritten = writeDataFiles(spark, path, df, files, sortCols,
+      inheritStats(statsCols, lines))
+    commit(spark, path, big ++ rewritten, expectedCurrent = v,
+      txn = lastTxn(spark, path), schemaDdl = Some(df.schema.toDDL))
+  }
+
   /** Two-predicate box read through manifest-side pruning: keep only
     * the files whose stats envelopes intersect BOTH ranges (a missing
     * stat keeps the file — conservative per axis) and apply the exact

@@ -795,6 +795,52 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // Incremental small-file compaction (p32): the fragmentation a
+  // streaming sink / frequent small appends actually leave behind is a
+  // SMALL-FILE TAIL — at 100 TB you fold the tail, you never rewrite
+  // the table (p17's full compact is the wrong tool there). Six
+  // monthly micro-appends fragment the table to 8 files; compactSmall
+  // folds exactly the six small ones (size check = one driver-side
+  // getFileStatus per manifest line, threshold picked between the
+  // observed small/big sizes so the split is scale-robust) into one.
+  // Riders pin the lifecycle: version 8 (create + 6 appends + 1
+  // compaction commit), n_files 3 (2 untouched big + 1 folded) — a
+  // compaction that touches the big files breaks neither rider but
+  // rewrites terabytes at scale, so the SPEC additionally pins
+  // untouched-file line identity; content equality rides the hash.
+  private def p32(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p32_compact_small"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1997-01-01"), files = 2,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    (1 to 6).foreach { m =>
+      ManifestTable.append(s, base,
+        li.filter(date_format(col("l_shipdate"), "yyyy-MM") ===
+          f"1997-$m%02d"), files = 1, statsCols = Seq("l_orderkey"))
+    }
+    val (_, names) = ManifestTable.currentManifest(s, base)
+    val sizes = names.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(p, f)).getLen)
+    val v = ManifestTable.compactSmall(s, base,
+      minBytes = (sizes.min + sizes.max) / 2, files = 1,
+      statsCols = Seq("l_orderkey"))
+    val (_, after) = ManifestTable.currentManifest(s, base)
+    ManifestTable.read(s, base)
+      .filter(col("l_shipdate") < "1997-07-01")
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("version", lit(v))
+      .withColumn("n_files", lit(after.size.toLong))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -812,6 +858,7 @@ object PipelineQueries {
     "p29_files_metadata" -> (p29 _),
     "p30_shallow_clone" -> (p30 _),
     "p31_merge_ingest" -> (p31 _),
+    "p32_compact_small" -> (p32 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -1062,6 +1109,15 @@ object PipelineQueries {
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
         "CAST(2 AS BIGINT) AS version " +
         "FROM merged GROUP BY 1 ORDER BY sk"),
+    // the folded table's content replayed off the raw table (create
+    // slice + the six appended months = everything before 1997-07);
+    // version pinned 8, n_files 3 — fold the tail, never the table
+    "p32_compact_small" ->
+      ("SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(8 AS BIGINT) AS version, CAST(3 AS BIGINT) AS n_files " +
+        "FROM lineitem WHERE l_shipdate < DATE '1997-07-01' " +
+        "GROUP BY 1 ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

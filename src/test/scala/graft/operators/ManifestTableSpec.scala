@@ -733,6 +733,89 @@ class ManifestTableSpec extends SparkSpec {
     assert(h(1).getSeq[String](4) === Seq("exp-a"))
   }
 
+  test("diffSnapshots across a schema-evolving append: evolved inserts " +
+    "carry the new column, pre-evolution rows align as NULL") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 50), files = 2,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val evolved = (51 to 60).map(i => (i.toLong, i * 2L, s"tag$i"))
+      .toDF("k", "v", "note")
+    val v2 = ManifestTable.append(spark, path, evolved, files = 1,
+      statsCols = Seq("k"))
+    // delete reaches into the OLD files too, so the diff mixes evolved
+    // (added) and pre-evolution (removed) schemas in one feed
+    val v3 = ManifestTable.deleteRange(spark, path, "k", 45L, 55L,
+      statsCols = Seq("k"))
+    val d = ManifestTable.diffSnapshots(spark, path, 1L, v3)
+    assert(d.columns.toSet === Set("k", "v", "note", "_change"))
+    val ins = d.filter(col("_change") === "insert")
+    val del = d.filter(col("_change") === "delete")
+    assert(ins.select("k").collect().map(_.getLong(0)).toSet ===
+      (56L to 60L).toSet) // appended minus the deleted overlap
+    assert(ins.filter(col("note").isNull).count() === 0L)
+    assert(del.select("k").collect().map(_.getLong(0)).toSet ===
+      (45L to 50L).toSet) // the old rows the delete removed
+    assert(del.filter(col("note").isNotNull).count() === 0L)
+  }
+
+  test("shallowClone chains: a clone of a clone resolves through both " +
+    "levels; merge and diff work on the branch") {
+    val a = freshDir(); val b = freshDir(); val c = freshDir()
+    ManifestTable.create(spark, a, part(1, 60), files = 2,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    ManifestTable.shallowClone(spark, a, b)
+    // diverge b with an append, then clone b -> c: c's manifest mixes
+    // absolute refs into a (carried through b) and into b's own files
+    ManifestTable.append(spark, b, part(61, 80), files = 1,
+      statsCols = Seq("k"))
+    ManifestTable.shallowClone(spark, b, c)
+    assert(ManifestTable.read(spark, c).count() === 80L)
+    // the branch takes real writes: idempotent-ingest merge on c
+    ManifestTable.merge(spark, c, "k", part(71, 90), files = 1,
+      whenMatched = "keep", whenNotMatched = "insert",
+      statsCols = Seq("k"))
+    assert(ManifestTable.read(spark, c).count() === 90L)
+    assert(ManifestTable.read(spark, b).count() === 80L) // untouched
+    assert(ManifestTable.read(spark, a).count() === 60L) // untouched
+    // and the branch's change feed sees exactly its own divergence
+    val d = ManifestTable.diffSnapshots(spark, c, 1L, 2L)
+    assert(d.select("k").collect().map(_.getLong(0)).toSet ===
+      (81L to 90L).toSet)
+  }
+
+  test("compactSmall folds ONLY the small-file tail: big files keep " +
+    "their bytes and lines, content is preserved, re-run is a no-op") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 5000), files = 2,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    (0 until 5).foreach { i =>
+      ManifestTable.append(spark, path,
+        part(5001 + i * 10, 5010 + i * 10), files = 1,
+        statsCols = Seq("k"))
+    }
+    val (v6, before) = ManifestTable.currentManifest(spark, path)
+    assert(v6 === 6L && before.size === 7)
+    val (fs0, p0) = (new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(path))
+    val sizes = before.map(f =>
+      fs0.getFileStatus(new org.apache.hadoop.fs.Path(p0, f)).getLen)
+    val thr = (sizes.min + sizes.max) / 2
+    val v7 = ManifestTable.compactSmall(spark, path, minBytes = thr,
+      files = 1, statsCols = Seq("k"))
+    assert(v7 === 7L)
+    val (_, after) = ManifestTable.currentManifest(spark, path)
+    assert(after.size === 3) // 2 big untouched + 1 folded
+    // the two big files' manifest LINES survive verbatim (same bytes)
+    val bigLines = ManifestTable.read(spark, path) // content first
+    assert(bigLines.count() === 5050L)
+    val beforeBig = before.zip(sizes).filter(_._2 >= thr).map(_._1)
+    assert(beforeBig.forall(after.contains))
+    // idempotent: one folded file left under the threshold is optimal
+    assert(ManifestTable.compactSmall(spark, path, minBytes = thr) === 7L)
+    assert(ManifestTable.versions(spark, path).max === 7L)
+  }
+
   test("merge matrix: keep+insert is idempotent ingest (no rewrite, " +
     "no-op on re-delivery); delete+ignore is the DataFrame-keyed " +
     "delete; replace+ignore updates existing keys only") {
