@@ -136,7 +136,9 @@ object ManifestTable {
     * so an EMPTY snapshot — a delete that removed every row — still
     * reads as a typed empty frame instead of bricking the table). */
   private final case class Snapshot(version: Long, lines: Seq[String],
-      txn: Option[String], schemaDdl: Option[String])
+      txn: Option[String], schemaDdl: Option[String],
+      op: Option[String] = None,
+      constraints: Seq[(String, String)] = Nil)
 
   private val HeaderCount = """# graft manifest v\d+, (\d+) files""".r
 
@@ -168,7 +170,16 @@ object ManifestTable {
     val schema = all.collectFirst {
       case l if l.startsWith("# schema ") => l.stripPrefix("# schema ").trim
     }
-    Snapshot(v, entries, txn, schema)
+    val op = all.collectFirst {
+      case l if l.startsWith("# op ") => l.stripPrefix("# op ").trim
+    }
+    val constraints = all.collect {
+      case l if l.startsWith("# constraint ") =>
+        val body = l.stripPrefix("# constraint ").trim
+        val cut = body.indexOf(' ')
+        (body.substring(0, cut), body.substring(cut + 1).trim)
+    }
+    Snapshot(v, entries, txn, schema, op, constraints)
   }
 
   /** Retained manifest versions, ascending; Nil when the table does
@@ -324,7 +335,7 @@ object ManifestTable {
     val added = writeDataFiles(spark, path, df, files, sortCols, statsCols,
       zOrder)
     commit(spark, path, added, expectedCurrent = 0L, txn = txn,
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), op = "create")
   }
 
   /** Append `df` as new immutable files; the new snapshot lists the old
@@ -344,13 +355,14 @@ object ManifestTable {
     val (v, current) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
+    enforceConstraints(spark, path, df, "append")
     val added = writeDataFiles(spark, path, df, files, Nil, statsCols)
     // an untagged write still carries a prior streaming tag forward —
     // same argument as maintenance (see lastTxn): erasing it would let
     // a crash-replay readmit an already-committed batch
     commit(spark, path, current ++ added, expectedCurrent = v,
       txn = txn.orElse(lastTxn(spark, path)),
-      schemaDdl = Some(df.schema.toDDL))
+      schemaDdl = Some(df.schema.toDDL), op = "append")
   }
 
   /** The idempotence tag the current manifest committed under, if any.
@@ -383,7 +395,7 @@ object ManifestTable {
     // carry the txn tag forward (see lastTxn): maintenance must not
     // erase a streaming writer's idempotence marker
     commit(spark, path, rewritten, expectedCurrent = v,
-      txn = lastTxn(spark, path), schemaDdl = Some(src.schema.toDDL))
+      txn = lastTxn(spark, path), schemaDdl = Some(src.schema.toDDL), op = "compact-small")
   }
 
   /** Stats columns are a TABLE property: maintenance rewrites
@@ -430,7 +442,7 @@ object ManifestTable {
     val rewritten = writeDataFiles(spark, path, df, files, sortCols,
       inheritStats(statsCols, lines))
     commit(spark, path, big ++ rewritten, expectedCurrent = v,
-      txn = lastTxn(spark, path), schemaDdl = Some(df.schema.toDDL))
+      txn = lastTxn(spark, path), schemaDdl = Some(df.schema.toDDL), op = "compact")
   }
 
   /** Two-predicate box read through manifest-side pruning: keep only
@@ -499,7 +511,7 @@ object ManifestTable {
     val rewritten = writeDataFiles(spark, path, survivors,
       files = touched.size, Nil, inheritStats(statsCols, lines))
     commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
-      txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL))
+      txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL), op = "delete-range")
   }
 
   /** Copy-on-write id-set DELETE: remove every row whose `c` is in
@@ -542,7 +554,7 @@ object ManifestTable {
     val rewritten = writeDataFiles(spark, path, survivors,
       files = touched.size, Nil, inheritStats(statsCols, lines))
     commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
-      txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL))
+      txn = lastTxn(spark, path), schemaDdl = Some(survivors.schema.toDDL), op = "delete-ids")
   }
 
   /** Copy-on-write MERGE (upsert) keyed on long-castable `c`: rows of
@@ -575,6 +587,7 @@ object ManifestTable {
     val (v, lines) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
+    enforceConstraints(spark, path, updates, "upsert")
     val base = new Path(path)
     val keyCol = col(c).cast("long")
     val bounds = updates.agg(min(keyCol), max(keyCol),
@@ -616,7 +629,7 @@ object ManifestTable {
       inheritStats(statsCols, lines))
     commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
       txn = txn.orElse(lastTxn(spark, path)),
-      schemaDdl = Some(rewriteDf.schema.toDDL))
+      schemaDdl = Some(rewriteDf.schema.toDDL), op = "upsert")
   }
 
   /** Generalized copy-on-write MERGE keyed on long-castable `c` —
@@ -705,10 +718,11 @@ object ManifestTable {
       case "keep" => // insert-only: never rewrite, possibly no-op
         val ins = notMatchedSrc
         if (ins.isEmpty) return v
+        enforceConstraints(spark, path, ins, "merge")
         val added = writeDataFiles(spark, path, ins, files, Nil,
           inheritStats(statsCols, lines))
         commit(spark, path, lines ++ added, expectedCurrent = v,
-          txn = carriedTxn, schemaDdl = Some(ins.schema.toDDL))
+          txn = carriedTxn, schemaDdl = Some(ins.schema.toDDL), op = "merge")
       case m => // delete | replace(+ignore): CoW rewrite of candidates
         if (touched.isEmpty && whenNotMatched == "ignore") return v
         val srcKeys = source.select(keyCol.as("__k"))
@@ -719,6 +733,7 @@ object ManifestTable {
           if (m == "replace") Some(matchedSrc)
           else if (whenNotMatched == "insert") Some(notMatchedSrc)
           else None
+        incoming.foreach(enforceConstraints(spark, path, _, "merge"))
         val rewriteDf = (survivors, incoming) match {
           case (Some(s), Some(i)) =>
             s.unionByName(i, allowMissingColumns = true)
@@ -730,7 +745,7 @@ object ManifestTable {
           files = math.max(files, touched.size), Nil,
           inheritStats(statsCols, lines))
         commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
-          txn = carriedTxn, schemaDdl = Some(rewriteDf.schema.toDDL))
+          txn = carriedTxn, schemaDdl = Some(rewriteDf.schema.toDDL), op = "merge")
     }
   }
 
@@ -754,6 +769,7 @@ object ManifestTable {
     val (v, lines) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
+    enforceConstraints(spark, path, replacement, "replaceRange")
     val base = new Path(path)
     val (touched, untouched) = lines.partition { l =>
       parseEntry(l).stats.get(c)
@@ -775,7 +791,7 @@ object ManifestTable {
       inheritStats(statsCols, lines))
     commit(spark, path, untouched ++ rewritten, expectedCurrent = v,
       txn = txn.orElse(lastTxn(spark, path)),
-      schemaDdl = Some(rewriteDf.schema.toDDL))
+      schemaDdl = Some(rewriteDf.schema.toDDL), op = "replace-range")
   }
 
   /** Incremental scan: the rows ADDED between snapshot `fromVersion`
@@ -929,7 +945,7 @@ object ManifestTable {
     require(toVersion <= cur,
       s"rollback: v$toVersion is ahead of current v$cur")
     commit(spark, path, target.lines, expectedCurrent = cur,
-      txn = target.txn, schemaDdl = target.schemaDdl)
+      txn = target.txn, schemaDdl = target.schemaDdl, op = "rollback")
   }
 
   /** The snapshot's per-file metadata as a DataFrame — the `.files`
@@ -979,13 +995,13 @@ object ManifestTable {
         if (counts.nonEmpty && counts.forall(_.isDefined))
           java.lang.Long.valueOf(counts.flatten.sum)
         else null
-      Row(v, entries.size.toLong, nRows, snap.txn.orNull,
+      Row(v, snap.op.orNull, entries.size.toLong, nRows, snap.txn.orNull,
         byVersion.getOrElse(v, Nil).map(_._1).sorted)
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](rows.asJava),
       StructType.fromDDL(
-        "version BIGINT, n_files BIGINT, n_rows BIGINT, " +
+        "version BIGINT, op STRING, n_files BIGINT, n_rows BIGINT, " +
           "txn STRING, tags ARRAY<STRING>"))
   }
 
@@ -1036,7 +1052,77 @@ object ManifestTable {
     // a clone is a NEW table: no txn carried (its streams/writers are
     // its own), schema carried so an empty clone still types
     commit(spark, dst, absLines, expectedCurrent = 0L, txn = None,
-      schemaDdl = snap.schemaDdl)
+      schemaDdl = snap.schemaDdl, op = "clone")
+  }
+
+  /** CHECK constraints: data quality enforced AT THE COMMIT BOUNDARY —
+    * a table property (carried in every manifest header) every
+    * data-adding write validates its INCOMING rows against, refusing
+    * the whole commit on any violation (nothing partial lands; the
+    * training-data contract "no empty text ever enters the corpus"
+    * becomes unbypassable instead of a convention). SQL semantics:
+    * a row violates when the expression is FALSE; NULL passes (add a
+    * explicit IS NOT NULL to forbid it). Adding a constraint validates
+    * the WHOLE existing table first (one scan, at add time only — so
+    * maintenance rewrites of already-validated rows never re-check),
+    * then commits a same-files snapshot carrying the new set. Write
+    * cost afterwards is one pass over each batch's new rows. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      sqlExpr: String): Long = {
+    require(name.matches(TagPattern),
+      s"constraint name '$name' must match $TagPattern")
+    require(sqlExpr.nonEmpty && !sqlExpr.contains('\n'),
+      "constraint expression must be non-empty and single-line")
+    val (v, _) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val snap = snapshotAt(spark, path, v)
+    require(!snap.constraints.exists(_._1 == name),
+      s"constraint '$name' already exists on $path")
+    val bad = read(spark, path, mergeSchema = true)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(sqlExpr).cast("boolean"),
+        lit(true))).count()
+    require(bad == 0L,
+      s"cannot add constraint '$name' ($sqlExpr): $bad existing row(s) " +
+        "violate it — clean the table first")
+    commit(spark, path, snap.lines, expectedCurrent = v, txn = snap.txn,
+      schemaDdl = snap.schemaDdl, op = "add-constraint",
+      constraintsOverride = Some(snap.constraints :+ (name -> sqlExpr)))
+  }
+
+  /** Drop a CHECK constraint; later writes stop validating it. */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Long = {
+    val (v, _) = currentLines(spark, path)
+    require(v > 0, s"manifest table $path does not exist")
+    val snap = snapshotAt(spark, path, v)
+    require(snap.constraints.exists(_._1 == name),
+      s"manifest table $path has no constraint '$name'")
+    commit(spark, path, snap.lines, expectedCurrent = v, txn = snap.txn,
+      schemaDdl = snap.schemaDdl, op = "drop-constraint",
+      constraintsOverride = Some(snap.constraints.filterNot(_._1 == name)))
+  }
+
+  /** The table's CHECK constraints, name -> SQL expression. */
+  def constraints(spark: SparkSession, path: String): Map[String, String] =
+    currentSnapshot(spark, path).map(_.constraints.toMap)
+      .getOrElse(Map.empty)
+
+  /** Refuse the write when any incoming row violates a table
+    * constraint — called by every data-adding write on its NEW rows
+    * only ([[addConstraint]] validated everything older). */
+  private def enforceConstraints(spark: SparkSession, path: String,
+      df: DataFrame, op: String): Unit = {
+    val cs = currentSnapshot(spark, path).map(_.constraints)
+      .getOrElse(Nil)
+    cs.foreach { case (n, e) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.expr(e).cast("boolean"),
+        lit(true))).count()
+      require(bad == 0L,
+        s"$op refused on $path: CHECK constraint '$n' ($e) violated " +
+          s"by $bad incoming row(s) — nothing committed")
+    }
   }
 
   /** Valid tag names; the pattern excludes '.'-led and 'staged'-like
@@ -1284,28 +1370,38 @@ object ManifestTable {
   private def commit(spark: SparkSession, path: String,
       files: Seq[String], expectedCurrent: Long,
       txn: Option[String] = None,
-      schemaDdl: Option[String] = None): Long = {
+      schemaDdl: Option[String] = None,
+      op: String = "write",
+      constraintsOverride: Option[Seq[(String, String)]] = None): Long = {
     require(txn.forall(t => t.nonEmpty && !t.contains('\n')),
       "txn tag must be non-empty and single-line")
     require(schemaDdl.forall(!_.contains('\n')),
       "schema DDL must be single-line")
+    require(op.nonEmpty && !op.contains('\n'),
+      "op name must be non-empty and single-line")
     val (fs, p) = fsOf(spark, path)
     fs.mkdirs(p)
     val lock = commitLocks.computeIfAbsent(
       fs.makeQualified(p).toString, _ => new Object)
     lock.synchronized {
       commitLocked(spark, path, fs, p, files, expectedCurrent, txn,
-        schemaDdl)
+        schemaDdl, op, constraintsOverride)
     }
   }
 
   private def commitLocked(spark: SparkSession, path: String,
       fs: FileSystem, p: Path, files: Seq[String], expectedCurrent: Long,
-      txn: Option[String], schemaDdl: Option[String]): Long = {
-    val (cur, _) = currentManifest(spark, path)
+      txn: Option[String], schemaDdl: Option[String], op: String,
+      constraintsOverride: Option[Seq[(String, String)]]): Long = {
+    val snap = currentSnapshot(spark, path)
+    val cur = snap.map(_.version).getOrElse(0L)
     if (cur != expectedCurrent) throw new ConcurrentCommitException(
       s"manifest table $path moved (v$cur, expected v$expectedCurrent) — " +
         "concurrent writer; re-run against the new snapshot")
+    // constraints are a TABLE property: every commit carries the current
+    // set forward verbatim unless add/dropConstraint overrides it
+    val constraints = constraintsOverride
+      .getOrElse(snap.map(_.constraints).getOrElse(Nil))
     val next = cur + 1
     val target = new Path(p, s"_manifest.$next")
     if (fs.exists(target)) throw new ConcurrentCommitException(
@@ -1315,8 +1411,11 @@ object ManifestTable {
     val out = fs.create(staged, false)
     try {
       val header = s"# graft manifest v$next, ${files.size} files\n" +
+        s"# op $op\n" +
         txn.map(t => s"# txn $t\n").getOrElse("") +
-        schemaDdl.map(s => s"# schema $s\n").getOrElse("")
+        schemaDdl.map(s => s"# schema $s\n").getOrElse("") +
+        constraints.sortBy(_._1)
+          .map { case (n, e) => s"# constraint $n $e\n" }.mkString
       val body = (header +
         files.sorted.mkString("\n") + "\n").getBytes("UTF-8")
       out.write(body)

@@ -841,6 +841,48 @@ object PipelineQueries {
       .orderBy("sk")
   }
 
+  // CHECK constraints at the commit boundary (p33): "no garbage ever
+  // enters the corpus" as an unbypassable table property, not a
+  // convention — every data-adding write validates its incoming rows
+  // and refuses WHOLLY on violation. The gate adds a quantity-bounds
+  // constraint (validating the existing table in the same call), lands
+  // a clean append, then fires a poisoned append (quantity shifted out
+  // of bounds) that MUST refuse without committing: the version rider
+  // pins v3 (create + add-constraint + clean append — a leaked v4
+  // breaks it) and cnt/qty pin that none of the poison rows landed.
+  private def p33(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val base = "/tmp/graft_p33_constraint"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val li = graft.Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate")
+    ManifestTable.create(s, base,
+      li.filter(col("l_shipdate") < "1997-01-01"), files = 4,
+      sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    ManifestTable.addConstraint(s, base, "qty_bounds",
+      "l_quantity > 0 AND l_quantity <= 200")
+    ManifestTable.append(s, base,
+      li.filter(col("l_shipdate") >= "1997-01-01"), files = 2,
+      statsCols = Seq("l_orderkey"))
+    val poisoned = li.limit(100)
+      .withColumn("l_quantity", col("l_quantity") + 10000)
+    val refused =
+      try { ManifestTable.append(s, base, poisoned, files = 1); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "p33: the poisoned append must refuse")
+    val (v, _) = ManifestTable.currentManifest(s, base)
+    ManifestTable.read(s, base)
+      .groupBy(pmod(col("l_suppkey"), lit(10)).as("sk"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("version", lit(v))
+      .withColumn("n_constraints",
+        lit(ManifestTable.constraints(s, base).size.toLong))
+      .orderBy("sk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_range_cluster" -> (p16 _),
     "p17_compact" -> (p17 _),
@@ -859,6 +901,7 @@ object PipelineQueries {
     "p30_shallow_clone" -> (p30 _),
     "p31_merge_ingest" -> (p31 _),
     "p32_compact_small" -> (p32 _),
+    "p33_check_constraint" -> (p33 _),
     "p11_expectations" -> (p11 _),
     "p12_curriculum" -> (p12 _),
     "p14_dsir_select" -> (p14 _),
@@ -1118,6 +1161,14 @@ object PipelineQueries {
         "CAST(8 AS BIGINT) AS version, CAST(3 AS BIGINT) AS n_files " +
         "FROM lineitem WHERE l_shipdate < DATE '1997-07-01' " +
         "GROUP BY 1 ORDER BY sk"),
+    // the full table off the raw data (the clean create+append; the
+    // poison never lands); version 3 and n_constraints 1 by literals
+    "p33_check_constraint" ->
+      ("SELECT l_suppkey % 10 AS sk, count(*) AS cnt, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, " +
+        "CAST(3 AS BIGINT) AS version, " +
+        "CAST(1 AS BIGINT) AS n_constraints " +
+        "FROM lineitem GROUP BY 1 ORDER BY sk"),
     // identical ROLLUP: t01's tokenizer list, d01's fingerprint md5,
     // the same NULLTEXT sentinel; counts/sums cast BIGINT (HUGEINT)
     "p15_dataset_card" ->

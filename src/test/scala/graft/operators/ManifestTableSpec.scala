@@ -726,11 +726,13 @@ class ManifestTableSpec extends SparkSpec {
     val h = ManifestTable.history(spark, path).orderBy("version")
       .collect()
     assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // the audit column: which operation produced each version
+    assert(h.map(_.getString(1)).toSeq === Seq("create", "append"))
     // a manifest lists ALL live files: v2 = 4 created + 1 appended
-    assert(h.map(_.getLong(1)).toSeq === Seq(4L, 5L))
-    assert(h.map(_.getLong(2)).toSeq === Seq(100L, 120L))
-    assert(h(1).getString(3) === "batch-7")
-    assert(h(1).getSeq[String](4) === Seq("exp-a"))
+    assert(h.map(_.getLong(2)).toSeq === Seq(4L, 5L))
+    assert(h.map(_.getLong(3)).toSeq === Seq(100L, 120L))
+    assert(h(1).getString(4) === "batch-7")
+    assert(h(1).getSeq[String](5) === Seq("exp-a"))
   }
 
   test("diffSnapshots across a schema-evolving append: evolved inserts " +
@@ -876,6 +878,62 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.merge(spark, path, "k", updates, files = 1,
         whenMatched = "upsert")
     }
+  }
+
+  test("CHECK constraints: enforced at the commit boundary on every " +
+    "data-adding write; adding validates the existing table; carried " +
+    "by every commit; NULL passes (SQL semantics)") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 100), files = 2,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    assert(ManifestTable.addConstraint(spark, path, "v_bounded",
+      "v >= 0 AND v < 1000") === 2L)
+    assert(ManifestTable.constraints(spark, path) ===
+      Map("v_bounded" -> "v >= 0 AND v < 1000"))
+    // a violating append refuses WHOLLY — nothing lands, version holds
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        Seq((200L, -5L)).toDF("k", "v"), files = 1)
+    }
+    assert(ManifestTable.versions(spark, path).max === 2L)
+    assert(ManifestTable.read(spark, path).count() === 100L)
+    // a clean append lands, and the constraint RIDES the new manifest
+    ManifestTable.append(spark, path, part(101, 110), files = 1)
+    assert(ManifestTable.constraints(spark, path).contains("v_bounded"))
+    // merge and upsert enforce too
+    intercept[IllegalArgumentException] {
+      ManifestTable.upsert(spark, path, "k",
+        Seq((5L, 99999L)).toDF("k", "v"), files = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, path, "k",
+        Seq((500L, -1L)).toDF("k", "v"), files = 1,
+        whenMatched = "keep", whenNotMatched = "insert")
+    }
+    // NULL passes (SQL CHECK semantics): explicit IS NOT NULL forbids
+    ManifestTable.append(spark, path,
+      Seq((300L, null.asInstanceOf[java.lang.Long]))
+        .toDF("k", "v").selectExpr("k", "CAST(v AS BIGINT) AS v"),
+      files = 1)
+    assert(ManifestTable.read(spark, path).count() === 111L)
+    // adding a constraint the EXISTING table violates refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, path, "v_notnull",
+        "v IS NOT NULL")
+    }
+    // drop releases enforcement; duplicate add refused while live
+    intercept[IllegalArgumentException] {
+      ManifestTable.addConstraint(spark, path, "v_bounded", "v >= 0")
+    }
+    ManifestTable.dropConstraint(spark, path, "v_bounded")
+    ManifestTable.append(spark, path, Seq((400L, -5L)).toDF("k", "v"),
+      files = 1)
+    assert(ManifestTable.constraints(spark, path).isEmpty)
+    // the history audit records the constraint lifecycle ops
+    val ops = ManifestTable.history(spark, path)
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(ops.head === "create" && ops.contains("add-constraint") &&
+      ops.contains("drop-constraint"))
   }
 
   test("concurrent appenders: the per-table commit lock + OCC retry " +
