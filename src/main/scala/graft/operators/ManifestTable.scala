@@ -395,7 +395,7 @@ object ManifestTable {
     // carry the txn tag forward (see lastTxn): maintenance must not
     // erase a streaming writer's idempotence marker
     commit(spark, path, rewritten, expectedCurrent = v,
-      txn = lastTxn(spark, path), schemaDdl = Some(src.schema.toDDL), op = "compact-small")
+      txn = lastTxn(spark, path), schemaDdl = Some(src.schema.toDDL), op = "compact")
   }
 
   /** Stats columns are a TABLE property: maintenance rewrites
@@ -442,7 +442,7 @@ object ManifestTable {
     val rewritten = writeDataFiles(spark, path, df, files, sortCols,
       inheritStats(statsCols, lines))
     commit(spark, path, big ++ rewritten, expectedCurrent = v,
-      txn = lastTxn(spark, path), schemaDdl = Some(df.schema.toDDL), op = "compact")
+      txn = lastTxn(spark, path), schemaDdl = Some(df.schema.toDDL), op = "compact-small")
   }
 
   /** Two-predicate box read through manifest-side pruning: keep only
@@ -590,17 +590,8 @@ object ManifestTable {
     enforceConstraints(spark, path, updates, "upsert")
     val base = new Path(path)
     val keyCol = col(c).cast("long")
-    val bounds = updates.agg(min(keyCol), max(keyCol),
-      org.apache.spark.sql.functions.count_distinct(keyCol)).head()
-    require(!bounds.isNullAt(0),
-      "upsert: updates carry no non-NULL keys")
-    val (kLo, kHi, nKeys) =
-      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val exactKeys: Option[Array[Long]] =
-      if (nKeys <= maxCollectedKeys)
-        Some(updates.select(keyCol.as("k")).where(col("k").isNotNull)
-          .distinct().collect().map(_.getLong(0)).sorted)
-      else None
+    val (kLo, kHi, exactKeys) = keyProfile(updates, keyCol,
+      maxCollectedKeys, "upsert: updates carry no non-NULL keys")
     def fileTouched(stats: Option[(Long, Long)]): Boolean = stats match {
       case None => true // no envelope: conservative
       case Some((flo, fhi)) => exactKeys match {
@@ -671,16 +662,8 @@ object ManifestTable {
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
     val base = new Path(path)
     val keyCol = col(c).cast("long")
-    val bounds = source.agg(min(keyCol), max(keyCol),
-      org.apache.spark.sql.functions.count_distinct(keyCol)).head()
-    require(!bounds.isNullAt(0), "merge: source carries no non-NULL keys")
-    val (kLo, kHi, nKeys) =
-      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val exactKeys: Option[Array[Long]] =
-      if (nKeys <= maxCollectedKeys)
-        Some(source.select(keyCol.as("k")).where(col("k").isNotNull)
-          .distinct().collect().map(_.getLong(0)).sorted)
-      else None
+    val (kLo, kHi, exactKeys) = keyProfile(source, keyCol,
+      maxCollectedKeys, "merge: source carries no non-NULL keys")
     def fileTouched(stats: Option[(Long, Long)]): Boolean = stats match {
       case None => true
       case Some((flo, fhi)) => exactKeys match {
@@ -716,11 +699,31 @@ object ManifestTable {
     val carriedTxn = txn.orElse(lastTxn(spark, path))
     whenMatched match {
       case "keep" => // insert-only: never rewrite, possibly no-op
+        // Write-first, decide-after: the pre-r15 shape ran the
+        // not-matched anti-join TWICE (`ins.isEmpty`, then the write
+        // recomputed it). Writing once and reading emptiness off the
+        // committed-to-be lines' row counts (free with footer stats)
+        // halves the source passes; an empty or refused write leaves
+        // only invisible staging debris (the crash contract), which is
+        // deleted here anyway.
         val ins = notMatchedSrc
-        if (ins.isEmpty) return v
-        enforceConstraints(spark, path, ins, "merge")
         val added = writeDataFiles(spark, path, ins, files, Nil,
           inheritStats(statsCols, lines))
+        val (fs, _) = fsOf(spark, path)
+        def dropStaged(): Unit = added.headOption
+          .map(l => parseEntry(l).path.split('/').head)
+          .foreach(sub => fs.delete(new Path(base, sub), true))
+        if (writtenRows(spark, path, added) == 0L) {
+          dropStaged() // no new keys: metadata no-op, same version back
+          return v
+        }
+        // constraints check the WRITTEN slice (cheaper than re-running
+        // the anti-join on the source); a violation drops the staged
+        // files and refuses before anything commits
+        try enforceConstraints(spark, path,
+          spark.read.parquet(added.map(l =>
+            resolveFile(base, parseEntry(l).path).toString): _*), "merge")
+        catch { case e: Throwable => dropStaged(); throw e }
         commit(spark, path, lines ++ added, expectedCurrent = v,
           txn = carriedTxn, schemaDdl = Some(ins.schema.toDDL), op = "merge")
       case m => // delete | replace(+ignore): CoW rewrite of candidates
@@ -1318,7 +1321,12 @@ object ManifestTable {
       .filter(_.endsWith(".parquet")).sorted.toSeq
     val statsByFile: Map[String, String] =
       if (statsCols.isEmpty) Map.empty
-      else {
+      else footerStats(spark, dir, names, df.schema, statsCols).getOrElse {
+        // Fallback — ONE scan of the just-written files (the pre-r15
+        // stats pass): taken only when a stats column is not integral
+        // in the written schema (the footer min/max of e.g. a numeric
+        // STRING is lexicographic, not the cast-to-long envelope the
+        // manifest records) or a footer lacks trustworthy statistics.
         val aggs = statsCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"__lo_$c"),
           max(col(c).cast("long")).as(s"__hi_$c"))) :+
@@ -1346,6 +1354,131 @@ object ManifestTable {
           }.toMap
       }
     names.map(n => s"$sub/$n" + statsByFile.getOrElse(n, ""))
+  }
+
+  /** ONE-pass key profile of an upsert/merge source: (kLo, kHi,
+    * exact distinct keys when they fit `maxCollectedKeys` — sorted, for
+    * exact per-file envelope pruning; None past the cap). The pre-r15
+    * shape paid TWO full passes over the source — a min/max/
+    * count_distinct aggregate, then the distinct-keys collect — for the
+    * same information; here the bounds fall out of the collected key
+    * set, and only the rare past-the-cap path pays a second (bounds
+    * only) pass. `emptyMsg` preserves each caller's refusal message. */
+  private def keyProfile(df: DataFrame,
+      keyCol: org.apache.spark.sql.Column, maxCollectedKeys: Long,
+      emptyMsg: String): (Long, Long, Option[Array[Long]]) = {
+    val cap = math.min(maxCollectedKeys, (Int.MaxValue - 2).toLong).toInt
+    val collected = df.select(keyCol.as("__k"))
+      .where(col("__k").isNotNull)
+      .distinct().limit(cap + 1).collect().map(_.getLong(0))
+    require(collected.nonEmpty, emptyMsg)
+    if (collected.length <= cap) {
+      val ks = collected.sorted
+      (ks.head, ks.last, Some(ks))
+    } else {
+      val b = df.agg(min(keyCol), max(keyCol)).head()
+      (b.getLong(0), b.getLong(1), None)
+    }
+  }
+
+  /** Total rows behind freshly-written manifest lines: the `__rows`
+    * stat when the write recorded stats, else a driver-side footer read
+    * per file — never a data scan. */
+  private def writtenRows(spark: SparkSession, path: String,
+      lines: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(path)
+    lines.map { l =>
+      val e = parseEntry(l)
+      e.stats.get(RowsStat).map(_._1).getOrElse {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            resolveFile(base, e.path), conf))
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }
+    }.sum
+  }
+
+  /** Signals [[footerStats]] to fall back to the scan-based stats pass. */
+  private object FooterBail
+    extends scala.util.control.ControlThrowable("footer stats unavailable")
+
+  /** Per-file (min, max) envelopes and row counts from the PARQUET
+    * FOOTERS of the just-written files — the write-side stats pass
+    * without re-reading a single data page. The pre-r15 shape re-scanned
+    * everything it had just written (`read.parquet(...).groupBy(
+    * input_file_name())`), one full extra pass per create / append /
+    * compact / CoW rewrite; parquet already recorded exact per-row-group
+    * min/max/null-count for every column at write, so for INTEGRAL stats
+    * columns (the manifest's stat values are longs by contract) the
+    * envelope is a driver-side footer read per file — O(files) metadata
+    * I/O instead of O(rows) data I/O, which is also the only shape that
+    * stays cheap at 100 TB (a compaction's stats pass must not re-read
+    * the terabytes it just wrote).
+    *
+    * Exactness contract (why this can replace the scan bit-for-bit):
+    * parquet int32/int64 statistics are exact values, never truncated
+    * (truncation applies to binary/string stats only), min/max ignore
+    * NULLs exactly like Spark's `min`/`max`, and for integral Spark
+    * types `cast("long")` is value-preserving — so footer-derived
+    * envelopes equal the scan-derived ones on every input
+    * (ManifestTableSpec pins this equality, NULLs and all-NULL files
+    * included). Returns None — scan fallback — when any stats column is
+    * non-integral in the written schema (string/decimal/date casts
+    * don't match footer ordering), a column chunk is missing, or a
+    * footer carries no trustworthy statistics (all-NULL is fine and
+    * omits the envelope, conservative like the scan path; absent stats
+    * with non-null values bails). */
+  private def footerStats(spark: SparkSession, dir: Path,
+      names: Seq[String], schema: StructType,
+      statsCols: Seq[String]): Option[Map[String, String]] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = schema.fields.collect {
+      case f if f.dataType == ByteType || f.dataType == ShortType ||
+        f.dataType == IntegerType || f.dataType == LongType => f.name
+    }.toSet
+    if (!statsCols.forall(integral)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val out = names.map { n =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(dir, n), conf))
+        val (rows, ranges) = try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          val envelopes = statsCols.map { c =>
+            var lo = Long.MaxValue
+            var hi = Long.MinValue
+            var seen = false
+            blocks.foreach { b =>
+              val chunk = b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(throw FooterBail)
+              val st = chunk.getStatistics
+              if (st == null) throw FooterBail
+              if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Number, mx: java.lang.Number) =>
+                  lo = math.min(lo, mn.longValue)
+                  hi = math.max(hi, mx.longValue)
+                  seen = true
+                case _ => throw FooterBail
+              } else if (!st.isNumNullsSet ||
+                st.getNumNulls != chunk.getValueCount)
+                throw FooterBail // stats absent, not all-NULL: untrustworthy
+            }
+            // all-NULL column in this file: no envelope — omit the stat,
+            // the reader keeps the file (conservative, as the scan path)
+            if (seen) Some(s"$c:$lo:$hi") else None
+          }
+          (nRows, envelopes)
+        } finally reader.close()
+        val parts = ranges.flatten :+ s"$RowsStat:$rows:$rows"
+        n -> parts.mkString("|", "|", "")
+      }.toMap
+      Some(out)
+    } catch { case FooterBail => None }
   }
 
   /** Per-table commit mutex (qualified path -> lock). The OCC

@@ -150,6 +150,75 @@ class ManifestTableSpec extends SparkSpec {
     assert(afterCompact.forall(_.stats.contains("k")), afterCompact)
   }
 
+  test("footer-derived stats equal the scan-derived envelopes exactly: " +
+    "NULLs ignored, all-NULL columns omitted, non-integral cols fall " +
+    "back to the scan and agree") {
+    // r15 optimization: writeDataFiles reads per-file (min, max, rows)
+    // from parquet FOOTERS instead of re-scanning what it just wrote.
+    // This pins the replacement bit-for-bit against an independent
+    // per-file Spark aggregation (the old scan recipe, inlined).
+    def scanStats(dir: String, files: Seq[String], c: String)
+        : Map[String, (Long, Long, Long)] =
+      spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(min(col(c).cast("long")).as("lo"),
+          max(col(c).cast("long")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect().map { r =>
+          val name = r.getString(0).split('/').takeRight(2).mkString("/")
+          name -> (if (r.isNullAt(1)) (Long.MinValue, Long.MinValue,
+            r.getLong(3)) else (r.getLong(1), r.getLong(2), r.getLong(3)))
+        }.toMap
+    // (a) integral stats col with NULLs: envelope = min/max of the
+    // non-NULL values, __rows counts every row incl. NULL-k ones
+    val path = freshDir()
+    val withNulls = (1 to 2000).map { i =>
+      (if (i % 7 == 0) None else Some(i.toLong), i.toLong % 97,
+        s"s$i")
+    }.toDF("k", "v", "s")
+    ManifestTable.create(spark, path, withNulls, files = 4,
+      sortCols = Seq("v"), statsCols = Seq("k", "v"))
+    val (_, entries) = ManifestTable.currentEntries(spark, path)
+    assert(entries.size === 4)
+    val scanK = scanStats(path, entries.map(_.path), "k")
+    val scanV = scanStats(path, entries.map(_.path), "v")
+    entries.foreach { e =>
+      val (slo, shi, sn) = scanK(e.path)
+      assert(e.stats("k") === (slo, shi), s"k envelope drifted: $e")
+      assert(e.stats("v") === (scanV(e.path)._1, scanV(e.path)._2))
+      assert(e.stats("__rows") === (sn, sn), s"row count drifted: $e")
+    }
+    assert(ManifestTable.countRows(spark, path) === 2000L)
+    // (b) an ALL-NULL stats column omits its envelope (conservative:
+    // readers keep the file), other stats still recorded
+    val path2 = freshDir()
+    val allNull = (1 to 100).map(i => (Option.empty[Long], i.toLong))
+      .toDF("k", "v")
+    ManifestTable.create(spark, path2, allNull, files = 2,
+      statsCols = Seq("k", "v"))
+    val (_, e2) = ManifestTable.currentEntries(spark, path2)
+    assert(e2.forall(e => !e.stats.contains("k") &&
+      e.stats.contains("v") && e.stats.contains("__rows")), e2)
+    // the intact v envelopes still prune-and-read exactly
+    assert(ManifestTable.readRange(spark, path2, "v", 5L, 10L)
+      .count() === 6L)
+    // (c) a NON-integral stats col routes through the scan fallback and
+    // the recorded envelope is the cast-to-long one (numeric strings)
+    val path3 = freshDir()
+    val strKeys = (1 to 500).map(i => (i.toString, i.toLong))
+      .toDF("sk", "v")
+    ManifestTable.create(spark, path3, strKeys, files = 2,
+      sortCols = Seq("v"), statsCols = Seq("sk"))
+    val (_, e3) = ManifestTable.currentEntries(spark, path3)
+    val scanSk = scanStats(path3, e3.map(_.path), "sk")
+    e3.foreach { e =>
+      val (slo, shi, sn) = scanSk(e.path)
+      assert(e.stats("sk") === (slo, shi),
+        s"fallback envelope drifted: $e")
+      assert(e.stats("__rows") === (sn, sn))
+    }
+  }
+
   test("schema evolution: a new column on appended files surfaces with " +
     "mergeSchema (old rows NULL); default reads stay cheap and stable") {
     val path = freshDir()
