@@ -604,13 +604,25 @@ object ManifestTable {
     }
     val (touched, untouched) = lines.partition(l =>
       fileTouched(parseEntry(l).stats.get(c)))
+    // With the exact key set already collected (keyProfile), the
+    // delete-matched step is a codegen'd InSet anti-filter — the
+    // deleteIds shape: no join, no shuffle, and no re-computation of
+    // the updates frame for its key side. Past the cap it stays the
+    // anti-join. NULL keys survive either way (NULL is in no set).
     val survivors =
       if (touched.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(touched.map(l =>
-          resolveFile(base, parseEntry(l).path).toString): _*)
-        .join(updates.select(keyCol.as("__k")).where(col("__k").isNotNull)
-          .distinct(), keyCol === col("__k"), "left_anti"))
+      else {
+        val cand = spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(l =>
+            resolveFile(base, parseEntry(l).path).toString): _*)
+        Some(exactKeys match {
+          case Some(ks) => cand.filter(keyCol.isNull ||
+            !keyCol.isin(ks.toSeq: _*))
+          case None => cand.join(updates.select(keyCol.as("__k"))
+            .where(col("__k").isNotNull).distinct(),
+            keyCol === col("__k"), "left_anti")
+        })
+      }
     val rewriteDf = survivors match {
       case Some(s) => s.unionByName(updates, allowMissingColumns = true)
       case None    => updates
@@ -728,10 +740,16 @@ object ManifestTable {
           txn = carriedTxn, schemaDdl = Some(ins.schema.toDDL), op = "merge")
       case m => // delete | replace(+ignore): CoW rewrite of candidates
         if (touched.isEmpty && whenNotMatched == "ignore") return v
-        val srcKeys = source.select(keyCol.as("__k"))
-          .where(col("__k").isNotNull).distinct()
-        val survivors = candidates.map(
-          _.join(srcKeys, keyCol === col("__k"), "left_anti"))
+        // InSet anti-filter when the exact keys are in hand (see
+        // upsert): removes the anti-join AND the source re-scan that
+        // built its key side
+        val survivors = candidates.map(cand => exactKeys match {
+          case Some(ks) => cand.filter(keyCol.isNull ||
+            !keyCol.isin(ks.toSeq: _*))
+          case None => cand.join(source.select(keyCol.as("__k"))
+            .where(col("__k").isNotNull).distinct(),
+            keyCol === col("__k"), "left_anti")
+        })
         val incoming =
           if (m == "replace") Some(matchedSrc)
           else if (whenNotMatched == "insert") Some(notMatchedSrc)
