@@ -1136,10 +1136,18 @@ object ManifestTable {
       df: DataFrame, op: String): Unit = {
     val cs = currentSnapshot(spark, path).map(_.constraints)
       .getOrElse(Nil)
-    cs.foreach { case (n, e) =>
-      val bad = df.filter(!org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.expr(e).cast("boolean"),
-        lit(true))).count()
+    if (cs.isEmpty) return
+    // ALL constraints validate in ONE aggregate pass over the incoming
+    // rows (the pre-r15 shape ran one count() job per constraint — k
+    // constraints cost k scans of every data-adding write's input)
+    import org.apache.spark.sql.functions.{coalesce, expr}
+    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+      fsum(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1L)
+        .otherwise(0L)).as(s"__c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       require(bad == 0L,
         s"$op refused on $path: CHECK constraint '$n' ($e) violated " +
           s"by $bad incoming row(s) — nothing committed")

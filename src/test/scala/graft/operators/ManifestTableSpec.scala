@@ -998,6 +998,18 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.append(spark, path, Seq((400L, -5L)).toDF("k", "v"),
       files = 1)
     assert(ManifestTable.constraints(spark, path).isEmpty)
+    // MULTIPLE constraints validate in one pass and the refusal names
+    // the violated one (r15: single-aggregate enforcement)
+    ManifestTable.addConstraint(spark, path, "k_positive", "k > 0")
+    ManifestTable.addConstraint(spark, path, "v_small", "v < 100000")
+    ManifestTable.append(spark, path, Seq((500L, 7L)).toDF("k", "v"),
+      files = 1) // passes both
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        Seq((501L, 999999L)).toDF("k", "v"), files = 1)
+    }
+    assert(err.getMessage.contains("v_small") &&
+      !err.getMessage.contains("k_positive"), err.getMessage)
     // the history audit records the constraint lifecycle ops
     val ops = ManifestTable.history(spark, path)
       .orderBy("version").collect().map(_.getString(1)).toSeq
