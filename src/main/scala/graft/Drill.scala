@@ -641,6 +641,212 @@ object Drill {
       out.toString)
   }
 
+  /** r16 graph drill: where do g01/g07 iterations spend — and does a
+    * shuffled-hash build on the node-sized score side beat the default
+    * sort-merge join (which re-sorts the EDGE side every iteration)? */
+  private def r16gVariants(s: SparkSession, dir: String): Unit = {
+    import operators.{Hits, IterativeLoop, PageRank}
+    val li = Tables(s, dir, "lineitem")
+    val fwd = li.select(
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst")).distinct()
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    time("g01 edge derivation (distinct + union)", 4) { edges.count() }
+    time("g01 eDeg build (repartition+window+persist)", 4) {
+      val eDeg = edges.repartition(col("src"))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .persist()
+      val n = eDeg.count(); eDeg.unpersist(); n
+    }
+    // inline copy of PageRank.ranks with a join-strategy knob
+    def ranksVariant(hint: Option[String]): Long = {
+      val eDeg = edges.repartition(col("src"))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .persist()
+      eDeg.count()
+      var rank = eDeg.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(PageRank.One))
+      IterativeLoop.withoutAqe(s) {
+        for (i <- 1 to 5) {
+          val r = hint.fold(rank)(rank.hint(_))
+          rank = eDeg.join(r, eDeg("src") === r("node"))
+            .select(col("dst"), expr("rank div deg").as("contrib"))
+            .groupBy(col("dst").as("node_"))
+            .agg(expr(s"${3 * PageRank.One / 20} + (17 * sum(contrib)) div 20")
+              .as("rank"))
+            .select(col("node_").as("node"), col("rank"))
+          if (i == 2) {
+            // one-shot plan peek: which join did iteration 2 get?
+            val plan = rank.queryExecution.executedPlan.toString
+            val j = plan.linesIterator.find(l =>
+              l.contains("Join")).getOrElse("?")
+            println(s"[drill]   iter-join: ${j.trim.take(120)}")
+          }
+          if (i % 2 == 0 || i == 5) rank = rank.localCheckpoint()
+        }
+      }
+      val n = rank.count(); eDeg.unpersist(); n
+    }
+    time("g01 loop current (SMJ default)", 4) { ranksVariant(None) }
+    time("g01 loop shuffle_hash(rank)", 4) {
+      ranksVariant(Some("shuffle_hash"))
+    }
+    time("g01 full gate (current)", 4) {
+      graft.SparkEntry.queries("g01_pagerank")(s, dir).count()
+    }
+    // ---- g07 ----
+    val inc = li.filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    def hitsVariant(hint: Option[String]): Long = {
+      val e = inc.select(col("src"), col("dst"))
+      val eSrc = e.repartition(col("src")).persist(); eSrc.count()
+      val eDst = eSrc.repartition(col("dst")).persist(); eDst.count()
+      def normalized(raw: DataFrame): DataFrame = {
+        val r = raw.localCheckpoint()
+        val m = r.agg(max(col("s")).as("m"))
+        r.crossJoin(broadcast(m))
+          .select(col("n"), expr(s"(${Hits.One} * s) div m").as("s"))
+      }
+      var hub = eSrc.select(col("src").as("n")).distinct()
+        .withColumn("s", lit(Hits.One))
+      var auth: DataFrame = null
+      for (i <- 1 to 3) {
+        val h = hint.fold(hub)(hub.hint(_))
+        auth = normalized(
+          eSrc.join(h, eSrc("src") === h("n"))
+            .groupBy(col("dst").as("n_")).agg(sum(col("s")).as("s"))
+            .select(col("n_").as("n"), col("s")))
+        val a = hint.fold(auth)(auth.hint(_))
+        hub = normalized(
+          eDst.join(a, eDst("dst") === a("n"))
+            .groupBy(col("src").as("n_")).agg(sum(col("s")).as("s"))
+            .select(col("n_").as("n"), col("s")))
+      }
+      val out = auth.select(lit("auth").as("side"), col("n").as("node"),
+          col("s").as("score"))
+        .unionByName(hub.select(lit("hub").as("side"),
+          col("n").as("node"), col("s").as("score")))
+      val n = out.count(); eSrc.unpersist(); eDst.unpersist(); n
+    }
+    time("g07 loop current (SMJ default)", 4) { hitsVariant(None) }
+    time("g07 loop shuffle_hash(score)", 4) {
+      hitsVariant(Some("shuffle_hash"))
+    }
+    time("g07 full gate (current)", 4) {
+      graft.SparkEntry.queries("g07_hits")(s, dir).count()
+    }
+  }
+
+  /** r16 manifest drill: p28 / p31 / p32 / src07 / s16 lifecycle stage
+    * splits — which write step owns the wall-clock? */
+  private def r16pVariants(s: SparkSession, dir: String): Unit = {
+    import operators.ManifestTable
+    val li = Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate")
+    def fresh(base: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val base = "/tmp/graft_drill_p28"
+    time("p28 create(sorted,8) only", 4) {
+      fresh(base)
+      ManifestTable.create(s, base,
+        li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
+        sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    }
+    time("p28 create unsorted-8 (reference)", 4) {
+      fresh(base)
+      ManifestTable.create(s, base,
+        li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
+        statsCols = Seq("l_orderkey"))
+    }
+    time("p28 create+append", 4) {
+      fresh(base)
+      ManifestTable.create(s, base,
+        li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
+        sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+      ManifestTable.append(s, base,
+        li.filter(col("l_shipdate") >= "1997-01-01"), files = 4,
+        statsCols = Seq("l_orderkey"))
+    }
+    val matched = pmod(col("l_orderkey"), lit(1013)) === 7 &&
+      col("l_orderkey") <= 30000
+    time("p28 create+append+upsert", 4) {
+      fresh(base)
+      ManifestTable.create(s, base,
+        li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
+        sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+      ManifestTable.append(s, base,
+        li.filter(col("l_shipdate") >= "1997-01-01"), files = 4,
+        statsCols = Seq("l_orderkey"))
+      ManifestTable.upsert(s, base, "l_orderkey",
+        li.filter(matched)
+          .withColumn("l_quantity", col("l_quantity") + 500),
+        files = 2, statsCols = Seq("l_orderkey"))
+    }
+    time("p28 full gate (current)", 4) {
+      graft.SparkEntry.queries("p28_snapshot_diff")(s, dir).count()
+    }
+    time("p31 full gate (current)", 4) {
+      graft.SparkEntry.queries("p31_merge_ingest")(s, dir).count()
+    }
+    time("p32 full gate (current)", 4) {
+      graft.SparkEntry.queries("p32_compact_small")(s, dir).count()
+    }
+    // ---- src07: lifecycle writes vs streaming machinery ----
+    val sbase = "/tmp/graft_drill_src07"
+    time("src07 lifecycle only (create+2 appends)", 4) {
+      fresh(sbase)
+      ManifestTable.create(s, sbase,
+        li.filter(col("l_shipdate") < "1996-07-01"), files = 4)
+      ManifestTable.append(s, sbase,
+        li.filter(col("l_shipdate") >= "1996-07-01" &&
+          col("l_shipdate") < "1997-01-01"), files = 2)
+      ManifestTable.append(s, sbase,
+        li.filter(col("l_shipdate") >= "1997-01-01"), files = 2)
+    }
+    time("src07 full gate (current)", 4) {
+      graft.SparkEntry.queries("src07_manifest_stream")(s, dir).count()
+    }
+    // ---- s16 stage split ----
+    import operators.SimilaritySearch
+    val emb = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") <= 3000L)
+      .select("vec_id", "embedding").localCheckpoint()
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val appPath = "/tmp/graft_drill_s16"
+    time("s16 writeIndex (2/3 corpus)", 4) {
+      fresh(appPath)
+      SimilaritySearch.writeIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", appPath, dim = 64, planes = 4, tables = 4)
+      1L
+    }
+    time("s16 writeIndex+appendIndex", 4) {
+      fresh(appPath)
+      SimilaritySearch.writeIndex(emb.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", appPath, dim = 64, planes = 4, tables = 4)
+      SimilaritySearch.appendIndex(emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", appPath, dim = 64, planes = 4, tables = 4)
+      1L
+    }
+    time("s16 probe persisted (after w+a)", 4) {
+      SimilaritySearch.annTopKPersisted(s, appPath, q,
+        dim = 64, k = 1000, planes = 4, tables = 4).count()
+    }
+    time("s16 probe scan path", 4) {
+      SimilaritySearch.annTopKScan(emb, "vec_id", "embedding",
+        q, dim = 64, k = 1000, planes = 4, tables = 4).count()
+    }
+    time("s16 full gate (current)", 4) {
+      graft.SparkEntry.queries("s16_ivf_append")(s, dir).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-drill")
@@ -660,6 +866,8 @@ object Drill {
       case "g08" => g08Variants(spark, sfDir)
       case "g08cap" => g08CapSweep(spark, sfDir)
       case "q51" => q51Variants(spark, sfDir)
+      case "r16g" => r16gVariants(spark, sfDir)
+      case "r16p" => r16pVariants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }
     spark.stop()

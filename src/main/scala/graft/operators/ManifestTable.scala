@@ -272,6 +272,16 @@ object ManifestTable {
   /** Reserved manifest-stat key carrying the file's row count. */
   private val RowsStat = "__rows"
 
+  /** Ceiling on the literal `isin` rewrite filter in [[upsert]]/
+    * [[merge]]: collected key sets up to this size become a codegen'd
+    * InSet anti-filter (no join, no second source pass); past it the
+    * plan-side cost of an N-literal `In` tree (driver construction,
+    * serialization, explain output) outgrows what the broadcast
+    * anti-join costs, so the anti-join path takes over. Exact per-file
+    * ENVELOPE pruning still uses the full collected set either way —
+    * this caps only the filter's literal form. */
+  private val MaxInSetLiterals = 8192
+
   /** The table as a DataFrame. Resolves ONLY manifest-listed files —
     * orphan parquet in the directory (crashed writers, not-yet-
     * committed appends, pre-vacuum compaction leftovers) is invisible.
@@ -351,12 +361,16 @@ object ManifestTable {
     * NOT a general dedup ledger. */
   def append(spark: SparkSession, path: String, df: DataFrame,
       files: Int, statsCols: Seq[String] = Nil,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None, sortCols: Seq[String] = Nil): Long = {
     val (v, current) = currentLines(spark, path)
     require(v > 0, s"manifest table $path does not exist")
     if (txn.isDefined && lastTxn(spark, path) == txn) return v
     enforceConstraints(spark, path, df, "append")
-    val added = writeDataFiles(spark, path, df, files, Nil, statsCols)
+    // sortCols: range-cluster the appended files on the table's key
+    // (Iceberg's write.distribution-mode=range) — appends that each
+    // span the whole key domain defeat every later envelope-pruned
+    // read/CoW of the table, however well created files were clustered
+    val added = writeDataFiles(spark, path, df, files, sortCols, statsCols)
     // an untagged write still carries a prior streaming tag forward —
     // same argument as maintenance (see lastTxn): erasing it would let
     // a crash-replay readmit an already-committed batch
@@ -616,9 +630,9 @@ object ManifestTable {
           .parquet(touched.map(l =>
             resolveFile(base, parseEntry(l).path).toString): _*)
         Some(exactKeys match {
-          case Some(ks) => cand.filter(keyCol.isNull ||
-            !keyCol.isin(ks.toSeq: _*))
-          case None => cand.join(updates.select(keyCol.as("__k"))
+          case Some(ks) if ks.length <= MaxInSetLiterals =>
+            cand.filter(keyCol.isNull || !keyCol.isin(ks.toSeq: _*))
+          case _ => cand.join(updates.select(keyCol.as("__k"))
             .where(col("__k").isNotNull).distinct(),
             keyCol === col("__k"), "left_anti")
         })
@@ -725,6 +739,13 @@ object ManifestTable {
         def dropStaged(): Unit = added.headOption
           .map(l => parseEntry(l).path.split('/').head)
           .foreach(sub => fs.delete(new Path(base, sub), true))
+        // best-effort cleanup that must NOT mask the refusal it follows:
+        // a failing filesystem delete is recorded as suppressed, the
+        // original constraint violation still propagates
+        def dropStagedQuietly(cause: Throwable): Unit =
+          try dropStaged()
+          catch { case scala.util.control.NonFatal(e) =>
+            cause.addSuppressed(e) }
         if (writtenRows(spark, path, added) == 0L) {
           dropStaged() // no new keys: metadata no-op, same version back
           return v
@@ -735,7 +756,7 @@ object ManifestTable {
         try enforceConstraints(spark, path,
           spark.read.parquet(added.map(l =>
             resolveFile(base, parseEntry(l).path).toString): _*), "merge")
-        catch { case e: Throwable => dropStaged(); throw e }
+        catch { case e: Throwable => dropStagedQuietly(e); throw e }
         commit(spark, path, lines ++ added, expectedCurrent = v,
           txn = carriedTxn, schemaDdl = Some(ins.schema.toDDL), op = "merge")
       case m => // delete | replace(+ignore): CoW rewrite of candidates
@@ -744,9 +765,9 @@ object ManifestTable {
         // upsert): removes the anti-join AND the source re-scan that
         // built its key side
         val survivors = candidates.map(cand => exactKeys match {
-          case Some(ks) => cand.filter(keyCol.isNull ||
-            !keyCol.isin(ks.toSeq: _*))
-          case None => cand.join(source.select(keyCol.as("__k"))
+          case Some(ks) if ks.length <= MaxInSetLiterals =>
+            cand.filter(keyCol.isNull || !keyCol.isin(ks.toSeq: _*))
+          case _ => cand.join(source.select(keyCol.as("__k"))
             .where(col("__k").isNotNull).distinct(),
             keyCol === col("__k"), "left_anti")
         })
@@ -1133,7 +1154,11 @@ object ManifestTable {
     * constraint — called by every data-adding write on its NEW rows
     * only ([[addConstraint]] validated everything older). */
   private def enforceConstraints(spark: SparkSession, path: String,
-      df: DataFrame, op: String): Unit = {
+      df: => DataFrame, op: String): Unit = {
+    // by-name `df`: constraint-free tables (the common case) never pay
+    // for constructing the frame — merge(keep)'s check reads back the
+    // just-written slice, whose plain construction costs footer-based
+    // schema inference even when there is nothing to enforce
     val cs = currentSnapshot(spark, path).map(_.constraints)
       .getOrElse(Nil)
     if (cs.isEmpty) return
@@ -1466,45 +1491,63 @@ object ManifestTable {
     }.toSet
     if (!statsCols.forall(integral)) return None
     val conf = spark.sparkContext.hadoopConfiguration
-    try {
-      val out = names.map { n =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(dir, n), conf))
-        val (rows, ranges) = try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val nRows = blocks.map(_.getRowCount).sum
-          val envelopes = statsCols.map { c =>
-            var lo = Long.MaxValue
-            var hi = Long.MinValue
-            var seen = false
-            blocks.foreach { b =>
-              val chunk = b.getColumns.asScala
-                .find(_.getPath.toDotString == c)
-                .getOrElse(throw FooterBail)
-              val st = chunk.getStatistics
-              if (st == null) throw FooterBail
-              if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Number, mx: java.lang.Number) =>
-                  lo = math.min(lo, mn.longValue)
-                  hi = math.max(hi, mx.longValue)
-                  seen = true
-                case _ => throw FooterBail
-              } else if (!st.isNumNullsSet ||
-                st.getNumNulls != chunk.getValueCount)
-                throw FooterBail // stats absent, not all-NULL: untrustworthy
-            }
-            // all-NULL column in this file: no envelope — omit the stat,
-            // the reader keeps the file (conservative, as the scan path)
-            if (seen) Some(s"$c:$lo:$hi") else None
-          }
-          (nRows, envelopes)
-        } finally reader.close()
-        val parts = ranges.flatten :+ s"$RowsStat:$rows:$rows"
-        n -> parts.mkString("|", "|", "")
-      }.toMap
-      Some(out)
-    } catch { case FooterBail => None }
+    // footer opens are independent per file and I/O-bound — read them
+    // in parallel on the driver (a 16-file write pays one footer
+    // latency, not sixteen in sequence; ~35 stats-carrying writes per
+    // sweep make this a per-gate constant). Any per-file failure —
+    // FooterBail or a transient FS error — falls back to the scan pass
+    // for the WHOLE write, exactly like the sequential shape did.
+    import scala.collection.parallel.CollectionConverters._
+    val perFile: Seq[Option[(String, String)]] = names.par.map { n =>
+      try Some(footerStatsOfFile(dir, n, conf, statsCols))
+      catch {
+        case FooterBail => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    }.seq
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.toMap)
+  }
+
+  /** One file's manifest-stat string from its parquet footer — throws
+    * [[FooterBail]] when the footer's statistics are untrustworthy. */
+  private def footerStatsOfFile(dir: Path, n: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      statsCols: Seq[String]): (String, String) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(dir, n), conf))
+    val (rows, ranges) = try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      val envelopes = statsCols.map { c =>
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        var seen = false
+        blocks.foreach { b =>
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .getOrElse(throw FooterBail)
+          val st = chunk.getStatistics
+          if (st == null) throw FooterBail
+          if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              lo = math.min(lo, mn.longValue)
+              hi = math.max(hi, mx.longValue)
+              seen = true
+            case _ => throw FooterBail
+          } else if (!st.isNumNullsSet ||
+            st.getNumNulls != chunk.getValueCount)
+            throw FooterBail // stats absent, not all-NULL: untrustworthy
+        }
+        // all-NULL column in this file: no envelope — omit the stat,
+        // the reader keeps the file (conservative, as the scan path)
+        if (seen) Some(s"$c:$lo:$hi") else None
+      }
+      (nRows, envelopes)
+    } finally reader.close()
+    val parts = ranges.flatten :+ s"$RowsStat:$rows:$rows"
+    n -> parts.mkString("|", "|", "")
   }
 
   /** Per-table commit mutex (qualified path -> lock). The OCC

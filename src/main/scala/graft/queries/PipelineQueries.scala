@@ -656,9 +656,18 @@ object PipelineQueries {
     ManifestTable.create(s, base,
       li.filter(col("l_shipdate") < "1997-01-01"), files = 8,
       sortCols = Seq("l_orderkey"), statsCols = Seq("l_orderkey"))
+    // the append is clustered on the table's key like the create (the
+    // guide-§6 write.distribution-mode discipline): unclustered append
+    // files each span the WHOLE key domain, so the low-key upsert below
+    // had to rewrite every one of them and the snapshot diff then read
+    // nearly the whole table — clustered, the upsert touches only the
+    // envelope-intersecting slice and the diff's symmetric difference
+    // stays proportional to the change (r16 matched A/B: 2.73 → 2.22 s;
+    // feed content is layout-independent — carried-over survivor rows
+    // cancel value-wise — so the oracle hash is unchanged)
     ManifestTable.append(s, base,
       li.filter(col("l_shipdate") >= "1997-01-01"), files = 4,
-      statsCols = Seq("l_orderkey"))
+      statsCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
     val matched = pmod(col("l_orderkey"), lit(1013)) === 7 &&
       col("l_orderkey") <= 30000
     val updates = li.filter(matched)

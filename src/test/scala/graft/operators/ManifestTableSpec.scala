@@ -31,6 +31,36 @@ class ManifestTableSpec extends SparkSpec {
     }
   }
 
+  test("append(sortCols): appended files are range-clustered — nearly " +
+    "disjoint recorded envelopes — with content identical to an " +
+    "unsorted append, so later envelope-pruned CoW touches a slice") {
+    val path = freshDir()
+    ManifestTable.create(spark, path, part(1, 400), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    ManifestTable.append(spark, path, part(401, 800), files = 4,
+      statsCols = Seq("k"), sortCols = Seq("k"))
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 800L)
+    assert(back.agg(sum("k")).head().getLong(0) ===
+      (1 to 800).map(_.toLong).sum)
+    // the appended files' recorded envelopes are non-overlapping slices
+    // of [401, 800] (range clustering), not four whole-domain spans
+    val spans = ManifestTable.currentEntries(spark, path)._2
+      .flatMap(_.stats.get("k")).filter(_._1 >= 401L).sortBy(_._1)
+    assert(spans.size === 4)
+    spans.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"append file envelopes overlap: $spans")
+    }
+    // a low-key delete in the appended range rewrites ONE appended file
+    val before = ManifestTable.currentManifest(spark, path)._2.toSet
+    ManifestTable.deleteRange(spark, path, "k", 401L, 410L,
+      statsCols = Seq("k"))
+    val after = ManifestTable.currentManifest(spark, path)._2.toSet
+    assert((before -- after).size === 1,
+      s"expected exactly one rewritten file, got ${before -- after}")
+    assert(ManifestTable.read(spark, path).count() === 790L)
+  }
+
   test("reads resolve ONLY via the manifest: orphan parquet in the " +
     "table dir is invisible") {
     val path = freshDir()
