@@ -741,6 +741,87 @@ object Drill {
     }
   }
 
+  /** r16 g01 edge-spine drill: the current derivation pays TWO edge
+    * exchanges before the loop (fwd.distinct() on hash(src,dst), then
+    * ranks' repartition(src)); folding the dedup into the src-keyed
+    * layout pays ONE (repartition(src) → partition-local dropDuplicates
+    * → window, no further exchange — hash(src) satisfies the (src,dst)
+    * clustering requirement). Content identical: same distinct pairs,
+    * same degrees. */
+  private def r16g2Variants(s: SparkSession, dir: String): Unit = {
+    import operators.{IterativeLoop, PageRank}
+    val li = Tables(s, dir, "lineitem")
+    val fwd0 = li.select(
+      (col("l_orderkey") * 2).as("src"),
+      (col("l_partkey") * 2 + 1).as("dst"))
+    def loop(eDeg: DataFrame): Long = {
+      eDeg.count()
+      var rank = eDeg.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(PageRank.One))
+      IterativeLoop.withoutAqe(s) {
+        for (i <- 1 to 5) {
+          rank = eDeg.join(rank, eDeg("src") === rank("node"))
+            .select(col("dst"), expr("rank div deg").as("contrib"))
+            .groupBy(col("dst").as("node_"))
+            .agg(expr(s"${3 * PageRank.One / 20} + (17 * sum(contrib)) div 20")
+              .as("rank"))
+            .select(col("node_").as("node"), col("rank"))
+          if (i % 2 == 0 || i == 5) rank = rank.localCheckpoint()
+        }
+      }
+      val n = rank.count()
+      // checkpoint blocks accumulate across runs and poison later pairs
+      s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      n
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    def spineA(): Long = {
+      val fwd = fwd0.distinct()
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      loop(edges.repartition(col("src"))
+        .withColumn("deg", count(lit(1)).over(w)).persist())
+    }
+    def spineB(): Long = {
+      val raw2 = fwd0.unionByName(
+        fwd0.select(col("dst").as("src"), col("src").as("dst")))
+      loop(raw2.repartition(col("src")).dropDuplicates("src", "dst")
+        .withColumn("deg", count(lit(1)).over(w)).persist())
+    }
+    // interleaved A/B pairs: the sequential form gave B four warm runs
+    // after A's four — order bias. Warm both once, then alternate.
+    spineA(); spineB()
+    for (r <- 1 to 3) {
+      time(s"g01 spine A (pair $r)", 1) { spineA() }
+      time(s"g01 spine B (pair $r)", 1) { spineB() }
+    }
+    // plan evidence for plans/r16: the eDeg spine both ways (the gate's
+    // returned frame is post-checkpoint — the spine never shows there)
+    val fwdA = fwd0.distinct()
+    val spineAPlan = fwdA.unionByName(
+        fwdA.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(w))
+    val raw2 = fwd0.unionByName(
+      fwd0.select(col("dst").as("src"), col("src").as("dst")))
+    val spineBPlan = raw2.repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("deg", count(lit(1)).over(w))
+    import org.apache.spark.sql.execution.ExplainMode
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("plans/r16"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("plans/r16/g01_edge_spine_before.txt"),
+      spineAPlan.queryExecution.explainString(
+        ExplainMode.fromString("formatted")).trim + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("plans/r16/g01_edge_spine_after.txt"),
+      spineBPlan.queryExecution.explainString(
+        ExplainMode.fromString("formatted")).trim + "\n")
+    println("[drill] wrote plans/r16/g01_edge_spine_{before,after}.txt")
+  }
+
   /** r16 manifest drill: p28 / p31 / p32 / src07 / s16 lifecycle stage
     * splits — which write step owns the wall-clock? */
   private def r16pVariants(s: SparkSession, dir: String): Unit = {
@@ -867,6 +948,7 @@ object Drill {
       case "g08cap" => g08CapSweep(spark, sfDir)
       case "q51" => q51Variants(spark, sfDir)
       case "r16g" => r16gVariants(spark, sfDir)
+      case "r16g2" => r16g2Variants(spark, sfDir)
       case "r16p" => r16pVariants(spark, sfDir)
       case other => sys.error(s"unknown drill target: $other")
     }

@@ -78,6 +78,34 @@ object Plans {
     "p29_files_metadata", "p30_shallow_clone", "p31_merge_ingest",
     "p32_compact_small", "p33_check_constraint")
 
+  /** Dump explain("formatted") of named queries to individual files:
+    * runMain graft.PlanDump <outDir> <suffix> <query> [query...]
+    * — writes <outDir>/<query>_<suffix>.txt per query (the per-round
+    * before/after plan evidence under plans/rNN/). */
+  def dump(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"),
+        df.queryExecution.explainString(
+          ExplainMode.fromString("formatted")).trim + "\n")
+      println(s"wrote $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outFile = args.lift(1).getOrElse("PLANS.md")
@@ -106,4 +134,8 @@ object Plans {
     println(s"wrote $outFile (${picks.size} plans)")
     spark.stop()
   }
+}
+
+object PlanDump {
+  def main(args: Array[String]): Unit = Plans.dump(args)
 }

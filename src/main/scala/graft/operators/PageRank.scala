@@ -62,7 +62,7 @@ object PageRank {
     * lower the fixed-point scale (e.g. 10⁹) — the oracle replays
     * whatever scale is chosen. */
   def ranks(edges: DataFrame, iters: Int,
-      aqeOff: Boolean = true): DataFrame = {
+      aqeOff: Boolean = true, dedupEdges: Boolean = false): DataFrame = {
     require(iters >= 1, "at least one iteration")
     // The edge list with its source degree riding along — every
     // iteration equi-joins this frame, nothing else.
@@ -71,8 +71,26 @@ object PageRank {
     // join needs — one exchange builds both, where the groupBy+self-join
     // form paid two extra shuffles of the edge list (measured ~0.9 s of
     // g01's sf0.1 constant)
-    val eDeg = e
-      .repartition(col("src")) // pin the join layout: every iteration
+    //
+    // dedupEdges folds the caller's edge-dedup into that same exchange:
+    // dropDuplicates AFTER repartition(src) runs partition-local
+    // (hash(src) satisfies the (src, dst) clustering requirement), so a
+    // caller passing a raw multi-edge frame pays ONE edge exchange where
+    // a pre-distinct'd frame pays two — its distinct's hash(src, dst)
+    // exchange, then this hash(src) one. One Exchange removed from the
+    // plan; the r16 interleaved A/B on g01's bipartite graph was a WASH
+    // at sf0.1 (pairs 5.32/6.48, 3.54/3.60, 3.04/3.45 — the saved
+    // exchange of ~1.2M rows ≈ the added partition-local dedup pass),
+    // kept for the scale shape: at 100 TB shuffled bytes dominate a
+    // local hash-dedup, and low-duplication edge streams shuffle the
+    // same bytes once instead of twice. Default off: callers that
+    // already hold distinct edges skip the redundant dedup pass; a
+    // heavily-duplicated raw stream should also pre-distinct (the
+    // partial aggregate then shrinks what the exchange carries).
+    val eDeg = (if (dedupEdges)
+      e.repartition(col("src")).dropDuplicates("src", "dst")
+    else
+      e.repartition(col("src"))) // pin the join layout: every iteration
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist()               // reuses it, only the rank side moves.

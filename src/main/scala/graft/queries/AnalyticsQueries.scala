@@ -73,12 +73,18 @@ object AnalyticsQueries {
   // would use. Top 20 nodes.
   private def g01(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
+    // RAW pairs both ways — dedup rides the operator's own src-keyed
+    // exchange (ranks(dedupEdges = true)): one edge shuffle instead of
+    // a hash(src, dst) distinct followed by the hash(src) repartition.
+    // Content identical (same distinct pairs, same degrees, bit-
+    // identical ranks); a local WASH in the r16 interleaved A/B, kept
+    // for the one-fewer-Exchange scale shape — see ranks() scaladoc
     val fwd = li.select(
       (col("l_orderkey") * 2).as("src"),
-      (col("l_partkey") * 2 + 1).as("dst")).distinct()
+      (col("l_partkey") * 2 + 1).as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
-    PageRank.ranks(edges, iters = 5)
+    PageRank.ranks(edges, iters = 5, dedupEdges = true)
       .select(col("node"), col("rank").as("pr"))
       .orderBy(col("pr").desc, col("node"))
       .limit(20)
