@@ -195,6 +195,12 @@ object Bench {
     // chatter otherwise interleaves past it and breaks tail-parsing
     // (BENCH_r11.json carried "parsed": null for exactly this reason)
     spark.stop()
+    // compact summary FIRST (r15 verdict item 6): the full per-query
+    // line is ~10 KB and a captured log tail can truncate it mid-line
+    // (the r14 "parsed: null" artifact) — a short total-only line just
+    // above it survives the same tail window. The full line below stays
+    // the contract; bench_last.json is the durable per-query record.
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.count(_._3)},"failed":$failed,"over_budget":$over,"sf":"$sfDir","iters":$iters,"detail":"per-query map on the next line and in $recordFile"}""")
     println(line)
     System.out.flush()
     // fail loudly AFTER artifacts are written — a budget breach must not
