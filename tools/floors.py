@@ -35,6 +35,10 @@ def run_group(gates, sf_dir):
         line = line.replace("[info] ", "", 1).strip()
         if line.startswith('{"metric"'):
             rec = json.loads(line)
+            # r16: Bench prints a compact total-only summary line BEFORE
+            # the full record — skip any record without the per-query map
+            if "queries" not in rec:
+                continue
             # a gate that errored lands in "failed" and is absent from
             # "queries" — surface it loudly instead of silently leaving
             # a missing/stale floor (the ScalingProbe SKIPPED discipline)
