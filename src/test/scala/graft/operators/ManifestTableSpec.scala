@@ -545,6 +545,33 @@ class ManifestTableSpec extends SparkSpec {
       .select("v").collect().map(_.getLong(0)).toSeq === Seq(-1L, -2L))
   }
 
+  test("upsert middle band (collected keys past the InSet literal cap): " +
+    "exact-key pruning + anti-join filter, content matches") {
+    val path = freshDir()
+    // 20k rows in 4 clustered files; 9k distinct update keys sit between
+    // MaxInSetLiterals (8192, anti-join filter takes over) and
+    // maxCollectedKeys (100k, keys still collected for exact pruning)
+    ManifestTable.create(spark, path, part(1, 20000), files = 4,
+      sortCols = Seq("k"), statsCols = Seq("k"))
+    val created = ManifestTable.currentManifest(spark, path)._2.toSet
+    val updates = (1 to 9000)
+      .map(i => (i.toLong, -i.toLong)).toDF("k", "v")
+    ManifestTable.upsert(spark, path, "k", updates, files = 2,
+      statsCols = Seq("k"))
+    val back = ManifestTable.read(spark, path)
+    assert(back.count() === 20000L)
+    // every updated key carries the update's value, the rest original
+    assert(back.filter(col("k") <= 9000L).agg(sum("v")).head().getLong(0)
+      === -(1L to 9000L).sum)
+    assert(back.filter(col("k") > 9000L).count() === 11000L)
+    // exact pruning still held: create files whose envelope lies wholly
+    // above the update keys keep their exact lines (the 4 clustered
+    // files split [1, 20000] into ~5k slices — the top one must survive)
+    val after = ManifestTable.currentManifest(spark, path)._2.toSet
+    assert((created & after).nonEmpty,
+      "expected at least one untouched create file to survive the upsert")
+  }
+
   test("readChanges: the appended delta between two retained versions; " +
     "empty delta is typed; a rewrite in the range refuses loudly") {
     val path = freshDir()
